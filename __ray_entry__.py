@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (web pages geocoded, cell-encoded,
+PIP-joined to node-cluster buffers and kNN-snapped to network edges) on
+sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,272 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from osmnetfusion_ray import synth
+    from osmnetfusion_ray.pipelines import pagejoin
+    from osmnetfusion_ray.sources import pages_from_documents
+
+    nodes, edges = synth.synth_city(n=16, seed=42)
+    pages = pages_from_documents(SF0001)
+    ds = pagejoin.join_pages_to_network(pages, nodes, edges)
+    return ds.select_columns(["url", "doc_id", "lang", "cell", "edge_id", "snap_dist_m", "node_buffer_id", "text_hash"])
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_page_network_join(sf_dir: str):
+    from osmnetfusion_ray import synth
+    from osmnetfusion_ray.pipelines import pagejoin
+    from osmnetfusion_ray.sources import pages_from_documents
+
+    nodes, edges = synth.synth_city(n=16, seed=42)
+    ds = pagejoin.join_pages_to_network(pages_from_documents(sf_dir), nodes, edges)
+    return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
+
+
+def _q_text_stats(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import text_stats_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_quality(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import quality_score_batch
+    from osmnetfusion_ray.sources import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "quality_score"])
+
+
+def _q_langid(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import langid_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        langid_batch, batch_format="pyarrow"
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import exact_dedup
+
+    return exact_dedup(sf_dir)
+
+
+def _q_doc_geocode(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_geocode_batch
+    from osmnetfusion_ray.sources import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        doc_geocode_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "lon", "lat", "ix", "iy"])
+
+
+def _q_doc_cell_counts(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_cell_counts
+
+    return doc_cell_counts(sf_dir)
+
+
+def _q_ann_topk(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import ann_topk
+
+    return ann_topk(sf_dir, k=10, query_vec_id=0)
+
+
+def _q_minhash(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import minhash_near_dups
+
+    return minhash_near_dups(sf_dir)
+
+
+def _q_simhash(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import simhash_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osmnetfusion_ray.pipelines import analytics
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "top_parts_by_revenue": analytics.top_parts_by_revenue,
+        "events_tumbling": analytics.events_tumbling,
+        "events_sessionize": analytics.events_sessionize,
+        "text_stats": _q_text_stats,
+        "quality_scores": _q_quality,
+        "langid": _q_langid,
+        "exact_dedup": _q_exact_dedup,
+        "doc_geocode": _q_doc_geocode,
+        "doc_cell_counts": _q_doc_cell_counts,
+        "ann_topk": _q_ann_topk,
+        "page_network_join": _q_page_network_join,   # rows-only (synthetic network side)
+        "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
+        "simhash_fingerprints": _q_simhash,          # rows-only (hash not in SQL)
+    }
+
+
+# ---------------------------------------------------------------------------
+
+_GEO = """
+    SELECT doc_id,
+           (doc_id * 2654435761) % 4294967296 AS h,
+           CAST((doc_id * 2654435761) % 4294967296 % 65536 AS DOUBLE) / 65536.0 AS fx,
+           CAST(((doc_id * 2654435761) % 4294967296) // 65536 AS DOUBLE) / 65536.0 AS fy
+    FROM documents
+"""
+
+_TEXT_STATS = """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+             / CAST(CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS DOUBLE) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '\\b(the|a|an|and|of|to|in|is|it|that)\\b')) AS DOUBLE)
+             / CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                         THEN len(regexp_extract_all(text, '\\S+')) ELSE 1 END AS DOUBLE) AS stopword_ratio,
+           CAST(length(text) AS DOUBLE)
+             / CAST(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                         THEN len(regexp_extract_all(text, '\\S+')) ELSE 1 END AS DOUBLE) AS avg_token_len
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 4) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_parts_by_revenue": """
+            WITH per_part AS (
+                SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_revenue
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, p_name, part_revenue
+            FROM per_part JOIN part ON l_partkey = p_partkey
+            ORDER BY part_revenue DESC, l_partkey
+            LIMIT 10
+        """,
+        "events_tumbling": """
+            SELECT user_id,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            m AS (
+                SELECT user_id, us, value,
+                       CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            s AS (
+                SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "text_stats": _TEXT_STATS,
+        "quality_scores": f"""
+            WITH t AS ({_TEXT_STATS})
+            SELECT doc_id,
+                   0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * least(stopword_ratio * 5.0, 1.0)
+                 + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)) AS quality_score
+            FROM t
+        """,
+        "langid": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\b(the|and|of|to|in)\\b')) AS c_en,
+                       len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS c_de,
+                       len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')) AS c_fr,
+                       len(regexp_extract_all(text, '\\b(el|los|las|una|es)\\b')) AS c_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   c_en, c_de, c_fr, c_es
+            FROM c
+        """,
+        "exact_dedup": """
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "doc_geocode": f"""
+            WITH g AS ({_GEO})
+            SELECT doc_id,
+                   CAST(11.54 AS DOUBLE) + fx * (CAST(11.62 AS DOUBLE) - CAST(11.54 AS DOUBLE)) AS lon,
+                   CAST(48.12 AS DOUBLE) + fy * (CAST(48.18 AS DOUBLE) - CAST(48.12 AS DOUBLE)) AS lat,
+                   CAST(floor(fx * 64) AS BIGINT) AS ix,
+                   CAST(floor(fy * 64) AS BIGINT) AS iy
+            FROM g
+        """,
+        "doc_cell_counts": f"""
+            WITH g AS ({_GEO})
+            SELECT CAST(floor(fx * 64) AS BIGINT) AS ix,
+                   CAST(floor(fy * 64) AS BIGINT) AS iy,
+                   count(*) AS n_docs
+            FROM g GROUP BY 1, 2
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])), 6) AS sim
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+    }

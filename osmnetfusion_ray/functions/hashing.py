@@ -1,0 +1,69 @@
+"""Vectorized deterministic hashing / geocoding kernels.
+
+All hot-path hashing is C-speed (``pd.util.hash_array`` — SipHash-1-3 with a
+fixed key, deterministic across processes and machines) — never a Python
+``for row`` loop (prompt rule: no row loops in hot stages).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+try:
+    import polars as pl
+
+    _HAS_POLARS = True
+except Exception:  # pragma: no cover
+    _HAS_POLARS = False
+
+DEFAULT_BBOX = (11.54, 48.12, 11.62, 48.18)
+
+
+def hash64(values) -> np.ndarray:
+    """uint64 hash of a string column (pa.Array / ChunkedArray / ndarray /
+    list). Deterministic within this environment; used for url→coords
+    geocoding, text checksums, and hash-partitioned dedup keys.
+
+    Fast path: polars ``.hash()`` — vectorized over Arrow buffers, zero
+    Python objects (allocation churn is the scarce resource on this host).
+    Fallback: ``pd.util.hash_array`` (SipHash, also C-speed but needs an
+    object array).
+    """
+    if _HAS_POLARS:
+        if isinstance(values, pa.ChunkedArray):
+            arr = values
+        elif isinstance(values, pa.Array):
+            arr = pa.chunked_array([values])
+        else:
+            arr = pa.chunked_array([pa.array(np.asarray(values, dtype=object), type=pa.string())])
+        s = pl.from_arrow(arr.cast(pa.large_string()))
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def geocode(urls, bbox: tuple[float, float, float, float] = DEFAULT_BBOX) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic url → (lon, lat) inside ``bbox``.
+
+    Stands in for the reference's geocoding of page entities (north_star:
+    pages "are geocoded, H3/S2-cell-encoded in map_batches"); a stable hash
+    keeps the join reproducible at any scale and across parallelism levels.
+    """
+    lon0, lat0, lon1, lat1 = bbox
+    h = hash64(urls)
+    fx = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    fy = (h >> np.uint64(32)).astype(np.float64) / 2**32
+    return lon0 + fx * (lon1 - lon0), lat0 + fy * (lat1 - lat0)
+
+
+def text_checksum(text_col) -> np.ndarray:
+    """Per-row uint64 checksum of the ``text`` column — asserted equal at
+    source and sink to evidence the byte-identical-text invariant
+    (BASELINE.json input_hint)."""
+    return hash64(text_col)

@@ -1,0 +1,155 @@
+"""Relational / windowed pipelines over the driver corpus tables —
+exercising the engine's partial-aggregation, broadcast-join, and
+map_groups-window patterns with DuckDB-oracle-checkable semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..sources import read_table
+from ..stages.agg import AggSpec, groupby_agg
+from ..stages.join import broadcast_join
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: filtered lineitem → grouped sums/means (partial-agg)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("2001-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("sum_qty", "l_quantity", "sum"),
+            AggSpec("sum_base_price", "l_extendedprice", "sum"),
+            AggSpec("sum_disc_price", "disc_price", "sum"),
+            AggSpec("avg_qty", "l_quantity", "mean"),
+            AggSpec("avg_price", "l_extendedprice", "mean"),
+            AggSpec("count_order", None, "count"),
+        ],
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"):
+            df[c] = df[c].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+def revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer ⋈ nation (both dims broadcast) → revenue per nation."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
+    joined = broadcast_join(orders, dim, left_on="o_custkey", right_on="c_custkey")
+    out = groupby_agg(
+        joined,
+        ["n_name"],
+        [AggSpec("total_revenue", "o_totalprice", "sum"), AggSpec("n_orders", None, "count")],
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_revenue"] = df["total_revenue"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10) -> pa.Table:
+    """Global top-k: partial agg per part → small sort on aggregates."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "revenue", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+
+    per_part = groupby_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["l_partkey"],
+        [AggSpec("part_revenue", "revenue", "sum")],
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    joined = broadcast_join(per_part, part, left_on="l_partkey", right_on="p_partkey")
+    pdf = joined.to_pandas()
+    pdf["part_revenue"] = pdf["part_revenue"].round(4)
+    pdf = pdf.sort_values(["part_revenue", "l_partkey"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(pdf[["l_partkey", "p_name", "part_revenue"]].reset_index(drop=True))
+
+
+WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_tumbling(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1 h event-time windows per user: count + sum(value).
+
+    Ray Data has no native windows (SURVEY.md §2.9: none in the reference
+    either); a window here = integer bucket of the event-time microseconds,
+    then a partial-agg groupby — fully parallel, no ordering requirement.
+    """
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, pa.scalar(WINDOW_US, type=pa.int64())), pa.scalar(WINDOW_US, type=pa.int64()))
+        return t.append_column("window_start_us", win)
+
+    ds = ev.map_batches(bucket, batch_format="pyarrow")
+    out = groupby_agg(
+        ds,
+        ["user_id", "window_start_us"],
+        [AggSpec("n_events", None, "count"), AggSpec("sum_value", "value", "sum")],
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows per user (gap > 30 min starts a new session):
+    groupby(user).map_groups over ts-sorted events — the engine's
+    stream-shaped pattern (ordered log partitioned by key)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64").to_numpy()
+        new_sess = np.ones(len(g), dtype=bool)
+        new_sess[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
+        sess_id = np.cumsum(new_sess) - 1
+        out = (
+            pd.DataFrame({"session_id": sess_id, "value": g["value"].to_numpy(), "us": us})
+            .groupby("session_id")
+            .agg(session_start_us=("us", "min"), session_end_us=("us", "max"),
+                 n_events=("us", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.drop(columns=["session_id"])
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")

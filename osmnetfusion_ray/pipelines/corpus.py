@@ -1,0 +1,361 @@
+"""Training-data corpus operators over the documents / embeddings tables:
+text analysis, dedup (exact + near-dup), geocoding/cell-encoding, ANN.
+
+These are the "large-scale training-data pipeline" operators the engine adds
+beyond the reference's own inventory. Every op streams the corpus through
+``map_batches`` (Arrow / numpy kernels, RE2 regexes precompiled per actor)
+and only shuffles reduced intermediates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from .. import cells
+from ..functions import hashing
+from ..sources import read_table
+from ..stages.agg import AggSpec, groupby_agg
+from ..stages.join import broadcast_semi_filter
+
+BBOX = hashing.DEFAULT_BBOX
+
+# language marker words (tiny n-gram heuristic; RE2 word-boundary semantics
+# are identical in pyarrow and DuckDB, so the oracle can mirror this exactly)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|et|les|des)\b",
+    "es": r"\b(el|los|las|una|es)\b",
+}
+STOPWORDS_RE = r"\b(the|a|an|and|of|to|in|is|it|that)\b"
+PUNCT_RE = r"[.,;:!?]"
+TOKEN_RE = r"\S+"
+
+
+# ---------------------------------------------------------------------------
+# text analysis (vectorized Arrow kernels)
+# ---------------------------------------------------------------------------
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document stats: token count, char count, punct/stopword ratios,
+    average token length — the quality-scoring feature set."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    n_stop = pc.count_substring_regex(text, STOPWORDS_RE)
+    nt = pc.cast(n_tokens, pa.float64())
+    nc = pc.cast(n_chars, pa.float64())
+    safe_nt = pc.if_else(pc.greater(nt, 0.0), nt, pa.scalar(1.0))
+    safe_nc = pc.if_else(pc.greater(nc, 0.0), nc, pa.scalar(1.0))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "punct_ratio": pc.divide(pc.cast(n_punct, pa.float64()), safe_nc),
+            "stopword_ratio": pc.divide(pc.cast(n_stop, pa.float64()), safe_nt),
+            "avg_token_len": pc.divide(nc, safe_nt),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic quality score in [0,1] from the stats features —
+    mirrors the length/punct/stopword heuristics of C4-style cleaning."""
+    t = text_stats_batch(batch)
+    nt = t["n_tokens"].to_numpy().astype(np.float64)
+    stop = t["stopword_ratio"].to_numpy()
+    punct = t["punct_ratio"].to_numpy()
+    len_score = np.minimum(nt / 100.0, 1.0)
+    stop_score = np.minimum(stop * 5.0, 1.0)
+    punct_penalty = np.minimum(punct * 10.0, 1.0)
+    score = 0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty)
+    return t.append_column("quality_score", pa.array(score))
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language ID with deterministic tie-break (marker order)."""
+    text = batch["text"]
+    counts = {k: pc.count_substring_regex(text, v).to_numpy().astype(np.int64) for k, v in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    mat = np.stack([counts[k] for k in langs])  # (L, N)
+    best = mat.argmax(axis=0)  # first max wins (marker order) — deterministic
+    pred = np.asarray(langs, dtype=object)[best]
+    pred = np.where(mat.max(axis=0) == 0, "und", pred)
+    out = pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(pred.tolist(), type=pa.string())})
+    for k in langs:
+        out = out.append_column(f"c_{k}", pa.array(counts[k]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting / dedup
+# ---------------------------------------------------------------------------
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Exact-dup key: 64-bit content hash of ``text`` (deterministic,
+    C-speed). At 10^12 rows you would widen to 128 bits; the partitioned
+    min-reduction below is unchanged."""
+    h = hashing.hash64(batch["text"])
+    return pa.table(
+        {"doc_id": batch["doc_id"], "text_h": pa.array(h, type=pa.uint64())}
+    )
+
+
+def exact_dedup_keep_ids(docs: rd.Dataset) -> np.ndarray:
+    """Kept doc_ids = min(doc_id) per distinct text hash.
+
+    Scale pattern: per-batch partial min (combiner) → groupby(text_h) min —
+    the shuffle carries one row per (batch, distinct hash), never the text
+    bytes themselves.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = hashing.hash64(df["text"].to_numpy())
+        return (
+            pd.DataFrame({"text_h": h, "doc_id": df["doc_id"].to_numpy()})
+            .groupby("text_h", sort=False)["doc_id"]
+            .min()
+            .reset_index()
+        )
+
+    kept = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("text_h")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+    return kept.to_pandas()["doc_id"].to_numpy()
+
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """documents minus exact-text duplicates (keep smallest doc_id)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    keep = exact_dedup_keep_ids(docs)
+    return broadcast_semi_filter(
+        read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"]), keep, "doc_id"
+    )
+
+
+# --- MinHash + LSH near-dup --------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(k: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 1 << 61, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool stage: text → k-permutation MinHash signature over
+    3-word shingles, emitted as LSH band rows ``(band, band_h, doc_id)``.
+
+    State (hash params) built once per actor; per-batch work is numpy.
+    """
+
+    def __init__(self, k: int = 64, bands: int = 16, shingle: int = 3, seed: int = 1234):
+        assert k % bands == 0
+        self.k, self.bands, self.rows = k, bands, k // bands
+        self.shingle = shingle
+        self.a, self.b = _minhash_params(k, seed)
+
+    def signatures(self, texts: np.ndarray) -> np.ndarray:
+        """(N, k) uint64 signature matrix."""
+        sigs = np.full((len(texts), self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            words = t.split()
+            if len(words) < self.shingle:
+                shingles = [" ".join(words)] if words else [""]
+            else:
+                shingles = [" ".join(words[j : j + self.shingle]) for j in range(len(words) - self.shingle + 1)]
+            sh = hashing.hash64(np.asarray(shingles, dtype=object)) & _MERSENNE
+            # k permutations at once: (a*x + b) mod M, min over shingles
+            vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            sigs[i] = vals.min(axis=0)
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_numpy()
+        sigs = self.signatures(texts)
+        # band hashes: hash the concatenated rows of each band
+        n = len(texts)
+        band_rows = sigs.reshape(n, self.bands, self.rows)
+        bh = band_rows.astype(np.uint64).sum(axis=2) * np.uint64(0x9E3779B97F4A7C15)
+        for r in range(self.rows):
+            bh ^= band_rows[:, :, r] * np.uint64(0xC2B2AE3D27D4EB4F + r)
+        band = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "band_h": pa.array(bh.ravel(), type=pa.uint64()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
+            }
+        )
+
+
+def minhash_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> pd.DataFrame:
+    """LSH bucket groupby → candidate pairs (a < b), deduped. The groupby
+    shuffles only (band, band_h, doc_id) triples — ~100 bytes/doc — not text."""
+    band_rows = docs.map_batches(
+        MinHasher, fn_constructor_args=(k, bands), batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > 1000:  # skip degenerate mega-buckets
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    cand = band_rows.groupby(["band", "band_h"]).map_groups(pairs, batch_format="pandas")
+    df = cand.to_pandas()
+    return df.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64, bands: int = 16) -> pa.Table:
+    """Near-duplicate pairs with estimated Jaccard ≥ threshold (verified by
+    re-comparing full signatures of the candidate set)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(docs, k=k, bands=bands)
+    if len(cand) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard_est": pa.array([], pa.float64())})
+    # verify: fetch signatures of candidate docs only (small set → driver-side)
+    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+    sub = broadcast_semi_filter(docs, need, "doc_id").to_pandas().sort_values("doc_id")
+    mh = MinHasher(k=k, bands=bands)
+    sigs = mh.signatures(sub["text"].to_numpy())
+    pos = {d: i for i, d in enumerate(sub["doc_id"].to_numpy())}
+    ia = np.asarray([pos[x] for x in cand["a"]])
+    ib = np.asarray([pos[x] for x in cand["b"]])
+    est = (sigs[ia] == sigs[ib]).mean(axis=1)
+    m = est >= threshold
+    return pa.table(
+        {
+            "a": pa.array(cand["a"].to_numpy()[m]),
+            "b": pa.array(cand["b"].to_numpy()[m]),
+            "jaccard_est": pa.array(np.round(est[m], 6)),
+        }
+    )
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over token hashes (document fingerprinting)."""
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            continue
+        h = hashing.hash64(np.asarray(toks, dtype=object))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[i] = np.bitwise_or.reduce(np.where(v > 0, powers, np.uint64(0)))
+    return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.uint64())})
+
+
+# ---------------------------------------------------------------------------
+# geocode / cell-encode (SQL-mirrorable integer-hash variant)
+# ---------------------------------------------------------------------------
+
+GRID_RES = 6  # 64x64 grid over the bbox for the oracle-checked variant
+
+
+def doc_geocode_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → (lon, lat, ix, iy, cell) with Knuth-hash arithmetic that an
+    ANSI-SQL oracle reproduces exactly (integer ops + IEEE doubles):
+
+        h  = (doc_id * 2654435761) % 2^32
+        fx = (h % 65536) / 65536 ; fy = (h // 65536) / 65536
+        lon/lat = bbox-lerp(fx, fy); ix/iy = floor(f * 64)
+
+    ``cell`` is the engine's Morton id of (ix, iy) — derived, not compared.
+    """
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+    fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+    lon0, lat0, lon1, lat1 = BBOX
+    lon = lon0 + fx * (lon1 - lon0)
+    lat = lat0 + fy * (lat1 - lat0)
+    n = 1 << GRID_RES
+    ix = np.floor(fx * n).astype(np.int64)
+    iy = np.floor(fy * n).astype(np.int64)
+    cell = cells.encode_xy(ix.astype(np.uint64), iy.astype(np.uint64), GRID_RES)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+            "ix": pa.array(ix),
+            "iy": pa.array(iy),
+            "cell": pa.array(cell, type=pa.uint64()),
+        }
+    )
+
+
+def doc_cell_counts(sf_dir: str) -> rd.Dataset:
+    """Docs per grid cell (the tiling histogram; salted-groupby demo)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pts = docs.map_batches(doc_geocode_batch, batch_format="pyarrow")
+    return groupby_agg(pts, ["ix", "iy"], [AggSpec("n_docs", None, "count")])
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+class CosineTopK:
+    """Actor-pool stage: per-batch brute-force cosine vs a broadcast query
+    matrix (numpy matmul), emitting each batch's local top-k — the global
+    top-k is a tiny final reduction. The IVF variant partitions by coarse
+    centroid id instead; this is the exact baseline."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = q.astype(np.float64)
+        self.qn = np.linalg.norm(self.q)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        arr = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+        sims = arr @ self.q / (np.linalg.norm(arr, axis=1) * self.qn)
+        order = np.lexsort((batch["vec_id"].to_numpy(), -sims))[: self.k]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].take(pa.array(order)),
+                "sim": pa.array(np.round(sims[order], 6)),
+            }
+        )
+
+
+def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
+    """Exact top-k cosine neighbors of one embedding (brute force baseline)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "=", query_vec_id)]
+    )
+    q = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
+    qref = ray.put(q)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    local = emb.map_batches(
+        CosineTopK, fn_constructor_args=(qref, k), batch_format="pyarrow", concurrency=(1, 4)
+    )
+    top = local.to_pandas().sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True))

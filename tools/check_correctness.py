@@ -1,0 +1,117 @@
+"""Local mimic of the driver's correctness gate: run every ``queries()``
+entry and its ``oracle_sql()`` side-by-side on a testdata dir, compare
+row-count + schema + sorted values. Usage::
+
+    python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    issues = []
+    if len(mine) != len(oracle):
+        issues.append(f"rowcount {len(mine)} != {len(oracle)}")
+    if sorted(mine.columns) != sorted(oracle.columns):
+        issues.append(f"columns {sorted(mine.columns)} != {sorted(oracle.columns)}")
+        return issues
+    a, b = canon(mine), canon(oracle)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
+                av = av.astype(np.float64)
+                bv = bv.astype(np.float64)
+                bad = ~(np.isclose(av, bv, rtol=0, atol=0, equal_nan=True))
+                exact = int(bad.sum())
+                close_bad = (~np.isclose(av, bv, rtol=1e-9, atol=1e-12, equal_nan=True)).sum()
+                if exact:
+                    issues.append(
+                        f"col {c}: {exact} not bit-equal ({close_bad} beyond 1e-9 rtol); "
+                        f"first: {av[bad][:3]} vs {bv[bad][:3]}"
+                    )
+            else:
+                if not (pd.Series(av).astype(object) == pd.Series(bv).astype(object)).all():
+                    bad = (pd.Series(av).astype(object) != pd.Series(bv).astype(object)).to_numpy()
+                    issues.append(f"col {c}: {bad.sum()} mismatches; first: {av[bad][:3]} vs {bv[bad][:3]}")
+    if mine.dtypes.to_dict().keys() != oracle.dtypes.to_dict().keys():
+        pass
+    return issues
+
+
+def main(sf_dir: str):
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(mine)} rows, {len(mine.columns)} cols ({dt:.1f}s) [no oracle]")
+            continue
+        try:
+            oracle = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle raised {e}")
+            n_fail += 1
+            continue
+        issues = compare(name, mine, oracle)
+        if issues:
+            n_fail += 1
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(issues))
+        else:
+            print(f"OK    {name}: {len(mine)} rows match ({dt:.1f}s)")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
