@@ -105,6 +105,52 @@ def _q_minhash(sf_dir: str):
     return minhash_near_dups(sf_dir)
 
 
+_SIMPLIFIED_CACHE: dict = {}
+
+
+def _simplified(n: int = 8, seed: int = 42) -> dict:
+    key = (n, seed)
+    if key not in _SIMPLIFIED_CACHE:
+        from osmnetfusion_ray.pipelines.network import simplified_city
+
+        out = simplified_city(n=n, seed=seed)
+        _SIMPLIFIED_CACHE[key] = {
+            "nodes": out["nodes"].materialize(),
+            "edges": out["edges"].materialize(),
+        }
+    return _SIMPLIFIED_CACHE[key]
+
+
+def _q_network_enrich(sf_dir: str):
+    """p2 enrichment chain on the synthetic city (rows-only check)."""
+    from osmnetfusion_ray.pipelines.network import enriched_city
+
+    _, edges = enriched_city(n=8, seed=42)
+    return edges.select_columns(
+        ["osmid", "u", "v", "highway", "bike_access", "cycleway_category",
+         "green_ratio", "retail_ratio", "building_ratio", "gradient", "severity",
+         "pt_stop_on", "pt_stop_count", "amenity_on", "amenity_nearby"])
+
+
+def _q_network_simplify(sf_dir: str):
+    """Full p2+p3 chain → contracted edges (rows-only check)."""
+    out = _simplified()
+    return out["edges"].select_columns(
+        ["g_id", "g_u", "g_v", "g_lit", "g_gradient", "g_severity",
+         "access_wal", "access_bik", "access_mot", "w_length", "b_length", "m_length"])
+
+
+def _q_page_join_simplified(sf_dir: str):
+    """north_star flagship: pages × CONTRACTED network (kNN snap to merged
+    edges + PIP vs merged-node buffers); rows-only check."""
+    from osmnetfusion_ray.pipelines import pagejoin
+    from osmnetfusion_ray.sources import pages_from_documents
+
+    nodes, edges = pagejoin.simplified_to_network_tables(_simplified())
+    ds = pagejoin.join_pages_to_network(pages_from_documents(sf_dir), nodes, edges)
+    return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
+
+
 def _q_simhash(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import simhash_batch
     from osmnetfusion_ray.sources import read_table
@@ -133,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_network_join": _q_page_network_join,   # rows-only (synthetic network side)
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
         "simhash_fingerprints": _q_simhash,          # rows-only (hash not in SQL)
+        "network_enrich": _q_network_enrich,         # rows-only (p2 chain, synthetic city)
+        "network_simplify": _q_network_simplify,     # rows-only (p2+p3 chain)
+        "page_join_simplified": _q_page_join_simplified,  # rows-only (flagship vs contracted net)
     }
 
 

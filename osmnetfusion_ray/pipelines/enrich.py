@@ -1,0 +1,293 @@
+"""p2 enrichment as a Ray Data pipeline (reference driver:
+p2_enrichData.py:706-756).
+
+Execution model: the network edge/node tables stream through
+``map_batches``; every dim table (landuse, signals, stops, amenities,
+widths, elevations) is small and broadcast once via ``ray.put``.
+
+The kNN joins (signal→node, stop→edge, amenity→edge) need a GLOBAL argmin
+per dim row, which a single batch can't decide. Two-pass pattern
+(SURVEY.md §2.4 J3-J5): pass 1 streams the network and emits candidate
+(dim, element, dist) pairs within the radius against a per-batch local
+index; the candidates are dim-sized (small), so the argmin resolution is a
+tiny reduction; pass 2 streams the network again appending the resolved
+columns from a broadcast map. Per-edge aggregations (landuse counts) need
+no second pass — each edge lives in exactly one batch.
+
+The reverse-bike-edge generation (M4) is an anti-join on the directed pair
+(v,u): distributed as a canonical-pair groupby — no broadcast of the edge
+key set needed at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .. import geom
+from ..stages import enrich as E
+from ..state.index import SegmentGridIndex
+
+
+def _dim_points(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    lons, lats = [], []
+    for w in tab["geometry"].to_pylist():
+        _, c = geom.wkb_parse(w)
+        lons.append(float(c[0, 0]))
+        lats.append(float(c[0, 1]))
+    return np.asarray(lons), np.asarray(lats)
+
+
+# ---------------------------------------------------------------------------
+# candidate pass helpers
+# ---------------------------------------------------------------------------
+
+def _edge_candidates_batch(df: pd.DataFrame, dim_lon, dim_lat, radius_m, id_col="osmid",
+                           subset_mask=None) -> pd.DataFrame:
+    """(dim_row, element_id, dist) pairs within radius for one edge batch."""
+    sub = df if subset_mask is None else df[subset_mask(df)]
+    if len(sub) == 0 or len(dim_lon) == 0:
+        return pd.DataFrame({"dim_row": [], "elem": [], "dist": []})
+    idx = E._edge_index(sub, max_radius_m=radius_m)
+    rows, seg_pos, dist = idx.within(dim_lon, dim_lat, radius_m)
+    elem = sub[id_col].to_numpy()[seg_pos]
+    out = pd.DataFrame({"dim_row": rows, "elem": elem, "dist": dist})
+    # keep best (min dist) per (dim, elem) within the batch — combiner
+    return out.sort_values(["dim_row", "elem", "dist"]).groupby(
+        ["dim_row", "elem"], sort=False).head(1).reset_index(drop=True)
+
+
+def _node_candidates_batch(df: pd.DataFrame, dim_lon, dim_lat, radius_m) -> pd.DataFrame:
+    if len(df) == 0 or len(dim_lon) == 0:
+        return pd.DataFrame({"dim_row": [], "elem": [], "dist": []})
+    idx = SegmentGridIndex.from_points(
+        df["x"].to_numpy(), df["y"].to_numpy(),
+        np.arange(len(df), dtype=np.int64), max_radius_m=radius_m)
+    rows, pos, dist = idx.within(dim_lon, dim_lat, radius_m)
+    return pd.DataFrame({"dim_row": rows, "elem": df["osmid"].to_numpy()[pos], "dist": dist})
+
+
+def _resolve_argmin(cand: pd.DataFrame) -> pd.DataFrame:
+    """Global nearest element per dim row; ties → smallest element id."""
+    if len(cand) == 0:
+        return cand
+    return cand.sort_values(["dim_row", "dist", "elem"]).groupby(
+        "dim_row", sort=False).head(1).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# enrichment stages
+# ---------------------------------------------------------------------------
+
+def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table]) -> rd.Dataset:
+    """J1/J2 ×3 (green / retail / building) in ONE fused per-batch kernel —
+    per-edge aggregation, no second pass needed."""
+    kinds = [("green", "landuse_green"), ("retail", "landuse_retail"),
+             ("building", "buildings")]
+    pts = {}
+    for kind, tab_name in kinds:
+        tab = dims.get(tab_name)
+        pts[kind] = _dim_points(tab) if tab is not None and tab.num_rows else (np.zeros(0), np.zeros(0))
+    ref = ray.put(pts)
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(ref)
+        for kind, _ in kinds:
+            df = E.landuse_ratio(df, p[kind][0], p[kind][1], kind)
+            df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
+        return df
+
+    return edges_ds.map_batches(_batch, batch_format="pandas")
+
+
+def add_bike_labels(edges_ds: rd.Dataset) -> rd.Dataset:
+    """M3 (bike_access) + M2 (cycleway_category) — stateless kernels."""
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bike_access"] = E.bike_access_label(df)
+        df["cycleway_category"] = E.cycleway_category(df)
+        return df
+
+    return edges_ds.map_batches(_batch, batch_format="pandas")
+
+
+def _reverse_bike_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Per canonical (u,v) pair group: emit reverse bike_only rows where no
+    opposite edge exists; mark existing opposites bike_access=yes
+    (p2_enrichData.py:179-209, distributed as an exact-key groupby)."""
+    pair_set = set(zip(g["u"].astype(int), g["v"].astype(int)))
+    new_df, fix_yes = E.gen_reverse_bike_edges(g, pair_set)
+    g = g.copy()
+    if fix_yes.any():
+        g.loc[fix_yes, "bike_access"] = "yes"
+    out = pd.concat([g, new_df], ignore_index=True) if len(new_df) else g
+    return out.drop(columns=["pair_lo", "pair_hi"], errors="ignore")
+
+
+def add_reverse_bike_edges(edges_ds: rd.Dataset) -> rd.Dataset:
+    """M4: anti-join on the opposite directed pair via canonical-pair
+    groupby — both (u,v) and (v,u) land in one group."""
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        df["pair_lo"] = np.minimum(u, v)
+        df["pair_hi"] = np.maximum(u, v)
+        return df
+
+    return (edges_ds.map_batches(_key, batch_format="pandas")
+            .groupby(["pair_lo", "pair_hi"])
+            .map_groups(_reverse_bike_group, batch_format="pandas"))
+
+
+def add_gradient(edges_ds: rd.Dataset, elevations: pa.Table, node_osmids: np.ndarray) -> rd.Dataset:
+    """J7: elevation lookup on u and v + gradient/severity arithmetic.
+    ``elevations`` is keyed by node INDEX (p1_getOtherData.py:79-80); the
+    osmid order array maps it onto node ids."""
+    idx = elevations["idx"].to_numpy()
+    elev = elevations["elevation"].to_numpy()
+    lookup = {int(node_osmids[i]): float(e) for i, e in zip(idx, elev) if i < len(node_osmids)}
+    ref = ray.put(lookup)
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        return E.add_gradient(df, ray.get(ref))
+
+    return edges_ds.map_batches(_batch, batch_format="pandas")
+
+
+def add_traffic_lights(nodes_ds: rd.Dataset, signals: pa.Table, max_distance_m=20.0) -> rd.Dataset:
+    """J3: signals snap to nearest node ≤20 m (two-pass argmin)."""
+    sig_lon, sig_lat = _dim_points(signals)
+    sig_ids = np.asarray(signals["id"].to_pylist())
+    dims_ref = ray.put((sig_lon, sig_lat))
+
+    def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        lo, la = ray.get(dims_ref)
+        return _node_candidates_batch(df, lo, la, max_distance_m)
+
+    cand = nodes_ds.map_batches(_cand, batch_format="pandas").to_pandas()
+    best = _resolve_argmin(cand)
+    node_map: dict[int, list[str]] = {}
+    for r in best.sort_values("dim_row").itertuples(index=False):
+        node_map.setdefault(int(r.elem), []).append(str(sig_ids[int(r.dim_row)]))
+    ref = ray.put({k: ",".join(v) for k, v in node_map.items()})
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.copy()
+        df["traffic_signals"] = df["osmid"].map(lambda o: m.get(int(o), ""))
+        return df
+
+    return nodes_ds.map_batches(_apply, batch_format="pandas")
+
+
+def add_pt_stops(edges_ds: rd.Dataset, stops: pa.Table, max_distance_m=30.0) -> rd.Dataset:
+    """J5: stops snap to nearest car-highway edge ≤30 m; per edge count +
+    joined names (p2_enrichData.py:559-602). Stop prefilter (boundary +
+    frequency semi-join, J10) happens in the dim-table builder."""
+    lon, lat = _dim_points(stops)
+    names = np.asarray(stops["name"].to_pylist())
+    dims_ref = ray.put((lon, lat))
+
+    def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        lo, la = ray.get(dims_ref)
+        return _edge_candidates_batch(
+            df, lo, la, max_distance_m,
+            subset_mask=lambda d: d["highway"].isin(E.CAR_HIGHWAYS))
+
+    cand = edges_ds.map_batches(_cand, batch_format="pandas").to_pandas()
+    best = _resolve_argmin(cand)
+    per_edge: dict[int, list[str]] = {}
+    for r in best.sort_values("dim_row").itertuples(index=False):
+        per_edge.setdefault(int(r.elem), []).append(str(names[int(r.dim_row)]))
+    ref = ray.put({k: ", ".join(v) for k, v in per_edge.items()})
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.copy()
+        routes = df["osmid"].map(lambda o: m.get(int(o), ""))
+        df["pt_stop_routes"] = routes
+        df["pt_stop_on"] = (routes != "").astype(int)
+        df["pt_stop_count"] = routes.map(lambda s: len(s.split(", ")) if s else 0)
+        return df
+
+    return edges_ds.map_batches(_apply, batch_format="pandas")
+
+
+def add_bicycle_parking(edges_ds: rd.Dataset, amenities: pa.Table, radius_m=200.0) -> rd.Dataset:
+    """J4: nearest bike-accessible edge gets amenity_on; all within 200 m
+    get amenity_nearby (p2_enrichData.py:495-557)."""
+    lon, lat = _dim_points(amenities)
+    names = np.asarray(
+        [f"{a} {c}" for a, c in zip(amenities["amenity"].to_pylist(),
+                                    amenities["capacity"].to_pylist())]
+        if "capacity" in amenities.schema.names else amenities["amenity"].to_pylist())
+    dims_ref = ray.put((lon, lat))
+
+    def _cand(df: pd.DataFrame) -> pd.DataFrame:
+        lo, la = ray.get(dims_ref)
+        return _edge_candidates_batch(
+            df, lo, la, radius_m, subset_mask=lambda d: d["bike_access"] == "yes")
+
+    cand = edges_ds.map_batches(_cand, batch_format="pandas").to_pandas()
+    best = _resolve_argmin(cand)
+    on_map: dict[int, list[str]] = {}
+    for r in best.sort_values("dim_row").itertuples(index=False):
+        on_map.setdefault(int(r.elem), []).append(str(names[int(r.dim_row)]))
+    nearby_map: dict[int, list[str]] = {}
+    for r in cand.sort_values("dim_row").itertuples(index=False):
+        nearby_map.setdefault(int(r.elem), []).append(str(names[int(r.dim_row)]))
+    ref = ray.put((
+        {k: ", ".join(v) for k, v in on_map.items()},
+        {k: ", ".join(sorted(v)) for k, v in nearby_map.items()},
+    ))
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        on, nearby = ray.get(ref)
+        df = df.copy()
+        df["amenity_on"] = df["osmid"].map(lambda o: on.get(int(o), ""))
+        df["amenity_nearby"] = df["osmid"].map(lambda o: nearby.get(int(o), ""))
+        return df
+
+    return edges_ds.map_batches(_apply, batch_format="pandas")
+
+
+def add_cycle_path_widths(edges_ds: rd.Dataset, widths: pa.Table) -> rd.Dataset:
+    """J6: broadcast hash left-join on osmid after a groupby-min pre-agg."""
+    w = widths.to_pandas()
+    ref = ray.put(w)
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        return E.add_cycle_path_width(df, ray.get(ref))
+
+    return edges_ds.map_batches(_batch, batch_format="pandas")
+
+
+def enrich_network(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    dims: dict[str, pa.Table],
+    node_osmids: np.ndarray,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """The full p2 chain in reference order (p2_enrichData.py:706-756)."""
+    edges_ds = add_landuse_ratios(edges_ds, dims)
+    edges_ds = add_bike_labels(edges_ds)
+    edges_ds = add_reverse_bike_edges(edges_ds)
+    if "elevations" in dims:
+        edges_ds = add_gradient(edges_ds, dims["elevations"], node_osmids)
+    edges_ds = edges_ds.materialize()
+    if "traffic_signals" in dims:
+        nodes_ds = add_traffic_lights(nodes_ds, dims["traffic_signals"])
+    if "cycle_path_widths" in dims:
+        edges_ds = add_cycle_path_widths(edges_ds, dims["cycle_path_widths"])
+    if "bike_amenities" in dims:
+        edges_ds = add_bicycle_parking(edges_ds, dims["bike_amenities"]).materialize()
+    if "pt_stops" in dims:
+        edges_ds = add_pt_stops(edges_ds, dims["pt_stops"]).materialize()
+    return nodes_ds, edges_ds

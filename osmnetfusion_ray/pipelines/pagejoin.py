@@ -206,3 +206,24 @@ def join_pages_to_network_slim(
         return _slim(_cached_join(state_ref), batch)
 
     return pages.map_batches(_task_fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def simplified_to_network_tables(simplified: dict) -> tuple[pa.Table, pa.Table]:
+    """Adapt the p3 simplification output ({'nodes','edges'} Datasets) to
+    the (nodes, edges) Arrow tables the join state builder expects — so the
+    north_star flagship joins pages against the CONTRACTED network (kNN
+    snap to merged edges, PIP vs merged-node buffers)."""
+    nodes_pd = simplified["nodes"].to_pandas()
+    edges_pd = simplified["edges"].to_pandas()
+    nodes = pa.table({
+        "osmid": pa.array(nodes_pd["g_id"].astype("int64")),
+        "x": pa.array(nodes_pd["g_x"].astype(float)),
+        "y": pa.array(nodes_pd["g_y"].astype(float)),
+    })
+    edges = pa.table({
+        "u": pa.array(edges_pd["g_u"].astype("int64")),
+        "v": pa.array(edges_pd["g_v"].astype("int64")),
+        "osmid": pa.array(edges_pd["g_id"].astype("int64")),
+        "geometry": pa.array(edges_pd["g_geo_rea"].tolist(), type=pa.binary()),
+    })
+    return nodes, edges

@@ -1,0 +1,334 @@
+"""p3 simplification as a Ray Data pipeline (reference driver:
+p3_simplification.py:83-439, 13 steps).
+
+Stage shape (SURVEY.md §7.3 step 5):
+
+  edges ─ map_batches(split_curves) ─ map_batches(rank) ─┐
+  nodes ─ union(new split nodes) ────────────────────────┤
+          node importance  = flat-map + groupby(osmid) top-2
+          buffering        = map_batches
+          clustering       = per-cell pair gen (groupby(cell).map_groups)
+                             → iterative min-label propagation to fixpoint
+                             (the north_star "iterative groupby(cell)
+                             .map_groups rounds with boundary-edge exchange")
+                             → groupby(component).map_groups merge map
+          edge splitting   = two-phase: broadcast cluster state →
+                             map_batches emits split points → apply in arc
+                             order (replaces the reference's sequential
+                             conflict fixup, p3_functions.py:1005-1072)
+          reassign         = map_batches with broadcast merge map
+          node merge       = groupby(merged_by).map_groups
+          edge merge       = groupby(canonical uv).map_groups
+          orient           = map_batches
+
+Scale notes: the page table (10^12 rows) never enters this pipeline — only
+the network side does, and its exact-key groupbys (osmid, component,
+merged_by, uv_key) are the legitimate shuffles. Broadcast lookups
+(cluster-buffer state, merge map) are node-sized objects shipped once via
+``ray.put`` — the same network-broadcast thesis as the page join. Hot urban
+cells in the pair-generation groupby are salted by disk-bbox duplication at
+a resolution sized to the buffer radius.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .. import cells, geom
+from ..stages import simplify as S
+
+_NUM_PARTITIONS = 16  # hash-join partitions for node-scale joins
+
+
+# ---------------------------------------------------------------------------
+# step 1: split curves
+# ---------------------------------------------------------------------------
+
+def _split_curves_batch(df: pd.DataFrame) -> pd.DataFrame:
+    out, _ = S.split_curves(df)
+    return out
+
+
+def _new_nodes_from_split_edges(df: pd.DataFrame, base: int) -> pd.DataFrame:
+    """Every synthetic split node is the ``u`` of exactly one sub-edge —
+    extract (osmid, x, y) from the first geometry coordinate."""
+    m = df["u"].to_numpy() >= base
+    sub = df[m]
+    xs, ys = [], []
+    for w in sub["geometry"]:
+        _, c = geom.wkb_parse(w)
+        xs.append(float(c[0, 0]))
+        ys.append(float(c[0, 1]))
+    return pd.DataFrame({"osmid": sub["u"].to_numpy(dtype=np.int64),
+                         "x": np.asarray(xs), "y": np.asarray(ys)})
+
+
+# ---------------------------------------------------------------------------
+# step 2+3: rank + node importance (J8) — flat-map + grouped top-2
+# ---------------------------------------------------------------------------
+
+def _rank_batch(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["highway_rank"] = S.add_highway_rank(df["highway"]).astype(np.float64)
+    return df
+
+
+def _importance_pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Partial combiner: emit ≤2 top-rank incident edges per node per batch
+    — the groupby then shuffles at most 2 rows per (batch, node)."""
+    pairs = pd.DataFrame({
+        "osmid": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+        "highway_rank": np.concatenate([df["highway_rank"].to_numpy()] * 2),
+        "highway": np.concatenate([df["highway"].to_numpy()] * 2),
+    })
+    pairs = pairs.sort_values(["osmid", "highway_rank"], ascending=[True, False], kind="stable")
+    return pairs.groupby("osmid", sort=False).head(2).reset_index(drop=True)
+
+
+def _importance_final(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("highway_rank", ascending=False, kind="stable").head(2)
+    return pd.DataFrame([{
+        "osmid": g["osmid"].iloc[0],
+        "highway_rank": float(g["highway_rank"].mean()),
+        "highway_conn": g["highway"].iloc[0],
+    }])
+
+
+# ---------------------------------------------------------------------------
+# step 5/7: clustering — distributed pairs + label propagation
+# ---------------------------------------------------------------------------
+
+def _pair_gen_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Duplicate each node into every cell its buffer disk's bbox covers —
+    two intersecting disks always share ≥1 covered cell, so per-cell local
+    pair generation finds every intersecting pair (possibly twice; deduped
+    by the downstream groupby)."""
+    x = df["x"].to_numpy(dtype=np.float64)
+    y = df["y"].to_numpy(dtype=np.float64)
+    r = df["buffer_r"].to_numpy(dtype=np.float64)
+    res = cells.res_for_radius(2 * float(r.max() if len(r) else 1.0), lat=float(np.median(y)) if len(y) else 48.0)
+    mx, my = geom.m_per_deg(y)
+    rows = []
+    ix0, iy0 = cells.xy_index(x - r / mx, y - r / my, res)
+    ix1, iy1 = cells.xy_index(x + r / mx, y + r / my, res)
+    spans = ((ix1 - ix0 + 1) * (iy1 - iy0 + 1)).astype(np.int64)
+    node = np.repeat(np.arange(len(df), dtype=np.int64), spans)
+    offs = np.concatenate([[0], np.cumsum(spans)])
+    local = np.arange(int(spans.sum()), dtype=np.int64) - offs[node]
+    w = (ix1 - ix0 + 1)[node].astype(np.int64)
+    cx = ix0[node] + (local % w).astype(np.uint64)
+    cy = iy0[node] + (local // w).astype(np.uint64)
+    cell = cells.encode_xy(cx, cy, res)
+    return pd.DataFrame({
+        "cell": cell.astype(np.uint64),
+        "osmid": df["osmid"].to_numpy()[node],
+        "x": x[node], "y": y[node], "buffer_r": r[node],
+    })
+
+
+def _pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
+    a, b = S.cluster_pairs_local(
+        g["x"].to_numpy(dtype=np.float64), g["y"].to_numpy(dtype=np.float64),
+        g["buffer_r"].to_numpy(dtype=np.float64), g["osmid"].to_numpy())
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
+    """Component label (min member osmid) per node, fully on Ray Data.
+
+    Pairs come from per-cell ``map_groups``; labels converge by iterative
+    min-label propagation: each round ships each node's current label to its
+    neighbors (hash join on the pair list) and takes the min — an exact-key
+    shuffle per round, terminating when the monotone label sum stops
+    decreasing (boundary-edge exchange loop of the north_star). Component
+    diameters are tiny (a cluster spans a street intersection), so rounds
+    ≈ 2-4 in practice.
+    """
+    from ray.data.aggregate import Min
+
+    # directed message edges (node ← nbr), both directions; duplicate pairs
+    # from the cell-replicated generation are harmless to a min-reduction,
+    # so no dedup shuffle is spent on them
+    msg_edges = (
+        nodes_ds.map_batches(_pair_gen_batch, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(_pairs_in_cell, batch_format="pandas")
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
+                "nbr": np.concatenate([df["b"].to_numpy(np.int64), df["a"].to_numpy(np.int64)]),
+            }),
+            batch_format="pandas")
+    ).materialize()
+
+    labels = nodes_ds.map_batches(
+        lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["osmid"]}),
+        batch_format="pandas").materialize()
+
+    if msg_edges.count() == 0:
+        return labels
+
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        # ship each node's current label to its neighbors: ONE hash join per
+        # round (two joins in one DAG can deadlock the actor-pool shuffle on
+        # small clusters), then a grouped min with combiner semantics
+        offered = msg_edges.join(labels, join_type="inner", num_partitions=_NUM_PARTITIONS,
+                                 on=("nbr",), right_on=("osmid",))
+        msgs = offered.map_batches(
+            lambda df: pd.DataFrame({"osmid": df["node"], "label": df["label"]}),
+            batch_format="pandas")
+        labels = (
+            labels.union(msgs)
+            .groupby("osmid")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def _merge_map_group(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    return S.cluster_merge_map(g, np.full(len(g), g["label"].iloc[0]), threshold)
+
+
+def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD) -> rd.Dataset:
+    """nodes (osmid,x,y,highway_rank,buffer_r) → merge map dataset
+    (osmid, merged_by, mx, my, merged)."""
+    labels = cluster_labels_ds(nodes_ds)
+    joined = nodes_ds.join(labels, join_type="inner", num_partitions=_NUM_PARTITIONS,
+                           on=("osmid",))
+    return joined.groupby("label").map_groups(
+        lambda g: _merge_map_group(g, threshold), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def _collect_pandas(ds: rd.Dataset, columns: list[str]) -> pd.DataFrame:
+    return ds.select_columns(columns).to_pandas()
+
+
+def simplify_network(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    *,
+    cluster_threshold: int = S.CLUSTER_THRESHOLD,
+) -> dict:
+    """Full p3: returns {'nodes': Dataset, 'edges': Dataset} of the merged
+    network. Input: enriched nodes/edges datasets (WKB geometry)."""
+    # 1. split curves (stateless flat-map; deterministic ids)
+    edges_ds = edges_ds.map_batches(_split_curves_batch, batch_format="pandas").materialize()
+    split_nodes1 = edges_ds.map_batches(
+        lambda df: _new_nodes_from_split_edges(df, S.SPLIT1_BASE), batch_format="pandas")
+    nodes_all = _union_nodes(nodes_ds, split_nodes1)
+
+    # 2. highway rank
+    edges_ds = edges_ds.map_batches(_rank_batch, batch_format="pandas")
+
+    # 3+4. node importance + buffer radii
+    nodes_all = _attach_importance(nodes_all, edges_ds).materialize()
+
+    # 5. cluster pass 1 (drives edge splitting only)
+    mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold)
+
+    # 6. split edges passing through merged cluster buffers (two-phase)
+    mm1_pd = mm1.to_pandas()
+    nodes_pd = _collect_pandas(nodes_all, ["osmid", "x", "y", "buffer_r"])
+    state = S.ClusterBufferState(mm1_pd, nodes_pd)
+    state_ref = ray.put(state)
+
+    def _requests_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return S.split_requests(df, ray.get(state_ref))
+
+    req = edges_ds.map_batches(_requests_batch, batch_format="pandas").to_pandas()
+    req_ref = ray.put(req)
+
+    def _apply_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out, _ = S.apply_edge_splits(df, ray.get(req_ref))
+        return out
+
+    edges_ds = edges_ds.map_batches(_apply_batch, batch_format="pandas").materialize()
+    split_nodes2 = edges_ds.map_batches(
+        lambda df: _new_nodes_from_split_edges(df, S.SPLIT2_BASE), batch_format="pandas")
+    nodes_all = _union_nodes(nodes_all.select_columns(["osmid", "x", "y"]), split_nodes2)
+
+    # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
+    nodes_all = _attach_importance(nodes_all, edges_ds).materialize()
+    mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold).materialize()
+
+    # 8. reassign edges to merged nodes (broadcast merge map)
+    mm2_pd = mm2.to_pandas()
+    merged_by = dict(zip(mm2_pd["osmid"].astype(int), mm2_pd["merged_by"].astype(int)))
+    mxd = dict(zip(mm2_pd["osmid"].astype(int), mm2_pd["mx"].astype(float)))
+    myd = dict(zip(mm2_pd["osmid"].astype(int), mm2_pd["my"].astype(float)))
+    maps_ref = ray.put((merged_by, mxd, myd))
+
+    def _reassign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        mb, mx, my = ray.get(maps_ref)
+        return S.reassign_edges(df, mb, mx, my)
+
+    edges_ds = edges_ds.map_batches(_reassign_batch, batch_format="pandas")
+
+    # 10. merge nodes: join merge map, group by representative
+    nodes_merge = nodes_all.join(mm2, join_type="inner", num_partitions=_NUM_PARTITIONS,
+                                 on=("osmid",))
+    nodes_merge = nodes_merge.map_batches(S.prepare_nodes_for_merge, batch_format="pandas")
+    nodes_out = nodes_merge.groupby("merged_by").map_groups(
+        S.merge_nodes_group, batch_format="pandas")
+
+    # 11-13. merge edges by canonical uv key, then orient
+    edges_prep = edges_ds.map_batches(S.prepare_edges_for_merge, batch_format="pandas")
+    edges_out = edges_prep.groupby(["uv_lo", "uv_hi"]).map_groups(
+        S.merge_edges_group, batch_format="pandas")
+    edges_out = edges_out.map_batches(S.orient_edges, batch_format="pandas")
+    return {"nodes": nodes_out, "edges": edges_out}
+
+
+def _union_nodes(nodes_ds: rd.Dataset, new_nodes: rd.Dataset) -> rd.Dataset:
+    """Union keeping only the shared minimal schema (osmid, x, y) plus any
+    original tag columns present on the left side (new nodes get NaN)."""
+    schema = nodes_ds.schema().names
+    keep = [c for c in ("osmid", "x", "y", "highway", "crossing", "old_osmid") if c in schema]
+
+    def _norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in keep:
+            if c not in df.columns:
+                df[c] = "" if c in ("highway", "crossing") else np.nan
+        if "old_osmid" in keep:
+            df["old_osmid"] = pd.to_numeric(df["old_osmid"], errors="coerce").astype(np.float64)
+        return df[keep]
+
+    return (nodes_ds.map_batches(_norm, batch_format="pandas")
+            .union(new_nodes.map_batches(_norm, batch_format="pandas")))
+
+
+def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
+    attrs = (
+        edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas")
+        .groupby("osmid")
+        .map_groups(_importance_final, batch_format="pandas")
+    )
+    nodes = nodes_ds.join(attrs, join_type="left_outer", num_partitions=_NUM_PARTITIONS,
+                          on=("osmid",), right_suffix="_imp")
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        rank_col = "highway_rank_imp" if "highway_rank_imp" in df.columns else "highway_rank"
+        conn_col = "highway_conn_imp" if "highway_conn_imp" in df.columns else "highway_conn"
+        df["highway_rank"] = pd.to_numeric(df[rank_col], errors="coerce")
+        df["highway_conn"] = df[conn_col]
+        df["buffer_r"] = S.buffer_radii(df["highway_conn"])
+        drop = [c for c in (rank_col, conn_col) if c.endswith("_imp")]
+        return df.drop(columns=drop)
+
+    return nodes.map_batches(_fin, batch_format="pandas")

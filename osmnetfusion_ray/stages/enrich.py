@@ -129,6 +129,9 @@ def reverse_bike_candidates(df: pd.DataFrame) -> pd.Series:
     return oneway
 
 
+REV_BIKE_BASE = 10**9  # derived id base for generated reverse bike rows
+
+
 def gen_reverse_bike_edges(edges: pd.DataFrame, pair_set: set[tuple[int, int]]) -> tuple[pd.DataFrame, pd.Series]:
     """For candidate edges with no existing (v,u) edge, emit a reversed
     ``bike_only`` row; where the opposite exists, mark it bike_access=yes.
@@ -149,6 +152,9 @@ def gen_reverse_bike_edges(edges: pd.DataFrame, pair_set: set[tuple[int, int]]) 
             r["u"], r["v"] = row["v"], row["u"]
             r["bike_access"] = "bike_only"
             r["reversed"] = not bool(row["reversed"])
+            # unique derived id — the reference keys rows by frame index
+            # (p2_enrichData.py:206), our engine needs stable global ids
+            r["osmid"] = REV_BIKE_BASE + int(row["osmid"])
             new_rows.append(r)
         else:
             fix_yes |= (edges["u"] == row["v"]) & (edges["v"] == row["u"])

@@ -42,12 +42,19 @@ def _rng(seed: int) -> np.random.RandomState:
 # street network
 # ---------------------------------------------------------------------------
 
-def synth_city(n: int = 12, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+def synth_city(n: int = 12, seed: int = 42, satellites: int = 0) -> tuple[pa.Table, pa.Table]:
     """An ``n x n`` jittered street grid → (nodes, edges) Arrow tables.
 
     Nodes: osmid, x, y, street_count, highway, crossing, geometry(WKB).
     Edges: u, v, key, osmid, highway, oneway, reversed, length, geometry(WKB)
     + the tag columns the enrichment cascade reads.
+
+    ``satellites`` > 0 adds that many two-node "islands" (bus-stop /
+    traffic-island pairs ~8 m apart, offset ~10 m from an edge midpoint,
+    joined by a short path edge). They make the node-buffer clustering and
+    cluster-buffer edge splitting of the simplification pipeline meaningful
+    — dense-city geometry the plain grid (~hundreds of meters spacing)
+    doesn't produce.
     """
     rng = _rng(seed)
     lon0, lat0, lon1, lat1 = BBOX
@@ -80,6 +87,46 @@ def synth_city(n: int = 12, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     v = np.asarray(v_list, dtype=np.int64)
     hw = np.asarray(hw_list, dtype=object)
     curved = np.asarray(curved)
+
+    # satellite islands: two close nodes beside the midpoint of a host edge
+    if satellites > 0:
+        n_sat = min(satellites, len(u))
+        step = max(1, len(u) // n_sat)
+        host = np.arange(0, len(u), step)[:n_sat]
+        hx0, hy0 = node_x[u[host]], node_y[u[host]]
+        hx1, hy1 = node_x[v[host]], node_y[v[host]]
+        mxv, myv = 0.5 * (hx0 + hx1), 0.5 * (hy0 + hy1)
+        # unit vectors along / perpendicular to the host edge, in meters
+        m_lon = 111_132.0 * np.cos(np.radians(myv))
+        m_lat = 111_132.0
+        dxm, dym = (hx1 - hx0) * m_lon, (hy1 - hy0) * m_lat
+        norm = np.hypot(dxm, dym)
+        norm[norm == 0] = 1.0
+        tx, ty = dxm / norm, dym / norm
+        px_, py_ = -ty, tx
+        off = 7.0  # meters off the edge (inside the 10 m path-node buffer)
+        half = 4.0  # half-distance between the island pair
+        ax_ = mxv + (px_ * off - tx * half) / m_lon
+        ay_ = myv + (py_ * off - ty * half) / m_lat
+        bx_ = mxv + (px_ * off + tx * half) / m_lon
+        by_ = myv + (py_ * off + ty * half) / m_lat
+        sat_x = np.empty(2 * n_sat)
+        sat_y = np.empty(2 * n_sat)
+        sat_x[0::2], sat_x[1::2] = ax_, bx_
+        sat_y[0::2], sat_y[1::2] = ay_, by_
+        first = n_nodes
+        node_x = np.concatenate([node_x, sat_x])
+        node_y = np.concatenate([node_y, sat_y])
+        sat_u = first + 2 * np.arange(n_sat)
+        sat_v = sat_u + 1
+        u = np.concatenate([u, sat_u])
+        v = np.concatenate([v, sat_v])
+        hw = np.concatenate([hw, np.asarray(["path"] * n_sat, dtype=object)])
+        curved = np.concatenate([curved, np.zeros(n_sat, dtype=bool)])
+        n_nodes = n_nodes + 2 * n_sat
+        osmid = np.arange(1000, 1000 + n_nodes, dtype=np.int64)
+        node_hw = np.concatenate([node_hw, np.asarray([""] * 2 * n_sat, dtype=object)])
+        node_crossing = np.concatenate([node_crossing, np.asarray([""] * 2 * n_sat, dtype=object)])
 
     oneway_base = rng.rand(len(u)) < 0.2
     # bidirectional edges appear twice (u→v and v→u reversed), like osmnx output

@@ -1,0 +1,134 @@
+"""End-to-end pipeline tests: enrichment + simplification on the synthetic
+city, run on a real (session-scoped) Ray cluster."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmnetfusion_ray import geom
+
+
+@pytest.fixture(scope="module")
+def enriched(ray_session):
+    from osmnetfusion_ray.pipelines.network import enriched_city
+
+    nodes_ds, edges_ds = enriched_city(n=8, seed=42)
+    return nodes_ds.to_pandas(), edges_ds.to_pandas()
+
+
+@pytest.fixture(scope="module")
+def simplified(ray_session):
+    from osmnetfusion_ray.pipelines.network import simplified_city
+
+    out = simplified_city(n=8, seed=42)
+    return out["nodes"].to_pandas(), out["edges"].to_pandas()
+
+
+class TestEnrichPipeline:
+    def test_edge_columns_added(self, enriched):
+        _, edges = enriched
+        for c in ["green_ratio", "retail_ratio", "building_ratio", "bike_access",
+                  "cycleway_category", "gradient", "severity", "amenity_on",
+                  "amenity_nearby", "pt_stop_on", "pt_stop_routes", "width_cycle_path"]:
+            assert c in edges.columns, c
+
+    def test_node_signals(self, enriched):
+        nodes, _ = enriched
+        assert "traffic_signals" in nodes.columns
+        assert (nodes["traffic_signals"] != "").any()
+
+    def test_ratios_in_unit_interval(self, enriched):
+        _, edges = enriched
+        for c in ["green_ratio", "retail_ratio", "building_ratio"]:
+            v = edges[c].to_numpy(dtype=float)
+            assert np.nanmin(v) >= 0 and np.nanmax(v) <= 1
+
+    def test_reverse_bike_rows(self, enriched):
+        _, edges = enriched
+        assert (edges["bike_access"] == "bike_only").sum() >= 0
+        # every bike_only row's opposite pair must NOT exist as a regular row
+        bo = edges[edges["bike_access"] == "bike_only"]
+        reg = edges[edges["bike_access"] != "bike_only"]
+        pairs = set(zip(reg["u"].astype(int), reg["v"].astype(int)))
+        for r in bo.itertuples(index=False):
+            # the bike_only row itself is the (u,v)=(old v, old u) direction
+            assert (int(r.u), int(r.v)) not in pairs
+
+    def test_pt_stops_on_car_edges_only(self, enriched):
+        _, edges = enriched
+        from osmnetfusion_ray.stages.enrich import CAR_HIGHWAYS
+
+        flagged = edges[edges["pt_stop_on"] == 1]
+        assert len(flagged) > 0
+        assert flagged["highway"].isin(CAR_HIGHWAYS).all()
+
+
+class TestSimplifyPipeline:
+    def test_network_contracts(self, simplified):
+        nodes, edges = simplified
+        # 8x8 grid + 16 satellite islands = 96 input nodes (+ split nodes);
+        # clustering must contract below the input node count
+        assert 0 < len(nodes) < 96
+        assert 0 < len(edges)
+        assert nodes["g_id"].is_unique
+        assert edges["g_id"].is_unique
+
+    def test_edges_reference_merged_nodes(self, simplified):
+        nodes, edges = simplified
+        ids = set(nodes["g_id"].astype(int))
+        assert set(edges["g_u"].astype(int)).issubset(ids)
+        assert set(edges["g_v"].astype(int)).issubset(ids)
+
+    def test_no_collapsed_self_loops(self, simplified):
+        _, edges = simplified
+        assert (edges["g_u"] != edges["g_v"]).all()
+
+    def test_oriented(self, simplified):
+        _, edges = simplified
+        assert not edges["g_reversed"].any()
+        assert "g_geometry" not in edges.columns
+
+    def test_geometries_valid(self, simplified):
+        nodes, edges = simplified
+        for w in edges["g_geo_lin"].head(20):
+            t, c = geom.wkb_parse(w)
+            assert t == 2 and len(c) == 2
+        # linear geometry endpoints == merged node positions
+        pos = {int(r.g_id): (r.g_x, r.g_y) for r in nodes.itertuples(index=False)}
+        for r in edges.head(20).itertuples(index=False):
+            _, c = geom.wkb_parse(r.g_geo_lin)
+            assert np.allclose(c[0], pos[int(r.g_u)], atol=1e-9)
+            assert np.allclose(c[-1], pos[int(r.g_v)], atol=1e-9)
+
+    def test_access_flags_present(self, simplified):
+        _, edges = simplified
+        assert edges[["access_wal", "access_bik", "access_mot"]].notna().all().all()
+        assert edges["access_wal"].any()
+        assert edges["access_mot"].any()
+
+    def test_mode_fields_gated_by_access(self, simplified):
+        _, edges = simplified
+        no_walk = edges[~edges["access_wal"].astype(bool)]
+        if len(no_walk):
+            assert no_walk["w_length"].isna().all()
+        walk = edges[edges["access_wal"].astype(bool)]
+        assert walk["w_length"].notna().all()
+
+    def test_list_columns(self, simplified):
+        _, edges = simplified
+        row = edges.iloc[0]
+        assert isinstance(row["l_id"], (list, np.ndarray))
+        assert len(row["l_id"]) >= 1
+
+    def test_deterministic_rerun(self, ray_session, simplified):
+        from osmnetfusion_ray.pipelines.network import simplified_city
+
+        nodes1, edges1 = simplified
+        out2 = simplified_city(n=8, seed=42)
+        edges2 = out2["edges"].to_pandas()
+        e1 = edges1.sort_values("g_id").reset_index(drop=True)
+        e2 = edges2.sort_values("g_id").reset_index(drop=True)
+        assert len(e1) == len(e2)
+        assert e1["g_u"].tolist() == e2["g_u"].tolist()
+        assert e1["g_v"].tolist() == e2["g_v"].tolist()
+        pd.testing.assert_series_equal(e1["m_maxspeed"], e2["m_maxspeed"])
