@@ -105,6 +105,64 @@ def _q_minhash(sf_dir: str):
     return minhash_near_dups(sf_dir)
 
 
+def _q_token_counts(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import token_counts_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        token_counts_batch, batch_format="pyarrow")
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
+
+    return embedding_near_dups(sf_dir, threshold=0.35)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir, threshold=0.5)
+
+
+def _q_ann_ivf(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import ann_topk_ivf
+
+    return ann_topk_ivf(sf_dir, k=10, query_vec_id=0)
+
+
+def _q_fingerprints(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import rolling_fingerprint_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_media_pipeline(sf_dir: str):
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import multimodal as MM
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        MM.media_from_documents_batch, batch_format="pyarrow")
+    ds = ds.map_batches(MM.MediaDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    ds = ds.map_batches(MM.MediaResizer, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    return ds.select_columns(["media_id", "media_type", "media_bytes", "width",
+                              "height", "n_frames", "duration_s", "resized_w", "resized_h"])
+
+
+def _q_media_features(sf_dir: str):
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import multimodal as MM
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        MM.media_from_documents_batch, batch_format="pyarrow")
+    return ds.map_batches(MM.FeatureExtractor, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4))
+
+
 _SIMPLIFIED_CACHE: dict = {}
 
 
@@ -182,6 +240,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_enrich": _q_network_enrich,         # rows-only (p2 chain, synthetic city)
         "network_simplify": _q_network_simplify,     # rows-only (p2+p3 chain)
         "page_join_simplified": _q_page_join_simplified,  # rows-only (flagship vs contracted net)
+        "token_counts": _q_token_counts,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,     # rows-only (LSH candidates not in SQL)
+        "ann_topk_ivf": _q_ann_ivf,                  # rows-only (approximate by design)
+        "doc_fingerprints": _q_fingerprints,         # rows-only (rolling hash not in SQL)
+        "media_pipeline": _q_media_pipeline,         # rows-only (stubbed decode, hash-derived)
+        "media_features": _q_media_features,         # rows-only
     }
 
 
@@ -331,5 +396,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])) DESC,
                      vec_id
             LIMIT 10
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dups": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b,
+                   round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                                CAST(e2.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY a, b
         """,
     }

@@ -250,6 +250,205 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64, bands: i
     )
 
 
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
+                        k: int = 64, bands: int = 16) -> pa.Table:
+    """Near-dup pairs by EXACT token n-gram Jaccard, with MinHash-LSH as the
+    candidate generator (so the exact O(n²) comparison only touches LSH
+    buckets — the scale path). Returns (a, b, jaccard)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(docs, k=k, bands=bands)
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if len(cand) == 0:
+        return empty
+    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+    sub = broadcast_semi_filter(docs, need, "doc_id").to_pandas().sort_values("doc_id")
+
+    def shingles(t: str) -> set:
+        w = t.split()
+        if len(w) < shingle:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i: i + shingle]) for i in range(len(w) - shingle + 1)}
+
+    sets = {int(d): shingles(t) for d, t in zip(sub["doc_id"], sub["text"])}
+    jac = np.asarray([
+        len(sets[a] & sets[b]) / max(len(sets[a] | sets[b]), 1)
+        for a, b in zip(cand["a"], cand["b"])
+    ])
+    m = jac >= threshold
+    if not m.any():
+        return empty
+    return pa.table({
+        "a": pa.array(cand["a"].to_numpy()[m]),
+        "b": pa.array(cand["b"].to_numpy()[m]),
+        "jaccard": pa.array(np.round(jac[m], 6)),
+    })
+
+
+class EmbeddingPairs:
+    """Actor-pool stage: per-batch cosine of batch rows × the broadcast full
+    matrix, emitting (a < b, sim ≥ threshold) pairs. Exact baseline; the
+    scale path replaces the broadcast with random-hyperplane LSH bucketing
+    (SimHash over embeddings) + per-bucket exact verify."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float):
+        mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        self.mat = mat / norms[:, None]
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        arr = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+        n = np.linalg.norm(arr, axis=1)
+        n[n == 0] = 1.0
+        sims = (arr / n[:, None]) @ self.mat.T
+        vid = batch["vec_id"].to_numpy()
+        rows, cols = np.nonzero(sims >= self.threshold)
+        a = vid[rows]
+        b = self.ids[cols]
+        m = a < b
+        return pa.table({
+            "a": pa.array(a[m].astype(np.int64)),
+            "b": pa.array(b[m].astype(np.int64)),
+            "sim": pa.array(np.round(sims[rows[m], cols[m]], 6)),
+        })
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.92) -> pa.Table:
+    """All embedding pairs with cosine similarity ≥ threshold (a < b)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    emb = full["embedding"].combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+    ids = full["vec_id"].to_numpy()
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(EmbeddingPairs, fn_constructor_args=(mat_ref, ids_ref, threshold),
+                           batch_format="pyarrow", concurrency=(1, 4))
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ann_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                 n_clusters: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF-style ANN: coarse centroids (seeded Lloyd's on the full set —
+    driver-side here; a sample at scale), rows assigned to their nearest
+    centroid inside ``map_batches``, the query probes only its ``nprobe``
+    nearest lists. Approximate — recall checked against the exact baseline
+    in tests."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..geom import kmeans_lloyd
+
+    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    emb = full["embedding"].combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+    ids = full["vec_id"].to_numpy()
+    labels = kmeans_lloyd(mat, n_clusters, seed=42)
+    cents = np.stack([
+        mat[labels == j].mean(axis=0) if (labels == j).any() else np.zeros(mat.shape[1])
+        for j in range(min(n_clusters, len(mat)))
+    ])
+    q = mat[np.flatnonzero(ids == query_vec_id)[0]]
+    cd = np.linalg.norm(cents - q, axis=1)
+    probe = set(np.argsort(cd)[:nprobe].tolist())
+    cent_ref = ray.put(cents)
+    q_ref = ray.put(q)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qq = ray.get(q_ref)
+        e = batch["embedding"].combine_chunks()
+        arr = e.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(e), -1)
+        d = ((arr[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        keep = np.isin(lab, list(probe))
+        arr = arr[keep]
+        vid = batch["vec_id"].to_numpy()[keep]
+        if not len(arr):
+            return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        sims = arr @ qq / (np.linalg.norm(arr, axis=1) * np.linalg.norm(qq))
+        order = np.lexsort((vid, -sims))[:k]
+        return pa.table({"vec_id": pa.array(vid[order].astype(np.int64)),
+                         "sim": pa.array(np.round(sims[order], 6))})
+
+    local = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        _batch, batch_format="pyarrow")
+    top = local.to_pandas().sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+BPE_TOKEN_RE = r"\w+|[^\w\s]+"  # GPT-style pre-tokenizer, RE2-safe
+
+
+def token_counts_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace + BPE-ish regex token counts (both RE2 patterns DuckDB
+    mirrors exactly)."""
+    text = batch["text"]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_ws_tokens": pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64()),
+        "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()),
+    })
+
+
+_ROLL_B = np.uint64(257)
+_ROLL_BINV = np.uint64(pow(257, -1, 1 << 64))  # 257 is odd → invertible mod 2^64
+
+
+def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Polynomial rolling hash (base 257, mod 2^64 by natural uint64 wrap)
+    of the full utf-8 text — a document fingerprint — plus the min 32-byte
+    window hash, a content-defined anchor for shift-resistant dedup.
+    Fully vectorized per document: prefix products + weighted cumsum; the
+    window hash divides out the positional weight with the modular inverse."""
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    full = np.zeros(len(texts), dtype=np.uint64)
+    minwin = np.zeros(len(texts), dtype=np.uint64)
+    w = 32
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            n = len(b)
+            if n == 0:
+                continue
+            pows = np.full(n, _ROLL_B, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            pows = np.cumprod(pows)                       # base^t  (wraps)
+            weights = pows[::-1]                          # base^(n-1-t)
+            terms = b * weights
+            full[i] = terms.sum(dtype=np.uint64)
+            if n >= w:
+                pref = np.concatenate([[np.uint64(0)], np.cumsum(terms, dtype=np.uint64)])
+                raw = pref[w:] - pref[:-w]                # Σ b[t]·base^(n-1-t), t∈[j,j+w)
+                # divide by base^(n-j-w): multiply by binv^(n-j-w)
+                ipows = np.full(n - w + 1, _ROLL_BINV, dtype=np.uint64)
+                ipows[0] = np.uint64(1)
+                ipows = np.cumprod(ipows)[::-1]           # binv^(n-w-j)
+                minwin[i] = (raw * ipows).min()
+            else:
+                minwin[i] = full[i]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(full, type=pa.uint64()),
+        "min_window_h": pa.array(minwin, type=pa.uint64()),
+    })
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over token hashes (document fingerprinting)."""
     texts = batch["text"].to_numpy(zero_copy_only=False)

@@ -1,0 +1,156 @@
+"""Tests for the training-data corpus operators added beyond the reference
+inventory: token counts, rolling fingerprints, embedding near-dups,
+n-gram Jaccard, IVF ANN, multimodal stub stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTokenCounts:
+    def test_counts(self):
+        from osmnetfusion_ray.pipelines.corpus import token_counts_batch
+
+        t = pa.table({"doc_id": [1, 2], "text": ["hello, world!", ""]})
+        out = token_counts_batch(t)
+        # ws: "hello," "world!" = 2 ; bpe: hello , world ! = 4
+        assert out["n_ws_tokens"].to_pylist() == [2, 0]
+        assert out["n_bpe_tokens"].to_pylist() == [4, 0]
+
+
+class TestRollingFingerprint:
+    def test_deterministic_and_shift_property(self):
+        from osmnetfusion_ray.pipelines.corpus import rolling_fingerprint_batch
+
+        base = "x" * 10 + "The quick brown fox jumps over the lazy dog " * 3
+        shifted = "y" * 7 + base[10:]
+        t = pa.table({"doc_id": [1, 2, 3], "text": [base, base, shifted]})
+        out = rolling_fingerprint_batch(t)
+        fp = out["fingerprint"].to_pylist()
+        mw = out["min_window_h"].to_pylist()
+        assert fp[0] == fp[1]               # deterministic
+        assert fp[0] != fp[2]               # different content -> different hash
+        # min-window anchor is shift-resistant: shared 100+ byte suffix
+        assert mw[0] == mw[2] or mw[0] == mw[1]
+
+    def test_window_hash_matches_direct(self):
+        from osmnetfusion_ray.pipelines.corpus import (_ROLL_B,
+                                                       rolling_fingerprint_batch)
+
+        text = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEF"  # 42 bytes
+        t = pa.table({"doc_id": [1], "text": [text]})
+        out = rolling_fingerprint_batch(t)
+        b = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+        w = 32
+        direct = []
+        with np.errstate(over="ignore"):
+            for j in range(len(b) - w + 1):
+                h = np.uint64(0)
+                for by in b[j: j + w]:
+                    h = h * _ROLL_B + by
+                direct.append(int(h))
+        assert out["min_window_h"][0].as_py() == min(direct)
+
+
+class TestEmbeddingNearDups(object):
+    def test_pairs_symmetric_threshold(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
+
+        out = embedding_near_dups(SF, threshold=0.3)
+        assert out.num_rows > 0  # random 64-dim vectors do cross 0.3
+        a = out["a"].to_numpy()
+        b = out["b"].to_numpy()
+        assert (a < b).all()
+        assert (out["sim"].to_numpy() >= 0.3 - 1e-9).all()
+
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
+
+        out = embedding_near_dups(SF, threshold=0.35)
+        tab = pq.read_table(f"{SF}/embeddings.parquet")
+        emb = tab["embedding"].combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+        ids = tab["vec_id"].to_numpy()
+        nm = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = nm @ nm.T
+        ii, jj = np.nonzero(np.triu(sims >= 0.35, k=1))
+        expected = set(zip(ids[ii], ids[jj]))
+        got = set(zip(out["a"].to_numpy(), out["b"].to_numpy()))
+        assert got == expected
+
+
+class TestNgramJaccard:
+    def test_runs_and_thresholds(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(SF, threshold=0.5)
+        if out.num_rows:
+            assert (out["jaccard"].to_numpy() >= 0.5).all()
+            assert (out["a"].to_numpy() < out["b"].to_numpy()).all()
+
+
+class TestIVF:
+    def test_recall_vs_bruteforce(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ann_topk, ann_topk_ivf
+
+        exact = set(ann_topk(SF, k=10, query_vec_id=0)["vec_id"].to_pylist())
+        approx = set(ann_topk_ivf(SF, k=10, query_vec_id=0, n_clusters=8, nprobe=4)["vec_id"].to_pylist())
+        assert len(approx) == 10
+        assert len(exact & approx) >= 6  # recall ≥ 0.6 with nprobe=half
+
+
+class TestMultimodal:
+    def _media(self, n=6):
+        from osmnetfusion_ray.stages import multimodal as MM
+
+        docs = pa.table({"doc_id": list(range(n)),
+                         "text": [f"payload {i} " * (i + 1) for i in range(n)]})
+        return MM.media_from_documents_batch(docs)
+
+    def test_schema_and_decode(self):
+        from osmnetfusion_ray.stages import multimodal as MM
+
+        media = self._media()
+        assert media.schema.names == ["media_id", "media_type", "payload", "media_bytes"]
+        dec = MM.MediaDecoder()(media)
+        assert (np.asarray(dec["width"].to_pylist()) >= 16).all()
+        assert (np.asarray(dec["n_frames"].to_pylist()) >= 1).all()
+        # deterministic
+        dec2 = MM.MediaDecoder()(media)
+        assert dec.equals(dec2)
+
+    def test_real_decode_raises(self):
+        from osmnetfusion_ray.stages import multimodal as MM
+
+        with pytest.raises(NotImplementedError):
+            MM.MediaDecoder(fake=False)(self._media())
+
+    def test_resize_bounds(self):
+        from osmnetfusion_ray.stages import multimodal as MM
+
+        out = MM.MediaResizer(max_w=128, max_h=128)(MM.MediaDecoder()(self._media()))
+        assert (np.asarray(out["resized_w"].to_pylist()) <= 128).all()
+        assert (np.asarray(out["resized_h"].to_pylist()) <= 128).all()
+
+    def test_frame_sampler_flatmap(self):
+        from osmnetfusion_ray.stages import multimodal as MM
+
+        dec = MM.MediaDecoder()(self._media(12))
+        frames = MM.FrameSampler(every=30, max_frames=4)(dec)
+        assert frames.schema.names == ["media_id", "frame_idx"]
+        n_video = sum(1 for t in dec["media_type"].to_pylist() if t == "video")
+        assert frames.num_rows >= n_video  # ≥1 frame per video
+        assert (np.asarray(frames["frame_idx"].to_pylist()) % 30 == 0).all()
+
+    def test_feature_extractor_fixed_dim(self):
+        from osmnetfusion_ray.stages import multimodal as MM
+
+        out = MM.FeatureExtractor()(self._media())
+        assert out["feature"].type == pa.list_(pa.float64(), MM.FEATURE_DIM)
+        feats = np.asarray(out["feature"].to_pylist())
+        assert feats.shape == (6, MM.FEATURE_DIM)
+        assert (feats >= 0).all() and (feats <= 1).all()
