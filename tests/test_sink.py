@@ -1,0 +1,59 @@
+"""Checkpointed-sink tests: partitioned layout, manifests, resume-skip."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osmnetfusion_ray.state import checkpoint
+from osmnetfusion_ray.state.sink import read_checkpointed, write_checkpointed
+
+
+@pytest.fixture
+def demo_ds(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "cell": np.repeat(np.array([10, 20, 30], dtype=np.uint64), 50),
+        "value": np.arange(150, dtype=np.int64),
+        "url": [f"u{i}" for i in range(150)],
+    })
+    return rd.from_pandas(df)
+
+
+class TestCheckpointedSink:
+    def test_write_layout_and_manifest(self, demo_ds, tmp_path):
+        root = str(tmp_path)
+        written = write_checkpointed(demo_ds, root, "join", "cell", checksum_col="url",
+                                     lineage={"input": "pages"})
+        assert sorted(written["partition"]) == ["10", "20", "30"]
+        assert written["rows"].sum() == 150
+        for k in ("10", "20", "30"):
+            assert os.path.isdir(os.path.join(root, "join", f"part={k}"))
+        assert checkpoint.stage_complete(root, "join")
+        man = checkpoint.read_manifest(root, "join")
+        assert len(man) == 3
+        assert all(m["checksum"] for m in man)
+        assert all(m["lineage"] == {"input": "pages"} for m in man)
+
+    def test_resume_skips_completed(self, demo_ds, tmp_path):
+        root = str(tmp_path)
+        # pre-complete partition 20 with sentinel data
+        pre = pa.table({"cell": pa.array([20], pa.uint64()), "value": pa.array([-1]),
+                        "url": pa.array(["pre"])})
+        checkpoint.write_partition(root, "join", "20", pre)
+        written = write_checkpointed(demo_ds, root, "join", "cell")
+        assert sorted(written["partition"]) == ["10", "30"]  # 20 skipped
+        back = read_checkpointed(root, "join").to_pandas()
+        # partition 20 keeps the pre-existing (sentinel) data — not rewritten
+        assert (back[back["cell"] == 20]["url"] == "pre").all()
+        assert len(back[back["cell"] == 10]) == 50
+
+    def test_roundtrip(self, demo_ds, tmp_path):
+        root = str(tmp_path)
+        write_checkpointed(demo_ds, root, "join", "cell")
+        back = read_checkpointed(root, "join").to_pandas()
+        assert len(back) == 150
+        assert set(back["cell"].astype(np.uint64)) == {10, 20, 30}
