@@ -42,7 +42,15 @@ import ray.data as rd
 from .. import cells, geom
 from ..stages import simplify as S
 
-_NUM_PARTITIONS = 16  # hash-join partitions for node-scale joins
+def _num_partitions() -> int:
+    """Hash-join partitions for node-scale joins — sized to the cluster.
+    Each partition is a live aggregator actor; oversizing on small clusters
+    wastes startup time and can deadlock when several joins coexist."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(16, cpus // 2))
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +197,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
         # ship each node's current label to its neighbors: ONE hash join per
         # round (two joins in one DAG can deadlock the actor-pool shuffle on
         # small clusters), then a grouped min with combiner semantics
-        offered = msg_edges.join(labels, join_type="inner", num_partitions=_NUM_PARTITIONS,
+        offered = msg_edges.join(labels, join_type="inner", num_partitions=_num_partitions(),
                                  on=("nbr",), right_on=("osmid",))
         msgs = offered.map_batches(
             lambda df: pd.DataFrame({"osmid": df["node"], "label": df["label"]}),
@@ -214,7 +222,7 @@ def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESH
     """nodes (osmid,x,y,highway_rank,buffer_r) → merge map dataset
     (osmid, merged_by, mx, my, merged)."""
     labels = cluster_labels_ds(nodes_ds)
-    joined = nodes_ds.join(labels, join_type="inner", num_partitions=_NUM_PARTITIONS,
+    joined = nodes_ds.join(labels, join_type="inner", num_partitions=_num_partitions(),
                            on=("osmid",))
     return joined.groupby("label").map_groups(
         lambda g: _merge_map_group(g, threshold), batch_format="pandas")
@@ -290,7 +298,7 @@ def simplify_network(
     edges_ds = edges_ds.map_batches(_reassign_batch, batch_format="pandas")
 
     # 10. merge nodes: join merge map, group by representative
-    nodes_merge = nodes_all.join(mm2, join_type="inner", num_partitions=_NUM_PARTITIONS,
+    nodes_merge = nodes_all.join(mm2, join_type="inner", num_partitions=_num_partitions(),
                                  on=("osmid",))
     nodes_merge = nodes_merge.map_batches(S.prepare_nodes_for_merge, batch_format="pandas")
     nodes_out = nodes_merge.groupby("merged_by").map_groups(
@@ -329,7 +337,7 @@ def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset
         .groupby("osmid")
         .map_groups(_importance_final, batch_format="pandas")
     )
-    nodes = nodes_ds.join(attrs, join_type="left_outer", num_partitions=_NUM_PARTITIONS,
+    nodes = nodes_ds.join(attrs, join_type="left_outer", num_partitions=_num_partitions(),
                           on=("osmid",), right_suffix="_imp")
 
     def _fin(df: pd.DataFrame) -> pd.DataFrame:
