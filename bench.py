@@ -101,6 +101,9 @@ def main():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from osmnetfusion_ray.rayctx import ensure_tuned
+
+    ensure_tuned()
 
     head = run_headline()
     queries = run_queries()
@@ -146,6 +149,9 @@ def headline_only():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from osmnetfusion_ray.rayctx import ensure_tuned
+
+    ensure_tuned()
     head = run_headline()
     ray.shutdown()
     print(json.dumps({"metric": "pagejoin_e2e_sec", "value": round(head["sec"], 3), "unit": "sec",

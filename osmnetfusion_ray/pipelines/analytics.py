@@ -134,22 +134,31 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     stream-shaped pattern (ordered log partitioned by key)."""
     ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        us = g["ts"].astype("int64").to_numpy()
-        new_sess = np.ones(len(g), dtype=bool)
-        new_sess[1:] = (us[1:] - us[:-1]) > SESSION_GAP_US
+    def sessions_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Hash-partitioned block (each user fully local): sessionize every
+        user at once — one vectorized pass, no per-group Python."""
+        if len(df) == 0:
+            return pd.DataFrame(columns=["user_id", "session_start_us", "session_end_us",
+                                         "n_events", "sum_value"])
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        new_sess = np.ones(len(df), dtype=bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | ((us[1:] - us[:-1]) > SESSION_GAP_US)
         sess_id = np.cumsum(new_sess) - 1
         out = (
-            pd.DataFrame({"session_id": sess_id, "value": g["value"].to_numpy(), "us": us})
-            .groupby("session_id")
-            .agg(session_start_us=("us", "min"), session_end_us=("us", "max"),
+            pd.DataFrame({"sid": sess_id, "user_id": uid, "us": us,
+                          "value": df["value"].to_numpy()})
+            .groupby("sid", sort=False)
+            .agg(user_id=("user_id", "first"),
+                 session_start_us=("us", "min"), session_end_us=("us", "max"),
                  n_events=("us", "size"), sum_value=("value", "sum"))
-            .reset_index()
+            .reset_index(drop=True)
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["sum_value"] = out["sum_value"].round(4)
         out["n_events"] = out["n_events"].astype("int64")
-        return out.drop(columns=["session_id"])
+        return out
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from ..rayctx import grouped
+
+    return grouped(ev, ["user_id"], sessions_block)

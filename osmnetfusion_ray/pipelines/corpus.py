@@ -16,7 +16,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from .. import cells
 from ..functions import hashing
@@ -127,10 +126,9 @@ def exact_dedup_keep_ids(docs: rd.Dataset) -> np.ndarray:
             .reset_index()
         )
 
-    kept = (
-        docs.map_batches(partial, batch_format="pandas")
-        .groupby("text_h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    kept = groupby_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["text_h"], [AggSpec("doc_id", "doc_id", "min")],
     )
     return kept.to_pandas()["doc_id"].to_numpy()
 
@@ -211,14 +209,29 @@ def minhash_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> p
         MinHasher, fn_constructor_args=(k, bands), batch_format="pyarrow", concurrency=(1, 8)
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > 1000:  # skip degenerate mega-buckets
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Hash-partitioned block: every (band, band_h) bucket fully local.
+        Only multi-doc buckets (rare) loop; mega-buckets skipped."""
+        out_a, out_b = [], []
+        if len(df):
+            df = df.sort_values(["band", "band_h", "doc_id"])
+            # iterate only buckets with 2..1000 docs
+            grp = df.groupby(["band", "band_h"], sort=False)["doc_id"]
+            for _, ids in grp:
+                n = len(ids)
+                if n < 2 or n > 1000:
+                    continue
+                arr = ids.to_numpy()
+                ii, jj = np.triu_indices(n, k=1)
+                out_a.append(arr[ii])
+                out_b.append(arr[jj])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pd.DataFrame({"a": a, "b": b})
 
-    cand = band_rows.groupby(["band", "band_h"]).map_groups(pairs, batch_format="pandas")
+    from ..rayctx import grouped
+
+    cand = grouped(band_rows, ["band", "band_h"], pairs_block)
     df = cand.to_pandas()
     return df.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 

@@ -141,9 +141,12 @@ def add_reverse_bike_edges(edges_ds: rd.Dataset) -> rd.Dataset:
         df["pair_hi"] = np.maximum(u, v)
         return df
 
-    return (edges_ds.map_batches(_key, batch_format="pandas")
-            .groupby(["pair_lo", "pair_hi"])
-            .map_groups(_reverse_bike_group, batch_format="pandas"))
+    from ..pipelines.simplify import _per_group
+    from ..rayctx import grouped
+
+    return grouped(edges_ds.map_batches(_key, batch_format="pandas"),
+                   ["pair_lo", "pair_hi"],
+                   _per_group(["pair_lo", "pair_hi"], _reverse_bike_group))
 
 
 def add_gradient(edges_ds: rd.Dataset, elevations: pa.Table, node_osmids: np.ndarray) -> rd.Dataset:

@@ -35,6 +35,9 @@ def build_network_inputs(n: int = 16, seed: int = 42, satellites: int | None = N
 
     Satellites default to one island per ~4 grid edges — dense-city node
     clusters that make contraction meaningful."""
+    from ..rayctx import ensure_tuned
+
+    ensure_tuned()
     if satellites is None:
         satellites = max(4, n * n // 4)
     nodes_t, edges_t = synth.synth_city(n=n, seed=seed, satellites=satellites)

@@ -40,7 +40,21 @@ import ray
 import ray.data as rd
 
 from .. import cells, geom
+from ..rayctx import ensure_tuned, grouped
 from ..stages import simplify as S
+
+
+def _per_group(keys: list[str], group_fn):
+    """Adapter: run a per-group pandas kernel over every key-group within a
+    hash-partitioned block (used with :func:`grouped`)."""
+
+    def _block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return group_fn(df)
+        parts = [group_fn(g) for _, g in df.groupby(list(keys), sort=False)]
+        return pd.concat(parts, ignore_index=True) if parts else group_fn(df.iloc[0:0])
+
+    return _block
 
 def _num_partitions() -> int:
     """Hash-join partitions for node-scale joins — sized to the cluster.
@@ -98,13 +112,14 @@ def _importance_pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pairs.groupby("osmid", sort=False).head(2).reset_index(drop=True)
 
 
-def _importance_final(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("highway_rank", ascending=False, kind="stable").head(2)
-    return pd.DataFrame([{
-        "osmid": g["osmid"].iloc[0],
-        "highway_rank": float(g["highway_rank"].mean()),
-        "highway_conn": g["highway"].iloc[0],
-    }])
+def _importance_final_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized final top-2 reduction over a hash-partitioned block (every
+    osmid fully contained)."""
+    df = df.sort_values(["osmid", "highway_rank"], ascending=[True, False], kind="stable")
+    top2 = df.groupby("osmid", sort=False).head(2)
+    out = top2.groupby("osmid", sort=False).agg(
+        highway_rank=("highway_rank", "mean"), highway_conn=("highway", "first"))
+    return out.reset_index()
 
 
 # ---------------------------------------------------------------------------
@@ -168,15 +183,12 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
     diameters are tiny (a cluster spans a street intersection), so rounds
     ≈ 2-4 in practice.
     """
-    from ray.data.aggregate import Min
-
     # directed message edges (node ← nbr), both directions; duplicate pairs
     # from the cell-replicated generation are harmless to a min-reduction,
     # so no dedup shuffle is spent on them
     msg_edges = (
-        nodes_ds.map_batches(_pair_gen_batch, batch_format="pandas")
-        .groupby("cell")
-        .map_groups(_pairs_in_cell, batch_format="pandas")
+        grouped(nodes_ds.map_batches(_pair_gen_batch, batch_format="pandas"),
+                ["cell"], _per_group(["cell"], _pairs_in_cell))
         .map_batches(
             lambda df: pd.DataFrame({
                 "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
@@ -202,10 +214,9 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
         msgs = offered.map_batches(
             lambda df: pd.DataFrame({"osmid": df["node"], "label": df["label"]}),
             batch_format="pandas")
-        labels = (
-            labels.union(msgs)
-            .groupby("osmid")
-            .aggregate(Min("label", alias_name="label"))
+        labels = grouped(
+            labels.union(msgs), ["osmid"],
+            lambda df: df.groupby("osmid", sort=False, as_index=False)["label"].min(),
         ).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
@@ -215,6 +226,8 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
 
 
 def _merge_map_group(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    if len(g) == 0:
+        return S.cluster_merge_map(g, np.zeros(0, dtype=np.int64), threshold)
     return S.cluster_merge_map(g, np.full(len(g), g["label"].iloc[0]), threshold)
 
 
@@ -224,8 +237,8 @@ def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESH
     labels = cluster_labels_ds(nodes_ds)
     joined = nodes_ds.join(labels, join_type="inner", num_partitions=_num_partitions(),
                            on=("osmid",))
-    return joined.groupby("label").map_groups(
-        lambda g: _merge_map_group(g, threshold), batch_format="pandas")
+    return grouped(joined, ["label"],
+                   _per_group(["label"], lambda g: _merge_map_group(g, threshold)))
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +257,7 @@ def simplify_network(
 ) -> dict:
     """Full p3: returns {'nodes': Dataset, 'edges': Dataset} of the merged
     network. Input: enriched nodes/edges datasets (WKB geometry)."""
+    ensure_tuned()
     # 1. split curves (stateless flat-map; deterministic ids)
     edges_ds = edges_ds.map_batches(_split_curves_batch, batch_format="pandas").materialize()
     split_nodes1 = edges_ds.map_batches(
@@ -297,17 +311,24 @@ def simplify_network(
 
     edges_ds = edges_ds.map_batches(_reassign_batch, batch_format="pandas")
 
-    # 10. merge nodes: join merge map, group by representative
+    # 10. merge nodes: join merge map, group by representative. The tag
+    # cleaning happens INSIDE the post-shuffle block — cleaned columns hold
+    # mixed str/list values that can't cross an Arrow shuffle boundary.
     nodes_merge = nodes_all.join(mm2, join_type="inner", num_partitions=_num_partitions(),
                                  on=("osmid",))
-    nodes_merge = nodes_merge.map_batches(S.prepare_nodes_for_merge, batch_format="pandas")
-    nodes_out = nodes_merge.groupby("merged_by").map_groups(
-        S.merge_nodes_group, batch_format="pandas")
 
-    # 11-13. merge edges by canonical uv key, then orient
-    edges_prep = edges_ds.map_batches(S.prepare_edges_for_merge, batch_format="pandas")
-    edges_out = edges_prep.groupby(["uv_lo", "uv_hi"]).map_groups(
-        S.merge_edges_group, batch_format="pandas")
+    def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        return _per_group(["merged_by"], S.merge_nodes_group)(S.prepare_nodes_for_merge(df))
+
+    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block)
+
+    # 11-13. merge edges by canonical uv key (clean inside the block), orient
+    edges_keyed = edges_ds.map_batches(S.add_uv_keys, batch_format="pandas")
+
+    def _edge_merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        return _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(S.prepare_edges_for_merge(df))
+
+    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block)
     edges_out = edges_out.map_batches(S.orient_edges, batch_format="pandas")
     return {"nodes": nodes_out, "edges": edges_out}
 
@@ -332,11 +353,9 @@ def _union_nodes(nodes_ds: rd.Dataset, new_nodes: rd.Dataset) -> rd.Dataset:
 
 
 def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
-    attrs = (
-        edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas")
-        .groupby("osmid")
-        .map_groups(_importance_final, batch_format="pandas")
-    )
+    attrs = grouped(
+        edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas"),
+        ["osmid"], _importance_final_block)
     nodes = nodes_ds.join(attrs, join_type="left_outer", num_partitions=_num_partitions(),
                           on=("osmid",), right_suffix="_imp")
 

@@ -1,0 +1,63 @@
+"""Ray Data context tuning for this engine.
+
+Ray's default sort-based shuffle + per-group Python reduction costs ~2 ms
+PER GROUP — pathological for high-cardinality groupbys (20k part keys took
+38 s for 20k rows). The engine's grouped operators therefore run as
+``repartition(keys=...)`` (hash shuffle → each key lives in exactly one
+block) followed by a VECTORIZED per-block pandas/numpy reduction — exact,
+distributed, and ~30x faster. That repartition requires
+``ShuffleStrategy.HASH_SHUFFLE``, enabled here once per session.
+
+Never touches ``ray.init`` — the driver owns the session; this only
+configures ``ray.data.DataContext``.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+def ensure_tuned():
+    """Idempotently enable hash shuffle + cluster-sized parallelism."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    if getattr(ctx, "_osmnetfusion_tuned", False):
+        return ctx
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        ctx.default_hash_shuffle_parallelism = max(8, min(64, cpus))
+    except Exception:
+        return ctx  # older Ray: keep defaults, retry next call
+    # only latch once the parallelism reflects a live cluster
+    if ray.is_initialized():
+        ctx._osmnetfusion_tuned = True
+    return ctx
+
+
+def n_shuffle_blocks(small: bool = False) -> int:
+    """Output blocks for keyed repartitions, sized to the cluster."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    if small:
+        return max(2, min(16, cpus // 2))
+    return max(4, min(64, cpus))
+
+
+def grouped(ds, keys, block_fn, *, small: bool = False):
+    """The engine's grouped-operator primitive: hash-repartition by ``keys``
+    (every key fully in one block) then apply ``block_fn`` (a vectorized
+    pandas kernel that must reduce/transform WITHIN key groups — it may see
+    many keys per block, never a partial key)."""
+    ensure_tuned()
+    n = n_shuffle_blocks(small=small)
+    return ds.repartition(num_blocks=n, keys=list(keys)).map_batches(
+        block_fn, batch_format="pandas")

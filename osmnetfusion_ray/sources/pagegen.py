@@ -51,6 +51,9 @@ def _gen_batch(batch: pa.Table) -> pa.Table:
 
 
 def synth_pages_ds(n: int, parallelism: int = -1) -> rd.Dataset:
+    from ..rayctx import ensure_tuned
+
+    ensure_tuned()
     return rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None).map_batches(
         _gen_batch, batch_format="pyarrow", batch_size=65536
     )

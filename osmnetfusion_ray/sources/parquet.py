@@ -19,6 +19,9 @@ import ray.data as rd
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     """Pruned read of one testdata table."""
+    from ..rayctx import ensure_tuned
+
+    ensure_tuned()
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 

@@ -1,11 +1,14 @@
 """Partial (combiner) aggregation: pre-aggregate inside ``map_batches``,
-then a small ``groupby().aggregate`` over the partials.
+then hash-repartition the partials by key and finish with a VECTORIZED
+per-block pandas reduction.
 
-A bare ``ds.groupby(k).aggregate(...)`` shuffles every input row; at 10^12
-rows that is the bottleneck. This helper shrinks the shuffle to
-(#batches × #distinct keys per batch) rows — the classic combiner. Mean is
-decomposed into (sum, count); all other reductions used here are
-associative.
+A bare ``ds.groupby(k).aggregate(...)`` shuffles every input row AND pays
+Ray's ~2 ms-per-group Python reduction (38 s for 20k groups measured on
+this host). This helper (a) shrinks the shuffle to (#batches x #distinct
+keys per batch) rows — the classic combiner — and (b) replaces the
+per-group reduction with ``repartition(keys=...)`` + one pandas groupby per
+block (exact: hash partitioning puts each key in exactly one block). Mean
+decomposes into (sum, count); the other reductions are associative.
 """
 
 from __future__ import annotations
@@ -15,7 +18,8 @@ from dataclasses import dataclass
 import pandas as pd
 
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+
+from ..rayctx import grouped
 
 
 @dataclass(frozen=True)
@@ -25,42 +29,38 @@ class AggSpec:
     kind: str         # sum | count | min | max | mean
 
 
-def groupby_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec]) -> rd.Dataset:
-    """Partial-then-final grouped aggregation with named output columns."""
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(list(keys), sort=False, observed=True, dropna=False)
-        out = {}
-        for s in specs:
-            if s.kind == "sum":
-                out[s.out] = g[s.col].sum()
-            elif s.kind == "count":
+def _reduce(df: pd.DataFrame, keys: list[str], specs: list[AggSpec], partial: bool) -> pd.DataFrame:
+    g = df.groupby(list(keys), sort=False, observed=True, dropna=False)
+    out = {}
+    for s in specs:
+        if s.kind == "sum":
+            out[s.out] = g[s.col].sum() if partial else g[s.out].sum()
+        elif s.kind == "count":
+            if partial:
                 out[s.out] = g.size() if s.col is None else g[s.col].count()
-            elif s.kind == "min":
-                out[s.out] = g[s.col].min()
-            elif s.kind == "max":
-                out[s.out] = g[s.col].max()
-            elif s.kind == "mean":
+            else:
+                out[s.out] = g[s.out].sum()
+        elif s.kind == "min":
+            out[s.out] = g[s.col if partial else s.out].min()
+        elif s.kind == "max":
+            out[s.out] = g[s.col if partial else s.out].max()
+        elif s.kind == "mean":
+            if partial:
                 out[f"__s_{s.out}"] = g[s.col].sum()
                 out[f"__c_{s.out}"] = g[s.col].count()
             else:
-                raise ValueError(s.kind)
-        return pd.DataFrame(out).reset_index()
+                out[f"__s_{s.out}"] = g[f"__s_{s.out}"].sum()
+                out[f"__c_{s.out}"] = g[f"__c_{s.out}"].sum()
+        else:
+            raise ValueError(s.kind)
+    return pd.DataFrame(out).reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas")
 
-    aggs = []
-    for s in specs:
-        if s.kind in ("sum", "count"):
-            aggs.append(Sum(s.out, alias_name=s.out))
-        elif s.kind == "min":
-            aggs.append(Min(s.out, alias_name=s.out))
-        elif s.kind == "max":
-            aggs.append(Max(s.out, alias_name=s.out))
-        elif s.kind == "mean":
-            aggs.append(Sum(f"__s_{s.out}", alias_name=f"__s_{s.out}"))
-            aggs.append(Sum(f"__c_{s.out}", alias_name=f"__c_{s.out}"))
-    final = partials.groupby(list(keys)).aggregate(*aggs)
+def groupby_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec]) -> rd.Dataset:
+    """Partial-then-final grouped aggregation with named output columns."""
+    partials = ds.map_batches(lambda df: _reduce(df, keys, specs, partial=True),
+                              batch_format="pandas")
+    final = grouped(partials, keys, lambda df: _reduce(df, keys, specs, partial=False))
 
     mean_specs = [s for s in specs if s.kind == "mean"]
     if not mean_specs:

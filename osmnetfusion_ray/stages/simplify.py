@@ -237,6 +237,8 @@ def cluster_merge_map(nodes: pd.DataFrame, labels: np.ndarray,
     ``merged`` is 'k' for the representative, 'r' for absorbed members and
     '' for singletons.
     """
+    if len(nodes) == 0:
+        return pd.DataFrame(columns=["osmid", "merged_by", "mx", "my", "merged"])
     df = pd.DataFrame(
         {
             "osmid": nodes["osmid"].to_numpy(),
@@ -544,6 +546,9 @@ def prepare_nodes_for_merge(nodes: pd.DataFrame) -> pd.DataFrame:
 def merge_nodes_group(group: pd.DataFrame) -> pd.DataFrame:
     """One merged ``Node`` record per merged_by group. The representative
     (osmid == merged_by) supplies position; tags union over members."""
+    if len(group) == 0:
+        return pd.DataFrame(columns=["g_id", "g_x", "g_y", "g_infra", "g_crossing",
+                                     "g_signals", "l_id", "l_osmid", "l_hw_conn", "l_hw_rank"])
     rep = group.iloc[0]  # mx/my/merged_by identical across the group
     infra = sorted(set(listify(group.get("highway", pd.Series(dtype=object)))
                        + listify(group.get("crossing", pd.Series(dtype=object)))))
@@ -580,6 +585,19 @@ _EDGE_CLEAN_PLAIN = [
 ]
 
 
+def add_uv_keys(edges: pd.DataFrame) -> pd.DataFrame:
+    """Canonical undirected grouping key (two int64 columns). Kept separate
+    from the tag cleaning: the cleaned columns hold MIXED str/list values
+    that cannot cross an Arrow shuffle boundary, so pipelines shuffle on the
+    raw rows and clean inside the post-shuffle block."""
+    edges = edges.copy()
+    u = edges["new_u"].to_numpy().astype(np.int64)
+    v = edges["new_v"].to_numpy().astype(np.int64)
+    edges["uv_lo"] = np.minimum(u, v)
+    edges["uv_hi"] = np.maximum(u, v)
+    return edges
+
+
 def prepare_edges_for_merge(edges: pd.DataFrame) -> pd.DataFrame:
     """The step-11 type normalization (p3_simplification.py:318-344):
     maxspeed→max float, lanes→max float, width→min float, tag columns parsed
@@ -595,13 +613,7 @@ def prepare_edges_for_merge(edges: pd.DataFrame) -> pd.DataFrame:
     for c in _EDGE_CLEAN_PLAIN:
         if c in edges.columns:
             edges[c] = clean_column(edges[c])
-    u = edges["new_u"].to_numpy().astype(np.int64)
-    v = edges["new_v"].to_numpy().astype(np.int64)
-    # two-column canonical key (a packed min*C+max would overflow int64 with
-    # the large derived split ids)
-    edges["uv_lo"] = np.minimum(u, v)
-    edges["uv_hi"] = np.maximum(u, v)
-    return edges
+    return add_uv_keys(edges)
 
 
 def _explode_vals(s: pd.Series) -> list:

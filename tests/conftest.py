@@ -22,5 +22,8 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from osmnetfusion_ray.rayctx import ensure_tuned
+
+    ensure_tuned()
     yield
     ray.shutdown()
