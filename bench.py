@@ -55,7 +55,8 @@ def run_headline(trials: int = 3) -> dict:
         ds = pagejoin.join_pages_to_network_slim(pages, nodes, edges, batch_size=4096)
         return ds.count()
 
-    one(max(100_000, PAGES_N // 10))  # warmup, untimed
+    one(max(100_000, PAGES_N // 10))  # warmup: spawn + warm every worker
+    one(PAGES_N)                      # warmup: full-size block/actor shapes
 
     best = None
     for _ in range(trials):

@@ -146,7 +146,7 @@ def add_reverse_bike_edges(edges_ds: rd.Dataset) -> rd.Dataset:
 
     return grouped(edges_ds.map_batches(_key, batch_format="pandas"),
                    ["pair_lo", "pair_hi"],
-                   _per_group(["pair_lo", "pair_hi"], _reverse_bike_group))
+                   _per_group(["pair_lo", "pair_hi"], _reverse_bike_group), small=True)
 
 
 def add_gradient(edges_ds: rd.Dataset, elevations: pa.Table, node_osmids: np.ndarray) -> rd.Dataset:

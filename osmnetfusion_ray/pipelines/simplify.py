@@ -188,7 +188,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
     # so no dedup shuffle is spent on them
     msg_edges = (
         grouped(nodes_ds.map_batches(_pair_gen_batch, batch_format="pandas"),
-                ["cell"], _per_group(["cell"], _pairs_in_cell))
+                ["cell"], _per_group(["cell"], _pairs_in_cell), small=True)
         .map_batches(
             lambda df: pd.DataFrame({
                 "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
@@ -217,6 +217,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
         labels = grouped(
             labels.union(msgs), ["osmid"],
             lambda df: df.groupby("osmid", sort=False, as_index=False)["label"].min(),
+            small=True,
         ).materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
@@ -238,7 +239,7 @@ def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESH
     joined = nodes_ds.join(labels, join_type="inner", num_partitions=_num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
-                   _per_group(["label"], lambda g: _merge_map_group(g, threshold)))
+                   _per_group(["label"], lambda g: _merge_map_group(g, threshold)), small=True)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +321,7 @@ def simplify_network(
     def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
         return _per_group(["merged_by"], S.merge_nodes_group)(S.prepare_nodes_for_merge(df))
 
-    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block)
+    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block, small=True)
 
     # 11-13. merge edges by canonical uv key (clean inside the block), orient
     edges_keyed = edges_ds.map_batches(S.add_uv_keys, batch_format="pandas")
@@ -328,7 +329,7 @@ def simplify_network(
     def _edge_merge_block(df: pd.DataFrame) -> pd.DataFrame:
         return _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(S.prepare_edges_for_merge(df))
 
-    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block)
+    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block, small=True)
     edges_out = edges_out.map_batches(S.orient_edges, batch_format="pandas")
     return {"nodes": nodes_out, "edges": edges_out}
 
@@ -355,7 +356,7 @@ def _union_nodes(nodes_ds: rd.Dataset, new_nodes: rd.Dataset) -> rd.Dataset:
 def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
     attrs = grouped(
         edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas"),
-        ["osmid"], _importance_final_block)
+        ["osmid"], _importance_final_block, small=True)
     nodes = nodes_ds.join(attrs, join_type="left_outer", num_partitions=_num_partitions(),
                           on=("osmid",), right_suffix="_imp")
 

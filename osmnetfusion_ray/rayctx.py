@@ -48,7 +48,7 @@ def n_shuffle_blocks(small: bool = False) -> int:
     except Exception:
         cpus = 8
     if small:
-        return max(2, min(16, cpus // 2))
+        return max(2, min(8, cpus // 4))
     return max(4, min(64, cpus))
 
 
