@@ -277,20 +277,30 @@ def enrich_network(
     edges_ds: rd.Dataset,
     dims: dict[str, pa.Table],
     node_osmids: np.ndarray,
+    cfg=None,
 ) -> tuple[rd.Dataset, rd.Dataset]:
-    """The full p2 chain in reference order (p2_enrichData.py:706-756)."""
-    edges_ds = add_landuse_ratios(edges_ds, dims)
+    """The full p2 chain in reference order (p2_enrichData.py:706-756);
+    step toggles + radii come from ``cfg`` (PipelineConfig — the engine's
+    runSimplification.py:11-47 toggle surface)."""
+    from ..config import DEFAULT
+
+    cfg = cfg or DEFAULT
+    if cfg.landuse:
+        edges_ds = add_landuse_ratios(edges_ds, dims)
     edges_ds = add_bike_labels(edges_ds)
     edges_ds = add_reverse_bike_edges(edges_ds)
-    if "elevations" in dims:
+    if cfg.elevation and "elevations" in dims:
         edges_ds = add_gradient(edges_ds, dims["elevations"], node_osmids)
     edges_ds = edges_ds.materialize()
-    if "traffic_signals" in dims:
-        nodes_ds = add_traffic_lights(nodes_ds, dims["traffic_signals"])
-    if "cycle_path_widths" in dims:
+    if cfg.signals and "traffic_signals" in dims:
+        nodes_ds = add_traffic_lights(nodes_ds, dims["traffic_signals"],
+                                      max_distance_m=cfg.signal_snap_m)
+    if cfg.widths and "cycle_path_widths" in dims:
         edges_ds = add_cycle_path_widths(edges_ds, dims["cycle_path_widths"])
-    if "bike_amenities" in dims:
-        edges_ds = add_bicycle_parking(edges_ds, dims["bike_amenities"]).materialize()
-    if "pt_stops" in dims:
-        edges_ds = add_pt_stops(edges_ds, dims["pt_stops"]).materialize()
+    if cfg.amenities and "bike_amenities" in dims:
+        edges_ds = add_bicycle_parking(edges_ds, dims["bike_amenities"],
+                                       radius_m=cfg.amenity_radius_m).materialize()
+    if cfg.ptstops and "pt_stops" in dims:
+        edges_ds = add_pt_stops(edges_ds, dims["pt_stops"],
+                                max_distance_m=cfg.stop_snap_m).materialize()
     return nodes_ds, edges_ds

@@ -55,13 +55,14 @@ def build_network_inputs(n: int = 16, seed: int = 42, satellites: int | None = N
     return nodes_ds, edges_ds, dims, nodes_t["osmid"].to_numpy()
 
 
-def simplified_city(n: int = 16, seed: int = 42, cluster_threshold: int = 50) -> dict:
+def simplified_city(n: int = 16, seed: int = 42, cluster_threshold: int | None = None,
+                    cfg=None) -> dict:
     """Full chain; returns {'nodes': Dataset, 'edges': Dataset}."""
     nodes_ds, edges_ds, dims, node_osmids = build_network_inputs(n=n, seed=seed)
-    nodes_ds, edges_ds = enrich_network(nodes_ds, edges_ds, dims, node_osmids)
-    return simplify_network(nodes_ds, edges_ds, cluster_threshold=cluster_threshold)
+    nodes_ds, edges_ds = enrich_network(nodes_ds, edges_ds, dims, node_osmids, cfg=cfg)
+    return simplify_network(nodes_ds, edges_ds, cluster_threshold=cluster_threshold, cfg=cfg)
 
 
-def enriched_city(n: int = 16, seed: int = 42) -> tuple[rd.Dataset, rd.Dataset]:
+def enriched_city(n: int = 16, seed: int = 42, cfg=None) -> tuple[rd.Dataset, rd.Dataset]:
     nodes_ds, edges_ds, dims, node_osmids = build_network_inputs(n=n, seed=seed)
-    return enrich_network(nodes_ds, edges_ds, dims, node_osmids)
+    return enrich_network(nodes_ds, edges_ds, dims, node_osmids, cfg=cfg)

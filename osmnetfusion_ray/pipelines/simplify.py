@@ -71,8 +71,10 @@ def _num_partitions() -> int:
 # step 1: split curves
 # ---------------------------------------------------------------------------
 
-def _split_curves_batch(df: pd.DataFrame) -> pd.DataFrame:
-    out, _ = S.split_curves(df)
+def _split_curves_batch(df: pd.DataFrame, max_angle_initial=S.MAX_ANGLE_INITIAL,
+                        max_angle_prev=S.MAX_ANGLE_PREV) -> pd.DataFrame:
+    out, _ = S.split_curves(df, max_angle_initial=max_angle_initial,
+                            max_angle_prev=max_angle_prev)
     return out
 
 
@@ -94,9 +96,9 @@ def _new_nodes_from_split_edges(df: pd.DataFrame, base: int) -> pd.DataFrame:
 # step 2+3: rank + node importance (J8) — flat-map + grouped top-2
 # ---------------------------------------------------------------------------
 
-def _rank_batch(df: pd.DataFrame) -> pd.DataFrame:
+def _rank_batch(df: pd.DataFrame, ranking: dict | None = None) -> pd.DataFrame:
     df = df.copy()
-    df["highway_rank"] = S.add_highway_rank(df["highway"]).astype(np.float64)
+    df["highway_rank"] = S.add_highway_rank(df["highway"], ranking).astype(np.float64)
     return df
 
 
@@ -254,22 +256,34 @@ def simplify_network(
     nodes_ds: rd.Dataset,
     edges_ds: rd.Dataset,
     *,
-    cluster_threshold: int = S.CLUSTER_THRESHOLD,
+    cluster_threshold: int | None = None,
+    cfg=None,
 ) -> dict:
     """Full p3: returns {'nodes': Dataset, 'edges': Dataset} of the merged
-    network. Input: enriched nodes/edges datasets (WKB geometry)."""
+    network. Input: enriched nodes/edges datasets (WKB geometry). Knobs
+    (ranking, buffers, angles, cluster threshold) come from ``cfg``
+    (PipelineConfig; configFile.py:171-228 equivalents)."""
+    from ..config import DEFAULT
+
+    cfg = cfg or DEFAULT
+    if cluster_threshold is None:
+        cluster_threshold = cfg.cluster_threshold
+    ranking = dict(cfg.highway_ranking)
+    buffers = dict(cfg.highway_buffers)
     ensure_tuned()
     # 1. split curves (stateless flat-map; deterministic ids)
-    edges_ds = edges_ds.map_batches(_split_curves_batch, batch_format="pandas").materialize()
+    edges_ds = edges_ds.map_batches(
+        lambda df: _split_curves_batch(df, cfg.max_angle_initial, cfg.max_angle_prev),
+        batch_format="pandas").materialize()
     split_nodes1 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT1_BASE), batch_format="pandas")
     nodes_all = _union_nodes(nodes_ds, split_nodes1)
 
     # 2. highway rank
-    edges_ds = edges_ds.map_batches(_rank_batch, batch_format="pandas")
+    edges_ds = edges_ds.map_batches(lambda df: _rank_batch(df, ranking), batch_format="pandas")
 
     # 3+4. node importance + buffer radii
-    nodes_all = _attach_importance(nodes_all, edges_ds).materialize()
+    nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
 
     # 5. cluster pass 1 (drives edge splitting only)
     mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold)
@@ -296,7 +310,7 @@ def simplify_network(
     nodes_all = _union_nodes(nodes_all.select_columns(["osmid", "x", "y"]), split_nodes2)
 
     # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
-    nodes_all = _attach_importance(nodes_all, edges_ds).materialize()
+    nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
     mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold).materialize()
 
     # 8. reassign edges to merged nodes (broadcast merge map)
@@ -353,7 +367,8 @@ def _union_nodes(nodes_ds: rd.Dataset, new_nodes: rd.Dataset) -> rd.Dataset:
             .union(new_nodes.map_batches(_norm, batch_format="pandas")))
 
 
-def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
+def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset,
+                       buffers: dict | None = None) -> rd.Dataset:
     attrs = grouped(
         edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas"),
         ["osmid"], _importance_final_block, small=True)
@@ -366,7 +381,7 @@ def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset
         conn_col = "highway_conn_imp" if "highway_conn_imp" in df.columns else "highway_conn"
         df["highway_rank"] = pd.to_numeric(df[rank_col], errors="coerce")
         df["highway_conn"] = df[conn_col]
-        df["buffer_r"] = S.buffer_radii(df["highway_conn"])
+        df["buffer_r"] = S.buffer_radii(df["highway_conn"], buffers)
         drop = [c for c in (rank_col, conn_col) if c.endswith("_imp")]
         return df.drop(columns=drop)
 

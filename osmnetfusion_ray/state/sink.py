@@ -49,7 +49,11 @@ def write_checkpointed(
             hit = keys[pos] == v if len(keys) else np.zeros(len(v), bool)
             return batch.filter(pa.array(~hit))
 
-        ds = ds.map_batches(_skip_done, batch_format="pyarrow")
+        ds = ds.map_batches(_skip_done, batch_format="pyarrow").materialize()
+        if ds.count() == 0:  # fully resumed — nothing left to write
+            if finalize:
+                checkpoint.finalize_stage(root, stage)
+            return pd.DataFrame(columns=["partition", "rows", "bytes", "wall_s"])
 
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
         key = str(int(g[key_col].iloc[0]))
