@@ -218,6 +218,12 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_cell_counts_salted(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_cell_counts_salted
+
+    return doc_cell_counts_salted(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmnetfusion_ray.pipelines import analytics
 
@@ -227,6 +233,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": analytics.top_parts_by_revenue,
         "events_tumbling": analytics.events_tumbling,
         "events_sessionize": analytics.events_sessionize,
+        "supplier_part_stats": analytics.supplier_part_stats,
+        "orders_by_month": analytics.orders_by_month,
+        "docs_by_lang": analytics.docs_by_lang,
+        "doc_cell_counts_salted": _q_cell_counts_salted,
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality,
         "langid": _q_langid,
@@ -396,6 +406,35 @@ def oracle_sql() -> dict[str, str]:
                        CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])) DESC,
                      vec_id
             LIMIT 10
+        """,
+        "supplier_part_stats": """
+            SELECT n_name,
+                   count(*) AS n_items,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) * 100 + month(o_orderdate) AS order_month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            GROUP BY 1
+        """,
+        "docs_by_lang": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_cell_counts_salted": f"""
+            WITH g AS ({_GEO})
+            SELECT CAST(floor(fx * 64) AS BIGINT) AS ix,
+                   CAST(floor(fy * 64) AS BIGINT) AS iy,
+                   count(*) AS n_docs
+            FROM g GROUP BY 1, 2
         """,
         "token_counts": """
             SELECT doc_id,

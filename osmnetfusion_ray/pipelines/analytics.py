@@ -94,6 +94,69 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(pdf[["l_partkey", "p_name", "part_revenue"]].reset_index(drop=True))
 
 
+def supplier_part_stats(sf_dir: str) -> rd.Dataset:
+    """lineitem ⋈ supplier (broadcast) → per-nation lineitem stats with
+    min/max aggregates — exercises the min/max partial-agg path."""
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity", "l_extendedprice"])
+    supplier = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = supplier.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[["s_suppkey", "n_name"]]
+    joined = broadcast_join(li, dim, left_on="l_suppkey", right_on="s_suppkey")
+    out = groupby_agg(
+        joined, ["n_name"],
+        [
+            AggSpec("n_items", None, "count"),
+            AggSpec("min_qty", "l_quantity", "min"),
+            AggSpec("max_qty", "l_quantity", "max"),
+            AggSpec("avg_price", "l_extendedprice", "mean"),
+        ],
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_price"] = df["avg_price"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+def orders_by_month(sf_dir: str) -> rd.Dataset:
+    """Orders per calendar month (event-time truncation on the big table)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        y = pc.year(d)
+        m = pc.month(d)
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), pa.scalar(100, type=pa.int64())),
+                    pc.cast(m, pa.int64()))
+        return t.append_column("order_month", ym)
+
+    ds = orders.map_batches(bucket, batch_format="pyarrow")
+    out = groupby_agg(ds, ["order_month"],
+                      [AggSpec("n_orders", None, "count"),
+                       AggSpec("revenue", "o_totalprice", "sum")])
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+def docs_by_lang(sf_dir: str) -> rd.Dataset:
+    """documents per language with mean length — trivial shape, broad oracle."""
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = groupby_agg(docs, ["lang"],
+                      [AggSpec("n_docs", None, "count"),
+                       AggSpec("avg_chars", "n_chars", "mean")])
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_chars"] = df["avg_chars"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
 WINDOW_US = 3_600_000_000  # 1 hour
 
 
