@@ -164,6 +164,24 @@ def add_gradient(edges_ds: rd.Dataset, elevations: pa.Table, node_osmids: np.nda
     return edges_ds.map_batches(_batch, batch_format="pandas")
 
 
+def add_gradient_from_dem(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
+    """J7 via ST3: node elevations sampled from the actor-resident DEM
+    raster (stages/elevation.py), then the same gradient arithmetic. The
+    sampling streams the node table through an actor pool; the (node →
+    elevation) result is node-sized and broadcast for the edge pass."""
+    from ..stages.elevation import DEMSampler
+
+    sampled = nodes_ds.select_columns(["osmid", "x", "y"]).map_batches(
+        DEMSampler, batch_format="pandas", concurrency=(1, 4)).to_pandas()
+    lookup = dict(zip(sampled["osmid"].astype(int), sampled["elevation"].astype(float)))
+    ref = ray.put(lookup)
+
+    def _batch(df: pd.DataFrame) -> pd.DataFrame:
+        return E.add_gradient(df, ray.get(ref))
+
+    return edges_ds.map_batches(_batch, batch_format="pandas")
+
+
 def add_traffic_lights(nodes_ds: rd.Dataset, signals: pa.Table, max_distance_m=20.0) -> rd.Dataset:
     """J3: signals snap to nearest node ≤20 m (two-pass argmin)."""
     sig_lon, sig_lat = _dim_points(signals)
@@ -291,6 +309,8 @@ def enrich_network(
     edges_ds = add_reverse_bike_edges(edges_ds)
     if cfg.elevation and "elevations" in dims:
         edges_ds = add_gradient(edges_ds, dims["elevations"], node_osmids)
+    elif cfg.elevation:
+        edges_ds = add_gradient_from_dem(nodes_ds, edges_ds)
     edges_ds = edges_ds.materialize()
     if cfg.signals and "traffic_signals" in dims:
         nodes_ds = add_traffic_lights(nodes_ds, dims["traffic_signals"],
