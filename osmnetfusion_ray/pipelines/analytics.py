@@ -148,7 +148,7 @@ def docs_by_lang(sf_dir: str) -> rd.Dataset:
     docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
     out = groupby_agg(docs, ["lang"],
                       [AggSpec("n_docs", None, "count"),
-                       AggSpec("avg_chars", "n_chars", "mean")])
+                       AggSpec("avg_chars", "n_chars", "mean")], small=True)
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
         df["avg_chars"] = df["avg_chars"].round(4)

@@ -128,7 +128,7 @@ def exact_dedup_keep_ids(docs: rd.Dataset) -> np.ndarray:
 
     kept = groupby_agg(
         docs.map_batches(partial, batch_format="pandas"),
-        ["text_h"], [AggSpec("doc_id", "doc_id", "min")],
+        ["text_h"], [AggSpec("doc_id", "doc_id", "min")], small=True,
     )
     return kept.to_pandas()["doc_id"].to_numpy()
 
@@ -522,7 +522,7 @@ def doc_cell_counts(sf_dir: str) -> rd.Dataset:
     """Docs per grid cell (the tiling histogram)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     pts = docs.map_batches(doc_geocode_batch, batch_format="pyarrow")
-    return groupby_agg(pts, ["ix", "iy"], [AggSpec("n_docs", None, "count")])
+    return groupby_agg(pts, ["ix", "iy"], [AggSpec("n_docs", None, "count")], small=True)
 
 
 def doc_cell_counts_salted(sf_dir: str, hot_threshold: int = 32) -> rd.Dataset:
@@ -546,9 +546,9 @@ def doc_cell_counts_salted(sf_dir: str, hot_threshold: int = 32) -> rd.Dataset:
 
     pts = docs.map_batches(salt, batch_format="pyarrow")
     per_salted = groupby_agg(pts, ["salted_cell", "ix", "iy"],
-                             [AggSpec("n_docs", None, "count")])
+                             [AggSpec("n_docs", None, "count")], small=True)
     # final exact re-aggregation on the parent tile
-    return groupby_agg(per_salted, ["ix", "iy"], [AggSpec("n_docs", "n_docs", "sum")])
+    return groupby_agg(per_salted, ["ix", "iy"], [AggSpec("n_docs", "n_docs", "sum")], small=True)
 
 
 # ---------------------------------------------------------------------------

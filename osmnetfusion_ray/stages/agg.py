@@ -56,11 +56,15 @@ def _reduce(df: pd.DataFrame, keys: list[str], specs: list[AggSpec], partial: bo
     return pd.DataFrame(out).reset_index()
 
 
-def groupby_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec]) -> rd.Dataset:
-    """Partial-then-final grouped aggregation with named output columns."""
+def groupby_agg(ds: rd.Dataset, keys: list[str], specs: list[AggSpec],
+                small: bool = False) -> rd.Dataset:
+    """Partial-then-final grouped aggregation with named output columns.
+    ``small=True`` uses a small shuffle pool — for inputs or key spaces far
+    below the cluster's block budget."""
     partials = ds.map_batches(lambda df: _reduce(df, keys, specs, partial=True),
                               batch_format="pandas")
-    final = grouped(partials, keys, lambda df: _reduce(df, keys, specs, partial=False))
+    final = grouped(partials, keys, lambda df: _reduce(df, keys, specs, partial=False),
+                    small=small)
 
     mean_specs = [s for s in specs if s.kind == "mean"]
     if not mean_specs:
