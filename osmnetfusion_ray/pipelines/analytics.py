@@ -42,6 +42,8 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             AggSpec("avg_price", "l_extendedprice", "mean"),
             AggSpec("count_order", None, "count"),
         ],
+        small=True,  # 6 (returnflag, linestatus) groups — a full-size
+        # hash-shuffle pool would cost more in actor startup than the agg
     )
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
@@ -63,6 +65,7 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
         joined,
         ["n_name"],
         [AggSpec("total_revenue", "o_totalprice", "sum"), AggSpec("n_orders", None, "count")],
+        small=True,  # 25 nations
     )
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
@@ -86,11 +89,21 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> pa.Table:
         ["l_partkey"],
         [AggSpec("part_revenue", "revenue", "sum")],
     )
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
-    joined = broadcast_join(per_part, part, left_on="l_partkey", right_on="p_partkey")
-    pdf = joined.to_pandas()
-    pdf["part_revenue"] = pdf["part_revenue"].round(4)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-block top-k on the rounded revenue (each partkey is fully
+        contained in one post-shuffle block) — the global sort then touches
+        only (#blocks x k) rows, same pattern as ann_topk."""
+        df = df.copy()
+        df["part_revenue"] = df["part_revenue"].round(4)
+        return df.sort_values(["part_revenue", "l_partkey"],
+                              ascending=[False, True]).head(k)
+
+    pdf = per_part.map_batches(local_topk, batch_format="pandas").to_pandas()
     pdf = pdf.sort_values(["part_revenue", "l_partkey"], ascending=[False, True]).head(k)
+    # name lookup only for the k winners — no broadcast of the part table
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    pdf = pdf.merge(part, left_on="l_partkey", right_on="p_partkey", how="left")
     return pa.Table.from_pandas(pdf[["l_partkey", "p_name", "part_revenue"]].reset_index(drop=True))
 
 
@@ -110,6 +123,7 @@ def supplier_part_stats(sf_dir: str) -> rd.Dataset:
             AggSpec("max_qty", "l_quantity", "max"),
             AggSpec("avg_price", "l_extendedprice", "mean"),
         ],
+        small=True,  # 25 nations
     )
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +148,8 @@ def orders_by_month(sf_dir: str) -> rd.Dataset:
     ds = orders.map_batches(bucket, batch_format="pyarrow")
     out = groupby_agg(ds, ["order_month"],
                       [AggSpec("n_orders", None, "count"),
-                       AggSpec("revenue", "o_totalprice", "sum")])
+                       AggSpec("revenue", "o_totalprice", "sum")],
+                      small=True)  # ~80 calendar months
 
     def rounded(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["revenue"].round(4)

@@ -311,6 +311,18 @@ def enrich_network(
         edges_ds = add_gradient(edges_ds, dims["elevations"], node_osmids)
     elif cfg.elevation:
         edges_ds = add_gradient_from_dem(nodes_ds, edges_ds)
+
+    # M5: coalesce osmnx-style duplicate columns (p2_enrichData.py:735-737).
+    # The reference's third call passes ('smoothness', '_36', newName='width')
+    # — a typo that would destroy the just-rebuilt smoothness column and
+    # shadow the real width; we coalesce the intended ('width', '_36').
+    def _coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        df = E.merge_similar_columns(df, "surface", "_30", "surface")
+        df = E.merge_similar_columns(df, "smoothness", "_40", "smoothness")
+        df = E.merge_similar_columns(df, "width", "_36", "width")
+        return df
+
+    edges_ds = edges_ds.map_batches(_coalesce, batch_format="pandas")
     edges_ds = edges_ds.materialize()
     if cfg.signals and "traffic_signals" in dims:
         nodes_ds = add_traffic_lights(nodes_ds, dims["traffic_signals"],

@@ -128,15 +128,26 @@ def _importance_final_block(df: pd.DataFrame) -> pd.DataFrame:
 # step 5/7: clustering — distributed pairs + label propagation
 # ---------------------------------------------------------------------------
 
-def _pair_gen_batch(df: pd.DataFrame) -> pd.DataFrame:
+def pair_gen_res(buffers: dict | None = None, ref_lat: float = 48.0) -> int:
+    """The ONE cell resolution every pair-gen batch must share, computed
+    driver-side from the global maximum buffer radius and a fixed reference
+    latitude. Correctness of the pair cover only needs the resolution to be
+    IDENTICAL across batches (two intersecting disks share a covered cell at
+    any res); a batch-local choice would let two batches encode the same
+    disk at different resolutions and silently drop their cross-batch pair."""
+    buffers = buffers or S.HIGHWAY_BUFFERS
+    rmax = max(float(v) for v in buffers.values()) if buffers else 18.0
+    return cells.res_for_radius(2 * rmax, lat=ref_lat)
+
+
+def _pair_gen_batch(df: pd.DataFrame, res: int) -> pd.DataFrame:
     """Duplicate each node into every cell its buffer disk's bbox covers —
     two intersecting disks always share ≥1 covered cell, so per-cell local
     pair generation finds every intersecting pair (possibly twice; deduped
-    by the downstream groupby)."""
+    by the downstream groupby). ``res`` MUST be the global pair_gen_res."""
     x = df["x"].to_numpy(dtype=np.float64)
     y = df["y"].to_numpy(dtype=np.float64)
     r = df["buffer_r"].to_numpy(dtype=np.float64)
-    res = cells.res_for_radius(2 * float(r.max() if len(r) else 1.0), lat=float(np.median(y)) if len(y) else 48.0)
     mx, my = geom.m_per_deg(y)
     rows = []
     ix0, iy0 = cells.xy_index(x - r / mx, y - r / my, res)
@@ -174,7 +185,8 @@ def _pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": lab[m], "b": touched[m]})
 
 
-def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
+def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
+                      res: int | None = None, jump_after: int = 4) -> rd.Dataset:
     """Component label (min member osmid) per node, fully on Ray Data.
 
     Pairs come from per-cell ``map_groups``; labels converge by iterative
@@ -183,13 +195,19 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
     shuffle per round, terminating when the monotone label sum stops
     decreasing (boundary-edge exchange loop of the north_star). Component
     diameters are tiny (a cluster spans a street intersection), so rounds
-    ≈ 2-4 in practice.
+    ≈ 2-4 in practice; past ``jump_after`` rounds each round also applies
+    pointer jumping (label ← label[label], one extra hash join) so even a
+    corridor chain spanning D cells converges in O(log D) instead of O(D)
+    rounds. Non-convergence within ``max_rounds`` raises — a silently
+    inconsistent merge map must never escape this function.
     """
+    res = pair_gen_res() if res is None else res
     # directed message edges (node ← nbr), both directions; duplicate pairs
     # from the cell-replicated generation are harmless to a min-reduction,
     # so no dedup shuffle is spent on them
     msg_edges = (
-        grouped(nodes_ds.map_batches(_pair_gen_batch, batch_format="pandas"),
+        grouped(nodes_ds.map_batches(lambda df: _pair_gen_batch(df, res),
+                                     batch_format="pandas"),
                 ["cell"], _per_group(["cell"], _pairs_in_cell), small=True)
         .map_batches(
             lambda df: pd.DataFrame({
@@ -207,10 +225,12 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
         return labels
 
     prev_sum = labels.sum("label")
-    for _ in range(max_rounds):
+    converged = False
+    for rnd in range(max_rounds):
         # ship each node's current label to its neighbors: ONE hash join per
         # round (two joins in one DAG can deadlock the actor-pool shuffle on
-        # small clusters), then a grouped min with combiner semantics
+        # small clusters; each join is materialized before the next), then a
+        # grouped min with combiner semantics
         offered = msg_edges.join(labels, join_type="inner", num_partitions=_num_partitions(),
                                  on=("nbr",), right_on=("osmid",))
         msgs = offered.map_batches(
@@ -221,10 +241,28 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
             lambda df: df.groupby("osmid", sort=False, as_index=False)["label"].min(),
             small=True,
         ).materialize()
+        if rnd + 1 >= jump_after:
+            # pointer jumping: label ← label[label]. Valid because labels are
+            # min-monotone (label[x] <= x always), so label[label[x]] only
+            # tightens; halves the remaining chain length every round.
+            parents = labels.map_batches(
+                lambda df: pd.DataFrame({"p_osmid": df["osmid"], "p_label": df["label"]}),
+                batch_format="pandas")
+            jumped = labels.join(parents, join_type="inner",
+                                 num_partitions=_num_partitions(),
+                                 on=("label",), right_on=("p_osmid",))
+            labels = jumped.map_batches(
+                lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["p_label"]}),
+                batch_format="pandas").materialize()
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"cluster label propagation did not converge in {max_rounds} rounds "
+            f"— component diameter exceeds the round budget; raise max_rounds")
     return labels
 
 
@@ -234,10 +272,11 @@ def _merge_map_group(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
     return S.cluster_merge_map(g, np.full(len(g), g["label"].iloc[0]), threshold)
 
 
-def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD) -> rd.Dataset:
+def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD,
+                         res: int | None = None) -> rd.Dataset:
     """nodes (osmid,x,y,highway_rank,buffer_r) → merge map dataset
     (osmid, merged_by, mx, my, merged)."""
-    labels = cluster_labels_ds(nodes_ds)
+    labels = cluster_labels_ds(nodes_ds, res=res)
     joined = nodes_ds.join(labels, join_type="inner", num_partitions=_num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
@@ -285,8 +324,13 @@ def simplify_network(
     # 3+4. node importance + buffer radii
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
 
+    # shared pair-gen resolution: ONE global value for every clustering batch
+    # (a batch-local choice breaks cross-batch pair generation — see
+    # pair_gen_res)
+    res = pair_gen_res(buffers)
+
     # 5. cluster pass 1 (drives edge splitting only)
-    mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold)
+    mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res)
 
     # 6. split edges passing through merged cluster buffers (two-phase)
     mm1_pd = mm1.to_pandas()
@@ -307,11 +351,14 @@ def simplify_network(
     edges_ds = edges_ds.map_batches(_apply_batch, batch_format="pandas").materialize()
     split_nodes2 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT2_BASE), batch_format="pandas")
-    nodes_all = _union_nodes(nodes_all.select_columns(["osmid", "x", "y"]), split_nodes2)
+    # keep the node TAG columns (highway, crossing, old_osmid) through the
+    # second pass — merge_nodes_group unions them into g_infra/l_osmid
+    # (p3_functions.py:1435-1437); _union_nodes aligns the split-node side
+    nodes_all = _union_nodes(nodes_all, split_nodes2)
 
     # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
-    mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold).materialize()
+    mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res).materialize()
 
     # 8. reassign edges to merged nodes (broadcast merge map)
     mm2_pd = mm2.to_pandas()

@@ -134,6 +134,12 @@ def split_curves(edges: pd.DataFrame, base_idx: int = SPLIT1_BASE,
         base = base_idx + int(osmids[pos]) * 100
         row = edges.iloc[pos]
         bounds = [0, *[s for s in splits], len(coords) - 1]
+        if len(bounds) - 1 >= 100:
+            # the derived-id scheme reserves a stride of 100 per edge; more
+            # sub-edges would collide with osmid+1's id space
+            raise ValueError(
+                f"edge {osmids[pos]} would split into {len(bounds) - 1} sub-edges "
+                f"(id stride is 100); pre-split the geometry upstream")
         for k in range(len(bounds) - 1):
             lo, hi = bounds[k], bounds[k + 1]
             sub = coords[lo: hi + 1]
@@ -442,6 +448,10 @@ def apply_edge_splits(edges: pd.DataFrame, req: pd.DataFrame,
             offset_per_seg[j] = offset_per_seg.get(j, 0) + 1
         aug = np.asarray(aug_list)
         bounds = [0, *cut_idx, len(aug) - 1]
+        if len(bounds) - 1 >= 100:
+            raise ValueError(
+                f"edge {oid} would split into {len(bounds) - 1} sub-edges "
+                f"(id stride is 100); raise the cluster threshold or pre-split")
         for k in range(len(bounds) - 1):
             lo, hi = bounds[k], bounds[k + 1]
             sub = aug[lo: hi + 1]

@@ -40,7 +40,21 @@ def write_checkpointed(
     metrics rows of partitions written in THIS run."""
     done = checkpoint.completed_partitions(root, stage)
     if done:
-        done_ref = ray.put(np.asarray(sorted(int(k) for k in done), dtype=np.uint64))
+        # key domain contract: partition keys are non-negative integers (cell
+        # ids / shard ids). Anything else would break the uint64 searchsorted
+        # resume filter below (negative ints wrap; strings don't cast), so a
+        # violating manifest fails loudly here instead of skipping partitions.
+        try:
+            done_int = sorted(int(k) for k in done)
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"write_checkpointed requires integer partition keys; manifest "
+                f"for stage {stage!r} holds non-integer keys") from e
+        if done_int and done_int[0] < 0:
+            raise ValueError(
+                f"write_checkpointed requires non-negative partition keys; "
+                f"manifest for stage {stage!r} holds {done_int[0]}")
+        done_ref = ray.put(np.asarray(done_int, dtype=np.uint64))
 
         def _skip_done(batch: pa.Table) -> pa.Table:
             keys = ray.get(done_ref)
@@ -56,7 +70,10 @@ def write_checkpointed(
             return pd.DataFrame(columns=["partition", "rows", "bytes", "wall_s"])
 
     def _write_group(g: pd.DataFrame) -> pd.DataFrame:
-        key = str(int(g[key_col].iloc[0]))
+        kv = int(g[key_col].iloc[0])
+        if kv < 0:
+            raise ValueError(f"write_checkpointed partition key must be >= 0, got {kv}")
+        key = str(kv)
         tab = pa.Table.from_pandas(g, preserve_index=False)
         metrics = checkpoint.write_partition(
             root, stage, key, tab, lineage=lineage, checksum_col=checksum_col)

@@ -196,6 +196,12 @@ def synth_city(n: int = 12, seed: int = 42, satellites: int = 0) -> tuple[pa.Tab
         "cycleway:surface": pick(["", "asphalt"], [0.95, 0.05]),
         "cycleway:width": pick(["", "1.5"], [0.96, 0.04]),
         "access": pick(["", "yes", "private"], [0.85, 0.1, 0.05]),
+        # osmnx artifact columns: duplicate surface/width/smoothness values
+        # under positional names (reference coalesces them,
+        # p2_enrichData.py:735-737 — the M5 merge_similar_columns path)
+        "_30": pick(["", "asphalt", "sett"], [0.9, 0.06, 0.04]),
+        "_36": pick(["", "2.5", "4"], [0.92, 0.05, 0.03]),
+        "_40": pick(["", "excellent", "horrible"], [0.92, 0.05, 0.03]),
     }
 
     nodes = pa.table(
