@@ -34,12 +34,16 @@ def entry() -> Any:
 
 
 def _q_page_network_join(sf_dir: str):
-    from osmnetfusion_ray import synth
+    """Flagship join, fully oracle-checked: SQL-exact doc_id geocode, kNN
+    snap to the fixture city's segments, exact node-buffer disks."""
+    from osmnetfusion_ray import netfixture
     from osmnetfusion_ray.pipelines import pagejoin
     from osmnetfusion_ray.sources import pages_from_documents
 
-    nodes, edges = synth.synth_city(n=16, seed=42)
-    ds = pagejoin.join_pages_to_network(pages_from_documents(sf_dir), nodes, edges)
+    netfixture.ensure_city_fixture()
+    nodes, edges, _ = netfixture.city_tables()
+    ds = pagejoin.join_pages_to_network(pages_from_documents(sf_dir), nodes, edges,
+                                        geocode_mode="doc_id")
     return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
 
 
@@ -198,14 +202,30 @@ def _q_network_simplify(sf_dir: str):
          "access_wal", "access_bik", "access_mot", "w_length", "b_length", "m_length"])
 
 
+_SIMP_TABLES_CACHE: dict = {}
+
+
+def _simplified_tables():
+    """Adapted (nodes, edges) Arrow tables of the cached p3 output — cached
+    so the query and its oracle fixture see the identical edge_row order."""
+    if "t" not in _SIMP_TABLES_CACHE:
+        from osmnetfusion_ray.pipelines import pagejoin
+
+        _SIMP_TABLES_CACHE["t"] = pagejoin.simplified_to_network_tables(_simplified())
+    return _SIMP_TABLES_CACHE["t"]
+
+
 def _q_page_join_simplified(sf_dir: str):
     """north_star flagship: pages × CONTRACTED network (kNN snap to merged
-    edges + PIP vs merged-node buffers); rows-only check."""
+    edges + exact-disk node buffers). Oracle checks the JOIN semantics on
+    the contracted fixture (the contraction itself is covered by the
+    per-stage network_* oracles + pytest)."""
     from osmnetfusion_ray.pipelines import pagejoin
     from osmnetfusion_ray.sources import pages_from_documents
 
-    nodes, edges = pagejoin.simplified_to_network_tables(_simplified())
-    ds = pagejoin.join_pages_to_network(pages_from_documents(sf_dir), nodes, edges)
+    nodes, edges = _simplified_tables()
+    ds = pagejoin.join_pages_to_network(pages_from_documents(sf_dir), nodes, edges,
+                                        geocode_mode="doc_id")
     return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
 
 
@@ -225,9 +245,20 @@ def _q_cell_counts_salted(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from osmnetfusion_ray.pipelines import analytics
+    from osmnetfusion_ray.pipelines import analytics, netqueries
 
     return {
+        "network_rank": netqueries.network_rank,
+        "network_importance": netqueries.network_importance,
+        "network_gradient": netqueries.network_gradient,
+        "network_landuse_points": netqueries.network_landuse_points,
+        "network_bike_labels": netqueries.network_bike_labels,
+        "network_reverse_bike": netqueries.network_reverse_bike,
+        "network_pt_stops": netqueries.network_pt_stops,
+        "network_amenities": netqueries.network_amenities,
+        "network_widths": netqueries.network_widths,
+        "network_split_curves": netqueries.network_split_curves,
+        "network_cluster": netqueries.network_cluster,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "revenue_by_nation": analytics.revenue_by_nation,
         "top_parts_by_revenue": analytics.top_parts_by_revenue,
@@ -244,12 +275,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_geocode": _q_doc_geocode,
         "doc_cell_counts": _q_doc_cell_counts,
         "ann_topk": _q_ann_topk,
-        "page_network_join": _q_page_network_join,   # rows-only (synthetic network side)
+        "page_network_join": _q_page_network_join,
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
         "simhash_fingerprints": _q_simhash,          # rows-only (hash not in SQL)
         "network_enrich": _q_network_enrich,         # rows-only (p2 chain, synthetic city)
         "network_simplify": _q_network_simplify,     # rows-only (p2+p3 chain)
-        "page_join_simplified": _q_page_join_simplified,  # rows-only (flagship vs contracted net)
+        "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
         "embedding_near_dups": _q_embedding_near_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,     # rows-only (LSH candidates not in SQL)
@@ -287,7 +318,19 @@ _TEXT_STATS = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from osmnetfusion_ray import netfixture, netoracle
+
+    net = netoracle.network_oracles()
+    d = netfixture.ensure_city_fixture()
+    seg_ref, node_ref = netfixture.city_ref_lats()
+    net["page_network_join"] = netoracle.page_join_oracle(
+        f"{d}/edge_segs.parquet", f"{d}/nodes.parquet", seg_ref, node_ref)
+    simp = netfixture.write_simplified_fixture(*_simplified_tables())
+    net["page_join_simplified"] = netoracle.page_join_oracle(
+        f"{simp['dir']}/edge_segs.parquet", f"{simp['dir']}/nodes.parquet",
+        simp["seg_ref_lat"], simp["node_ref_lat"])
     return {
+        **net,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -49,6 +49,10 @@ class PipelineConfig:
     # page-join (north_star flagship)
     page_buffer_m: float = 50.0
     page_max_snap_m: float = 500.0
+    # reference latitude of the local equirectangular metric used by every
+    # per-batch spatial index (one GLOBAL value so thresholds are independent
+    # of partitioning; default = center of the Munich-style BBOX)
+    ref_lat: float = 48.15
 
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":

@@ -1,0 +1,381 @@
+"""DuckDB oracle SQL for the network-chain queries (netqueries.py).
+
+Each SQL string recomputes one operator's semantics INDEPENDENTLY from the
+parquet fixture written by netfixture — same arithmetic, same IEEE-754 op
+order, with the equirectangular metric constants embedded as exact float
+literals (repr round-trips doubles), so the driver's bit-equality value
+compare holds. Threshold comparisons (dist <= r) tolerate the last-ulp
+difference between numpy's SIMD sin/cos/hypot and libm because fixture
+coordinates are jittered — a value landing within 1 ulp of a threshold has
+measure zero.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geom, netfixture
+
+MY = geom.M_PER_DEG_LAT  # 111132.0
+MXE = float(geom.M_PER_DEG_LAT * np.cos(np.radians(netfixture.REF_LAT)))  # enrich metric
+
+
+def _r(v: float) -> str:
+    return repr(float(v))
+
+
+def _dist_cte(pt_cols: str, segs_table: str, mx: float,
+              elem: str = "osmid") -> str:
+    """(point x segment) distance expansion mirroring
+    geom.point_segment_dist_m: metricize each coordinate, project, clamp t,
+    hypot. ``pt_cols`` are carried point columns (``p.``-qualified); the
+    point CTE must be named ``pts`` with (lon, lat)."""
+    out_cols = pt_cols.replace("p.", "")
+    return f"""
+    raw AS (
+        SELECT {pt_cols}, s.{elem},
+               p.lon * {_r(mx)} AS pxm, p.lat * {MY} AS pym,
+               s.ax * {_r(mx)} AS axm, s.ay * {MY} AS aym,
+               s.bx * {_r(mx)} - s.ax * {_r(mx)} AS dx,
+               s.by * {MY} - s.ay * {MY} AS dy
+        FROM pts p CROSS JOIN {segs_table} s
+    ),
+    tt AS (
+        SELECT *, least(greatest(
+                   CASE WHEN dx*dx + dy*dy > 0
+                        THEN ((pxm - axm)*dx + (pym - aym)*dy) / (dx*dx + dy*dy)
+                        ELSE 0.0 END, 0.0), 1.0) AS t
+        FROM raw
+    ),
+    dd AS (
+        SELECT {out_cols}, {elem},
+               sqrt((pxm - (axm + t*dx))*(pxm - (axm + t*dx))
+                  + (pym - (aym + t*dy))*(pym - (aym + t*dy))) AS dist
+        FROM tt
+    )"""
+
+
+_RANK_CASE = """CASE highway
+    WHEN 'trunk' THEN 10.0 WHEN 'trunk_link' THEN 9.5
+    WHEN 'primary' THEN 9.25 WHEN 'secondary' THEN 9.0
+    WHEN 'secondary_link' THEN 8.5 WHEN 'tertiary' THEN 8.0
+    WHEN 'residential' THEN 7.0 WHEN 'cycleway' THEN 6.0
+    WHEN 'path' THEN 5.5 WHEN 'footway' THEN 5.0
+    WHEN 'pedestrian' THEN 4.5 WHEN 'service' THEN 4.0
+    WHEN 'steps' THEN 3.5 WHEN 'bridleway' THEN 3.0
+    ELSE 0.0 END"""
+
+_BUFFER_CASE = """CASE highway_conn
+    WHEN 'trunk' THEN 18.0 WHEN 'trunk_link' THEN 18.0
+    WHEN 'primary' THEN 18.0 WHEN 'secondary' THEN 16.0
+    WHEN 'secondary_link' THEN 16.0 WHEN 'tertiary' THEN 14.0
+    WHEN 'residential' THEN 12.0 WHEN 'cycleway' THEN 12.0
+    WHEN 'path' THEN 10.0 WHEN 'footway' THEN 10.0
+    WHEN 'pedestrian' THEN 10.0 WHEN 'service' THEN 6.0
+    WHEN 'steps' THEN 6.0 WHEN 'bridleway' THEN 6.0
+    ELSE 4.0 END"""
+
+
+def _bike_flags(alias: str = "e") -> str:
+    """Boolean columns of the M2/M3 cascade (p2_enrichData.py:159-324);
+    regexp_matches == pandas str.contains (unanchored RE2 search)."""
+    def re_(col, pat):
+        return f"regexp_matches({alias}.\"{col}\", '{pat}')"
+
+    adv = (f"({re_('cycleway','lane')} OR {re_('cycleway','opposite')} OR "
+           f"{re_('cycleway:lane','advisory')} OR {re_('cycleway:left:lane','advisory')} OR "
+           f"{re_('cycleway:right:lane','advisory')})")
+    exc = (f"(({re_('cycleway','lane')} AND {re_('bicycle','designated')}) OR "
+           f"{re_('cycleway:lane','exclusive')} OR {re_('cycleway:left:lane','exclusive')} OR "
+           f"({re_('cycleway:left','lane')} AND {re_('cycleway:left:bicycle','designated')}) OR "
+           f"({re_('cycleway:both','lane')} AND {re_('cycleway:both:bicycle','designated')}) OR "
+           f"({re_('cycleway:right','lane')} AND {re_('cycleway:right:bicycle','designated')}) OR "
+           f"{re_('cycleway:right:lane','exclusive')})")
+    shared = re_("cycleway", "shared_busway")
+    broad = re_("bicycle_road", "yes")
+    one = (f"({re_('highway','cycleway')} OR {re_('cycleway','track')} OR "
+           f"{re_('cycleway:left','track')} OR {re_('cycleway:right','track')} OR "
+           f"{re_('cycleway:both','track')} OR {re_('bicycle:backward','track')} OR "
+           f"{re_('bicycle:forward','track')} OR {re_('cycleway:right:oneway','yes|-1')} OR "
+           f"{re_('cycleway:left:oneway','yes|-1')} OR "
+           f"({re_('highway','path')} AND {re_('bicycle','designated')} AND {re_('segregated','yes')}))")
+    two = (f"(({re_('cycleway:right','track')} AND ((NOT {alias}.oneway) OR {re_('cycleway:right:oneway','no')})) OR "
+           f"({re_('cycleway:left','track')} AND ((NOT {alias}.oneway) OR {re_('cycleway:left:oneway','no')})) OR "
+           f"{re_('cycleway:right:oneway','no')} OR {re_('cycleway:left:oneway','no')} OR "
+           f"({re_('highway','cycleway')} AND (NOT {alias}.oneway)))")
+    fac = (f"(({re_('highway','path')} AND {re_('bicycle','designated')} AND {re_('segregated','no')}) OR "
+           f"({re_('highway','footway')} AND {re_('bicycle','yes')}))")
+    ped = f"({re_('highway','pedestrian')} AND {re_('bicycle','yes')})"
+    acc = (f"CASE WHEN {re_('highway','trunk')} OR {re_('bicycle','use_sidepath')} OR "
+           f"{re_('bicycle','no')} THEN 'no' ELSE 'yes' END")
+    return (f"SELECT {alias}.*, {adv} AS f_adv, {exc} AS f_exc, {shared} AS f_shared, "
+            f"{broad} AS f_broad, {one} AS f_one, {two} AS f_two, "
+            f"(({adv}) OR ({exc})) AND (({one}) OR ({two})) AS f_tl, "
+            f"{fac} AS f_fac, {ped} AS f_ped, {acc} AS bike_access")
+
+
+_CAT_CASE = """CASE
+    WHEN f_ped THEN 'pedestrian_street'
+    WHEN f_fac THEN 'foot_and_cycle_path'
+    WHEN f_tl THEN 'track_or_lane'
+    WHEN f_two THEN 'two_direction_cycle_path'
+    WHEN f_one THEN 'one_direction_cycle_path'
+    WHEN f_broad THEN 'bicycle_road'
+    WHEN f_shared THEN 'shared_lane'
+    WHEN f_exc THEN 'exclusive_lane'
+    WHEN f_adv THEN 'advisory_lane'
+    ELSE highway END"""
+
+
+def network_oracles() -> dict[str, str]:
+    d = netfixture.ensure_city_fixture()
+    dc = netfixture.ensure_cluster_fixture()
+    edges = f"read_parquet('{d}/edges.parquet')"
+    nodes = f"read_parquet('{d}/nodes.parquet')"
+    segs = f"read_parquet('{d}/edge_segs.parquet')"
+    pts = f"read_parquet('{d}/edge_pts.parquet')"
+    elev = f"read_parquet('{d}/elev.parquet')"
+
+    out: dict[str, str] = {}
+
+    out["network_rank"] = f"""
+        SELECT osmid, highway, {_RANK_CASE} AS highway_rank FROM {edges}
+    """
+
+    out["network_importance"] = f"""
+        WITH er AS (SELECT u, v, highway, {_RANK_CASE} AS rank FROM {edges}),
+        pairs AS (SELECT u AS osmid, rank, highway FROM er
+                  UNION ALL SELECT v AS osmid, rank, highway FROM er),
+        rk AS (SELECT osmid, rank, highway,
+                      row_number() OVER (PARTITION BY osmid ORDER BY rank DESC) AS rn
+               FROM pairs),
+        agg AS (SELECT osmid, avg(rank) AS highway_rank,
+                       max(CASE WHEN rn = 1 THEN highway END) AS highway_conn
+                FROM rk WHERE rn <= 2 GROUP BY osmid)
+        SELECT n.osmid, a.highway_rank, a.highway_conn,
+               {_BUFFER_CASE} AS buffer_r
+        FROM {nodes} n LEFT JOIN agg a ON a.osmid = n.osmid
+    """
+
+    out["network_gradient"] = f"""
+        SELECT e.osmid,
+               abs(eu.elevation - ev.elevation) AS height_difference,
+               round(abs(eu.elevation - ev.elevation) / e.length, 4) AS gradient,
+               round(abs(eu.elevation - ev.elevation) * abs(eu.elevation - ev.elevation)
+                     / e.length, 4) AS severity
+        FROM {edges} e
+        JOIN {elev} eu ON eu.osmid = e.u
+        JOIN {elev} ev ON ev.osmid = e.v
+    """
+
+    out["network_landuse_points"] = f"""
+        WITH pts AS (SELECT kind, pt_row, lon, lat FROM read_parquet('{d}/landuse_pts.parquet')),
+        {_dist_cte("p.kind, p.pt_row", segs, MXE)},
+        hits AS (SELECT DISTINCT kind, pt_row, osmid FROM dd WHERE dist <= 10.0),
+        cnt AS (SELECT osmid, kind, count(*) AS c FROM hits GROUP BY osmid, kind)
+        SELECT e.osmid,
+               coalesce(g.c, 0) AS green_points,
+               coalesce(r.c, 0) AS retail_points,
+               coalesce(b.c, 0) AS building_points,
+               least(coalesce(g.c, 0) * 5.0 / greatest(e.length, 1e-9), 1.0) AS green_ratio,
+               least(coalesce(r.c, 0) * 5.0 / greatest(e.length, 1e-9), 1.0) AS retail_ratio,
+               least(coalesce(b.c, 0) * 5.0 / greatest(e.length, 1e-9), 1.0) AS building_ratio
+        FROM {edges} e
+        LEFT JOIN cnt g ON g.osmid = e.osmid AND g.kind = 'green'
+        LEFT JOIN cnt r ON r.osmid = e.osmid AND r.kind = 'retail'
+        LEFT JOIN cnt b ON b.osmid = e.osmid AND b.kind = 'building'
+    """
+
+    out["network_bike_labels"] = f"""
+        WITH f AS ({_bike_flags('e')} FROM {edges} e)
+        SELECT osmid, bike_access, {_CAT_CASE} AS cycleway_category FROM f
+    """
+
+    out["network_reverse_bike"] = f"""
+        WITH f AS ({_bike_flags('e')} FROM {edges} e),
+        cand AS (SELECT * FROM f
+                 WHERE oneway AND (regexp_matches("oneway:bicycle", 'no')
+                                   OR regexp_matches(cycleway, 'opposite'))),
+        gen AS (SELECT 1000000000 + c.osmid AS osmid, c.v AS u, c.u AS v,
+                       'bike_only' AS bike_access
+                FROM cand c
+                WHERE NOT EXISTS (SELECT 1 FROM f o WHERE o.u = c.v AND o.v = c.u)),
+        fixed AS (SELECT f.osmid, f.u, f.v,
+                         CASE WHEN EXISTS (SELECT 1 FROM cand c
+                                           WHERE c.u = f.v AND c.v = f.u)
+                              THEN 'yes' ELSE f.bike_access END AS bike_access
+                  FROM f)
+        SELECT osmid, u, v, bike_access FROM fixed
+        UNION ALL SELECT osmid, u, v, bike_access FROM gen
+    """
+
+    car = "('residential','service','tertiary','secondary','primary','trunk','motorway')"
+    out["network_pt_stops"] = f"""
+        WITH pts AS (SELECT stop_row, name, lon, lat FROM read_parquet('{d}/stops.parquet')),
+        carsegs AS (SELECT s.* FROM {segs} s JOIN {edges} e ON e.osmid = s.osmid
+                    WHERE e.highway IN {car}),
+        {_dist_cte("p.stop_row, p.name", "carsegs", MXE)},
+        pe AS (SELECT stop_row, min(name) AS name, osmid, min(dist) AS dist
+               FROM dd WHERE dist <= 30.0 GROUP BY stop_row, osmid),
+        best AS (SELECT *, row_number() OVER (PARTITION BY stop_row
+                                              ORDER BY dist, osmid) AS rn FROM pe),
+        agg AS (SELECT osmid, count(*) AS cnt,
+                       string_agg(name, ', ' ORDER BY stop_row) AS routes
+                FROM best WHERE rn = 1 GROUP BY osmid)
+        SELECT e.osmid,
+               CASE WHEN a.osmid IS NULL THEN 0 ELSE 1 END AS pt_stop_on,
+               coalesce(a.cnt, 0) AS pt_stop_count,
+               coalesce(a.routes, '') AS pt_stop_routes
+        FROM {edges} e LEFT JOIN agg a ON a.osmid = e.osmid
+    """
+
+    out["network_amenities"] = f"""
+        WITH f AS ({_bike_flags('e')} FROM {edges} e),
+        pts AS (SELECT am_row, name, lon, lat FROM read_parquet('{d}/amenities.parquet')),
+        bsegs AS (SELECT s.* FROM {segs} s JOIN f ON f.osmid = s.osmid
+                  WHERE f.bike_access = 'yes'),
+        {_dist_cte("p.am_row, p.name", "bsegs", MXE)},
+        pe AS (SELECT am_row, min(name) AS name, osmid, min(dist) AS dist
+               FROM dd WHERE dist <= 200.0 GROUP BY am_row, osmid),
+        best AS (SELECT *, row_number() OVER (PARTITION BY am_row
+                                              ORDER BY dist, osmid) AS rn FROM pe),
+        onagg AS (SELECT osmid, string_agg(name, ', ' ORDER BY am_row) AS am_on
+                  FROM best WHERE rn = 1 GROUP BY osmid),
+        nearagg AS (SELECT osmid, string_agg(name, ', ' ORDER BY name) AS am_near
+                    FROM pe GROUP BY osmid)
+        SELECT e.osmid, coalesce(o.am_on, '') AS amenity_on,
+               coalesce(nn.am_near, '') AS amenity_nearby
+        FROM {edges} e
+        LEFT JOIN onagg o ON o.osmid = e.osmid
+        LEFT JOIN nearagg nn ON nn.osmid = e.osmid
+    """
+
+    out["network_widths"] = f"""
+        SELECT e.osmid, w.width_cycle_path
+        FROM {edges} e
+        LEFT JOIN (SELECT osmid, min(width_cycle_path) AS width_cycle_path
+                   FROM read_parquet('{d}/widths.parquet') GROUP BY osmid) w
+        ON w.osmid = e.osmid
+    """
+
+    # M8 — haversine mirrored op-by-op (radians per endpoint, then deltas)
+    hav = ("2.0 * 6371008.8 * asin(sqrt(least(greatest("
+           "sin((radians({y1}) - radians({y0})) / 2.0) * sin((radians({y1}) - radians({y0})) / 2.0)"
+           " + cos(radians({y0})) * cos(radians({y1}))"
+           " * sin((radians({x1}) - radians({x0})) / 2.0) * sin((radians({x1}) - radians({x0})) / 2.0)"
+           ", 0.0), 1.0)))")
+    h01 = hav.format(x0="t.x0", y0="t.y0", x1="t.x1", y1="t.y1")
+    h12 = hav.format(x0="t.x1", y0="t.y1", x1="t.x2", y1="t.y2")
+    out["network_split_curves"] = f"""
+        WITH tri AS (
+            SELECT p0.osmid, p0.x AS x0, p0.y AS y0, p1.x AS x1, p1.y AS y1,
+                   p2.x AS x2, p2.y AS y2,
+                   degrees(atan2(p1.y - p0.y, p1.x - p0.x)) AS a0,
+                   degrees(atan2(p2.y - p1.y, p2.x - p1.x)) AS a1
+            FROM {pts} p0
+            JOIN {pts} p1 ON p1.osmid = p0.osmid AND p1.pt_idx = 1
+            JOIN {pts} p2 ON p2.osmid = p0.osmid AND p2.pt_idx = 2
+            WHERE p0.pt_idx = 0 AND p0.n_pts = 3
+        ),
+        split AS (SELECT * FROM tri WHERE abs(a1 - a0) > 60.0)
+        SELECT e.osmid, e.u, e.v, round(e.length, 6) AS length_r
+        FROM {edges} e WHERE e.osmid NOT IN (SELECT osmid FROM split)
+        UNION ALL
+        SELECT 1000000000000 + t.osmid * 100 + 0 AS osmid, e.u AS u,
+               1000000000000 + t.osmid * 100 + 0 AS v, round({h01}, 6) AS length_r
+        FROM split t JOIN {edges} e ON e.osmid = t.osmid
+        UNION ALL
+        SELECT 1000000000000 + t.osmid * 100 + 1 AS osmid,
+               1000000000000 + t.osmid * 100 + 0 AS u, e.v AS v,
+               round({h12}, 6) AS length_r
+        FROM split t JOIN {edges} e ON e.osmid = t.osmid
+    """
+
+    out["network_cluster"] = f"""
+        WITH n AS (SELECT * FROM read_parquet('{dc}/cluster_nodes.parquet')),
+        pr AS (
+            SELECT a.osmid AS ida, b.osmid AS idb
+            FROM n a JOIN n b ON a.osmid < b.osmid
+            WHERE sqrt((a.x * {_r(MXE)} - b.x * {_r(MXE)}) * (a.x * {_r(MXE)} - b.x * {_r(MXE)})
+                     + (a.y * {MY} - b.y * {MY}) * (a.y * {MY} - b.y * {MY}))
+                  < a.buffer_r + b.buffer_r
+        ),
+        sym AS (SELECT ida AS a, idb AS b FROM pr UNION ALL SELECT idb, ida FROM pr),
+        comp AS (
+            WITH RECURSIVE w(node, lab) AS (
+                SELECT osmid, osmid FROM n
+                UNION
+                SELECT s.b, w.lab FROM w JOIN sym s ON s.a = w.node
+            )
+            SELECT node, min(lab) AS label FROM w GROUP BY node
+        ),
+        mem AS (SELECT n.*, c.label FROM n JOIN comp c ON c.node = n.osmid),
+        gsz AS (SELECT label, count(*) AS sz, max(highway_rank) AS top_rank
+                FROM mem GROUP BY label),
+        rep AS (SELECT label, osmid AS rep_id FROM (
+                    SELECT label, osmid, row_number() OVER (
+                        PARTITION BY label ORDER BY highway_rank DESC, osmid) AS rn
+                    FROM mem) WHERE rn = 1),
+        cent AS (SELECT m.label, avg(m.x) AS cmx, avg(m.y) AS cmy
+                 FROM mem m JOIN gsz g ON g.label = m.label
+                 WHERE m.highway_rank = g.top_rank GROUP BY m.label)
+        SELECT m.osmid,
+               CASE WHEN g.sz < 2 THEN m.osmid ELSE r.rep_id END AS merged_by,
+               round(CASE WHEN g.sz < 2 THEN m.x ELSE c.cmx END, 9) AS mx_r,
+               round(CASE WHEN g.sz < 2 THEN m.y ELSE c.cmy END, 9) AS my_r,
+               CASE WHEN g.sz < 2 THEN ''
+                    WHEN m.osmid = r.rep_id THEN 'k' ELSE 'r' END AS merged
+        FROM mem m
+        JOIN gsz g USING (label) JOIN rep r USING (label) JOIN cent c USING (label)
+    """
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# flagship page→network join oracles
+# ---------------------------------------------------------------------------
+
+_GEO_CTE = """
+    g AS (
+        SELECT doc_id,
+               CAST(11.54 AS DOUBLE) + (CAST((doc_id * 2654435761) % 4294967296 % 65536 AS DOUBLE) / 65536.0)
+                 * (CAST(11.62 AS DOUBLE) - CAST(11.54 AS DOUBLE)) AS lon,
+               CAST(48.12 AS DOUBLE) + (CAST(((doc_id * 2654435761) % 4294967296) // 65536 AS DOUBLE) / 65536.0)
+                 * (CAST(48.18 AS DOUBLE) - CAST(48.12 AS DOUBLE)) AS lat
+        FROM documents
+    )"""
+
+
+def page_join_oracle(segs_path: str, nodes_path: str, seg_ref_lat: float,
+                     node_ref_lat: float, buffer_m: float = 50.0,
+                     max_snap_m: float = 500.0) -> str:
+    """Join-semantics oracle: pages geocoded by the SQL-exact doc_id hash,
+    kNN-snapped to the fixture's exploded segments (edge_id = edge row) and
+    tested against exact node buffer disks — the same arithmetic as
+    pagejoin.JoinToNetwork with the two index metrics' reference latitudes
+    embedded as literals."""
+    mxs = float(geom.M_PER_DEG_LAT * np.cos(np.radians(seg_ref_lat)))
+    mxn = float(geom.M_PER_DEG_LAT * np.cos(np.radians(node_ref_lat)))
+    return f"""
+        WITH {_GEO_CTE},
+        pts AS (SELECT doc_id, lon, lat FROM g),
+        segs AS (SELECT edge_row, ax, ay, bx, by FROM read_parquet('{segs_path}')),
+        {_dist_cte("p.doc_id", "segs", mxs, elem="edge_row")},
+        pe AS (SELECT doc_id, edge_row, min(dist) AS dist FROM dd GROUP BY doc_id, edge_row),
+        best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY dist, edge_row) AS rn FROM pe),
+        snap AS (SELECT doc_id,
+                        CASE WHEN dist <= {_r(max_snap_m)} THEN edge_row ELSE -1 END AS edge_id,
+                        CASE WHEN dist <= {_r(max_snap_m)} THEN round(dist, 6) ELSE -1.0 END AS snap_dist_m
+                 FROM best WHERE rn = 1),
+        nb AS (SELECT p.doc_id, min(n.osmid) AS node_buffer_id
+               FROM pts p CROSS JOIN read_parquet('{nodes_path}') n
+               WHERE sqrt((p.lon * {_r(mxn)} - n.x * {_r(mxn)}) * (p.lon * {_r(mxn)} - n.x * {_r(mxn)})
+                        + (p.lat * {MY} - n.y * {MY}) * (p.lat * {MY} - n.y * {MY}))
+                     <= {_r(buffer_m)}
+               GROUP BY p.doc_id)
+        SELECT s.doc_id, s.edge_id, s.snap_dist_m,
+               coalesce(nb.node_buffer_id, -1) AS node_buffer_id
+        FROM snap s LEFT JOIN nb ON nb.doc_id = s.doc_id
+    """

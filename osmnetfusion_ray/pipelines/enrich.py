@@ -47,12 +47,12 @@ def _dim_points(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def _edge_candidates_batch(df: pd.DataFrame, dim_lon, dim_lat, radius_m, id_col="osmid",
-                           subset_mask=None) -> pd.DataFrame:
+                           subset_mask=None, ref_lat: float | None = None) -> pd.DataFrame:
     """(dim_row, element_id, dist) pairs within radius for one edge batch."""
     sub = df if subset_mask is None else df[subset_mask(df)]
     if len(sub) == 0 or len(dim_lon) == 0:
         return pd.DataFrame({"dim_row": [], "elem": [], "dist": []})
-    idx = E._edge_index(sub, max_radius_m=radius_m)
+    idx = E._edge_index(sub, max_radius_m=radius_m, ref_lat=ref_lat)
     rows, seg_pos, dist = idx.within(dim_lon, dim_lat, radius_m)
     elem = sub[id_col].to_numpy()[seg_pos]
     out = pd.DataFrame({"dim_row": rows, "elem": elem, "dist": dist})
@@ -61,12 +61,13 @@ def _edge_candidates_batch(df: pd.DataFrame, dim_lon, dim_lat, radius_m, id_col=
         ["dim_row", "elem"], sort=False).head(1).reset_index(drop=True)
 
 
-def _node_candidates_batch(df: pd.DataFrame, dim_lon, dim_lat, radius_m) -> pd.DataFrame:
+def _node_candidates_batch(df: pd.DataFrame, dim_lon, dim_lat, radius_m,
+                           ref_lat: float | None = None) -> pd.DataFrame:
     if len(df) == 0 or len(dim_lon) == 0:
         return pd.DataFrame({"dim_row": [], "elem": [], "dist": []})
     idx = SegmentGridIndex.from_points(
         df["x"].to_numpy(), df["y"].to_numpy(),
-        np.arange(len(df), dtype=np.int64), max_radius_m=radius_m)
+        np.arange(len(df), dtype=np.int64), max_radius_m=radius_m, ref_lat=ref_lat)
     rows, pos, dist = idx.within(dim_lon, dim_lat, radius_m)
     return pd.DataFrame({"dim_row": rows, "elem": df["osmid"].to_numpy()[pos], "dist": dist})
 
@@ -83,7 +84,8 @@ def _resolve_argmin(cand: pd.DataFrame) -> pd.DataFrame:
 # enrichment stages
 # ---------------------------------------------------------------------------
 
-def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table]) -> rd.Dataset:
+def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table],
+                       ref_lat: float | None = None) -> rd.Dataset:
     """J1/J2 ×3 (green / retail / building) in ONE fused per-batch kernel —
     per-edge aggregation, no second pass needed."""
     kinds = [("green", "landuse_green"), ("retail", "landuse_retail"),
@@ -97,7 +99,7 @@ def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table]) -> rd.Da
     def _batch(df: pd.DataFrame) -> pd.DataFrame:
         p = ray.get(ref)
         for kind, _ in kinds:
-            df = E.landuse_ratio(df, p[kind][0], p[kind][1], kind)
+            df = E.landuse_ratio(df, p[kind][0], p[kind][1], kind, ref_lat=ref_lat)
             df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
         return df
 
@@ -182,7 +184,8 @@ def add_gradient_from_dem(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Data
     return edges_ds.map_batches(_batch, batch_format="pandas")
 
 
-def add_traffic_lights(nodes_ds: rd.Dataset, signals: pa.Table, max_distance_m=20.0) -> rd.Dataset:
+def add_traffic_lights(nodes_ds: rd.Dataset, signals: pa.Table, max_distance_m=20.0,
+                       ref_lat: float | None = None) -> rd.Dataset:
     """J3: signals snap to nearest node ≤20 m (two-pass argmin)."""
     sig_lon, sig_lat = _dim_points(signals)
     sig_ids = np.asarray(signals["id"].to_pylist())
@@ -190,7 +193,7 @@ def add_traffic_lights(nodes_ds: rd.Dataset, signals: pa.Table, max_distance_m=2
 
     def _cand(df: pd.DataFrame) -> pd.DataFrame:
         lo, la = ray.get(dims_ref)
-        return _node_candidates_batch(df, lo, la, max_distance_m)
+        return _node_candidates_batch(df, lo, la, max_distance_m, ref_lat=ref_lat)
 
     cand = nodes_ds.map_batches(_cand, batch_format="pandas").to_pandas()
     best = _resolve_argmin(cand)
@@ -208,7 +211,8 @@ def add_traffic_lights(nodes_ds: rd.Dataset, signals: pa.Table, max_distance_m=2
     return nodes_ds.map_batches(_apply, batch_format="pandas")
 
 
-def add_pt_stops(edges_ds: rd.Dataset, stops: pa.Table, max_distance_m=30.0) -> rd.Dataset:
+def add_pt_stops(edges_ds: rd.Dataset, stops: pa.Table, max_distance_m=30.0,
+                 ref_lat: float | None = None) -> rd.Dataset:
     """J5: stops snap to nearest car-highway edge ≤30 m; per edge count +
     joined names (p2_enrichData.py:559-602). Stop prefilter (boundary +
     frequency semi-join, J10) happens in the dim-table builder."""
@@ -220,7 +224,7 @@ def add_pt_stops(edges_ds: rd.Dataset, stops: pa.Table, max_distance_m=30.0) -> 
         lo, la = ray.get(dims_ref)
         return _edge_candidates_batch(
             df, lo, la, max_distance_m,
-            subset_mask=lambda d: d["highway"].isin(E.CAR_HIGHWAYS))
+            subset_mask=lambda d: d["highway"].isin(E.CAR_HIGHWAYS), ref_lat=ref_lat)
 
     cand = edges_ds.map_batches(_cand, batch_format="pandas").to_pandas()
     best = _resolve_argmin(cand)
@@ -241,7 +245,8 @@ def add_pt_stops(edges_ds: rd.Dataset, stops: pa.Table, max_distance_m=30.0) -> 
     return edges_ds.map_batches(_apply, batch_format="pandas")
 
 
-def add_bicycle_parking(edges_ds: rd.Dataset, amenities: pa.Table, radius_m=200.0) -> rd.Dataset:
+def add_bicycle_parking(edges_ds: rd.Dataset, amenities: pa.Table, radius_m=200.0,
+                        ref_lat: float | None = None) -> rd.Dataset:
     """J4: nearest bike-accessible edge gets amenity_on; all within 200 m
     get amenity_nearby (p2_enrichData.py:495-557)."""
     lon, lat = _dim_points(amenities)
@@ -254,7 +259,8 @@ def add_bicycle_parking(edges_ds: rd.Dataset, amenities: pa.Table, radius_m=200.
     def _cand(df: pd.DataFrame) -> pd.DataFrame:
         lo, la = ray.get(dims_ref)
         return _edge_candidates_batch(
-            df, lo, la, radius_m, subset_mask=lambda d: d["bike_access"] == "yes")
+            df, lo, la, radius_m, subset_mask=lambda d: d["bike_access"] == "yes",
+            ref_lat=ref_lat)
 
     cand = edges_ds.map_batches(_cand, batch_format="pandas").to_pandas()
     best = _resolve_argmin(cand)
@@ -304,7 +310,7 @@ def enrich_network(
 
     cfg = cfg or DEFAULT
     if cfg.landuse:
-        edges_ds = add_landuse_ratios(edges_ds, dims)
+        edges_ds = add_landuse_ratios(edges_ds, dims, ref_lat=cfg.ref_lat)
     edges_ds = add_bike_labels(edges_ds)
     edges_ds = add_reverse_bike_edges(edges_ds)
     if cfg.elevation and "elevations" in dims:
@@ -326,13 +332,16 @@ def enrich_network(
     edges_ds = edges_ds.materialize()
     if cfg.signals and "traffic_signals" in dims:
         nodes_ds = add_traffic_lights(nodes_ds, dims["traffic_signals"],
-                                      max_distance_m=cfg.signal_snap_m)
+                                      max_distance_m=cfg.signal_snap_m,
+                                      ref_lat=cfg.ref_lat)
     if cfg.widths and "cycle_path_widths" in dims:
         edges_ds = add_cycle_path_widths(edges_ds, dims["cycle_path_widths"])
     if cfg.amenities and "bike_amenities" in dims:
         edges_ds = add_bicycle_parking(edges_ds, dims["bike_amenities"],
-                                       radius_m=cfg.amenity_radius_m).materialize()
+                                       radius_m=cfg.amenity_radius_m,
+                                       ref_lat=cfg.ref_lat).materialize()
     if cfg.ptstops and "pt_stops" in dims:
         edges_ds = add_pt_stops(edges_ds, dims["pt_stops"],
-                                max_distance_m=cfg.stop_snap_m).materialize()
+                                max_distance_m=cfg.stop_snap_m,
+                                ref_lat=cfg.ref_lat).materialize()
     return nodes_ds, edges_ds

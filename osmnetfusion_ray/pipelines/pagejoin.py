@@ -30,7 +30,7 @@ import ray.data as rd
 
 from .. import geom
 from ..stages import pages as pages_stages
-from ..state.index import PolygonGridIndex, SegmentGridIndex
+from ..state.index import SegmentGridIndex
 
 
 def build_network_state(
@@ -77,8 +77,13 @@ class JoinToNetwork:
         self.max_snap_m = state["max_snap_m"]
         self.seg_index = SegmentGridIndex(ax, ay, bx, by, seg_edge, max_radius_m=self.max_snap_m)
         nx, ny, node_ids = state["nodes"]
-        rings = [geom.disk_polygon(x, y, state["buffer_m"]) for x, y in zip(nx, ny)]
-        self.poly_index = PolygonGridIndex(rings, node_ids, max_radius_m=state["buffer_m"] * 2)
+        # node-buffer membership is the EXACT metric disk (dist <= buffer_m)
+        # — better than the reference's polygonized shapely buffers
+        # (p3_functions.py:304: a 16-gon under-covers the disk by ~2%) and
+        # reproducible by a SQL oracle with the same distance arithmetic
+        self.buffer_m = state["buffer_m"]
+        self.node_index = SegmentGridIndex.from_points(
+            nx, ny, node_ids, max_radius_m=self.buffer_m)
         # warm the query path once per actor: pre-faults the allocator arena
         # and code paths so the first real batch isn't a page-fault storm
         # (this sandbox faults fresh pages at ~100 MB/s, globally serialized)
@@ -86,21 +91,19 @@ class JoinToNetwork:
         wx = float(np.min(ax)) + rng.rand(8192) * (float(np.max(bx)) - float(np.min(ax)))
         wy = float(np.min(ay)) + rng.rand(8192) * (float(np.max(by)) - float(np.min(ay)))
         self.seg_index.nearest(wx, wy, max_dist_m=self.max_snap_m)
-        self.poly_index.contains(wx, wy)
+        self.node_index.within(wx, wy, self.buffer_m)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
         edge_id, dist = self.seg_index.nearest(lon, lat, max_dist_m=self.max_snap_m)
-        pt_rows, node_hit = self.poly_index.contains(lon, lat)
-        # first (smallest node id) buffer containing each point — deterministic
-        in_node = np.full(len(lon), -1, dtype=np.int64)
+        pt_rows, node_hit, _ = self.node_index.within(lon, lat, self.buffer_m)
+        # smallest node id among containing buffers — deterministic
+        sentinel = np.iinfo(np.int64).max
+        in_node = np.full(len(lon), sentinel, dtype=np.int64)
         if len(pt_rows):
-            order = np.lexsort((node_hit, pt_rows))
-            pr, nh = pt_rows[order], node_hit[order]
-            first = np.ones(len(pr), dtype=bool)
-            first[1:] = pr[1:] != pr[:-1]
-            in_node[pr[first]] = nh[first]
+            np.minimum.at(in_node, pt_rows, node_hit)
+        in_node = np.where(in_node == sentinel, -1, in_node)
         dist = np.where(np.isfinite(dist), dist, -1.0)
         return (
             batch.append_column("edge_id", pa.array(edge_id))
@@ -119,15 +122,20 @@ def join_pages_to_network(
     max_snap_m: float = 500.0,
     concurrency: int | tuple | None = None,
     batch_size: int = 8192,
+    geocode_mode: str = "url",
 ) -> rd.Dataset:
     """The flagship join as a lazy Dataset transform chain.
 
     ``batch_size`` is deliberately modest: per-batch temporaries scale with
     (rows x candidates-per-row); smaller batches keep each actor's arena
     small, which matters on hosts where first-touch page faults are slow.
+    ``geocode_mode='doc_id'`` uses the SQL-mirrorable integer-hash geocode
+    so the whole join can be oracle-checked.
     """
     state_ref = ray.put(build_network_state(nodes, edges, buffer_m=buffer_m, max_snap_m=max_snap_m))
-    ds = pages.map_batches(pages_stages.geocode_cells_batch, batch_format="pyarrow")
+    geocode = (pages_stages.geocode_cells_batch_docid if geocode_mode == "doc_id"
+               else pages_stages.geocode_cells_batch)
+    ds = pages.map_batches(geocode, batch_format="pyarrow")
     ds = ds.map_batches(
         JoinToNetwork,
         fn_constructor_args=(state_ref,),

@@ -167,7 +167,7 @@ def _pair_gen_batch(df: pd.DataFrame, res: int) -> pd.DataFrame:
     })
 
 
-def _pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
+def _pairs_in_cell(g: pd.DataFrame, ref_lat: float | None = None) -> pd.DataFrame:
     """Cell-local pair generation, TRANSITIVELY CLOSED within the cell:
     a local union-find contracts each in-cell component to star edges
     (local-min-id, member), so the global label propagation only has to
@@ -176,7 +176,7 @@ def _pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
     ids = g["osmid"].to_numpy()
     a, b = S.cluster_pairs_local(
         g["x"].to_numpy(dtype=np.float64), g["y"].to_numpy(dtype=np.float64),
-        g["buffer_r"].to_numpy(dtype=np.float64), ids)
+        g["buffer_r"].to_numpy(dtype=np.float64), ids, ref_lat=ref_lat)
     if len(a) == 0:
         return pd.DataFrame({"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64)})
     touched = np.unique(np.concatenate([a, b]))
@@ -186,7 +186,8 @@ def _pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
-                      res: int | None = None, jump_after: int = 4) -> rd.Dataset:
+                      res: int | None = None, jump_after: int = 4,
+                      ref_lat: float | None = None) -> rd.Dataset:
     """Component label (min member osmid) per node, fully on Ray Data.
 
     Pairs come from per-cell ``map_groups``; labels converge by iterative
@@ -208,7 +209,9 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
     msg_edges = (
         grouped(nodes_ds.map_batches(lambda df: _pair_gen_batch(df, res),
                                      batch_format="pandas"),
-                ["cell"], _per_group(["cell"], _pairs_in_cell), small=True)
+                ["cell"],
+                _per_group(["cell"], lambda g: _pairs_in_cell(g, ref_lat=ref_lat)),
+                small=True)
         .map_batches(
             lambda df: pd.DataFrame({
                 "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
@@ -273,10 +276,11 @@ def _merge_map_group(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
 
 
 def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD,
-                         res: int | None = None) -> rd.Dataset:
+                         res: int | None = None,
+                         ref_lat: float | None = None) -> rd.Dataset:
     """nodes (osmid,x,y,highway_rank,buffer_r) → merge map dataset
     (osmid, merged_by, mx, my, merged)."""
-    labels = cluster_labels_ds(nodes_ds, res=res)
+    labels = cluster_labels_ds(nodes_ds, res=res, ref_lat=ref_lat)
     joined = nodes_ds.join(labels, join_type="inner", num_partitions=_num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
@@ -330,12 +334,13 @@ def simplify_network(
     res = pair_gen_res(buffers)
 
     # 5. cluster pass 1 (drives edge splitting only)
-    mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res)
+    mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
+                               ref_lat=cfg.ref_lat)
 
     # 6. split edges passing through merged cluster buffers (two-phase)
     mm1_pd = mm1.to_pandas()
     nodes_pd = _collect_pandas(nodes_all, ["osmid", "x", "y", "buffer_r"])
-    state = S.ClusterBufferState(mm1_pd, nodes_pd)
+    state = S.ClusterBufferState(mm1_pd, nodes_pd, ref_lat=cfg.ref_lat)
     state_ref = ray.put(state)
 
     def _requests_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -358,7 +363,8 @@ def simplify_network(
 
     # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
-    mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res).materialize()
+    mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
+                               ref_lat=cfg.ref_lat).materialize()
 
     # 8. reassign edges to merged nodes (broadcast merge map)
     mm2_pd = mm2.to_pandas()

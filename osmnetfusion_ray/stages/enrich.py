@@ -209,9 +209,11 @@ def _edge_segments(edges: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndar
     return coords[:-1, 0][keep], coords[:-1, 1][keep], coords[1:, 0][keep], coords[1:, 1][keep], seg_edge
 
 
-def _edge_index(edges: pd.DataFrame, max_radius_m: float) -> SegmentGridIndex:
+def _edge_index(edges: pd.DataFrame, max_radius_m: float,
+                ref_lat: float | None = None) -> SegmentGridIndex:
     ax, ay, bx, by, seg_edge = _edge_segments(edges)
-    return SegmentGridIndex(ax, ay, bx, by, seg_edge, max_radius_m=max_radius_m)
+    return SegmentGridIndex(ax, ay, bx, by, seg_edge, max_radius_m=max_radius_m,
+                            ref_lat=ref_lat)
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +229,7 @@ def landuse_ratio(
     point_buffer_m: float = 10.0,
     poly_buffer_m: float = 5.0,
     sample_step_m: float = 2.0,
+    ref_lat: float | None = None,
 ) -> pd.DataFrame:
     """``{kind}_ratio`` = min(point_part + poly_part, 1) per edge.
 
@@ -241,7 +244,7 @@ def landuse_ratio(
     n_edges = len(edges)
     counts = np.zeros(n_edges, dtype=np.int64)
     if len(pts_lon) and n_edges:
-        idx = _edge_index(edges, max_radius_m=point_buffer_m * 2)
+        idx = _edge_index(edges, max_radius_m=point_buffer_m * 2, ref_lat=ref_lat)
         pt_rows, edge_pos, _ = idx.within(pts_lon, pts_lat, point_buffer_m)
         if len(pt_rows):
             pairs = np.unique(pt_rows * np.int64(n_edges) + edge_pos)

@@ -32,6 +32,31 @@ def geocode_cells_batch(batch: pa.Table, res: int = cells.RES_JOIN, bbox=hashing
     )
 
 
+def geocode_cells_batch_docid(batch: pa.Table, res: int = cells.RES_JOIN,
+                              bbox=hashing.DEFAULT_BBOX) -> pa.Table:
+    """SQL-mirrorable geocode variant: (lon, lat) from the Knuth hash of
+    ``doc_id`` (same arithmetic as corpus.doc_geocode_batch — integer ops +
+    IEEE doubles a DuckDB oracle reproduces bit-exactly), so the flagship
+    page→network join can be hard-checked end-to-end. The url-hash variant
+    (:func:`geocode_cells_batch`) stays the default for corpora without a
+    numeric id."""
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+    fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+    lon0, lat0, lon1, lat1 = bbox
+    lon = lon0 + fx * (lon1 - lon0)
+    lat = lat0 + fy * (lat1 - lat0)
+    cell = cells.cell_of(lon, lat, res)
+    th = hashing.text_checksum(batch["text"])
+    return (
+        batch.append_column("lon", pa.array(lon))
+        .append_column("lat", pa.array(lat))
+        .append_column("cell", pa.array(cell, type=pa.uint64()))
+        .append_column("text_hash", pa.array(th, type=pa.uint64()))
+    )
+
+
 class GeocodeCells:
     """Actor-pool form of :func:`geocode_cells_batch` (state = bbox/res only;
     kept as a class so pipelines can pin ``concurrency``)."""

@@ -202,7 +202,8 @@ def node_importance(nodes: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def cluster_pairs_local(x: np.ndarray, y: np.ndarray, r: np.ndarray,
-                        ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                        ids: np.ndarray,
+                        ref_lat: float | None = None) -> tuple[np.ndarray, np.ndarray]:
     """All (id_a < id_b) pairs whose metric disks intersect. Disks of point
     buffers intersect iff center distance < r_a + r_b — exact, no polygon
     approximation needed (replaces the STRtree sjoin of p3_functions.py:406)."""
@@ -210,7 +211,8 @@ def cluster_pairs_local(x: np.ndarray, y: np.ndarray, r: np.ndarray,
     if n < 2:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     rmax = float(r.max())
-    idx = SegmentGridIndex.from_points(x, y, np.arange(n, dtype=np.int64), max_radius_m=2 * rmax)
+    idx = SegmentGridIndex.from_points(x, y, np.arange(n, dtype=np.int64),
+                                       max_radius_m=2 * rmax, ref_lat=ref_lat)
     rows, cols, dist = idx.within(x, y, 2 * rmax)
     m = (rows != cols) & (dist < (r[rows] + r[cols]))
     a = np.minimum(ids[rows[m]], ids[cols[m]])
@@ -287,13 +289,15 @@ def cluster_merge_map(nodes: pd.DataFrame, labels: np.ndarray,
     return df[["osmid", "merged_by", "mx", "my", "merged"]]
 
 
-def cluster_nodes(nodes: pd.DataFrame, threshold: int = CLUSTER_THRESHOLD) -> pd.DataFrame:
+def cluster_nodes(nodes: pd.DataFrame, threshold: int = CLUSTER_THRESHOLD,
+                  ref_lat: float | None = None) -> pd.DataFrame:
     """Local (single-frame) composition of the clustering stages — used by
     tests and as the per-tile kernel. ``nodes`` needs osmid/x/y/highway_rank
     and ``buffer_r``."""
     a, b = cluster_pairs_local(
         nodes["x"].to_numpy(dtype=np.float64), nodes["y"].to_numpy(dtype=np.float64),
-        nodes["buffer_r"].to_numpy(dtype=np.float64), nodes["osmid"].to_numpy())
+        nodes["buffer_r"].to_numpy(dtype=np.float64), nodes["osmid"].to_numpy(),
+        ref_lat=ref_lat)
     labels = components_from_pairs(nodes["osmid"].to_numpy(), a, b)
     return cluster_merge_map(nodes, labels, threshold)
 
@@ -308,7 +312,9 @@ class ClusterBufferState:
     representative + cluster centroids. Built driver-side from the merge map
     and node positions/radii; shipped once via ``ray.put``."""
 
-    def __init__(self, merge_map: pd.DataFrame, nodes: pd.DataFrame):
+    def __init__(self, merge_map: pd.DataFrame, nodes: pd.DataFrame,
+                 ref_lat: float | None = None):
+        self.ref_lat = ref_lat
         m = merge_map.merge(nodes[["osmid", "x", "y", "buffer_r"]], on="osmid")
         sizes = m.groupby("merged_by", sort=True).size()
         m = m[m["merged_by"].isin(sizes[sizes >= 2].index)]
@@ -326,7 +332,7 @@ class ClusterBufferState:
         if len(self.px):
             self._idx = SegmentGridIndex.from_points(
                 self.px, self.py, np.arange(len(self.px), dtype=np.int64),
-                max_radius_m=max(2 * self.max_r, 1.0))
+                max_radius_m=max(2 * self.max_r, 1.0), ref_lat=ref_lat)
         else:
             self._idx = None
 
@@ -356,7 +362,8 @@ def split_requests(edges: pd.DataFrame, state: ClusterBufferState) -> pd.DataFra
 
     # candidate (member-disk, segment) hits: member centers within r of a segment
     seg_idx = SegmentGridIndex(ax, ay, bx, by, np.arange(len(ax), dtype=np.int64),
-                               max_radius_m=max(2 * state.max_r, 1.0))
+                               max_radius_m=max(2 * state.max_r, 1.0),
+                               ref_lat=state.ref_lat)
     pt_rows, seg_rows, dist = seg_idx.within(state.px, state.py, state.max_r)
     hit = dist < state.pr[pt_rows]
     if not hit.any():

@@ -47,10 +47,16 @@ class SegmentGridIndex:
     """
 
     def __init__(self, ax, ay, bx, by, ids, res: int | None = None,
-                 max_radius_m: float = 200.0, fine_radius_m: float | None = None):
+                 max_radius_m: float = 200.0, fine_radius_m: float | None = None,
+                 ref_lat: float | None = None):
         ax, ay, bx, by = (np.asarray(a, dtype=np.float64) for a in (ax, ay, bx, by))
         ids = np.asarray(ids, dtype=np.int64)
-        self.ref_lat = float(np.median(ay)) if len(ay) else 0.0
+        # ref_lat governs the equirectangular metric of every distance this
+        # index returns. Per-BATCH indexes must receive a fixed global value
+        # (e.g. PipelineConfig.ref_lat): a batch-local median would make
+        # threshold comparisons depend on how rows were partitioned.
+        self.ref_lat = float(ref_lat) if ref_lat is not None else (
+            float(np.median(ay)) if len(ay) else 0.0)
         if res is None:
             res = cells.res_for_radius(max_radius_m, lat=self.ref_lat)
         self.res = res
@@ -93,8 +99,9 @@ class SegmentGridIndex:
         return cell_ids[order], seg_idx[order]
 
     @classmethod
-    def from_points(cls, x, y, ids, res: int | None = None, max_radius_m: float = 200.0):
-        return cls(x, y, x, y, ids, res=res, max_radius_m=max_radius_m)
+    def from_points(cls, x, y, ids, res: int | None = None, max_radius_m: float = 200.0,
+                    ref_lat: float | None = None):
+        return cls(x, y, x, y, ids, res=res, max_radius_m=max_radius_m, ref_lat=ref_lat)
 
     def _candidates(self, px, py, level: tuple[np.ndarray, np.ndarray], res: int,
                     dedup: bool = False) -> tuple[np.ndarray, np.ndarray]:
