@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_importance": netqueries.network_importance,
         "network_gradient": netqueries.network_gradient,
         "network_landuse_points": netqueries.network_landuse_points,
+        "network_landuse_poly": netqueries.network_landuse_poly,
         "network_bike_labels": netqueries.network_bike_labels,
         "network_reverse_bike": netqueries.network_reverse_bike,
         "network_pt_stops": netqueries.network_pt_stops,

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 from . import geom, synth
 
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 CITY_N = 16
 CITY_SEED = 42
 REF_LAT = 48.15  # PipelineConfig.ref_lat — the enrich metric's latitude
@@ -110,6 +110,7 @@ def ensure_city_fixture() -> str:
     seg = explode_segments(edges_t)
     osmids = edges_t["osmid"].to_numpy()
     _write(os.path.join(d, "edge_segs.parquet"), pa.table({
+        "seg_id": pa.array(np.arange(len(seg["ax"]), dtype=np.int64)),
         "osmid": pa.array(osmids[seg["edge_row"]]),
         "edge_row": pa.array(seg["edge_row"]),
         "ax": pa.array(seg["ax"]), "ay": pa.array(seg["ay"]),
@@ -155,6 +156,26 @@ def ensure_city_fixture() -> str:
     _write(os.path.join(d, "landuse_pts.parquet"), pa.table({
         "kind": pa.array(kk), "pt_row": pa.array(rr, type=pa.int64()),
         "lon": pa.array(lo, type=pa.float64()), "lat": pa.array(la, type=pa.float64()),
+    }))
+
+    # landuse POLYGON rings (closed; one row per vertex)
+    kk2, pr2, vi2, px2, py2 = [], [], [], [], []
+    for kind, tname in kinds:
+        tab = dims[tname]
+        if "geom_type" not in tab.schema.names:
+            continue
+        ptab = tab.filter(pa.compute.equal(tab["geom_type"], "Polygon"))
+        for j, w in enumerate(ptab["geometry"].to_pylist()):
+            _, ring = geom.wkb_parse(w)
+            kk2 += [kind] * len(ring)
+            pr2 += [j] * len(ring)
+            vi2 += list(range(len(ring)))
+            px2 += ring[:, 0].tolist()
+            py2 += ring[:, 1].tolist()
+    _write(os.path.join(d, "landuse_polys.parquet"), pa.table({
+        "kind": pa.array(kk2), "poly_row": pa.array(pr2, type=pa.int64()),
+        "v_idx": pa.array(vi2, type=pa.int64()),
+        "x": pa.array(px2, type=pa.float64()), "y": pa.array(py2, type=pa.float64()),
     }))
 
     # PT stops (post J10 filter, in engine order)

@@ -186,6 +186,68 @@ def network_oracles() -> dict[str, str]:
         LEFT JOIN cnt b ON b.osmid = e.osmid AND b.kind = 'building'
     """
 
+    # J2 — sampled polygon-clip ratio, mirrored op-by-op: n_samples from the
+    # fixture's (numpy-identical) seg_len_m, t=(i+0.5)/n, crossing-number
+    # parity per ring, OR over rings, length-weighted sum per edge.
+    # (generate_series takes only constants → the sample-count ceiling is
+    # computed here and embedded.)
+    import pyarrow.parquet as _pq
+
+    seg_len = _pq.read_table(f"{d}/edge_segs.parquet", columns=["seg_len_m"])
+    ns_max = int(max(np.maximum((seg_len["seg_len_m"].to_numpy() / 2.0).astype(np.int64), 1))) if seg_len.num_rows else 1
+    out["network_landuse_poly"] = f"""
+        WITH segs AS (
+            SELECT seg_id, osmid, ax, ay, bx, by, seg_len_m,
+                   greatest(CAST(trunc(seg_len_m / 2.0) AS BIGINT), 1) AS ns
+            FROM {segs}
+        ),
+        series AS (SELECT g.i FROM generate_series(0, {ns_max} - 1) AS g(i)),
+        smp AS (
+            SELECT s.seg_id, s.osmid, s.seg_len_m, s.ns, gs.i,
+                   s.ax + ((CAST(gs.i AS DOUBLE) + 0.5) / CAST(s.ns AS DOUBLE)) * (s.bx - s.ax) AS sx,
+                   s.ay + ((CAST(gs.i AS DOUBLE) + 0.5) / CAST(s.ns AS DOUBLE)) * (s.by - s.ay) AS sy
+            FROM segs s JOIN series gs ON gs.i < s.ns
+        ),
+        re AS (
+            SELECT r1.poly_row, r1.x AS x0, r1.y AS y0, r2.x AS x1, r2.y AS y1
+            FROM read_parquet('{d}/landuse_polys.parquet') r1
+            JOIN read_parquet('{d}/landuse_polys.parquet') r2
+              ON r2.poly_row = r1.poly_row AND r2.v_idx = r1.v_idx + 1
+             AND r2.kind = 'green'
+            WHERE r1.kind = 'green'
+        ),
+        cr AS (
+            SELECT m.seg_id, m.i, e.poly_row,
+                   sum(CASE WHEN ((e.y0 <= m.sy) <> (e.y1 <= m.sy))
+                             AND (m.sx < e.x0 + (m.sy - e.y0) * (e.x1 - e.x0)
+                                  / (CASE WHEN e.y1 <> e.y0 THEN e.y1 - e.y0 ELSE 1.0 END))
+                            THEN 1 ELSE 0 END) AS nc
+            FROM smp m CROSS JOIN re e GROUP BY m.seg_id, m.i, e.poly_row
+        ),
+        ins AS (SELECT seg_id, i, max(CASE WHEN nc % 2 = 1 THEN 1.0 ELSE 0.0 END) AS inside
+                FROM cr GROUP BY seg_id, i),
+        num AS (SELECT m.osmid,
+                       sum(i2.inside * (m.seg_len_m / CAST(m.ns AS DOUBLE))) AS covered
+                FROM smp m JOIN ins i2 ON i2.seg_id = m.seg_id AND i2.i = m.i
+                GROUP BY m.osmid),
+        glen AS (SELECT osmid, sum(seg_len_m) AS gl FROM segs GROUP BY osmid),
+        gpts AS (SELECT lon, lat, pt_row FROM read_parquet('{d}/landuse_pts.parquet')
+                 WHERE kind = 'green'),
+        pts AS (SELECT * FROM gpts),
+        {_dist_cte("p.pt_row", segs, MXE)},
+        hits AS (SELECT DISTINCT pt_row, osmid FROM dd WHERE dist <= 10.0),
+        cnt AS (SELECT osmid, count(*) AS c FROM hits GROUP BY osmid)
+        SELECT e.osmid,
+               round(least(coalesce(n2.covered, 0.0) / greatest(g2.gl, 1e-9), 1.0), 6) AS green_poly_r,
+               round(least(least(coalesce(c2.c, 0) * 5.0 / greatest(e.length, 1e-9), 1.0)
+                           + least(coalesce(n2.covered, 0.0) / greatest(g2.gl, 1e-9), 1.0),
+                           1.0), 6) AS green_ratio_r
+        FROM {edges} e
+        LEFT JOIN num n2 ON n2.osmid = e.osmid
+        LEFT JOIN glen g2 ON g2.osmid = e.osmid
+        LEFT JOIN cnt c2 ON c2.osmid = e.osmid
+    """
+
     out["network_bike_labels"] = f"""
         WITH f AS ({_bike_flags('e')} FROM {edges} e)
         SELECT osmid, bike_access, {_CAT_CASE} AS cycleway_category FROM f

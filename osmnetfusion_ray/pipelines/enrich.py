@@ -42,6 +42,20 @@ def _dim_points(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(lons), np.asarray(lats)
 
 
+def _dim_geoms(tab: pa.Table) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Split a mixed-geometry dim table into point coords + polygon rings
+    (the J2 path, p2_enrichData.py:119-151)."""
+    lons, lats, rings = [], [], []
+    for w in tab["geometry"].to_pylist():
+        t, c = geom.wkb_parse(w)
+        if t == geom._WKB_POLYGON:
+            rings.append(c)
+        else:
+            lons.append(float(c[0, 0]))
+            lats.append(float(c[0, 1]))
+    return np.asarray(lons), np.asarray(lats), rings
+
+
 # ---------------------------------------------------------------------------
 # candidate pass helpers
 # ---------------------------------------------------------------------------
@@ -93,13 +107,15 @@ def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table],
     pts = {}
     for kind, tab_name in kinds:
         tab = dims.get(tab_name)
-        pts[kind] = _dim_points(tab) if tab is not None and tab.num_rows else (np.zeros(0), np.zeros(0))
+        pts[kind] = (_dim_geoms(tab) if tab is not None and tab.num_rows
+                     else (np.zeros(0), np.zeros(0), []))
     ref = ray.put(pts)
 
     def _batch(df: pd.DataFrame) -> pd.DataFrame:
         p = ray.get(ref)
         for kind, _ in kinds:
-            df = E.landuse_ratio(df, p[kind][0], p[kind][1], kind, ref_lat=ref_lat)
+            lon, lat, rings = p[kind]
+            df = E.landuse_ratio(df, lon, lat, kind, poly_rings=rings, ref_lat=ref_lat)
             df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
         return df
 

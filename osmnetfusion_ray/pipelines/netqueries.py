@@ -67,12 +67,42 @@ def network_gradient(sf_dir: str) -> rd.Dataset:
 
 def network_landuse_points(sf_dir: str) -> rd.Dataset:
     """J1: landuse point counts within 10 m of the edge polyline + the
-    count-based ratio, for all three kinds (p2_enrichData.py:108-118)."""
+    count-based ratio, for all three kinds (p2_enrichData.py:108-118).
+    Polygon landuse rows are excluded here — the polygon path has its own
+    oracle (network_landuse_poly)."""
+    import pyarrow.compute as pc
+
     _, edges_t, dims = _city()
+    dims = dict(dims)
+    g = dims["landuse_green"]
+    if "geom_type" in g.schema.names:
+        dims["landuse_green"] = g.filter(pc.equal(g["geom_type"], "Point"))
     ds = PE.add_landuse_ratios(_edges_ds(edges_t), dims, ref_lat=REF_LAT)
     return ds.select_columns(["osmid", "green_points", "retail_points",
                               "building_points", "green_ratio", "retail_ratio",
                               "building_ratio"])
+
+
+def network_landuse_poly(sf_dir: str) -> rd.Dataset:
+    """J2: fraction of each edge's arc length inside landuse polygons
+    (deterministic 2 m arc-length sampling + crossing-number PIP —
+    p2_enrichData.py:119-151), plus the combined point+polygon ratio."""
+    import ray
+
+    _, edges_t, dims = _city()
+    lon, lat, rings = PE._dim_geoms(dims["landuse_green"])
+    ref = ray.put((lon, lat, rings))
+
+    def _b(df: pd.DataFrame) -> pd.DataFrame:
+        lo, la, rg = ray.get(ref)
+        out = E.landuse_ratio(df, lo, la, "green", poly_rings=rg, ref_lat=REF_LAT)
+        return pd.DataFrame({
+            "osmid": out["osmid"].astype(np.int64),
+            "green_poly_r": out["green_ratio_poly"].astype(float).round(6),
+            "green_ratio_r": out["green_ratio"].astype(float).round(6),
+        })
+
+    return _edges_ds(edges_t).map_batches(_b, batch_format="pandas")
 
 
 def network_bike_labels(sf_dir: str) -> rd.Dataset:

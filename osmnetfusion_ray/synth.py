@@ -268,15 +268,10 @@ def synth_dim_tables(nodes: pa.Table, seed: int = 42) -> dict[str, pa.Table]:
         dy = (rng.rand(k) * 2 - 1) * max_off_m / my
         return nx[idx] + dx, ny[idx] + dy, idx
 
-    # landuse point features
+    # landuse point features (polygon park features are appended at the end
+    # of this function so the rng draw order of every other dim is stable)
     glon, glat, _ = near_nodes(max(20, n_nodes // 3), 30)
-    landuse_green = pa.table(
-        {
-            "geometry": pa.array(geom.wkb_points(glon, glat), type=pa.binary()),
-            "landuse": pa.array(rng.choice(["grass", "forest", "meadow"], len(glon)).tolist()),
-            "geom_type": pa.array(["Point"] * len(glon)),
-        }
-    )
+    green_kinds = rng.choice(["grass", "forest", "meadow"], len(glon)).tolist()
     rlon, rlat, _ = near_nodes(max(10, n_nodes // 6), 40)
     landuse_retail = pa.table(
         {
@@ -357,6 +352,30 @@ def synth_dim_tables(nodes: pa.Table, seed: int = 42) -> dict[str, pa.Table]:
     widths = np.round(1.0 + rng.rand(len(wid_osmid)) * 2.0, 2)
     cycle_path_widths = pa.table(
         {"osmid": pa.array(wid_osmid), "width_cycle_path": pa.array(widths)}
+    )
+
+    # landuse POLYGON features (parks — the J2 path, p2_enrichData.py:119-151:
+    # buffered polygon ∩ edge ratio); drawn last to keep prior streams stable
+    plon, plat, _ = near_nodes(max(6, n_nodes // 16), 40)
+    half_w = 30.0 + rng.rand(len(plon)) * 60.0   # meters
+    half_h = 30.0 + rng.rand(len(plon)) * 60.0
+    pmx, pmy = geom.m_per_deg(plat)
+    poly_wkb = []
+    for i in range(len(plon)):
+        dx, dy = half_w[i] / pmx[i], half_h[i] / pmy[i]
+        ring = np.array([
+            [plon[i] - dx, plat[i] - dy], [plon[i] + dx, plat[i] - dy],
+            [plon[i] + dx, plat[i] + dy], [plon[i] - dx, plat[i] + dy],
+            [plon[i] - dx, plat[i] - dy],
+        ])
+        poly_wkb.append(geom.wkb_polygon(ring))
+    landuse_green = pa.table(
+        {
+            "geometry": pa.array(
+                geom.wkb_points(glon, glat) + poly_wkb, type=pa.binary()),
+            "landuse": pa.array(green_kinds + ["park"] * len(plon)),
+            "geom_type": pa.array(["Point"] * len(glon) + ["Polygon"] * len(plon)),
+        }
     )
 
     return {

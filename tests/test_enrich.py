@@ -206,3 +206,50 @@ class TestLanduseRatio:
         lats = np.full(10, 48.14)
         out = enrich.landuse_ratio(df, lons, lats, "green")
         assert out["green_ratio"].iloc[0] == 1.0
+
+
+class TestLandusePolygonPipeline:
+    """J2 wired end-to-end: a polygon-covered edge gets ratio_poly > 0
+    through the full add_landuse_ratios pipeline stage (the round-1 gap:
+    the kernel existed but the pipeline flattened polygons to points)."""
+
+    def test_polygon_contributes_through_pipeline(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osmnetfusion_ray.pipelines import enrich as PE
+
+        # one edge fully inside a big polygon, one far away; no points
+        df = edges_frame(2)
+        df.loc[1, "geometry"] = _line((11.60, 48.17), (11.601, 48.17))
+        ring = np.array([[11.549, 48.135], [11.553, 48.135],
+                         [11.553, 48.145], [11.549, 48.145], [11.549, 48.135]])
+        dims = {"landuse_green": pa.table({
+            "geometry": pa.array([geom.wkb_polygon(ring)], type=pa.binary()),
+            "landuse": pa.array(["park"]),
+            "geom_type": pa.array(["Polygon"]),
+        })}
+        ds = PE.add_landuse_ratios(rd.from_pandas(df), dims, ref_lat=48.15)
+        out = ds.to_pandas().sort_values("osmid").reset_index(drop=True)
+        assert out["green_ratio"].iloc[0] == pytest.approx(1.0)
+        assert out["green_ratio"].iloc[1] == 0.0
+
+    def test_synth_city_has_polygon_coverage(self, ray_session):
+        """The default synth dims now include park polygons and the enrich
+        chain picks them up: total green coverage strictly exceeds the
+        point-only coverage."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from osmnetfusion_ray import synth
+        from osmnetfusion_ray.pipelines import enrich as PE
+
+        nodes_t, edges_t = synth.synth_city(n=8, seed=42, satellites=16)
+        dims = synth.synth_dim_tables(nodes_t, seed=42)
+        g = dims["landuse_green"]
+        pts_only = {"landuse_green": g.filter(pc.equal(g["geom_type"], "Point"))}
+        full = PE.add_landuse_ratios(rd.from_arrow(edges_t), dims, ref_lat=48.15)
+        base = PE.add_landuse_ratios(rd.from_arrow(edges_t), pts_only, ref_lat=48.15)
+        s_full = full.to_pandas()["green_ratio"].sum()
+        s_base = base.to_pandas()["green_ratio"].sum()
+        assert s_full > s_base
