@@ -337,7 +337,13 @@ def simplify_network(
     mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
                                ref_lat=cfg.ref_lat)
 
-    # 6. split edges passing through merged cluster buffers (two-phase)
+    # 6. split edges passing through merged cluster buffers (two-phase).
+    # Phase 1 streams edges against the broadcast cluster-buffer state and
+    # emits split requests; phase 2 applies them DISTRIBUTED — a left-outer
+    # hash join of edges onto their requests + a grouped per-edge apply. No
+    # request rows are ever collected on the driver (round-1 flag: the
+    # request table is O(edge×buffer crossings) and can reach GBs at 10^8
+    # edges).
     mm1_pd = mm1.to_pandas()
     nodes_pd = _collect_pandas(nodes_all, ["osmid", "x", "y", "buffer_r"])
     state = S.ClusterBufferState(mm1_pd, nodes_pd, ref_lat=cfg.ref_lat)
@@ -346,14 +352,21 @@ def simplify_network(
     def _requests_batch(df: pd.DataFrame) -> pd.DataFrame:
         return S.split_requests(df, ray.get(state_ref))
 
-    req = edges_ds.map_batches(_requests_batch, batch_format="pandas").to_pandas()
-    req_ref = ray.put(req)
+    req_ds = edges_ds.map_batches(_requests_batch, batch_format="pandas").materialize()
+    if req_ds.count() > 0:
+        joined = edges_ds.join(req_ds, join_type="left_outer",
+                               num_partitions=_num_partitions(),
+                               on=("osmid",), right_on=("edge_osmid",))
 
-    def _apply_batch(df: pd.DataFrame) -> pd.DataFrame:
-        out, _ = S.apply_edge_splits(df, ray.get(req_ref))
-        return out
+        def _apply_block(df: pd.DataFrame) -> pd.DataFrame:
+            req_cols = ["rep", "t_arc", "px", "py"]
+            req = df.loc[df["t_arc"].notna(),
+                         ["osmid", *req_cols]].rename(columns={"osmid": "edge_osmid"})
+            edges_only = df.drop_duplicates("osmid").drop(columns=req_cols)
+            out, _ = S.apply_edge_splits(edges_only, req)
+            return out
 
-    edges_ds = edges_ds.map_batches(_apply_batch, batch_format="pandas").materialize()
+        edges_ds = grouped(joined, ["osmid"], _apply_block, small=True).materialize()
     split_nodes2 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT2_BASE), batch_format="pandas")
     # keep the node TAG columns (highway, crossing, old_osmid) through the
@@ -366,16 +379,23 @@ def simplify_network(
     mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
                                ref_lat=cfg.ref_lat).materialize()
 
-    # 8. reassign edges to merged nodes (broadcast merge map)
+    # 8. reassign edges to merged nodes. The merge map is broadcast as
+    # SORTED numpy arrays (id + searchsorted lookup inside the kernel) —
+    # compact, zero-copy out of the object store, no driver-held Python
+    # dicts (round-1 flag: dicts cost tens of GB at 10^8 nodes).
     mm2_pd = mm2.to_pandas()
-    merged_by = dict(zip(mm2_pd["osmid"].astype(int), mm2_pd["merged_by"].astype(int)))
-    mxd = dict(zip(mm2_pd["osmid"].astype(int), mm2_pd["mx"].astype(float)))
-    myd = dict(zip(mm2_pd["osmid"].astype(int), mm2_pd["my"].astype(float)))
-    maps_ref = ray.put((merged_by, mxd, myd))
+    order = np.argsort(mm2_pd["osmid"].to_numpy(), kind="stable")
+    ids_sorted = mm2_pd["osmid"].to_numpy()[order].astype(np.int64)
+    maps_ref = ray.put((
+        ids_sorted,
+        mm2_pd["merged_by"].to_numpy()[order].astype(np.int64),
+        mm2_pd["mx"].to_numpy()[order].astype(np.float64),
+        mm2_pd["my"].to_numpy()[order].astype(np.float64),
+    ))
 
     def _reassign_batch(df: pd.DataFrame) -> pd.DataFrame:
-        mb, mx, my = ray.get(maps_ref)
-        return S.reassign_edges(df, mb, mx, my)
+        ids, mb, mxa, mya = ray.get(maps_ref)
+        return S.reassign_edges_arrays(df, ids, mb, ids, mxa, ids, mya)
 
     edges_ds = edges_ds.map_batches(_reassign_batch, batch_format="pandas")
 

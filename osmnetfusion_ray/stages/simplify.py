@@ -491,57 +491,139 @@ def apply_edge_splits(edges: pd.DataFrame, req: pd.DataFrame,
 # p3_functions.py:580-652)
 # ---------------------------------------------------------------------------
 
-def reassign_edges(edges: pd.DataFrame, merged_by: dict, mx: dict, my: dict) -> pd.DataFrame:
+def _sorted_lookup(ids_sorted: np.ndarray, vals: np.ndarray, keys: np.ndarray,
+                   default: np.ndarray) -> np.ndarray:
+    """Vectorized ``dict.get(key, default)`` over a sorted id array."""
+    if len(ids_sorted) == 0:
+        return default
+    pos = np.clip(np.searchsorted(ids_sorted, keys), 0, len(ids_sorted) - 1)
+    found = ids_sorted[pos] == keys
+    return np.where(found, vals[pos], default)
+
+
+def _range_argmin(d: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """First argmin (relative index) of ``d`` within each contiguous range
+    — vectorized replacement for a per-range ``np.argmin`` loop."""
+    dmin = np.minimum.reduceat(d, starts)
+    rel = np.arange(len(d), dtype=np.int64) - np.repeat(starts, counts)
+    cand = np.where(d == np.repeat(dmin, counts), rel, np.int64(len(d)))
+    return np.minimum.reduceat(cand, starts)
+
+
+def reassign_edges_arrays(
+    edges: pd.DataFrame,
+    mb_ids: np.ndarray, mb_vals: np.ndarray,
+    mx_ids: np.ndarray, mx_vals: np.ndarray,
+    my_ids: np.ndarray, my_vals: np.ndarray,
+) -> pd.DataFrame:
     """Adds new_u/new_v, geom_linear, geom_reassigned, length (of the linear
-    geometry) and bearing. ``merged_by``/``mx``/``my`` map node osmid →
-    cluster rep / merged point (broadcast small side)."""
+    geometry) and bearing. The merge map arrives as SORTED numpy arrays
+    (id → rep / merged x / merged y) — searchsorted lookups, no Python
+    dicts (the round-1 scale flag: dict broadcasts are tens of GB of driver
+    heap at 10^8 nodes; arrays are compact and zero-copy from the object
+    store). All per-edge math runs over the flat coordinate buffer; the
+    only remaining per-row work is WKB encode/decode."""
     edges = edges.copy()
-    u = edges["u"].to_numpy()
-    v = edges["v"].to_numpy()
-    new_u = np.asarray([int(merged_by.get(int(x), x)) for x in u], dtype=np.int64)
-    new_v = np.asarray([int(merged_by.get(int(x), x)) for x in v], dtype=np.int64)
+    n = len(edges)
+    u = edges["u"].to_numpy().astype(np.int64)
+    v = edges["v"].to_numpy().astype(np.int64)
+    new_u = _sorted_lookup(mb_ids, mb_vals, u, u)
+    new_v = _sorted_lookup(mb_ids, mb_vals, v, v)
     edges["new_u"] = new_u
     edges["new_v"] = new_v
+    if n == 0:
+        edges["geom_linear"] = []
+        edges["geom_reassigned"] = []
+        edges["length"] = np.zeros(0)
+        edges["bearing"] = np.zeros(0)
+        return edges
 
-    geoms = edges["geometry"].tolist()
-    lin, rea, lengths, bearings = [], [], np.zeros(len(edges)), np.zeros(len(edges))
-    for i in range(len(edges)):
-        _, coords = geom.wkb_parse(geoms[i])
-        ux, uy = mx.get(int(u[i]), coords[0, 0]), my.get(int(u[i]), coords[0, 1])
-        vx, vy = mx.get(int(v[i]), coords[-1, 0]), my.get(int(v[i]), coords[-1, 1])
-        # mids: the reference's (buggy, preserved) elif chain
-        # p3_functions.py:610-619: u unchanged → drop first; elif v unchanged
-        # → drop last; else keep all
-        if u[i] == new_u[i]:
-            mids = coords[1:]
-        elif v[i] == new_v[i]:
-            mids = coords[:-1]
+    coords, offsets = geom.wkb_linestrings_to_flat(edges["geometry"].tolist())
+    off0, off1 = offsets[:-1], offsets[1:]
+    fx, fy = coords[off0, 0], coords[off0, 1]
+    lx, ly = coords[off1 - 1, 0], coords[off1 - 1, 1]
+    ux = _sorted_lookup(mx_ids, mx_vals, u, fx)
+    uy = _sorted_lookup(my_ids, my_vals, u, fy)
+    vx = _sorted_lookup(mx_ids, mx_vals, v, lx)
+    vy = _sorted_lookup(my_ids, my_vals, v, ly)
+
+    # mids window per edge — the reference's (buggy, preserved) elif chain
+    # p3_functions.py:610-619: u unchanged → drop first; elif v unchanged →
+    # drop last; else keep all
+    case1 = u == new_u
+    case2 = (~case1) & (v == new_v)
+    m_start = np.where(case1, off0 + 1, off0)
+    m_end = np.where(case2, off1 - 1, off1)
+    m_cnt = np.maximum(m_end - m_start, 0)
+
+    # nearest mid to the (merged) u and v endpoints, per edge, vectorized:
+    # gather all mids into one buffer (ranges stay contiguous → reduceat)
+    has = m_cnt > 0
+    g_starts = np.concatenate([[0], np.cumsum(m_cnt[has])])[:-1]
+    e_idx = np.repeat(np.flatnonzero(has), m_cnt[has])
+    flat_pos = (np.arange(int(m_cnt[has].sum()), dtype=np.int64)
+                - np.repeat(g_starts, m_cnt[has]) + np.repeat(m_start[has], m_cnt[has]))
+    px, py = coords[flat_pos, 0], coords[flat_pos, 1]
+    du = geom.haversine_m(ux[e_idx], uy[e_idx], px, py)
+    dv = geom.haversine_m(vx[e_idx], vy[e_idx], px, py)
+    i1 = np.zeros(n, dtype=np.int64)
+    i2 = np.full(n, -1, dtype=np.int64)
+    if has.any():
+        i1[has] = _range_argmin(du, g_starts, m_cnt[has])
+        i2[has] = _range_argmin(dv, g_starts, m_cnt[has])
+    k_start = m_start + i1              # kept mids = coords[k_start : k_end+1]
+    k_end = m_start + i2
+    k_cnt = np.maximum(k_end - k_start + 1, 0) * has
+
+    # orientation: compare fwd/rev total lengths (endpoint hops dominate;
+    # the shared interior sum is computed once)
+    dcons = geom.haversine_m(coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1]) \
+        if len(coords) > 1 else np.zeros(0)
+    ccum = np.concatenate([[0.0], np.cumsum(dcons)])
+    inner = np.where(k_cnt > 1, ccum[np.maximum(k_end, 0)] - ccum[np.minimum(k_start, len(ccum) - 1)], 0.0)
+    sx, sy = coords[np.clip(k_start, 0, len(coords) - 1), 0], coords[np.clip(k_start, 0, len(coords) - 1), 1]
+    ex, ey = coords[np.clip(k_end, 0, len(coords) - 1), 0], coords[np.clip(k_end, 0, len(coords) - 1), 1]
+    lf = geom.haversine_m(ux, uy, sx, sy) + inner + geom.haversine_m(ex, ey, vx, vy)
+    lr = geom.haversine_m(ux, uy, ex, ey) + inner + geom.haversine_m(sx, sy, vx, vy)
+    use_fwd = np.where(k_cnt > 0, lf < lr, True)
+
+    lengths = geom.haversine_m(ux, uy, vx, vy)
+    bearings = np.degrees(np.arctan2(vy - uy, vx - ux))
+
+    # WKB assembly (per-row byte packing — the irreducible row loop)
+    lin_buf = np.empty((n, 4))
+    lin_buf[:, 0], lin_buf[:, 1], lin_buf[:, 2], lin_buf[:, 3] = ux, uy, vx, vy
+    lin = [geom.wkb_linestring(lin_buf[i].reshape(2, 2)) for i in range(n)]
+    rea = []
+    for i in range(n):
+        if k_cnt[i] > 0:
+            mid = coords[k_start[i]: k_end[i] + 1]
+            if not use_fwd[i]:
+                mid = mid[::-1]
+            rc = np.vstack([[ux[i], uy[i]], mid, [vx[i], vy[i]]])
         else:
-            mids = coords
-        if len(mids):
-            du = geom.haversine_m(np.full(len(mids), ux), np.full(len(mids), uy),
-                                  mids[:, 0], mids[:, 1])
-            dv = geom.haversine_m(np.full(len(mids), vx), np.full(len(mids), vy),
-                                  mids[:, 0], mids[:, 1])
-            i1, i2 = int(np.argmin(du)), int(np.argmin(dv))
-            mids = mids[i1: i2 + 1]
-        up = np.array([[ux, uy]])
-        vp = np.array([[vx, vy]])
-        lin_coords = np.vstack([up, vp])
-        fwd = np.vstack([up, mids, vp]) if len(mids) else lin_coords
-        rev = np.vstack([up, mids[::-1], vp]) if len(mids) else lin_coords
-        lf = geom.polyline_lengths(fwd, np.array([0, len(fwd)]))[0]
-        lr = geom.polyline_lengths(rev, np.array([0, len(rev)]))[0]
-        rea_coords = fwd if lf < lr else rev
-        lin.append(geom.wkb_linestring(lin_coords))
-        rea.append(geom.wkb_linestring(rea_coords))
-        lengths[i] = geom.polyline_lengths(lin_coords, np.array([0, 2]))[0]
-        bearings[i] = _raw_angle_deg(lin_coords[0], lin_coords[1])
+            rc = lin_buf[i].reshape(2, 2)
+        rea.append(geom.wkb_linestring(rc))
     edges["geom_linear"] = lin
     edges["geom_reassigned"] = rea
     edges["length"] = lengths
     edges["bearing"] = bearings
     return edges
+
+
+def reassign_edges(edges: pd.DataFrame, merged_by: dict, mx: dict, my: dict) -> pd.DataFrame:
+    """Dict-input compatibility wrapper over :func:`reassign_edges_arrays`."""
+
+    def _arrs(d: dict, dtype):
+        if not d:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dtype)
+        ids = np.asarray(sorted(d), dtype=np.int64)
+        return ids, np.asarray([d[int(k)] for k in ids], dtype=dtype)
+
+    mb_i, mb_v = _arrs(merged_by, np.int64)
+    mx_i, mx_v = _arrs(mx, np.float64)
+    my_i, my_v = _arrs(my, np.float64)
+    return reassign_edges_arrays(edges, mb_i, mb_v, mx_i, mx_v, my_i, my_v)
 
 
 # ---------------------------------------------------------------------------
