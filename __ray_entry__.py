@@ -123,6 +123,12 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(sf_dir, threshold=0.35)
 
 
+def _q_embedding_near_dups_lsh(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import embedding_near_dups_lsh
+
+    return embedding_near_dups_lsh(sf_dir, threshold=0.35)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import ngram_jaccard_pairs
 
@@ -284,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,     # rows-only (LSH candidates not in SQL)
         "ann_topk_ivf": _q_ann_ivf,                  # rows-only (approximate by design)
         "doc_fingerprints": _q_fingerprints,         # rows-only (rolling hash not in SQL)

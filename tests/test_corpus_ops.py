@@ -58,8 +58,8 @@ class TestEmbeddingNearDups(object):
     def test_pairs_symmetric_threshold(self, ray_session):
         from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
 
-        out = embedding_near_dups(SF, threshold=0.3)
-        assert out.num_rows > 0  # random 64-dim vectors do cross 0.3
+        out = embedding_near_dups(SF, threshold=0.3).to_pandas()
+        assert len(out) > 0  # random 64-dim vectors do cross 0.3
         a = out["a"].to_numpy()
         b = out["b"].to_numpy()
         assert (a < b).all()
@@ -70,7 +70,7 @@ class TestEmbeddingNearDups(object):
 
         from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
 
-        out = embedding_near_dups(SF, threshold=0.35)
+        out = embedding_near_dups(SF, threshold=0.35).to_pandas()
         tab = pq.read_table(f"{SF}/embeddings.parquet")
         emb = tab["embedding"].combine_chunks()
         mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
@@ -87,8 +87,8 @@ class TestNgramJaccard:
     def test_runs_and_thresholds(self, ray_session):
         from osmnetfusion_ray.pipelines.corpus import ngram_jaccard_pairs
 
-        out = ngram_jaccard_pairs(SF, threshold=0.5)
-        if out.num_rows:
+        out = ngram_jaccard_pairs(SF, threshold=0.5).to_pandas()
+        if len(out):
             assert (out["jaccard"].to_numpy() >= 0.5).all()
             assert (out["a"].to_numpy() < out["b"].to_numpy()).all()
 
@@ -154,3 +154,20 @@ class TestMultimodal:
         feats = np.asarray(out["feature"].to_pylist())
         assert feats.shape == (6, MM.FEATURE_DIM)
         assert (feats >= 0).all() and (feats <= 1).all()
+
+
+class TestEmbeddingLSH:
+    def test_lsh_recall_vs_exact(self, ray_session):
+        """The sub-quadratic LSH path finds the vast majority of exact
+        near-dup pairs (it may legitimately miss ~(1-p)^bands of them) and
+        never reports a below-threshold pair."""
+        from osmnetfusion_ray.pipelines.corpus import (
+            embedding_near_dups, embedding_near_dups_lsh)
+
+        exact = embedding_near_dups(SF, threshold=0.35).to_pandas()
+        lsh = embedding_near_dups_lsh(SF, threshold=0.35).to_pandas()
+        e = set(zip(exact["a"], exact["b"]))
+        l = set(zip(lsh["a"], lsh["b"]))
+        assert l <= e                      # no false positives
+        assert len(l) >= 0.7 * len(e)      # recall
+        assert (lsh["sim"].to_numpy() >= 0.35 - 1e-9).all()
