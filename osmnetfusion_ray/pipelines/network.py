@@ -66,3 +66,34 @@ def simplified_city(n: int = 16, seed: int = 42, cluster_threshold: int | None =
 def enriched_city(n: int = 16, seed: int = 42, cfg=None) -> tuple[rd.Dataset, rd.Dataset]:
     nodes_ds, edges_ds, dims, node_osmids = build_network_inputs(n=n, seed=seed)
     return enrich_network(nodes_ds, edges_ds, dims, node_osmids, cfg=cfg)
+
+
+def simplified_from_snapshot(
+    nodes_path: str,
+    edges_path: str,
+    dim_dir: str | None = None,
+    *,
+    bbox: tuple[float, float, float, float] | None = None,
+    cluster_threshold: int | None = None,
+    cfg=None,
+) -> dict:
+    """The non-synthetic entry point: OSM-snapshot parquet → p2 enrichment →
+    p3 simplification (reference: runSimplification.py:11-47 over the
+    GPKG/osmnx boundary, replaced by pruned parquet reads). ``dim_dir``
+    holds the optional enrichment dim parquet tables (sources.osm
+    .load_dim_tables); absent dims skip their steps like the reference's
+    toggles."""
+    from ..sources.osm import load_dim_tables, load_network_snapshot
+
+    nodes_ds, edges_ds = load_network_snapshot(nodes_path, edges_path, bbox=bbox)
+    dims = load_dim_tables(dim_dir) if dim_dir else {}
+    # node ids in TABLE ORDER — the elevation dim is keyed by node index
+    # (p1_getOtherData.py:79-80), so order is the mapping
+    node_osmids = np.concatenate(
+        [b["osmid"].to_numpy() for b in
+         nodes_ds.select_columns(["osmid"]).iter_batches(batch_format="pandas")]
+        or [np.zeros(0, np.int64)]).astype(np.int64)
+    if "pt_stops" in dims:
+        dims["pt_stops"] = filter_pt_stops(dims["pt_stops"])
+    nodes_ds, edges_ds = enrich_network(nodes_ds, edges_ds, dims, node_osmids, cfg=cfg)
+    return simplify_network(nodes_ds, edges_ds, cluster_threshold=cluster_threshold, cfg=cfg)
