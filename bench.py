@@ -38,6 +38,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_N = int(os.environ.get("GRAFT_PAGES_N", "2000000"))
 CITY_N = int(os.environ.get("GRAFT_CITY_N", "48"))
+# large-city p3 benchmark: n=75 grid → ~24k directed edges (≥10⁴), the scale
+# the reference runs at ~30 edges/s (370 s for 11k edges,
+# p3_simplification.py:74-77)
+CITY_P3_N = int(os.environ.get("GRAFT_CITY_P3_N", "75"))
 
 
 def run_headline(trials: int = 3) -> dict:
@@ -77,6 +81,35 @@ def run_headline(trials: int = 3) -> dict:
         if best is None or dt < best:
             best = dt
     return {"rows": n, "sec": best, "rows_per_s": n / best}
+
+
+def run_p3_large(n: int = None) -> dict:
+    """Full p2 enrich + p3 simplification on a ≥10⁴-edge synthetic city —
+    the direct comparison against the reference's ~30 edges/s
+    (p3_simplification.py:74-77: 370 s for 11k edges)."""
+    from osmnetfusion_ray.pipelines.network import build_network_inputs
+    from osmnetfusion_ray.pipelines.enrich import enrich_network
+    from osmnetfusion_ray.pipelines.simplify import simplify_network
+
+    n = n or CITY_P3_N
+    t0 = time.time()
+    nodes_ds, edges_ds, dims, node_osmids = build_network_inputs(n=n, seed=42)
+    edges_in = edges_ds.count()
+    t_build = time.time()
+    nodes_ds, edges_ds = enrich_network(nodes_ds, edges_ds, dims, node_osmids)
+    edges_ds = edges_ds.materialize()
+    t_enrich = time.time()
+    out = simplify_network(nodes_ds, edges_ds)
+    edges_out = out["edges"].count()
+    t_simpl = time.time()
+    return {
+        "edges_in": edges_in,
+        "edges_out": edges_out,
+        "enrich_sec": round(t_enrich - t_build, 3),
+        "simplify_sec": round(t_simpl - t_enrich, 3),
+        "p3_edges_per_s": round(edges_in / max(t_simpl - t_enrich, 1e-9), 1),
+        "e2e_edges_per_s": round(edges_in / max(t_simpl - t_build, 1e-9), 1),
+    }
 
 
 def run_queries() -> dict:
@@ -119,6 +152,7 @@ def main():
 
     head = run_headline()
     queries = run_queries()
+    p3 = run_p3_large()
     result = {
         "metric": "pagejoin_e2e_sec",
         "value": round(head["sec"], 3),
@@ -128,6 +162,8 @@ def main():
         "num_cpus": NUM_CPUS,
         "pages_n": PAGES_N,
         "pagejoin_rows_per_s": round(head["rows_per_s"], 1),
+        "p3_city_n": CITY_P3_N,
+        **{f"p3_{k}": v for k, v in p3.items()},
     }
     ray.shutdown()
     print(json.dumps(result))

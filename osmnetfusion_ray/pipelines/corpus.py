@@ -287,19 +287,59 @@ def _join_pair_payload(cand: rd.Dataset, payload: rd.Dataset, col: str,
                           batch_format="pandas")
 
 
+# below this many candidate pairs the broadcast verify beats the two hash
+# joins' fixed actor-pool cost; above it, the join path bounds memory
+_VERIFY_BROADCAST_MAX = 200_000
+
+
+def _broadcast_pair_payload(cand: rd.Dataset, docs: rd.Dataset, col: str) -> rd.Dataset:
+    """Small-candidate verify path: the candidate ids are collected (bounded
+    by _VERIFY_BROADCAST_MAX), the payload of JUST those docs is gathered
+    and broadcast, and the per-pair payload is attached inside map_batches."""
+    ids = np.unique(np.concatenate([
+        np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        for b in cand.iter_batches(batch_format="pandas")] or [np.zeros(0, np.int64)]))
+    need_ref = ray.put(ids)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        keep_ids = ray.get(need_ref)
+        d = df["doc_id"].to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(keep_ids, d), 0, max(len(keep_ids) - 1, 0))
+        hit = keep_ids[pos] == d if len(keep_ids) else np.zeros(len(d), bool)
+        return df[hit]
+
+    sub = pd.concat(list(docs.map_batches(keep, batch_format="pandas")
+                         .iter_batches(batch_format="pandas")), ignore_index=True)
+    payload = dict(zip(sub["doc_id"].astype(int), sub[col]))
+    pay_ref = ray.put(payload)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(pay_ref)
+        df = df.copy()
+        df[f"{col}_a"] = [p[int(x)] for x in df["a"]]
+        df[f"{col}_b"] = [p[int(x)] for x in df["b"]]
+        return df
+
+    return cand.map_batches(attach, batch_format="pandas")
+
+
 def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
                       bands: int = 16) -> rd.Dataset:
     """Near-duplicate pairs with estimated Jaccard ≥ threshold. Verify is
-    DISTRIBUTED: the candidate-pair dataset is joined to per-doc signatures
-    (two hash joins) and compared inside map_batches — no candidate texts or
-    signatures ever reach the driver (round-1 flag)."""
+    DISTRIBUTED and size-adaptive: few candidates → gather just their
+    signatures and broadcast (two hash joins cost more than the data);
+    many → join the candidate-pair dataset to per-doc signatures (two hash
+    joins, nothing driver-materialized beyond the bounded id list)."""
     from ..pipelines.simplify import _num_partitions
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands).materialize()
     sigs = docs.map_batches(SignatureEmitter, fn_constructor_args=(k, bands),
-                            batch_format="pyarrow", concurrency=(1, 8)).materialize()
-    joined = _join_pair_payload(cand, sigs, "sig", _num_partitions())
+                            batch_format="pyarrow", concurrency=(1, 8))
+    if cand.count() <= _VERIFY_BROADCAST_MAX:
+        joined = _broadcast_pair_payload(cand, sigs, "sig")
+    else:
+        joined = _join_pair_payload(cand, sigs.materialize(), "sig", _num_partitions())
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -324,7 +364,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands).materialize()
-    joined = _join_pair_payload(cand, docs, "text", _num_partitions())
+    if cand.count() <= _VERIFY_BROADCAST_MAX:
+        joined = _broadcast_pair_payload(cand, docs, "text")
+    else:
+        joined = _join_pair_payload(cand, docs, "text", _num_partitions())
 
     def shingles(t: str) -> set:
         w = t.split()

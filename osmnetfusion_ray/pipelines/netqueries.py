@@ -176,7 +176,8 @@ def network_cluster(sf_dir: str) -> rd.Dataset:
     nodes = rd.from_arrow(pts).repartition(8)
     mm = PS.cluster_merge_map_ds(nodes, threshold=S.CLUSTER_THRESHOLD,
                                  res=PS.pair_gen_res(None, REF_LAT),
-                                 ref_lat=REF_LAT)
+                                 ref_lat=REF_LAT,
+                                 join_partitions=PS._num_partitions(pts.num_rows))
 
     def _shape(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

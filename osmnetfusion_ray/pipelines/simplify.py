@@ -56,15 +56,20 @@ def _per_group(keys: list[str], group_fn):
 
     return _block
 
-def _num_partitions() -> int:
+def _num_partitions(rows: int | None = None) -> int:
     """Hash-join partitions for node-scale joins — sized to the cluster.
     Each partition is a live aggregator actor; oversizing on small clusters
-    wastes startup time and can deadlock when several joins coexist."""
+    wastes startup time and can deadlock when several joins coexist. With a
+    known row count the pool shrinks further — a 200-node join does not
+    need 16 aggregator actors."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, min(16, cpus // 2))
+    base = max(2, min(16, cpus // 2))
+    if rows is not None:
+        return max(2, min(base, rows // 20_000 + 2))
+    return base
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +192,8 @@ def _pairs_in_cell(g: pd.DataFrame, ref_lat: float | None = None) -> pd.DataFram
 
 def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
                       res: int | None = None, jump_after: int = 4,
-                      ref_lat: float | None = None) -> rd.Dataset:
+                      ref_lat: float | None = None,
+                      join_partitions: int | None = None) -> rd.Dataset:
     """Component label (min member osmid) per node, fully on Ray Data.
 
     Pairs come from per-cell ``map_groups``; labels converge by iterative
@@ -234,7 +240,8 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
         # round (two joins in one DAG can deadlock the actor-pool shuffle on
         # small clusters; each join is materialized before the next), then a
         # grouped min with combiner semantics
-        offered = msg_edges.join(labels, join_type="inner", num_partitions=_num_partitions(),
+        jp = join_partitions or _num_partitions()
+        offered = msg_edges.join(labels, join_type="inner", num_partitions=jp,
                                  on=("nbr",), right_on=("osmid",))
         msgs = offered.map_batches(
             lambda df: pd.DataFrame({"osmid": df["node"], "label": df["label"]}),
@@ -252,7 +259,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
                 lambda df: pd.DataFrame({"p_osmid": df["osmid"], "p_label": df["label"]}),
                 batch_format="pandas")
             jumped = labels.join(parents, join_type="inner",
-                                 num_partitions=_num_partitions(),
+                                 num_partitions=jp,
                                  on=("label",), right_on=("p_osmid",))
             labels = jumped.map_batches(
                 lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["p_label"]}),
@@ -277,11 +284,14 @@ def _merge_map_group(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
 
 def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD,
                          res: int | None = None,
-                         ref_lat: float | None = None) -> rd.Dataset:
+                         ref_lat: float | None = None,
+                         join_partitions: int | None = None) -> rd.Dataset:
     """nodes (osmid,x,y,highway_rank,buffer_r) → merge map dataset
     (osmid, merged_by, mx, my, merged)."""
-    labels = cluster_labels_ds(nodes_ds, res=res, ref_lat=ref_lat)
-    joined = nodes_ds.join(labels, join_type="inner", num_partitions=_num_partitions(),
+    labels = cluster_labels_ds(nodes_ds, res=res, ref_lat=ref_lat,
+                               join_partitions=join_partitions)
+    joined = nodes_ds.join(labels, join_type="inner",
+                           num_partitions=join_partitions or _num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
                    _per_group(["label"], lambda g: _merge_map_group(g, threshold)), small=True)
@@ -327,6 +337,9 @@ def simplify_network(
 
     # 3+4. node importance + buffer radii
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
+    # joins below are node-scale; size their aggregator pools to the actual
+    # row count so a toy city doesn't spin 16 actors per join
+    jp = _num_partitions(nodes_all.count())
 
     # shared pair-gen resolution: ONE global value for every clustering batch
     # (a batch-local choice breaks cross-batch pair generation — see
@@ -335,7 +348,7 @@ def simplify_network(
 
     # 5. cluster pass 1 (drives edge splitting only)
     mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
-                               ref_lat=cfg.ref_lat)
+                               ref_lat=cfg.ref_lat, join_partitions=jp)
 
     # 6. split edges passing through merged cluster buffers (two-phase).
     # Phase 1 streams edges against the broadcast cluster-buffer state and
@@ -355,7 +368,7 @@ def simplify_network(
     req_ds = edges_ds.map_batches(_requests_batch, batch_format="pandas").materialize()
     if req_ds.count() > 0:
         joined = edges_ds.join(req_ds, join_type="left_outer",
-                               num_partitions=_num_partitions(),
+                               num_partitions=jp,
                                on=("osmid",), right_on=("edge_osmid",))
 
         def _apply_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -375,9 +388,10 @@ def simplify_network(
     nodes_all = _union_nodes(nodes_all, split_nodes2)
 
     # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
-    nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
+    nodes_all = _attach_importance(nodes_all, edges_ds, buffers,
+                                   join_partitions=jp).materialize()
     mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
-                               ref_lat=cfg.ref_lat).materialize()
+                               ref_lat=cfg.ref_lat, join_partitions=jp).materialize()
 
     # 8. reassign edges to merged nodes. The merge map is broadcast as
     # SORTED numpy arrays (id + searchsorted lookup inside the kernel) —
@@ -402,7 +416,7 @@ def simplify_network(
     # 10. merge nodes: join merge map, group by representative. The tag
     # cleaning happens INSIDE the post-shuffle block — cleaned columns hold
     # mixed str/list values that can't cross an Arrow shuffle boundary.
-    nodes_merge = nodes_all.join(mm2, join_type="inner", num_partitions=_num_partitions(),
+    nodes_merge = nodes_all.join(mm2, join_type="inner", num_partitions=jp,
                                  on=("osmid",))
 
     def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -441,11 +455,13 @@ def _union_nodes(nodes_ds: rd.Dataset, new_nodes: rd.Dataset) -> rd.Dataset:
 
 
 def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset,
-                       buffers: dict | None = None) -> rd.Dataset:
+                       buffers: dict | None = None,
+                       join_partitions: int | None = None) -> rd.Dataset:
     attrs = grouped(
         edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas"),
         ["osmid"], _importance_final_block, small=True)
-    nodes = nodes_ds.join(attrs, join_type="left_outer", num_partitions=_num_partitions(),
+    nodes = nodes_ds.join(attrs, join_type="left_outer",
+                          num_partitions=join_partitions or _num_partitions(),
                           on=("osmid",), right_suffix="_imp")
 
     def _fin(df: pd.DataFrame) -> pd.DataFrame:
