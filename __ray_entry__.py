@@ -190,14 +190,33 @@ def _simplified(n: int = 8, seed: int = 42) -> dict:
 
 
 def _q_network_enrich(sf_dir: str):
-    """p2 enrichment chain on the synthetic city (rows-only check)."""
-    from osmnetfusion_ray.pipelines.network import enriched_city
+    """FULL p2 enrichment chain on the fixture city — oracle-checked end to
+    end (the SQL recomposes landuse ratios, bike labels, reverse-edge
+    generation, gradient, PT-stop and amenity snaps over the same fixture).
+    Ratio floats are rounded to 6 on both sides (the polygon-clip part sums
+    sample weights whose order differs between numpy and SQL)."""
+    import pandas as pd
 
-    _, edges = enriched_city(n=8, seed=42)
-    return edges.select_columns(
+    from osmnetfusion_ray import netfixture
+    from osmnetfusion_ray.pipelines.network import build_network_inputs
+    from osmnetfusion_ray.pipelines.enrich import enrich_network
+
+    netfixture.ensure_city_fixture()
+    nodes_ds, edges_ds, dims, node_osmids = build_network_inputs(
+        n=netfixture.CITY_N, seed=netfixture.CITY_SEED)
+    _, edges = enrich_network(nodes_ds, edges_ds, dims, node_osmids)
+    ds = edges.select_columns(
         ["osmid", "u", "v", "highway", "bike_access", "cycleway_category",
          "green_ratio", "retail_ratio", "building_ratio", "gradient", "severity",
          "pt_stop_on", "pt_stop_count", "amenity_on", "amenity_nearby"])
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("green_ratio", "retail_ratio", "building_ratio"):
+            df[c] = df[c].astype(float).round(6)
+        return df
+
+    return ds.map_batches(_round, batch_format="pandas")
 
 
 def _q_network_simplify(sf_dir: str):
@@ -285,8 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_network_join": _q_page_network_join,
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
         "simhash_fingerprints": _q_simhash,          # rows-only (hash not in SQL)
-        "network_enrich": _q_network_enrich,         # rows-only (p2 chain, synthetic city)
-        "network_simplify": _q_network_simplify,     # rows-only (p2+p3 chain)
+        "network_enrich": _q_network_enrich,         # FULL p2 chain, SQL-oracled
+        "network_simplify": _q_network_simplify,     # rows-only composite (stages individually oracled)
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
         "embedding_near_dups": _q_embedding_near_dups,

@@ -25,33 +25,33 @@ def _r(v: float) -> str:
 
 
 def _dist_cte(pt_cols: str, segs_table: str, mx: float,
-              elem: str = "osmid") -> str:
+              elem: str = "osmid", prefix: str = "", pts: str = "pts") -> str:
     """(point x segment) distance expansion mirroring
     geom.point_segment_dist_m: metricize each coordinate, project, clamp t,
     hypot. ``pt_cols`` are carried point columns (``p.``-qualified); the
     point CTE must be named ``pts`` with (lon, lat)."""
     out_cols = pt_cols.replace("p.", "")
     return f"""
-    raw AS (
+    {prefix}raw AS (
         SELECT {pt_cols}, s.{elem},
                p.lon * {_r(mx)} AS pxm, p.lat * {MY} AS pym,
                s.ax * {_r(mx)} AS axm, s.ay * {MY} AS aym,
                s.bx * {_r(mx)} - s.ax * {_r(mx)} AS dx,
                s.by * {MY} - s.ay * {MY} AS dy
-        FROM pts p CROSS JOIN {segs_table} s
+        FROM {pts} p CROSS JOIN {segs_table} s
     ),
-    tt AS (
+    {prefix}tt AS (
         SELECT *, least(greatest(
                    CASE WHEN dx*dx + dy*dy > 0
                         THEN ((pxm - axm)*dx + (pym - aym)*dy) / (dx*dx + dy*dy)
                         ELSE 0.0 END, 0.0), 1.0) AS t
-        FROM raw
+        FROM {prefix}raw
     ),
-    dd AS (
+    {prefix}dd AS (
         SELECT {out_cols}, {elem},
                sqrt((pxm - (axm + t*dx))*(pxm - (axm + t*dx))
                   + (pym - (aym + t*dy))*(pym - (aym + t*dy))) AS dist
-        FROM tt
+        FROM {prefix}tt
     )"""
 
 
@@ -351,6 +351,117 @@ def network_oracles() -> dict[str, str]:
                1000000000000 + t.osmid * 100 + 0 AS u, e.v AS v,
                round({h12}, 6) AS length_r
         FROM split t JOIN {edges} e ON e.osmid = t.osmid
+    """
+
+    # full p2 chain composite (p2_enrichData.py:706-756): landuse ratios →
+    # bike labels → reverse-edge generation (reverse rows copy the source's
+    # pre-M4 columns incl. landuse and category; geometry stays unreversed,
+    # p2_enrichData.py:195-202) → gradient on each row's own u/v → amenity
+    # and PT-stop snaps over ALL rows (reverse rows included by highway /
+    # excluded from the bike subset by their 'bike_only' access; exact
+    # distance ties between a source edge and its identical-geometry
+    # reverse copy resolve to the smaller osmid on both sides).
+    out["network_enrich"] = f"""
+        WITH f AS ({_bike_flags('e')} FROM {edges} e),
+        cand AS (SELECT * FROM f
+                 WHERE oneway AND (regexp_matches("oneway:bicycle", 'no')
+                                   OR regexp_matches(cycleway, 'opposite'))),
+        fixed AS (SELECT f.*, CASE WHEN EXISTS (SELECT 1 FROM cand c
+                                                WHERE c.u = f.v AND c.v = f.u)
+                                   THEN 'yes' ELSE f.bike_access END AS access2
+                  FROM f),
+        allr AS (
+            SELECT osmid, u, v, highway, length, access2 AS bike_access,
+                   {_CAT_CASE} AS cycleway_category, osmid AS src
+            FROM fixed
+            UNION ALL
+            SELECT 1000000000 + c.osmid AS osmid, c.v AS u, c.u AS v,
+                   c.highway, c.length, 'bike_only' AS bike_access,
+                   {_CAT_CASE} AS cycleway_category, c.osmid AS src
+            FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM f o WHERE o.u = c.v AND o.v = c.u)
+        ),
+        -- landuse (keyed by SOURCE osmid; reverse rows copy their source)
+        pts AS (SELECT kind, pt_row, lon, lat FROM read_parquet('{d}/landuse_pts.parquet')),
+        {_dist_cte("p.kind, p.pt_row", segs, MXE, prefix="lp")},
+        luhits AS (SELECT DISTINCT kind, pt_row, osmid FROM lpdd WHERE dist <= 10.0),
+        lucnt AS (SELECT osmid, kind, count(*) AS c FROM luhits GROUP BY osmid, kind),
+        psegs AS (SELECT seg_id, osmid, ax, ay, bx, by, seg_len_m,
+                         greatest(CAST(trunc(seg_len_m / 2.0) AS BIGINT), 1) AS ns
+                  FROM {segs}),
+        pser AS (SELECT g.i FROM generate_series(0, {ns_max} - 1) AS g(i)),
+        psmp AS (SELECT s.seg_id, s.osmid, s.seg_len_m, s.ns, gs.i,
+                        s.ax + ((CAST(gs.i AS DOUBLE) + 0.5) / CAST(s.ns AS DOUBLE)) * (s.bx - s.ax) AS sx,
+                        s.ay + ((CAST(gs.i AS DOUBLE) + 0.5) / CAST(s.ns AS DOUBLE)) * (s.by - s.ay) AS sy
+                 FROM psegs s JOIN pser gs ON gs.i < s.ns),
+        pre AS (SELECT r1.poly_row, r1.x AS x0, r1.y AS y0, r2.x AS x1, r2.y AS y1
+                FROM read_parquet('{d}/landuse_polys.parquet') r1
+                JOIN read_parquet('{d}/landuse_polys.parquet') r2
+                  ON r2.poly_row = r1.poly_row AND r2.v_idx = r1.v_idx + 1
+                 AND r2.kind = 'green'
+                WHERE r1.kind = 'green'),
+        pcr AS (SELECT m.seg_id, m.i, e.poly_row,
+                       sum(CASE WHEN ((e.y0 <= m.sy) <> (e.y1 <= m.sy))
+                                 AND (m.sx < e.x0 + (m.sy - e.y0) * (e.x1 - e.x0)
+                                      / (CASE WHEN e.y1 <> e.y0 THEN e.y1 - e.y0 ELSE 1.0 END))
+                                THEN 1 ELSE 0 END) AS nc
+                FROM psmp m CROSS JOIN pre e GROUP BY m.seg_id, m.i, e.poly_row),
+        pins AS (SELECT seg_id, i, max(CASE WHEN nc % 2 = 1 THEN 1.0 ELSE 0.0 END) AS inside
+                 FROM pcr GROUP BY seg_id, i),
+        pnum AS (SELECT m.osmid,
+                        sum(i2.inside * (m.seg_len_m / CAST(m.ns AS DOUBLE))) AS covered
+                 FROM psmp m JOIN pins i2 ON i2.seg_id = m.seg_id AND i2.i = m.i
+                 GROUP BY m.osmid),
+        pglen AS (SELECT osmid, sum(seg_len_m) AS gl FROM psegs GROUP BY osmid),
+        -- PT stops over ALL rows' car-highway subset
+        stsegs AS (SELECT ar.osmid, s.ax, s.ay, s.bx, s.by
+                   FROM {segs} s JOIN allr ar ON ar.src = s.osmid
+                   WHERE ar.highway IN ('residential','service','tertiary','secondary','primary','trunk','motorway')),
+        stpts AS (SELECT stop_row, name, lon, lat FROM read_parquet('{d}/stops.parquet')),
+        {_dist_cte("p.stop_row", "stsegs", MXE, prefix="st", pts="stpts")},
+        stpe AS (SELECT stop_row, osmid, min(dist) AS dist
+                 FROM stdd WHERE dist <= 30.0 GROUP BY stop_row, osmid),
+        stbest AS (SELECT *, row_number() OVER (PARTITION BY stop_row
+                                                ORDER BY dist, osmid) AS rn FROM stpe),
+        stagg AS (SELECT osmid, count(*) AS cnt FROM stbest WHERE rn = 1 GROUP BY osmid),
+        -- amenities over the bike-accessible subset of ALL rows
+        amsegs AS (SELECT ar.osmid, s.ax, s.ay, s.bx, s.by
+                   FROM {segs} s JOIN allr ar ON ar.src = s.osmid
+                   WHERE ar.bike_access = 'yes'),
+        ampts AS (SELECT am_row, name, lon, lat FROM read_parquet('{d}/amenities.parquet')),
+        {_dist_cte("p.am_row, p.name", "amsegs", MXE, prefix="am", pts="ampts")},
+        ampe AS (SELECT am_row, min(name) AS name, osmid, min(dist) AS dist
+                 FROM amdd WHERE dist <= 200.0 GROUP BY am_row, osmid),
+        ambest AS (SELECT *, row_number() OVER (PARTITION BY am_row
+                                                ORDER BY dist, osmid) AS rn FROM ampe),
+        amon AS (SELECT osmid, string_agg(name, ', ' ORDER BY am_row) AS am_on
+                 FROM ambest WHERE rn = 1 GROUP BY osmid),
+        amnear AS (SELECT osmid, string_agg(name, ', ' ORDER BY name) AS am_near
+                   FROM ampe GROUP BY osmid)
+        SELECT ar.osmid, ar.u, ar.v, ar.highway, ar.bike_access, ar.cycleway_category,
+               round(least(least(coalesce(g.c, 0) * 5.0 / greatest(ar.length, 1e-9), 1.0)
+                           + least(coalesce(pn.covered, 0.0) / greatest(pg.gl, 1e-9), 1.0),
+                           1.0), 6) AS green_ratio,
+               round(least(coalesce(r.c, 0) * 5.0 / greatest(ar.length, 1e-9), 1.0), 6) AS retail_ratio,
+               round(least(coalesce(b.c, 0) * 5.0 / greatest(ar.length, 1e-9), 1.0), 6) AS building_ratio,
+               round(abs(eu.elevation - ev.elevation) / ar.length, 4) AS gradient,
+               round(abs(eu.elevation - ev.elevation) * abs(eu.elevation - ev.elevation)
+                     / ar.length, 4) AS severity,
+               CASE WHEN sa.osmid IS NULL THEN 0 ELSE 1 END AS pt_stop_on,
+               coalesce(sa.cnt, 0) AS pt_stop_count,
+               coalesce(ao.am_on, '') AS amenity_on,
+               coalesce(an.am_near, '') AS amenity_nearby
+        FROM allr ar
+        LEFT JOIN lucnt g ON g.osmid = ar.src AND g.kind = 'green'
+        LEFT JOIN lucnt r ON r.osmid = ar.src AND r.kind = 'retail'
+        LEFT JOIN lucnt b ON b.osmid = ar.src AND b.kind = 'building'
+        LEFT JOIN pnum pn ON pn.osmid = ar.src
+        LEFT JOIN pglen pg ON pg.osmid = ar.src
+        JOIN {elev} eu ON eu.osmid = ar.u
+        JOIN {elev} ev ON ev.osmid = ar.v
+        LEFT JOIN stagg sa ON sa.osmid = ar.osmid
+        LEFT JOIN amon ao ON ao.osmid = ar.osmid
+        LEFT JOIN amnear an ON an.osmid = ar.osmid
     """
 
     out["network_cluster"] = f"""
