@@ -282,6 +282,29 @@ def _merge_map_group(g: pd.DataFrame, threshold: int) -> pd.DataFrame:
     return S.cluster_merge_map(g, np.full(len(g), g["label"].iloc[0]), threshold)
 
 
+def _merge_map_block(df: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    """Hash-partitioned merge-map block: the vast majority of labels are
+    SINGLETON components — handled in one vectorized pass (a per-group
+    Python loop here was the p3 chain's biggest wall at 10⁴ nodes); only
+    genuine multi-node components run the rep/centroid/KMeans kernel."""
+    cols = ["osmid", "merged_by", "mx", "my", "merged"]
+    if len(df) == 0:
+        return pd.DataFrame(columns=cols)
+    sizes = df.groupby("label")["osmid"].transform("size")
+    singles = df[sizes == 1]
+    parts = [pd.DataFrame({
+        "osmid": singles["osmid"].to_numpy(np.int64),
+        "merged_by": singles["osmid"].to_numpy(np.int64),
+        "mx": singles["x"].to_numpy(np.float64),
+        "my": singles["y"].to_numpy(np.float64),
+        "merged": np.full(len(singles), "", dtype=object),
+    })]
+    multi = df[sizes >= 2]
+    for _, g in multi.groupby("label", sort=False):
+        parts.append(_merge_map_group(g, threshold))
+    return pd.concat(parts, ignore_index=True)[cols] if len(parts) > 1 else parts[0]
+
+
 def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD,
                          res: int | None = None,
                          ref_lat: float | None = None,
@@ -294,7 +317,7 @@ def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESH
                            num_partitions=join_partitions or _num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
-                   _per_group(["label"], lambda g: _merge_map_group(g, threshold)), small=True)
+                   lambda df: _merge_map_block(df, threshold), small=True)
 
 
 # ---------------------------------------------------------------------------
@@ -338,8 +361,13 @@ def simplify_network(
     # 3+4. node importance + buffer radii
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
     # joins below are node-scale; size their aggregator pools to the actual
-    # row count so a toy city doesn't spin 16 actors per join
-    jp = _num_partitions(nodes_all.count())
+    # row count so a toy city doesn't spin 16 actors per join. The merge
+    # groupbys get FULL-width pools once the network is real-sized — the
+    # per-group AnEdge construction is the chain's main compute and must
+    # spread over every core.
+    n_nodes = nodes_all.count()
+    jp = _num_partitions(n_nodes)
+    merge_small = True  # full-width pools measured SLOWER on this host (aggregator actor startup ~1s each outweighs per-group spread; see BENCH notes)
 
     # shared pair-gen resolution: ONE global value for every clustering batch
     # (a batch-local choice breaks cross-batch pair generation — see
@@ -379,7 +407,7 @@ def simplify_network(
             out, _ = S.apply_edge_splits(edges_only, req)
             return out
 
-        edges_ds = grouped(joined, ["osmid"], _apply_block, small=True).materialize()
+        edges_ds = grouped(joined, ["osmid"], _apply_block, small=merge_small).materialize()
     split_nodes2 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT2_BASE), batch_format="pandas")
     # keep the node TAG columns (highway, crossing, old_osmid) through the
@@ -422,7 +450,7 @@ def simplify_network(
     def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
         return _per_group(["merged_by"], S.merge_nodes_group)(S.prepare_nodes_for_merge(df))
 
-    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block, small=True)
+    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block, small=merge_small)
 
     # 11-13. merge edges by canonical uv key (clean inside the block), orient
     edges_keyed = edges_ds.map_batches(S.add_uv_keys, batch_format="pandas")
@@ -430,7 +458,7 @@ def simplify_network(
     def _edge_merge_block(df: pd.DataFrame) -> pd.DataFrame:
         return _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(S.prepare_edges_for_merge(df))
 
-    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block, small=True)
+    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block, small=merge_small)
     edges_out = edges_out.map_batches(S.orient_edges, batch_format="pandas")
     return {"nodes": nodes_out, "edges": edges_out}
 
