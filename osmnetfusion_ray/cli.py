@@ -96,6 +96,32 @@ def cmd_simplify(args) -> int:
     return 0
 
 
+def cmd_simplify_snapshot(args) -> int:
+    """Run the full p2+p3 chain on an OSM-snapshot parquet directory — the
+    real-data CLI surface (replaces the reference's runSimplification over
+    GPKG inputs)."""
+    from .pipelines.network import simplified_from_snapshot
+    from .state.sink import write_checkpointed
+
+    bbox = tuple(float(x) for x in args.bbox.split(",")) if args.bbox else None
+    out = simplified_from_snapshot(
+        f"{args.snapshot}/nodes.parquet", f"{args.snapshot}/edges.parquet",
+        args.snapshot if args.with_dims else None, bbox=bbox, cfg=_cfg(args))
+    import numpy as np
+
+    def _part(df):
+        df = df.copy()
+        df["part"] = (df["g_id"].to_numpy().astype(np.int64) % args.partitions).astype(np.uint64)
+        return df
+
+    edges = out["edges"].map_batches(_part, batch_format="pandas")
+    written = write_checkpointed(edges, args.out, "simplified_edges", "part",
+                                 lineage={"snapshot": args.snapshot, "bbox": args.bbox})
+    print(json.dumps({"partitions_written": len(written),
+                      "rows": int(written["rows"].sum()) if len(written) else 0}))
+    return 0
+
+
 def cmd_corpus(args) -> int:
     import __main__  # noqa: F401
 
@@ -134,6 +160,15 @@ def main(argv=None) -> int:
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--out", required=True)
 
+    ss = sub.add_parser("simplify-snapshot")
+    ss.add_argument("--snapshot", required=True,
+                    help="directory with nodes.parquet / edges.parquet (+ optional dim tables)")
+    ss.add_argument("--with-dims", action="store_true",
+                    help="load enrichment dim parquet tables from the snapshot dir")
+    ss.add_argument("--bbox", help="lon0,lat0,lon1,lat1 filter")
+    ss.add_argument("--out", required=True)
+    ss.add_argument("--partitions", type=int, default=16)
+
     co = sub.add_parser("corpus")
     co.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     co.add_argument("--op", default="exact_dedup")
@@ -142,6 +177,7 @@ def main(argv=None) -> int:
     _init_ray(args.num_cpus)
     try:
         return {"pagejoin": cmd_pagejoin, "simplify": cmd_simplify,
+                "simplify-snapshot": cmd_simplify_snapshot,
                 "corpus": cmd_corpus}[args.cmd](args)
     finally:
         import ray

@@ -233,7 +233,16 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
     if msg_edges.count() == 0:
         return labels
 
-    prev_sum = labels.sum("label")
+    def _label_sum(ds: rd.Dataset) -> int:
+        """Convergence metric without a global-aggregate actor pool: one
+        tiny partial-sum row per block, added on the driver (a bare
+        ``ds.sum`` spawns a shuffle pool per call under hash strategy)."""
+        rows = ds.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["label"].sum())]}),
+            batch_format="pandas").take_all()
+        return sum(r["s"] for r in rows)
+
+    prev_sum = _label_sum(labels)
     converged = False
     for rnd in range(max_rounds):
         # ship each node's current label to its neighbors: ONE hash join per
@@ -264,7 +273,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
             labels = jumped.map_batches(
                 lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["p_label"]}),
                 batch_format="pandas").materialize()
-        new_sum = labels.sum("label")
+        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             converged = True
             break
