@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_revenue": analytics.top_parts_by_revenue,
         "events_tumbling": analytics.events_tumbling,
         "events_sessionize": analytics.events_sessionize,
+        "events_sliding": analytics.events_sliding,
         "supplier_part_stats": analytics.supplier_part_stats,
         "orders_by_month": analytics.orders_by_month,
         "docs_by_lang": analytics.docs_by_lang,
@@ -396,6 +397,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY user_id, (epoch_us(ts) // 3600000000) * 3600000000
+        """,
+        "events_sliding": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            x AS (
+                SELECT user_id, (us // 1800000000 - k.k) * 1800000000 AS window_start_us, value
+                FROM e CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+            )
+            SELECT user_id, window_start_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM x GROUP BY user_id, window_start_us
         """,
         "events_sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

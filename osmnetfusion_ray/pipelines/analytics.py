@@ -203,6 +203,45 @@ def events_tumbling(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rounded, batch_format="pandas")
 
 
+HOP_US = 1_800_000_000  # 30 min hop
+
+
+def events_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding (hopping) 1 h windows every 30 min per user: each event lands
+    in exactly ``size/hop`` = 2 windows — a flat-map duplication inside
+    ``map_batches`` followed by the same partial-agg groupby as the tumbling
+    op. The duplication factor is the window overlap — constant — so the
+    shuffle stays linear in the input."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        parts = []
+        for k in (0, 1):
+            ws = pc.multiply(
+                pc.subtract(pc.divide(us, pa.scalar(HOP_US, type=pa.int64())),
+                            pa.scalar(k, type=pa.int64())),
+                pa.scalar(HOP_US, type=pa.int64()))
+            parts.append(pa.table({
+                "user_id": t["user_id"],
+                "window_start_us": ws,
+                "value": t["value"],
+            }))
+        return pa.concat_tables(parts)
+
+    ds = ev.map_batches(expand, batch_format="pyarrow")
+    out = groupby_agg(
+        ds, ["user_id", "window_start_us"],
+        [AggSpec("n_events", None, "count"), AggSpec("sum_value", "value", "sum")],
+    )
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
