@@ -370,45 +370,69 @@ def split_requests(edges: pd.DataFrame, state: ClusterBufferState) -> pd.DataFra
         return pd.DataFrame(out)
     e_hit = seg_edge[seg_rows[hit]]
     c_hit = state.rep[pt_rows[hit]]
-    # unique (edge, cluster) pairs
-    pair_df = pd.DataFrame({"e": e_hit, "rep": c_hit}).drop_duplicates().sort_values(["e", "rep"])
+    # unique (edge, cluster) pairs — fully vectorized from here on (the
+    # per-pair Python loop was the last row loop in the two-phase split)
+    pk = np.unique(np.stack([e_hit, c_hit], axis=1), axis=0)
+    pe, prep = pk[:, 0], pk[:, 1]
 
-    # endpoint-inside test per (edge, cluster): endpoint within ANY member disk
     ex0 = coords[offsets[:-1], 0]
     ey0 = coords[offsets[:-1], 1]
     ex1 = coords[offsets[1:] - 1, 0]
     ey1 = coords[offsets[1:] - 1, 1]
 
-    for e, rep in pair_df.itertuples(index=False):
-        sel = state.rep == rep
-        mx_, my_, mr_ = state.px[sel], state.py[sel], state.pr[sel]
-        d0 = geom.haversine_m(ex0[e], ey0[e], mx_, my_)
-        d1 = geom.haversine_m(ex1[e], ey1[e], mx_, my_)
-        if (d0 < mr_).any() or (d1 < mr_).any():
-            continue
-        # nearest point on the edge polyline to the cluster centroid
-        ci = np.searchsorted(state.cent_rep, rep)
-        cx, cy = state.cx[ci], state.cy[ci]
-        segs = np.flatnonzero(seg_edge == e)
-        d, t = geom.point_segment_dist_m(
-            np.full(len(segs), cx), np.full(len(segs), cy),
-            ax[segs], ay[segs], bx[segs], by[segs], float(cy))
-        j = int(np.argmin(d))
-        tt = float(t[j])
-        sx = ax[segs[j]] + tt * (bx[segs[j]] - ax[segs[j]])
-        sy = ay[segs[j]] + tt * (by[segs[j]] - ay[segs[j]])
-        # p5 must not coincide with an endpoint (p3_functions.py:540)
-        if (sx == ex0[e] and sy == ey0[e]) or (sx == ex1[e] and sy == ey1[e]):
-            continue
-        # arc position: cumulative length to segment j + t within it
-        seg_len = geom.haversine_m(ax[segs], ay[segs], bx[segs], by[segs])
-        t_arc = float(seg_len[:j].sum() + tt * seg_len[j])
-        out["edge_osmid"].append(int(osmids[e]))
-        out["rep"].append(int(rep))
-        out["t_arc"].append(t_arc)
-        out["px"].append(float(sx))
-        out["py"].append(float(sy))
-    return pd.DataFrame(out)
+    # endpoint-inside test per (edge, cluster): endpoint within ANY member
+    # disk. Member rows of each cluster are contiguous (state sorted by rep)
+    mlo = np.searchsorted(state.rep, prep, side="left")
+    mhi = np.searchsorted(state.rep, prep, side="right")
+    mcnt = mhi - mlo
+    pr_of = np.repeat(np.arange(len(pe), dtype=np.int64), mcnt)
+    moffs = np.concatenate([[0], np.cumsum(mcnt)])
+    mpos = (np.arange(int(mcnt.sum()), dtype=np.int64)
+            - np.repeat(moffs[:-1], mcnt) + np.repeat(mlo, mcnt))
+    d0 = geom.haversine_m(ex0[pe][pr_of], ey0[pe][pr_of], state.px[mpos], state.py[mpos])
+    d1 = geom.haversine_m(ex1[pe][pr_of], ey1[pe][pr_of], state.px[mpos], state.py[mpos])
+    inside = ((d0 < state.pr[mpos]) | (d1 < state.pr[mpos])).astype(np.int64)
+    any_inside = np.bincount(pr_of, weights=inside, minlength=len(pe)) > 0
+    keep_pair = ~any_inside
+    pe, prep = pe[keep_pair], prep[keep_pair]
+    if not len(pe):
+        return pd.DataFrame(out)
+
+    # nearest point on each edge polyline to its cluster centroid: expand
+    # (pair × edge segments) — segments of an edge are contiguous in the
+    # kept-segment arrays
+    seg_start = np.concatenate([[0], np.cumsum(n_pts - 1)])
+    ci = np.searchsorted(state.cent_rep, prep)
+    cx, cy = state.cx[ci], state.cy[ci]
+    scnt = (n_pts - 1)[pe]
+    sp_of = np.repeat(np.arange(len(pe), dtype=np.int64), scnt)
+    soffs = np.concatenate([[0], np.cumsum(scnt)])
+    spos = (np.arange(int(scnt.sum()), dtype=np.int64)
+            - np.repeat(soffs[:-1], scnt) + np.repeat(seg_start[pe], scnt))
+    d, t = geom.point_segment_dist_m(
+        cx[sp_of], cy[sp_of], ax[spos], ay[spos], bx[spos], by[spos], cy[sp_of])
+    # first argmin per pair over its contiguous segment range
+    dmin = np.minimum.reduceat(d, soffs[:-1])
+    rel = np.arange(len(d), dtype=np.int64) - np.repeat(soffs[:-1], scnt)
+    cand = np.where(d == np.repeat(dmin, scnt), rel, np.int64(len(d)))
+    jrel = np.minimum.reduceat(cand, soffs[:-1])
+    j = seg_start[pe] + jrel
+    tt = t[soffs[:-1] + jrel]
+    sx = ax[j] + tt * (bx[j] - ax[j])
+    sy = ay[j] + tt * (by[j] - ay[j])
+    # p5 must not coincide with an endpoint (p3_functions.py:540)
+    ok = ~(((sx == ex0[pe]) & (sy == ey0[pe])) | ((sx == ex1[pe]) & (sy == ey1[pe])))
+    # arc position: cumulative length to segment j + t within it
+    seg_len = geom.haversine_m(ax, ay, bx, by)
+    slc = np.concatenate([[0.0], np.cumsum(seg_len)])
+    t_arc = (slc[j] - slc[seg_start[pe]]) + tt * seg_len[j]
+    return pd.DataFrame({
+        "edge_osmid": osmids[pe[ok]].astype(np.int64),
+        "rep": prep[ok].astype(np.int64),
+        "t_arc": t_arc[ok],
+        "px": sx[ok],
+        "py": sy[ok],
+    })
 
 
 def apply_edge_splits(edges: pd.DataFrame, req: pd.DataFrame,
