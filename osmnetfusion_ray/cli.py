@@ -80,6 +80,11 @@ def cmd_simplify(args) -> int:
     from .state.sink import write_checkpointed
 
     out = simplified_city(n=args.city_n, seed=args.seed, cfg=_cfg(args))
+    if args.gpkg:
+        from .state.gpkg import write_simplified_gpkg
+
+        out = {k: v.materialize() for k, v in out.items()}
+        write_simplified_gpkg(out, args.gpkg)
     import numpy as np
     import pyarrow as pa
 
@@ -107,6 +112,11 @@ def cmd_simplify_snapshot(args) -> int:
     out = simplified_from_snapshot(
         f"{args.snapshot}/nodes.parquet", f"{args.snapshot}/edges.parquet",
         args.snapshot if args.with_dims else None, bbox=bbox, cfg=_cfg(args))
+    if args.gpkg:
+        from .state.gpkg import write_simplified_gpkg
+
+        out = {k: v.materialize() for k, v in out.items()}
+        write_simplified_gpkg(out, args.gpkg)
     import numpy as np
 
     def _part(df):
@@ -159,6 +169,7 @@ def main(argv=None) -> int:
     sp.add_argument("--city-n", type=int, default=12)
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--gpkg", help="also write a GeoPackage (reference output format)")
 
     ss = sub.add_parser("simplify-snapshot")
     ss.add_argument("--snapshot", required=True,
@@ -167,6 +178,7 @@ def main(argv=None) -> int:
                     help="load enrichment dim parquet tables from the snapshot dir")
     ss.add_argument("--bbox", help="lon0,lat0,lon1,lat1 filter")
     ss.add_argument("--out", required=True)
+    ss.add_argument("--gpkg", help="also write a GeoPackage (reference output format)")
     ss.add_argument("--partitions", type=int, default=16)
 
     co = sub.add_parser("corpus")
