@@ -104,29 +104,54 @@ def load_network_snapshot(
 
         edges = edges.map_batches(_efilter, batch_format="pandas")
 
-    def _norm_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        for c, dflt in _NODE_DEFAULTS.items():
-            if c not in df.columns:
-                df[c] = dflt
-        df["osmid"] = df["osmid"].astype(np.int64)
-        if "old_osmid" not in df.columns:
-            df["old_osmid"] = df["osmid"].astype(np.int64)
-        return df
-
-    def _norm_edges(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        for c in ("u", "v", "osmid"):
-            df[c] = df[c].astype(np.int64)
-        for c in ("oneway", "reversed"):
-            df[c] = df[c].astype(bool)
-        df["length"] = df["length"].astype(np.float64)
-        if "old_osmid" not in df.columns:
-            df["old_osmid"] = df["osmid"].astype(np.int64)
-        return df
-
     return (nodes.map_batches(_norm_nodes, batch_format="pandas"),
             edges.map_batches(_norm_edges, batch_format="pandas"))
+
+
+def _norm_nodes(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c, dflt in _NODE_DEFAULTS.items():
+        if c not in df.columns:
+            df[c] = dflt
+    df["osmid"] = df["osmid"].astype(np.int64)
+    if "old_osmid" not in df.columns:
+        df["old_osmid"] = df["osmid"].astype(np.int64)
+    return df
+
+
+def _norm_edges(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in ("u", "v", "osmid"):
+        df[c] = df[c].astype(np.int64)
+    for c in ("oneway", "reversed"):
+        df[c] = df[c].astype(bool)
+    df["length"] = df["length"].astype(np.float64)
+    if "old_osmid" not in df.columns:
+        df["old_osmid"] = df["osmid"].astype(np.int64)
+    return df
+
+
+def load_network_gpkg(path: str, nodes_layer: str = "nodes",
+                      edges_layer: str = "edges") -> tuple[rd.Dataset, rd.Dataset]:
+    """A reference user's existing GPKG network (the p1/p2 artifact loaded
+    at p2_enrichData.py:719-720 / p3_simplification.py:116-117) →
+    (nodes_ds, edges_ds) in pipeline schema. Nodes missing x/y are derived
+    from their Point geometry."""
+    from ..rayctx import ensure_tuned
+    from ..state.gpkg import read_gpkg
+    from .. import geom as G
+
+    ensure_tuned()
+    ndf = read_gpkg(path, nodes_layer)
+    edf = read_gpkg(path, edges_layer)
+    if "x" not in ndf.columns or "y" not in ndf.columns:
+        xy = np.asarray([G.wkb_parse(b)[1][0] for b in ndf["geometry"]])
+        ndf["x"], ndf["y"] = xy[:, 0], xy[:, 1]
+    for c in _EDGE_REQUIRED:
+        if c not in edf.columns:
+            raise ValueError(f"GPKG edges layer is missing required column {c!r}")
+    return (rd.from_pandas(_norm_nodes(ndf)).repartition(4),
+            rd.from_pandas(_norm_edges(edf)).repartition(8))
 
 
 _DIM_TABLES = ["landuse_green", "landuse_retail", "buildings", "traffic_signals",

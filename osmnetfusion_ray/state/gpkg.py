@@ -133,6 +133,41 @@ def write_gpkg(layers: dict[str, tuple[pd.DataFrame, str, str]], path: str) -> N
         con.close()
 
 
+def read_gpkg(path: str, layer: str) -> pd.DataFrame:
+    """Read one GPKG feature layer → DataFrame with a ``geometry`` column of
+    plain WKB (GP header stripped) — the ingest side for a reference user's
+    existing p1/p2/p3 GPKG artifacts (p2_enrichData.py:719-720 loads them
+    with geopandas). Handles the envelope-bearing headers geopandas writes
+    (flags bits 1-3 select one of the optional envelope layouts)."""
+    con = sqlite3.connect(path)
+    try:
+        geom_col = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
+            (layer,)).fetchone()
+        if geom_col is None:
+            raise ValueError(f"layer {layer!r} not in {path}")
+        geom_col = geom_col[0]
+        df = pd.read_sql_query(f'SELECT * FROM "{layer}"', con)
+    finally:
+        con.close()
+
+    _ENV_LEN = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}
+
+    def strip(blob):
+        if blob is None:
+            return None
+        b = bytes(blob)
+        if b[:2] != b"GP":
+            return b  # already bare WKB
+        env = (b[3] >> 1) & 0b111
+        return b[8 + _ENV_LEN.get(env, 0):]
+
+    df["geometry"] = [strip(b) for b in df[geom_col]]
+    if geom_col != "geometry":
+        df = df.drop(columns=[geom_col])
+    return df.drop(columns=["fid"], errors="ignore")
+
+
 def write_simplified_gpkg(simplified: dict, path: str) -> None:
     """The p3 output ({'nodes','edges'} Datasets) → GPKG with the
     reference's two layers (p3_simplification.py:435-436). Geometry: merged

@@ -104,3 +104,29 @@ class TestSnapshotIngest:
         nodes = out["nodes"].to_pandas()
         assert len(edges) > 0 and len(nodes) > 0
         assert {"g_id", "g_u", "g_v", "access_bik"} <= set(edges.columns)
+
+
+class TestGpkgNetworkRoundTrip:
+    """GPKG write → read → pipeline schema: the reference user's existing
+    GPKG artifacts ingest path (sources/osm.load_network_gpkg)."""
+
+    def test_roundtrip_matches_parquet_path(self, ray_session, snapshot_dir, tmp_path):
+        from osmnetfusion_ray.sources.osm import load_network_gpkg, load_network_snapshot
+        from osmnetfusion_ray.state.gpkg import write_gpkg
+
+        d, nodes_t, edges_t, _ = snapshot_dir
+        path = str(tmp_path / "net.gpkg")
+        write_gpkg({
+            "nodes": (nodes_t.to_pandas(), "geometry", "POINT"),
+            "edges": (edges_t.to_pandas(), "geometry", "LINESTRING"),
+        }, path)
+        n_g, e_g = load_network_gpkg(path)
+        n_p, e_p = load_network_snapshot(f"{d}/nodes.parquet", f"{d}/edges.parquet")
+        cols_n = ["osmid", "x", "y", "highway", "old_osmid"]
+        a = n_g.select_columns(cols_n).to_pandas().sort_values("osmid").reset_index(drop=True)
+        b = n_p.select_columns(cols_n).to_pandas().sort_values("osmid").reset_index(drop=True)
+        assert a.equals(b)
+        cols_e = ["osmid", "u", "v", "highway", "oneway", "length", "geometry"]
+        ea = e_g.select_columns(cols_e).to_pandas().sort_values("osmid").reset_index(drop=True)
+        eb = e_p.select_columns(cols_e).to_pandas().sort_values("osmid").reset_index(drop=True)
+        assert ea.equals(eb)
