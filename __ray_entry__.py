@@ -47,6 +47,21 @@ def _q_page_network_join(sf_dir: str):
     return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
 
 
+def _q_page_network_join_tiled(sf_dir: str):
+    """TILED variant of the flagship join (per-tile network shards, pages
+    hash-partitioned by coarse tile) — same oracle as the broadcast join
+    because halo replication + shared global metric make tiling invisible."""
+    from osmnetfusion_ray import netfixture
+    from osmnetfusion_ray.pipelines import pagejoin
+    from osmnetfusion_ray.sources import pages_from_documents
+
+    netfixture.ensure_city_fixture()
+    nodes, edges, _ = netfixture.city_tables()
+    ds = pagejoin.join_pages_to_network_tiled(pages_from_documents(sf_dir), nodes, edges,
+                                              geocode_mode="doc_id")
+    return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
+
+
 def _q_text_stats(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import text_stats_batch
     from osmnetfusion_ray.sources import read_table
@@ -303,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cell_counts": _q_doc_cell_counts,
         "ann_topk": _q_ann_topk,
         "page_network_join": _q_page_network_join,
+        "page_network_join_tiled": _q_page_network_join_tiled,
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
         "simhash_fingerprints": _q_simhash,          # rows-only (hash not in SQL)
         "network_enrich": _q_network_enrich,         # FULL p2 chain, SQL-oracled
@@ -353,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
     seg_ref, node_ref = netfixture.city_ref_lats()
     net["page_network_join"] = netoracle.page_join_oracle(
         f"{d}/edge_segs.parquet", f"{d}/nodes.parquet", seg_ref, node_ref)
+    net["page_network_join_tiled"] = net["page_network_join"]
     simp = netfixture.write_simplified_fixture(*_simplified_tables())
     net["page_join_simplified"] = netoracle.page_join_oracle(
         f"{simp['dir']}/edge_segs.parquet", f"{simp['dir']}/nodes.parquet",

@@ -23,12 +23,13 @@ p3_functions.py:406,532.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data as rd
 
-from .. import geom
+from .. import cells, geom
 from ..stages import pages as pages_stages
 from ..state.index import SegmentGridIndex
 
@@ -246,6 +247,180 @@ def join_pages_summary(
         })
 
     return pages.map_batches(_task_fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def build_tiled_network_state(
+    nodes: pa.Table,
+    edges: pa.Table,
+    buffer_m: float = 50.0,
+    max_snap_m: float = 500.0,
+    tile_res: int | None = None,
+) -> dict:
+    """Per-tile network shards for the TILED join: the scale path for when
+    the network side (10^8+ segments) no longer fits a single broadcast
+    object. Segments/nodes are replicated into every coarse tile within
+    their query halo (max_snap_m for segments, buffer_m for nodes), so a
+    page only ever consults its own tile's shard and still gets the EXACT
+    same answer as the global broadcast (every candidate within the radius
+    is present in the tile). Distances use ONE global reference latitude so
+    tiling never changes a threshold comparison."""
+    coords, offsets = geom.wkb_linestrings_to_flat(edges["geometry"].to_pylist())
+    edge_ids = np.arange(edges.num_rows, dtype=np.int64)
+    seg_edge = np.repeat(edge_ids, np.diff(offsets) - 1)
+    keep = np.ones(len(coords) - 1, dtype=bool) if len(coords) > 1 else np.zeros(0, bool)
+    keep[offsets[1:-1] - 1] = False
+    ax, ay = coords[:-1, 0][keep], coords[:-1, 1][keep]
+    bx, by = coords[1:, 0][keep], coords[1:, 1][keep]
+    seg_ref_lat = float(np.median(ay)) if len(ay) else 0.0
+    nx = nodes["x"].to_numpy()
+    ny = nodes["y"].to_numpy()
+    node_ids = nodes["osmid"].to_numpy()
+    node_ref_lat = float(np.median(ny)) if len(ny) else 0.0
+    if tile_res is None:
+        # tiles at least one snap radius wide → halo = expanded-bbox cover
+        tile_res = cells.res_for_radius(2 * max_snap_m, lat=seg_ref_lat)
+
+    def _covering(xmin, ymin, xmax, ymax, halo_m, ref_lat):
+        mx = geom.M_PER_DEG_LAT * np.cos(np.radians(ref_lat))
+        dlon, dlat = halo_m / mx, halo_m / geom.M_PER_DEG_LAT
+        ix0, iy0 = cells.xy_index(xmin - dlon, ymin - dlat, tile_res)
+        ix1, iy1 = cells.xy_index(xmax + dlon, ymax + dlat, tile_res)
+        spans = ((ix1 - ix0 + 1) * (iy1 - iy0 + 1)).astype(np.int64)
+        row = np.repeat(np.arange(len(xmin), dtype=np.int64), spans)
+        offs = np.concatenate([[0], np.cumsum(spans)])
+        local = np.arange(int(spans.sum()), dtype=np.int64) - offs[row]
+        w = (ix1 - ix0 + 1)[row].astype(np.int64)
+        cx = ix0[row] + (local % w).astype(np.uint64)
+        cy = iy0[row] + (local // w).astype(np.uint64)
+        return row, cells.encode_xy(cx, cy, tile_res)
+
+    srow, stile = _covering(np.minimum(ax, bx), np.minimum(ay, by),
+                            np.maximum(ax, bx), np.maximum(ay, by),
+                            max_snap_m, seg_ref_lat)
+    nrow, ntile = _covering(nx, ny, nx, ny, buffer_m, node_ref_lat)
+
+    tiles: dict[int, object] = {}
+    for tile in np.unique(np.concatenate([stile, ntile])):
+        sm = srow[stile == tile]
+        nm = nrow[ntile == tile]
+        tiles[int(tile)] = ray.put({
+            "seg": (ax[sm], ay[sm], bx[sm], by[sm], seg_edge[sm]),
+            "nodes": (nx[nm], ny[nm], node_ids[nm]),
+        })
+    return {
+        "tiles": tiles,
+        "tile_res": tile_res,
+        "seg_ref_lat": seg_ref_lat,
+        "node_ref_lat": node_ref_lat,
+        "buffer_m": buffer_m,
+        "max_snap_m": max_snap_m,
+    }
+
+
+class _TileCache:
+    """Per-task tile index cache: fetch + index a tile's shard on first use
+    (zero-copy numpy views out of the object store), reuse for every later
+    batch that touches the tile."""
+
+    def __init__(self, meta: dict):
+        self.meta = meta
+        self.cache: dict[int, tuple] = {}
+
+    def get(self, tile: int):
+        if tile not in self.cache:
+            ref = self.meta["tiles"].get(tile)
+            if ref is None:
+                self.cache[tile] = None
+            else:
+                shard = ray.get(ref)
+                ax, ay, bx, by, seg_edge = shard["seg"]
+                seg_idx = (SegmentGridIndex(ax, ay, bx, by, seg_edge,
+                                            max_radius_m=self.meta["max_snap_m"],
+                                            ref_lat=self.meta["seg_ref_lat"])
+                           if len(ax) else None)
+                nx, ny, node_ids = shard["nodes"]
+                node_idx = (SegmentGridIndex.from_points(
+                    nx, ny, node_ids, max_radius_m=self.meta["buffer_m"],
+                    ref_lat=self.meta["node_ref_lat"]) if len(nx) else None)
+                self.cache[tile] = (seg_idx, node_idx)
+        return self.cache[tile]
+
+
+def join_pages_to_network_tiled(
+    pages: rd.Dataset,
+    nodes: pa.Table,
+    edges: pa.Table,
+    *,
+    buffer_m: float = 50.0,
+    max_snap_m: float = 500.0,
+    tile_res: int | None = None,
+    geocode_mode: str = "url",
+) -> rd.Dataset:
+    """TILED flagship join: pages are hash-partitioned by coarse tile and
+    each partition consults only its tiles' network shards. Same results as
+    :func:`join_pages_to_network` (tests assert equality); the tradeoff is
+    one page shuffle in exchange for never holding the whole network in one
+    object — the right shape once the network side outgrows worker memory.
+    Output is the slim column set (payload columns dropped after the text
+    invariant, BEFORE the shuffle, so only skinny rows move)."""
+    meta = build_tiled_network_state(nodes, edges, buffer_m=buffer_m,
+                                     max_snap_m=max_snap_m, tile_res=tile_res)
+    geocode = (pages_stages.geocode_cells_batch_docid if geocode_mode == "doc_id"
+               else pages_stages.geocode_cells_batch)
+    tile_res = meta["tile_res"]
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        out = geocode(batch)
+        out = pages_stages.verify_text_invariant(out)
+        tile = cells.cell_of(out["lon"].to_numpy(), out["lat"].to_numpy(), tile_res)
+        keep = [c for c in ("url", "doc_id", "lon", "lat", "cell", "text_hash")
+                if c in out.schema.names]
+        return out.select(keep).append_column("tile", pa.array(tile, type=pa.uint64()))
+
+    keyed = pages.map_batches(_prep, batch_format="pyarrow")
+
+    def _join_block(df: pd.DataFrame) -> pd.DataFrame:
+        cachedict = _join_block.__dict__.setdefault("tc", _TileCache(meta))
+        outs = []
+        for tile, g in df.groupby("tile", sort=False):
+            lon = g["lon"].to_numpy()
+            lat = g["lat"].to_numpy()
+            entry = cachedict.get(int(tile))
+            if entry is None:
+                edge_id = np.full(len(g), -1, dtype=np.int64)
+                dist = np.full(len(g), -1.0)
+                in_node = np.full(len(g), -1, dtype=np.int64)
+            else:
+                seg_idx, node_idx = entry
+                if seg_idx is not None:
+                    edge_id, dist = seg_idx.nearest(lon, lat, max_dist_m=max_snap_m)
+                    dist = np.where(np.isfinite(dist), dist, -1.0)
+                else:
+                    edge_id = np.full(len(g), -1, dtype=np.int64)
+                    dist = np.full(len(g), -1.0)
+                sentinel = np.iinfo(np.int64).max
+                in_node = np.full(len(g), sentinel, dtype=np.int64)
+                if node_idx is not None:
+                    pt_rows, node_hit, _ = node_idx.within(lon, lat, buffer_m)
+                    if len(pt_rows):
+                        np.minimum.at(in_node, pt_rows, node_hit)
+                in_node = np.where(in_node == np.iinfo(np.int64).max, -1, in_node)
+            g = g.copy()
+            g["edge_id"] = edge_id
+            g["snap_dist_m"] = np.round(dist, 6)
+            g["node_buffer_id"] = in_node
+            outs.append(g)
+        if not outs:
+            df = df.copy()
+            for c, v in (("edge_id", np.int64(0)), ("snap_dist_m", 0.0),
+                         ("node_buffer_id", np.int64(0))):
+                df[c] = np.zeros(0, type(v)) if len(df) == 0 else v
+            return df
+        return pd.concat(outs, ignore_index=True)
+
+    from ..rayctx import grouped
+
+    return grouped(keyed, ["tile"], _join_block)
 
 
 def simplified_to_network_tables(simplified: dict) -> tuple[pa.Table, pa.Table]:

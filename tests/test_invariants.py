@@ -91,3 +91,49 @@ class TestGoldenSnapshot:
         nodes, edges = out
         assert int(nodes["g_id"].astype(np.int64).sum()) == 11104000571697216
         assert int(edges["g_u"].astype(np.int64).sum()) % 10**9 == 611884607
+
+
+class TestTiledJoin:
+    """The tiled join (per-tile network shards, pages shuffled by tile) must
+    produce EXACTLY the broadcast join's results — the halo replication and
+    the shared global reference latitudes make tiling invisible."""
+
+    def test_tiled_equals_broadcast(self, ray_session):
+        from osmnetfusion_ray import synth
+        from osmnetfusion_ray.pipelines import pagejoin
+        from osmnetfusion_ray.sources import pages_from_documents
+
+        nodes, edges = synth.synth_city(n=10, seed=42, satellites=12)
+        pages = pages_from_documents("/root/testdata/sf0.001")
+        cols = ["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"]
+        a = (pagejoin.join_pages_to_network(pages, nodes, edges, geocode_mode="doc_id")
+             .select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (pagejoin.join_pages_to_network_tiled(pages, nodes, edges, geocode_mode="doc_id")
+             .select_columns(cols).to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_tiled_handles_empty_tiles(self, ray_session):
+        """Pages landing in tiles with no network rows get -1 sentinels."""
+        import pyarrow as pa
+
+        from osmnetfusion_ray import geom as G
+        from osmnetfusion_ray.pipelines import pagejoin
+        import ray.data as rd
+
+        # tiny network in one corner; pages all over the bbox
+        nodes = pa.table({"osmid": pa.array([1, 2], pa.int64()),
+                          "x": pa.array([11.541, 11.542]), "y": pa.array([48.121, 48.122])})
+        edges = pa.table({
+            "u": pa.array([1], pa.int64()), "v": pa.array([2], pa.int64()),
+            "osmid": pa.array([10], pa.int64()),
+            "geometry": pa.array([G.wkb_linestring(
+                __import__("numpy").array([[11.541, 48.121], [11.542, 48.122]]))],
+                pa.binary()),
+        })
+        from osmnetfusion_ray.sources import pages_from_documents
+
+        pages = pages_from_documents("/root/testdata/sf0.001")
+        out = pagejoin.join_pages_to_network_tiled(
+            pages, nodes, edges, geocode_mode="doc_id").to_pandas()
+        assert (out["edge_id"] == -1).any()          # far pages unsnapped
+        assert set(out.columns) >= {"doc_id", "edge_id", "snap_dist_m", "node_buffer_id"}
