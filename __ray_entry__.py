@@ -124,6 +124,12 @@ def _q_minhash(sf_dir: str):
     return minhash_near_dups(sf_dir)
 
 
+def _q_top_tokens(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import top_tokens
+
+    return top_tokens(sf_dir, k=50)
+
+
 def _q_token_counts(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import token_counts_batch
     from osmnetfusion_ray.sources import read_table
@@ -325,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_simplify": _q_network_simplify,     # rows-only composite (stages individually oracled)
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
+        "top_tokens": _q_top_tokens,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,     # rows-only (LSH candidates not in SQL)
@@ -534,6 +541,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(fy * 64) AS BIGINT) AS iy,
                    count(*) AS n_docs
             FROM g GROUP BY 1, 2
+        """,
+        "top_tokens": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT token, count(*) AS n FROM toks WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
         """,
         "token_counts": """
             SELECT doc_id,

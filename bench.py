@@ -83,6 +83,36 @@ def run_headline(trials: int = 3) -> dict:
     return {"rows": n, "sec": best, "rows_per_s": n / best}
 
 
+def run_tiled(trials: int = 2) -> dict:
+    """Tiled-join variant of the headline: per-tile network shards + one
+    page shuffle by coarse tile — the architecture for a network side too
+    big to broadcast. Measured so the broadcast↔tiled tradeoff is on
+    record (the shuffle costs throughput at this network size; it buys
+    bounded per-worker network memory at 10^8+ segments)."""
+    from osmnetfusion_ray import synth
+    from osmnetfusion_ray.pipelines import pagejoin
+    from osmnetfusion_ray.sources.pagegen import synth_pages_ds
+
+    nodes, edges = synth.synth_city(n=CITY_N, seed=42)
+    n_pages = max(200_000, PAGES_N // 4)
+    blocks = max(64, n_pages // 7812)
+
+    def one():
+        pages = synth_pages_ds(n_pages, parallelism=blocks, columns=("url", "text"))
+        return pagejoin.join_pages_to_network_tiled(pages, nodes, edges).count()
+
+    one()  # warmup
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        n_rows = one()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best = dt
+    return {"rows": n_rows, "sec": round(best, 3),
+            "rows_per_s": round(n_rows / best, 1)}
+
+
 def run_p3_large(n: int = None) -> dict:
     """Full p2 enrich + p3 simplification on a ≥10⁴-edge synthetic city —
     the direct comparison against the reference's ~30 edges/s
@@ -151,6 +181,7 @@ def main():
     ensure_tuned()
 
     head = run_headline()
+    tiled = run_tiled()
     queries = run_queries()
     p3 = run_p3_large()
     result = {
@@ -162,6 +193,8 @@ def main():
         "num_cpus": NUM_CPUS,
         "pages_n": PAGES_N,
         "pagejoin_rows_per_s": round(head["rows_per_s"], 1),
+        "pagejoin_tiled_rows_per_s": tiled["rows_per_s"],
+        "pagejoin_tiled_pages_n": tiled["rows"],
         "p3_city_n": CITY_P3_N,
         **{f"p3_{k}": v for k, v in p3.items()},
     }

@@ -572,6 +572,32 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
+    """Corpus-wide token frequency, top-k: the canonical skewed
+    high-cardinality aggregation. Per-batch vectorized tokenize + LOCAL
+    count (the combiner absorbs the Zipf head — 'the' never ships one row
+    per occurrence), grouped exact sum per token, per-block top-k, tiny
+    final reduce. Ties break on token text ascending."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        c = toks.value_counts()
+        return pd.DataFrame({"token": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64)})
+
+    from ..rayctx import grouped
+
+    def block_sum_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("token", sort=False, as_index=False)["n"].sum()
+        return agg.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    partial = docs.map_batches(local_counts, batch_format="pandas")
+    per_block = grouped(partial, ["token"], block_sum_topk, small=True)
+    top = per_block.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
 BPE_TOKEN_RE = r"\w+|[^\w\s]+"  # GPT-style pre-tokenizer, RE2-safe
 
 
