@@ -199,8 +199,8 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
     Pairs come from per-cell ``map_groups``; labels converge by iterative
     min-label propagation: each round ships each node's current label to its
     neighbors (hash join on the pair list) and takes the min — an exact-key
-    shuffle per round, terminating when the monotone label sum stops
-    decreasing (boundary-edge exchange loop of the north_star). Component
+    shuffle per round, terminating the round in which no message undercuts
+    any label (boundary-edge exchange loop of the north_star). Component
     diameters are tiny (a cluster spans a street intersection), so rounds
     ≈ 2-4 in practice; past ``jump_after`` rounds each round also applies
     pointer jumping (label ← label[label], one extra hash join) so even a
@@ -233,16 +233,25 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
     if msg_edges.count() == 0:
         return labels
 
-    def _label_sum(ds: rd.Dataset) -> int:
-        """Convergence metric without a global-aggregate actor pool: one
-        tiny partial-sum row per block, added on the driver (a bare
-        ``ds.sum`` spawns a shuffle pool per call under hash strategy)."""
+    def _min_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Grouped min with IN-BLOCK convergence detection: the union tags
+        current-label rows flag=0 and incoming messages flag=1; a node
+        'changed' iff some message undercuts its current label. The loop
+        terminates the same round a fixpoint is reached — no extra no-op
+        round, no global-aggregate pool."""
+        g = df.groupby("osmid", sort=False)
+        mn = g["label"].min()
+        old = df[df["flag"] == 0].set_index("osmid")["label"]
+        changed = mn < old.reindex(mn.index)
+        return pd.DataFrame({"osmid": mn.index.to_numpy(), "label": mn.to_numpy(),
+                             "changed": changed.to_numpy()})
+
+    def _n_changed(ds: rd.Dataset) -> int:
         rows = ds.map_batches(
-            lambda df: pd.DataFrame({"s": [int(df["label"].sum())]}),
+            lambda df: pd.DataFrame({"s": [int(df["changed"].sum())]}),
             batch_format="pandas").take_all()
         return sum(r["s"] for r in rows)
 
-    prev_sum = _label_sum(labels)
     converged = False
     for rnd in range(max_rounds):
         # ship each node's current label to its neighbors: ONE hash join per
@@ -253,13 +262,21 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
         offered = msg_edges.join(labels, join_type="inner", num_partitions=jp,
                                  on=("nbr",), right_on=("osmid",))
         msgs = offered.map_batches(
-            lambda df: pd.DataFrame({"osmid": df["node"], "label": df["label"]}),
+            lambda df: pd.DataFrame({"osmid": df["node"], "label": df["label"],
+                                     "flag": np.ones(len(df), dtype=np.int8)}),
             batch_format="pandas")
-        labels = grouped(
-            labels.union(msgs), ["osmid"],
-            lambda df: df.groupby("osmid", sort=False, as_index=False)["label"].min(),
-            small=True,
-        ).materialize()
+        base = labels.map_batches(
+            lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["label"],
+                                     "flag": np.zeros(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+        merged = grouped(base.union(msgs), ["osmid"], _min_block,
+                         small=True).materialize()
+        if _n_changed(merged) == 0:
+            labels = merged.select_columns(["osmid", "label"])
+            converged = True
+            break
+        # merged is materialized; the column projection is a zero-copy view
+        labels = merged.select_columns(["osmid", "label"])
         if rnd + 1 >= jump_after:
             # pointer jumping: label ← label[label]. Valid because labels are
             # min-monotone (label[x] <= x always), so label[label[x]] only
@@ -273,11 +290,6 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
             labels = jumped.map_batches(
                 lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["p_label"]}),
                 batch_format="pandas").materialize()
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"cluster label propagation did not converge in {max_rounds} rounds "
