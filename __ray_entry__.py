@@ -124,6 +124,12 @@ def _q_minhash(sf_dir: str):
     return minhash_near_dups(sf_dir)
 
 
+def _q_latest_page_per_site(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import latest_page_per_site
+
+    return latest_page_per_site(sf_dir)
+
+
 def _q_top_tokens(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import top_tokens
 
@@ -332,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "latest_page_per_site": _q_latest_page_per_site,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,     # rows-only (LSH candidates not in SQL)
@@ -541,6 +548,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(fy * 64) AS BIGINT) AS iy,
                    count(*) AS n_docs
             FROM g GROUP BY 1, 2
+        """,
+        "latest_page_per_site": """
+            WITH p AS (
+                SELECT doc_id, doc_id % 97 AS site,
+                       'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       1600000000000000 + doc_id * 1000000 AS warc_ts_us
+                FROM documents
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY site
+                                               ORDER BY warc_ts_us DESC) AS rn FROM p)
+            SELECT site, doc_id, url, warc_ts_us FROM r WHERE rn = 1
         """,
         "top_tokens": """
             WITH toks AS (

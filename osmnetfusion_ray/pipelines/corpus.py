@@ -572,6 +572,44 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def latest_page_per_site(sf_dir: str, n_sites: int = 97) -> rd.Dataset:
+    """Crawl-style keep-latest dedup: one row per site (url bucket), the
+    row with the newest capture timestamp winning — the warc-ts dedup every
+    crawl corpus needs, as the same shuffle-emits-winners pattern as
+    exact_dedup (per-batch local max combiner → grouped max with the full
+    row carried; no keep-set)."""
+    from ..sources import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["site"] = (df["doc_id"].astype(np.int64) % n_sites).astype(np.int64)
+        keep = df.groupby("site", sort=False)["warc_ts"].idxmax()
+        return df.loc[keep.to_numpy(), ["site", "doc_id", "url", "warc_ts", "text_len_src"]] \
+            if "text_len_src" in df.columns else \
+            df.loc[keep.to_numpy(), ["site", "doc_id", "url", "warc_ts"]]
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.groupby("site", sort=False)["warc_ts"].idxmax()
+        return df.loc[keep.to_numpy()]
+
+    from ..rayctx import grouped
+
+    out = grouped(pages.map_batches(local_max, batch_format="pandas"),
+                  ["site"], block_max)
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "site": df["site"].astype(np.int64),
+            "doc_id": df["doc_id"].astype(np.int64),
+            "url": df["url"].astype(str),
+            "warc_ts_us": df["warc_ts"].astype("int64"),
+        })
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
 def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     """Corpus-wide token frequency, top-k: the canonical skewed
     high-cardinality aggregation. Per-batch vectorized tokenize + LOCAL
