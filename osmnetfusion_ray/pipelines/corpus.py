@@ -108,30 +108,6 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def exact_dedup_keep_ids(docs: rd.Dataset) -> np.ndarray:
-    """Kept doc_ids = min(doc_id) per distinct text hash.
-
-    Scale pattern: per-batch partial min (combiner) → groupby(text_h) min —
-    the shuffle carries one row per (batch, distinct hash), never the text
-    bytes themselves.
-    """
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = hashing.hash64(df["text"].to_numpy())
-        return (
-            pd.DataFrame({"text_h": h, "doc_id": df["doc_id"].to_numpy()})
-            .groupby("text_h", sort=False)["doc_id"]
-            .min()
-            .reset_index()
-        )
-
-    kept = groupby_agg(
-        docs.map_batches(partial, batch_format="pandas"),
-        ["text_h"], [AggSpec("doc_id", "doc_id", "min")], small=True,
-    )
-    return kept.to_pandas()["doc_id"].to_numpy()
-
-
 def exact_dedup(sf_dir: str) -> rd.Dataset:
     """documents minus exact-text duplicates (keep smallest doc_id).
 
