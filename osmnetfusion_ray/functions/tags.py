@@ -86,9 +86,21 @@ def clean(a, as_float: bool = False, keep: str = "all"):
 
 def listify(series: pd.Series, as_int: bool = False) -> list:
     """Series → sorted unique flat list. Strings are stripped of every
-    non-word char (except commas) then comma-split; ''/NaN dropped."""
+    non-word char (except commas) then comma-split; ''/NaN dropped.
+
+    Plain-python flatten instead of ``Series.explode().unique()`` — the
+    output passes through ``sorted(set(...))`` anyway, and pandas explode
+    cost ~0.1 ms per call inside the per-group merge kernels (the p3
+    chain's hottest Python)."""
     out = []
-    for a in pd.Series(series).explode().unique():
+    vals = series.tolist() if hasattr(series, "tolist") else list(series)
+    flat: list = []
+    for v in vals:
+        if isinstance(v, (list, np.ndarray)):
+            flat.extend(list(v))
+        else:
+            flat.append(v)
+    for a in flat:
         if isinstance(a, list):
             out.extend(a)
         if (isinstance(a, str) and a == "") or (not isinstance(a, (str, list)) and pd.isna(a)):

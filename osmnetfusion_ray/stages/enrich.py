@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 
 from .. import geom
-from ..state.index import SegmentGridIndex
+from ..state.index import PolygonGridIndex, SegmentGridIndex
 
 # ---------------------------------------------------------------------------
 # M2: cycleway category cascade (p2_enrichData.py:213-324)
@@ -263,12 +263,19 @@ def landuse_ratio(
         t = (np.arange(total) - offs[seg_of_sample] + 0.5) / n_samples[seg_of_sample]
         sx = ax[seg_of_sample] + t * (bx - ax)[seg_of_sample]
         sy = ay[seg_of_sample] + t * (by - ay)[seg_of_sample]
+        # the reference buffers landuse polygons by 5 m before clipping
+        # (p2_enrichData.py:137); we test the ring as-is — the sampled
+        # arc-length fraction absorbs the 5 m skin (documented approx).
+        # Candidate rings come from the cell-bucketed polygon index (a
+        # point inside a ring is always inside the ring's bbox cover, so
+        # pruning is exact) — an all-rings loop is O(samples × rings) and
+        # turns superlinear as city area grows.
+        pidx = PolygonGridIndex(list(poly_rings),
+                                np.arange(len(poly_rings), dtype=np.int64),
+                                max_radius_m=200.0)
+        in_rows, _ = pidx.contains(sx, sy)
         inside = np.zeros(total, dtype=bool)
-        for ring in poly_rings:
-            # the reference buffers landuse polygons by 5 m before clipping
-            # (p2_enrichData.py:137); we test the ring as-is — the sampled
-            # arc-length fraction absorbs the 5 m skin (documented approx)
-            inside |= geom.points_in_polygon(sx, sy, ring)
+        inside[in_rows] = True
         # per-edge inside fraction weighted by segment length share; the
         # denominator is the GEOMETRY length (reference divides
         # intersection.length by edge.geometry.length in the same CRS,

@@ -740,7 +740,25 @@ def prepare_edges_for_merge(edges: pd.DataFrame) -> pd.DataFrame:
 
 
 def _explode_vals(s: pd.Series) -> list:
-    return [x for x in s.explode().unique().tolist()]
+    """First-occurrence-unique flattened values — plain python instead of
+    ``explode().unique()`` (pandas explode dominates the merge kernels)."""
+    flat: list = []
+    for v in (s.tolist() if hasattr(s, "tolist") else list(s)):
+        if isinstance(v, (list, np.ndarray)):
+            flat.extend(list(v))
+        else:
+            flat.append(v)
+    out, seen = [], set()
+    for v in flat:
+        k = "__nan__" if isinstance(v, float) and v != v else v
+        try:
+            if k in seen:
+                continue
+            seen.add(k)
+        except TypeError:
+            pass
+        out.append(v)
+    return out
 
 
 def _notnull(vals) -> list:
@@ -833,7 +851,7 @@ def _check_mode_access(subset: pd.DataFrame, mode: str) -> bool:
 def _get_param(df: pd.DataFrame, col: str):
     if col not in df.columns:
         return None
-    a = df[col].dropna().explode().unique().tolist()
+    a = [v for v in _explode_vals(df[col].dropna()) if not (isinstance(v, float) and v != v)]
     if "" in a:
         a.remove("")
     return a or None
