@@ -102,20 +102,29 @@ def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table],
                        ref_lat: float | None = None) -> rd.Dataset:
     """J1/J2 ×3 (green / retail / building) in ONE fused per-batch kernel —
     per-edge aggregation, no second pass needed."""
+    from ..state.index import PolygonGridIndex
+
     kinds = [("green", "landuse_green"), ("retail", "landuse_retail"),
              ("building", "buildings")]
     pts = {}
     for kind, tab_name in kinds:
         tab = dims.get(tab_name)
-        pts[kind] = (_dim_geoms(tab) if tab is not None and tab.num_rows
-                     else (np.zeros(0), np.zeros(0), []))
+        lon, lat, rings = (_dim_geoms(tab) if tab is not None and tab.num_rows
+                           else (np.zeros(0), np.zeros(0), []))
+        # the polygon index is built ONCE here and broadcast — rebuilding
+        # it per batch (a per-ring bbox-cover loop) was the enrich wall at
+        # city scale
+        pidx = (PolygonGridIndex(rings, np.arange(len(rings), dtype=np.int64),
+                                 max_radius_m=200.0) if rings else None)
+        pts[kind] = (lon, lat, rings, pidx)
     ref = ray.put(pts)
 
     def _batch(df: pd.DataFrame) -> pd.DataFrame:
         p = ray.get(ref)
         for kind, _ in kinds:
-            lon, lat, rings = p[kind]
-            df = E.landuse_ratio(df, lon, lat, kind, poly_rings=rings, ref_lat=ref_lat)
+            lon, lat, rings, pidx = p[kind]
+            df = E.landuse_ratio(df, lon, lat, kind, poly_rings=rings,
+                                 ref_lat=ref_lat, poly_index=pidx)
             df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
         return df
 
@@ -134,17 +143,45 @@ def add_bike_labels(edges_ds: rd.Dataset) -> rd.Dataset:
     return edges_ds.map_batches(_batch, batch_format="pandas")
 
 
-def _reverse_bike_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Per canonical (u,v) pair group: emit reverse bike_only rows where no
-    opposite edge exists; mark existing opposites bike_access=yes
-    (p2_enrichData.py:179-209, distributed as an exact-key groupby)."""
-    pair_set = set(zip(g["u"].astype(int), g["v"].astype(int)))
-    new_df, fix_yes = E.gen_reverse_bike_edges(g, pair_set)
-    g = g.copy()
-    if fix_yes.any():
-        g.loc[fix_yes, "bike_access"] = "yes"
-    out = pd.concat([g, new_df], ignore_index=True) if len(new_df) else g
-    return out.drop(columns=["pair_lo", "pair_hi"], errors="ignore")
+def _reverse_bike_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized M4 over a canonical-pair-partitioned block: both (u,v)
+    and (v,u) of every pair are fully local, so directed-pair existence is
+    one sorted-key membership test — no per-group Python loop
+    (p2_enrichData.py:179-209 semantics; the loop was the enrich wall #2)."""
+    if len(df) == 0:
+        return df.drop(columns=["pair_lo", "pair_hi"], errors="ignore")
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    # directed-pair membership via a sorted structured array (osmids may
+    # exceed 2^31 so no bit-packing)
+    keys = np.empty(len(u), dtype=[("u", np.int64), ("v", np.int64)])
+    keys["u"], keys["v"] = u, v
+    keys_sorted = np.sort(keys, order=("u", "v"))
+    q = np.empty(len(u), dtype=keys.dtype)
+    q["u"], q["v"] = v, u
+    pos = np.clip(np.searchsorted(keys_sorted, q), 0, len(keys_sorted) - 1)
+    opp_exists = keys_sorted[pos] == q
+
+    cand = E.reverse_bike_candidates(df).to_numpy()
+    df = df.copy()
+    # opposites of candidates-with-opposite become bike_access=yes: a row is
+    # such an opposite iff its reversed key matches a candidate's key
+    cand_keys = np.sort(keys[cand], order=("u", "v"))
+    if len(cand_keys):
+        p2 = np.clip(np.searchsorted(cand_keys, q), 0, len(cand_keys) - 1)
+        is_opp_of_cand = cand_keys[p2] == q
+        df.loc[is_opp_of_cand, "bike_access"] = "yes"
+
+    gen_mask = cand & ~opp_exists
+    if gen_mask.any():
+        new_df = df[gen_mask].copy()
+        new_df["u"] = v[gen_mask]
+        new_df["v"] = u[gen_mask]
+        new_df["bike_access"] = "bike_only"
+        new_df["reversed"] = ~new_df["reversed"].astype(bool)
+        new_df["osmid"] = E.REV_BIKE_BASE + new_df["osmid"].astype(np.int64)
+        df = pd.concat([df, new_df], ignore_index=True)
+    return df.drop(columns=["pair_lo", "pair_hi"], errors="ignore")
 
 
 def add_reverse_bike_edges(edges_ds: rd.Dataset) -> rd.Dataset:
@@ -159,12 +196,10 @@ def add_reverse_bike_edges(edges_ds: rd.Dataset) -> rd.Dataset:
         df["pair_hi"] = np.maximum(u, v)
         return df
 
-    from ..pipelines.simplify import _per_group
     from ..rayctx import grouped
 
     return grouped(edges_ds.map_batches(_key, batch_format="pandas"),
-                   ["pair_lo", "pair_hi"],
-                   _per_group(["pair_lo", "pair_hi"], _reverse_bike_group), small=True)
+                   ["pair_lo", "pair_hi"], _reverse_bike_block, small=True)
 
 
 def add_gradient(edges_ds: rd.Dataset, elevations: pa.Table, node_osmids: np.ndarray) -> rd.Dataset:

@@ -230,6 +230,7 @@ def landuse_ratio(
     poly_buffer_m: float = 5.0,
     sample_step_m: float = 2.0,
     ref_lat: float | None = None,
+    poly_index: "PolygonGridIndex | None" = None,
 ) -> pd.DataFrame:
     """``{kind}_ratio`` = min(point_part + poly_part, 1) per edge.
 
@@ -269,10 +270,12 @@ def landuse_ratio(
         # Candidate rings come from the cell-bucketed polygon index (a
         # point inside a ring is always inside the ring's bbox cover, so
         # pruning is exact) — an all-rings loop is O(samples × rings) and
-        # turns superlinear as city area grows.
-        pidx = PolygonGridIndex(list(poly_rings),
-                                np.arange(len(poly_rings), dtype=np.int64),
-                                max_radius_m=200.0)
+        # turns superlinear as city area grows. The index is ideally built
+        # ONCE by the caller (broadcast via ray.put) — the per-ring bbox
+        # cover loop costs real time when rebuilt per batch.
+        pidx = poly_index if poly_index is not None else PolygonGridIndex(
+            list(poly_rings), np.arange(len(poly_rings), dtype=np.int64),
+            max_radius_m=200.0)
         in_rows, _ = pidx.contains(sx, sy)
         inside = np.zeros(total, dtype=bool)
         inside[in_rows] = True
