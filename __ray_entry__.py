@@ -200,6 +200,38 @@ def _q_media_features(sf_dir: str):
                           batch_size=256, concurrency=(1, 4))
 
 
+def _q_media_feature_stats(sf_dir: str):
+    """Per-media scalar summary of the FeatureExtractor embedding — the
+    oracle-checkable projection of the list<float> feature column. Features
+    are 4-bit-quantized (k/15), so dequantizing back to integer nibbles
+    makes the sums exact; the only float ops are one division / one sqrt."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import multimodal as MM
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        MM.media_from_documents_batch, batch_format="pyarrow")
+    ds = ds.map_batches(MM.FeatureExtractor, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        feat = batch["feature"].combine_chunks()
+        mat = feat.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+        nib = np.rint(mat * 15.0).astype(np.int64)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "f_min": pa.array(nib.min(axis=1).astype(np.float64) / 15.0),
+            "f_max": pa.array(nib.max(axis=1).astype(np.float64) / 15.0),
+            "f_sum": pa.array(nib.sum(axis=1).astype(np.float64) / 15.0),
+            "f_norm": pa.array(np.sqrt((nib * nib).sum(axis=1).astype(np.float64)) / 15.0),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 _SIMPLIFIED_CACHE: dict = {}
 
 
@@ -341,11 +373,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_page_per_site": _q_latest_page_per_site,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
-        "ngram_jaccard_pairs": _q_ngram_jaccard,     # rows-only (LSH candidates not in SQL)
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_ivf": _q_ann_ivf,                  # rows-only (approximate by design)
-        "doc_fingerprints": _q_fingerprints,         # rows-only (rolling hash not in SQL)
-        "media_pipeline": _q_media_pipeline,         # rows-only (stubbed decode, hash-derived)
-        "media_features": _q_media_features,         # rows-only
+        "doc_fingerprints": _q_fingerprints,
+        "media_pipeline": _q_media_pipeline,
+        "media_features": _q_media_features,         # rows-only (list<float> output; media_feature_stats is the oracled projection)
+        "media_feature_stats": _q_media_feature_stats,
     }
 
 
@@ -376,7 +409,7 @@ _TEXT_STATS = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from osmnetfusion_ray import netfixture, netoracle
+    from osmnetfusion_ray import corpusoracle, netfixture, netoracle
 
     net = netoracle.network_oracles()
     d = netfixture.ensure_city_fixture()
@@ -390,6 +423,12 @@ def oracle_sql() -> dict[str, str]:
         simp["seg_ref_lat"], simp["node_ref_lat"])
     return {
         **net,
+        "simhash_fingerprints": corpusoracle.simhash_sql(),
+        "doc_fingerprints": corpusoracle.fingerprints_sql(),
+        "minhash_near_dups": corpusoracle.minhash_near_dups_sql(threshold=0.6),
+        "ngram_jaccard_pairs": corpusoracle.ngram_jaccard_sql(threshold=0.5),
+        "media_pipeline": corpusoracle.media_pipeline_sql(),
+        "media_feature_stats": corpusoracle.media_feature_stats_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

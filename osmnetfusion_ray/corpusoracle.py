@@ -1,0 +1,278 @@
+"""DuckDB oracle SQL for the corpus fingerprinting / dedup operators.
+
+Every expression here mirrors the engine's numpy arithmetic EXACTLY —
+including the uint64 wraparound order (``(x*a) % 2^64 + b) % 2^64 % M``,
+not the mathematically-equal ``(x*a+b) % M``) — so the driver's value-hash
+compare is bit-equal. The shared primitive is ``fnv1a64`` (FNV-1a over
+unicode CODEPOINTS, functions/hashing.py): DuckDB's ``unicode(c)`` yields
+the codepoint and HUGEINT holds every intermediate product:
+
+    h*FNV_PRIME   < 2^64 * 2^40  = 2^104
+    sh*a (minhash) < 2^61 * 2^61 = 2^122
+    bandsum*K1    < 2^63 * 2^64  < 2^127  (HUGEINT max = 2^127-1)
+
+Assumption (asserted by the synth generator): document text is ASCII with
+single-space word separators, so codepoints == utf-8 bytes and
+``string_split(text,' ')`` == Python ``str.split()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TWO64 = "18446744073709551616"  # 2^64, parses as HUGEINT
+MERSENNE = (1 << 61) - 1        # minhash permutation modulus
+POW257_32 = pow(257, 32, 1 << 64)  # rolling-hash window weight
+
+K1 = 0x9E3779B97F4A7C15
+K2 = 0xC2B2AE3D27D4EB4F
+
+
+def fnv_expr(col: str) -> str:
+    """Codepoint FNV-1a 64 of a string column/expression, as HUGEINT in
+    [0, 2^64). Matches functions/hashing.fnv1a64 bit-for-bit."""
+    return f"""
+      CASE WHEN length({col}) = 0 THEN 14695981039346656037::HUGEINT
+           ELSE list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+                          [unicode(c)::HUGEINT for c in split({col}, '')]),
+             (h, b) -> (xor(h, b) * 1099511628211) % {TWO64}::HUGEINT)
+      END"""
+
+
+def _minhash_params_sql(k: int = 64, seed: int = 1234) -> str:
+    """The engine's RandomState(seed) permutation params as a VALUES list
+    (p, a, b) — numpy-generated constants embedded verbatim."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=k, dtype=np.int64)
+    b = rng.randint(0, 1 << 61, size=k, dtype=np.int64)
+    rows = ",".join(f"({p},{int(a[p])}::HUGEINT,{int(b[p])}::HUGEINT)" for p in range(k))
+    return f"(VALUES {rows})"
+
+
+# shingles + signatures + LSH buckets + candidate pairs, shared by the
+# minhash and ngram oracles (mirrors MinHasher / minhash_candidate_pairs_ds)
+def _candidates_cte(k: int = 64, bands: int = 16) -> str:
+    rows = k // bands
+    assert rows == 4, "band-hash unroll below assumes 4 rows/band"
+    return f"""
+      params(p, a, b) AS (SELECT * FROM {_minhash_params_sql(k)}),
+      words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents
+      ),
+      shing AS (
+        SELECT doc_id,
+               unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE [array_to_string(list_slice(ws, i + 1, i + 3), ' ')
+                            for i in range(nw - 2)] END) AS s
+        FROM words
+      ),
+      sset AS (SELECT DISTINCT doc_id, s FROM shing),
+      hh AS (
+        SELECT doc_id, ({fnv_expr('s')}) % 2305843009213693952::HUGEINT AS x
+        FROM sset
+      ),
+      sigs AS (
+        SELECT doc_id, p,
+               min((((x * a) % {TWO64} + b) % {TWO64}) % {MERSENNE}) AS sig
+        FROM hh CROSS JOIN params
+        GROUP BY doc_id, p
+      ),
+      bandsig AS (SELECT doc_id, p // {rows} AS band, p % {rows} AS r, sig FROM sigs),
+      bsum AS (
+        SELECT doc_id, band, sum(sig) AS s4,
+               max(CASE WHEN r = 0 THEN sig END) AS s0,
+               max(CASE WHEN r = 1 THEN sig END) AS s1,
+               max(CASE WHEN r = 2 THEN sig END) AS s2,
+               max(CASE WHEN r = 3 THEN sig END) AS s3
+        FROM bandsig GROUP BY doc_id, band
+      ),
+      bandh AS (
+        SELECT doc_id, band,
+          xor(xor(xor(xor((s4 * {K1}) % {TWO64},
+                          (s0 * {K2}) % {TWO64}),
+                          (s1 * {K2 + 1}) % {TWO64}),
+                          (s2 * {K2 + 2}) % {TWO64}),
+                          (s3 * {K2 + 3}) % {TWO64}) AS bh
+        FROM bsum
+      ),
+      buckets AS (
+        SELECT band, bh, doc_id,
+               count(*) OVER (PARTITION BY band, bh) AS sz
+        FROM bandh
+      ),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM buckets x
+        JOIN buckets y ON x.band = y.band AND x.bh = y.bh
+                       AND x.doc_id < y.doc_id
+        WHERE x.sz BETWEEN 2 AND 1000
+      )"""
+
+
+def simhash_sql() -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE tok <> ''
+      ),
+      th AS (SELECT doc_id, CAST({fnv_expr('tok')} AS UBIGINT) AS h FROM toks),
+      bits AS (
+        SELECT doc_id, bit,
+               CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+        FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit)
+      ),
+      votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY doc_id, bit),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                             ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+      )
+      SELECT d.doc_id, coalesce(sh.simhash, 0::UBIGINT) AS simhash
+      FROM documents d LEFT JOIN sh USING (doc_id)
+    """
+
+
+def fingerprints_sql(window: int = 32) -> str:
+    """Polynomial rolling hash (base 257 mod 2^64): full-document Horner
+    plus min window hash via the prefix closed form
+    ``win(j) = (pref(j+w) - pref(j)*257^w) mod 2^64`` — the 128-bit-unsafe
+    ``pref*257^w`` product is split 32/32 (hi/lo) so every intermediate
+    fits HUGEINT. Mirrors corpus.rolling_fingerprint_batch."""
+    pow_lo = POW257_32 % (1 << 32)
+    pow_hi = POW257_32 >> 32
+    return f"""
+      WITH RECURSIVE cps AS (
+        SELECT doc_id, [unicode(c)::HUGEINT for c in split(text, '')] AS cs,
+               length(text) AS n
+        FROM documents
+      ),
+      chars AS (
+        SELECT doc_id, unnest(range(n)) AS p, unnest(cs) AS cp FROM cps
+      ),
+      pref(doc_id, j, h) AS (
+        SELECT doc_id, 0, 0::HUGEINT FROM cps
+        UNION ALL
+        SELECT p.doc_id, p.j + 1, (p.h * 257 + c.cp) % {TWO64}::HUGEINT
+        FROM pref p JOIN chars c ON c.doc_id = p.doc_id AND c.p = p.j
+      ),
+      full_h AS (
+        SELECT c.doc_id, c.n, p.h AS fp
+        FROM cps c JOIN pref p ON p.doc_id = c.doc_id AND p.j = c.n
+      ),
+      wins AS (
+        SELECT f.doc_id,
+               (pe.h - ((ps.h * {pow_lo}) % {TWO64}
+                        + ((ps.h % 4294967296) * {pow_hi}) % 4294967296 * 4294967296)
+                        % {TWO64}
+                + {TWO64}) % {TWO64} AS w
+        FROM full_h f
+        JOIN pref ps ON ps.doc_id = f.doc_id AND ps.j <= f.n - {window}
+        JOIN pref pe ON pe.doc_id = f.doc_id AND pe.j = ps.j + {window}
+        WHERE f.n >= {window}
+      ),
+      mw AS (SELECT doc_id, min(w) AS minw FROM wins GROUP BY doc_id)
+      SELECT f.doc_id, CAST(f.fp AS UBIGINT) AS fingerprint,
+             CAST(coalesce(mw.minw, f.fp) AS UBIGINT) AS min_window_h
+      FROM full_h f LEFT JOIN mw USING (doc_id)
+    """
+
+
+def minhash_near_dups_sql(threshold: float = 0.6) -> str:
+    return f"""
+      WITH {_candidates_cte()},
+      est AS (
+        SELECT p.a, p.b,
+               avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.a
+        JOIN sigs sb ON sb.doc_id = p.b AND sb.p = sa.p
+        GROUP BY p.a, p.b
+      )
+      SELECT a, b, est AS jaccard_est FROM est WHERE est >= {threshold!r}
+    """
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+      WITH {_candidates_cte()},
+      sizes AS (SELECT doc_id, count(*) AS ns FROM sset GROUP BY doc_id),
+      inter AS (
+        SELECT p.a, p.b, count(*) AS ni
+        FROM pairs p
+        JOIN sset x ON x.doc_id = p.a
+        JOIN sset y ON y.doc_id = p.b AND y.s = x.s
+        GROUP BY p.a, p.b
+      ),
+      jac AS (
+        SELECT p.a, p.b,
+               CAST(coalesce(i.ni, 0) AS DOUBLE)
+                 / greatest(za.ns + zb.ns - coalesce(i.ni, 0), 1) AS j
+        FROM pairs p
+        JOIN sizes za ON za.doc_id = p.a
+        JOIN sizes zb ON zb.doc_id = p.b
+        LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+      )
+      SELECT a, b, j AS jaccard FROM jac WHERE j >= {threshold!r}
+    """
+
+
+def media_feature_stats_sql(dim: int = 16) -> str:
+    """Scalar summary of the FeatureExtractor pseudo-embedding — the
+    oracle-checkable projection of the list<float> feature column. Feature
+    i is ``((h >> 4i) & 15) / 15``; the stats dequantize back to integer
+    nibbles so sums are exact and the only float ops are one division /
+    one sqrt (bit-equal on both sides)."""
+    return f"""
+      WITH h AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               CAST({fnv_expr('text')} AS UBIGINT) AS h
+        FROM documents
+      ),
+      nib AS (
+        SELECT media_id, media_type,
+               [CAST((h >> (4 * i)) & 15 AS BIGINT) for i in range({dim})] AS ns
+        FROM h
+      )
+      SELECT media_id, media_type,
+             CAST(list_min(ns) AS DOUBLE) / 15.0 AS f_min,
+             CAST(list_max(ns) AS DOUBLE) / 15.0 AS f_max,
+             CAST(list_sum(ns) AS DOUBLE) / 15.0 AS f_sum,
+             sqrt(CAST(list_sum([n * n for n in ns]) AS DOUBLE)) / 15.0 AS f_norm
+      FROM nib
+    """
+
+
+def media_pipeline_sql() -> str:
+    """Mirrors stages/multimodal MediaDecoder + MediaResizer fake-decode
+    arithmetic on the codepoint-FNV of the payload text."""
+    return f"""
+      WITH h AS (
+        SELECT doc_id, CAST({fnv_expr('text')} AS UBIGINT) AS h,
+               length(text) AS nb
+        FROM documents
+      ),
+      d AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS media_type,
+               CAST(nb AS BIGINT) AS media_bytes,
+               CAST(h % 1920 + 16 AS BIGINT) AS width,
+               CAST((h >> 16) % 1080 + 16 AS BIGINT) AS height,
+               CAST((h >> 32) % 300 + 1 AS BIGINT) AS n_frames
+        FROM h
+      )
+      SELECT media_id, media_type, media_bytes, width, height, n_frames,
+             round(CAST(n_frames AS DOUBLE) / 30.0, 3) AS duration_s,
+             CAST(floor(width * least(1.0, least(256.0 / width, 256.0 / height)))
+                  AS BIGINT) AS resized_w,
+             CAST(floor(height * least(1.0, least(256.0 / width, 256.0 / height)))
+                  AS BIGINT) AS resized_h
+      FROM d
+    """

@@ -48,6 +48,46 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a64(values) -> np.ndarray:
+    """FNV-1a 64-bit over UNICODE CODEPOINTS (one mix step per character,
+    not per utf-8 byte) — the variant is chosen so an ANSI-SQL oracle can
+    reproduce it EXACTLY: DuckDB's ``unicode(c)`` yields the codepoint and
+    HUGEINT holds ``h * prime`` (< 2^104) before the mod-2^64 wrap. Used by
+    the fingerprinting kernels (SimHash token hash, MinHash shingle hash,
+    media fake-decode) that are oracle-checked by the driver.
+
+    Vectorized ACROSS strings by character position: the input is viewed as
+    a UCS4 codepoint matrix and each position updates all still-live rows
+    in one masked numpy op — no per-row Python in the hot path.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values)
+    if arr.dtype.kind != "U":
+        arr = arr.astype("U")
+    n = len(arr)
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    if n == 0 or arr.dtype.itemsize == 0:
+        return h
+    arr = np.ascontiguousarray(arr)
+    w = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(n, w)
+    lens = np.char.str_len(arr).astype(np.int64)
+    with np.errstate(over="ignore"):
+        for p in range(w):
+            m = lens > p
+            if not m.any():
+                break
+            h[m] = (h[m] ^ cp[m, p].astype(np.uint64)) * FNV_PRIME
+    return h
+
+
 def geocode(urls, bbox: tuple[float, float, float, float] = DEFAULT_BBOX) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic url → (lon, lat) inside ``bbox``.
 

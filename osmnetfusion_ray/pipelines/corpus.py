@@ -169,7 +169,7 @@ class MinHasher:
                 shingles = [" ".join(words)] if words else [""]
             else:
                 shingles = [" ".join(words[j : j + self.shingle]) for j in range(len(words) - self.shingle + 1)]
-            sh = hashing.hash64(np.asarray(shingles, dtype=object)) & _MERSENNE
+            sh = hashing.fnv1a64(np.asarray(shingles, dtype=object)) & _MERSENNE
             # k permutations at once: (a*x + b) mod M, min over shingles
             vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
             sigs[i] = vals.min(axis=0)
@@ -325,8 +325,10 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
         sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.uint64).reshape(len(df), k)
         est = (sa == sb).mean(axis=1)
         m = est >= threshold
+        # raw (unrounded) estimate: est is an exact k/64 double on both the
+        # engine and DuckDB-oracle sides, so bit-equality needs no rounding
         return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m],
-                             "jaccard_est": np.round(est[m], 6)})
+                             "jaccard_est": est[m]})
 
     return joined.map_batches(verify, batch_format="pandas")
 
@@ -360,8 +362,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
             for ta, tb in zip(df["text_a"], df["text_b"])
         ])
         m = jac >= threshold
+        # unrounded: |∩|/|∪| is one IEEE division on both sides (np.round's
+        # half-even vs DuckDB's half-away differ on exact .5e-6 ties, which
+        # power-of-two union sizes CAN hit — so don't round at all)
         return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m],
-                             "jaccard": np.round(jac[m], 6)})
+                             "jaccard": jac[m]})
 
     return joined.map_batches(verify, batch_format="pandas")
 
@@ -686,7 +691,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         for toks in tok_lists:
             flat[pos: pos + len(toks)] = toks
             pos += len(toks)
-        h = hashing.hash64(flat)
+        h = hashing.fnv1a64(flat)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         votes = np.zeros((n, 64), dtype=np.int64)

@@ -46,9 +46,11 @@ def media_from_documents_batch(batch: pa.Table) -> pa.Table:
 
 
 def _fake_u64(payload: pa.Array) -> np.ndarray:
-    from ..functions.hashing import hash64
+    from ..functions.hashing import fnv1a64
 
-    return hash64(pc.cast(payload, pa.large_string()))
+    # codepoint-FNV so the driver's DuckDB oracle reproduces the fake
+    # decode arithmetic exactly (see functions/hashing.fnv1a64)
+    return fnv1a64(pc.cast(payload, pa.large_string()))
 
 
 class MediaDecoder:
