@@ -168,6 +168,12 @@ def _q_ann_ivf(sf_dir: str):
     return ann_topk_ivf(sf_dir, k=10, query_vec_id=0)
 
 
+def _q_ann_ivf_flat(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import ann_topk_ivf_flat
+
+    return ann_topk_ivf_flat(sf_dir, k=10, query_vec_id=0)
+
+
 def _q_fingerprints(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import rolling_fingerprint_batch
     from osmnetfusion_ray.sources import read_table
@@ -350,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": analytics.events_tumbling,
         "events_sessionize": analytics.events_sessionize,
         "events_sliding": analytics.events_sliding,
+        "events_asof_clicks": analytics.events_asof_clicks,
         "supplier_part_stats": analytics.supplier_part_stats,
         "orders_by_month": analytics.orders_by_month,
         "docs_by_lang": analytics.docs_by_lang,
@@ -374,7 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "ann_topk_ivf": _q_ann_ivf,                  # rows-only (approximate by design)
+        "ann_topk_ivf": _q_ann_ivf,                  # rows-only (kmeans-trained lists; ivf_flat is the oracled mechanism)
+        "ann_topk_ivf_flat": _q_ann_ivf_flat,
         "doc_fingerprints": _q_fingerprints,
         "media_pipeline": _q_media_pipeline,
         "media_features": _q_media_features,         # rows-only (list<float> output; media_feature_stats is the oracled projection)
@@ -429,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": corpusoracle.ngram_jaccard_sql(threshold=0.5),
         "media_pipeline": corpusoracle.media_pipeline_sql(),
         "media_feature_stats": corpusoracle.media_feature_stats_sql(),
+        "ann_topk_ivf_flat": corpusoracle.ann_topk_ivf_flat_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -478,6 +487,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM x GROUP BY user_id, window_start_us
+        """,
+        "events_asof_clicks": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            c AS (SELECT user_id, ts_us, max(event_id) AS click_id
+                  FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
+            SELECT e.event_id, e.user_id, e.ts_us,
+                   coalesce(c.click_id, -1) AS last_click_id,
+                   coalesce(e.ts_us - c.ts_us, -1) AS since_click_us
+            FROM e ASOF LEFT JOIN c
+              ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
         """,
         "events_sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -221,6 +221,48 @@ def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     """
 
 
+def ann_topk_ivf_flat_sql(k: int = 10, query_vec_id: int = 0,
+                          n_lists: int = 16, nprobe: int = 4) -> str:
+    """Mirror of corpus.ann_topk_ivf_flat: stride-seeded coarse quantizer,
+    nearest-list assignment (ties → smaller seed index), nprobe pruning,
+    exact cosine re-score in the probed lists. Assumes contiguous vec_ids
+    starting at 0 (the corpus table contract)."""
+    return f"""
+      WITH st AS (SELECT greatest(count(*) // {n_lists}, 1) AS stride FROM embeddings),
+      seeds AS (
+        SELECT vec_id // (SELECT stride FROM st) AS sidx,
+               CAST(embedding AS DOUBLE[]) AS semb
+        FROM embeddings
+        WHERE vec_id % (SELECT stride FROM st) = 0
+          AND vec_id < (SELECT stride FROM st) * {n_lists}
+      ),
+      q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+            WHERE vec_id = {query_vec_id}),
+      probe AS (
+        SELECT sidx FROM (
+          SELECT sidx, row_number() OVER (
+                   ORDER BY list_distance(semb, (SELECT qe FROM q)), sidx) AS rn
+          FROM seeds)
+        WHERE rn <= {nprobe}
+      ),
+      assigned AS (
+        SELECT vec_id, emb FROM (
+          SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, s.sidx,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), s.semb),
+                            s.sidx) AS rn
+          FROM embeddings e CROSS JOIN seeds s)
+        WHERE rn = 1 AND sidx IN (SELECT sidx FROM probe)
+      )
+      SELECT vec_id,
+             round(list_cosine_similarity(emb, (SELECT qe FROM q)), 6) AS sim
+      FROM assigned
+      ORDER BY list_cosine_similarity(emb, (SELECT qe FROM q)) DESC, vec_id
+      LIMIT {k}
+    """
+
+
 def media_feature_stats_sql(dim: int = 16) -> str:
     """Scalar summary of the FeatureExtractor pseudo-embedding — the
     oracle-checkable projection of the list<float> feature column. Feature

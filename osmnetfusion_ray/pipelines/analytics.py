@@ -279,3 +279,67 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     from ..rayctx import grouped
 
     return grouped(ev, ["user_id"], sessions_block)
+
+
+def events_asof_clicks(sf_dir: str) -> rd.Dataset:
+    """Distributed AS-OF join: each event matched to the latest ``click``
+    event of the same user at-or-before its timestamp (the classic
+    attribution lookup; reference has no equivalent — this is one of the
+    engine's training-data-pipeline additions).
+
+    Ray Data has no as-of join, so it is expressed as ONE hash shuffle on
+    the join key + a vectorized block kernel: sort the block by
+    (user, ts, clicks-first), forward-fill the last-seen click index with
+    ``np.maximum.accumulate``, reset at user boundaries. No per-row Python.
+
+    Partitioning assumption: all rows of one user land in one block (hash
+    partition on user_id); skew is bounded by the hottest single key, the
+    same bound any keyed window operator has.
+
+    Tie rules (mirrored by the DuckDB ASOF JOIN oracle): clicks are deduped
+    per (user, ts) keeping the max event_id; an event that is itself a
+    click matches itself (at-or-before is inclusive).
+    """
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "is_click": pc.equal(t["event_type"], pa.scalar("click")),
+        })
+
+    ds = ev.map_batches(to_us, batch_format="pyarrow")
+
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_id": np.zeros(0, np.int64),
+                                 "user_id": np.zeros(0, np.int64),
+                                 "ts_us": np.zeros(0, np.int64),
+                                 "last_click_id": np.zeros(0, np.int64),
+                                 "since_click_us": np.zeros(0, np.int64)})
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts_us"].to_numpy().astype(np.int64)
+        isc = df["is_click"].to_numpy().astype(bool)
+        # clicks before events at equal (user, ts); same-ts clicks by
+        # event_id ASC so the fill keeps the max id
+        order = np.lexsort((eid, (~isc).astype(np.int8), ts, uid))
+        eid, uid, ts, isc = eid[order], uid[order], ts[order], isc[order]
+        n = len(eid)
+        pos = np.arange(n, dtype=np.int64)
+        ff = np.maximum.accumulate(np.where(isc, pos, -1))
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        user_start = np.repeat(starts, seg_len)
+        valid = ff >= user_start
+        ffc = np.clip(ff, 0, n - 1)
+        last_click_id = np.where(valid, eid[ffc], np.int64(-1))
+        since = np.where(valid, ts - ts[ffc], np.int64(-1))
+        return pd.DataFrame({"event_id": eid, "user_id": uid, "ts_us": ts,
+                             "last_click_id": last_click_id, "since_click_us": since})
+
+    from ..rayctx import grouped
+
+    return grouped(ds, ["user_id"], asof_block, small=True)

@@ -553,6 +553,60 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def ann_topk_ivf_flat(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                      n_lists: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF ANN with a DETERMINISTIC seeded coarse quantizer — the
+    oracle-checkable variant of ``ann_topk_ivf``. Instead of Lloyd's, the
+    centroids are the embeddings of the ``n_lists`` stride-sampled vec_ids
+    (``i * (N // n_lists)``), so a DuckDB oracle reproduces the exact same
+    inverted lists, probe set, and top-k. The IVF *mechanism* under test —
+    assign each vector to its nearest list inside ``map_batches``, prune to
+    the query's ``nprobe`` nearest lists, exact cosine re-score inside the
+    probed lists, per-block top-k → tiny final reduce — is identical to the
+    kmeans variant. Ties (same distance to two seeds) break to the smaller
+    seed index on both sides."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_total = emb.count()
+    stride = max(1, n_total // n_lists)
+    seed_ids = [i * stride for i in range(min(n_lists, n_total))]
+    stab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         filters=[("vec_id", "in", seed_ids)], columns=["vec_id", "embedding"])
+    order = np.argsort(stab["vec_id"].to_numpy())
+    cents = np.stack(stab["embedding"].to_numpy(zero_copy_only=False)[order]).astype(np.float64)
+    qtab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         filters=[("vec_id", "=", query_vec_id)])
+    q = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
+    cd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = set(np.argsort(cd, kind="stable")[:nprobe].tolist())
+    cent_ref = ray.put(cents)
+    q_ref = ray.put(q)
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qq = ray.get(q_ref)
+        e = batch["embedding"].combine_chunks()
+        arr = e.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(e), -1)
+        d = ((arr[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        keep = np.isin(lab, list(probe))
+        arr = arr[keep]
+        vid = batch["vec_id"].to_numpy()[keep]
+        if not len(arr):
+            return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        sims = arr @ qq / (np.linalg.norm(arr, axis=1) * np.linalg.norm(qq))
+        o = np.lexsort((vid, -sims))[:k]
+        return pa.table({"vec_id": pa.array(vid[o].astype(np.int64)),
+                         "sim": pa.array(np.round(sims[o], 6))})
+
+    local = emb.map_batches(_batch, batch_format="pyarrow")
+    top = local.to_pandas().sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
 def latest_page_per_site(sf_dir: str, n_sites: int = 97) -> rd.Dataset:
     """Crawl-style keep-latest dedup: one row per site (url bucket), the
     row with the newest capture timestamp winning — the warc-ts dedup every

@@ -171,3 +171,78 @@ class TestEmbeddingLSH:
         assert l <= e                      # no false positives
         assert len(l) >= 0.7 * len(e)      # recall
         assert (lsh["sim"].to_numpy() >= 0.35 - 1e-9).all()
+
+
+class TestAsofJoin:
+    def test_asof_tie_rules(self):
+        """The DuckDB-ASOF spec the pipeline mirrors: inclusive
+        at-or-before, max event_id among same-ts clicks, -1 before any
+        click, per-user reset."""
+        import duckdb
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "event_id":  [0,  1,  2,  3,  4,  5,  6],
+            "user_id":   [1,  1,  1,  1,  2,  2,  2],
+            "ts_us":     [10, 10, 20, 30, 5,  5,  9],
+            #             view clk view clk view clk  view
+            "is_click":  [False, True, False, True, False, True, False],
+        })
+        con = duckdb.connect()
+        con.register("e", df)
+        spec = con.execute("""
+            WITH c AS (SELECT user_id, ts_us, max(event_id) AS click_id
+                       FROM e WHERE is_click GROUP BY user_id, ts_us)
+            SELECT e.event_id, coalesce(c.click_id, -1) AS last_click_id,
+                   coalesce(e.ts_us - c.ts_us, -1) AS since_click_us
+            FROM e ASOF LEFT JOIN c
+              ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
+            ORDER BY event_id
+        """).df()
+        # sanity of the spec itself
+        assert spec.loc[0, "last_click_id"] == 1      # same-ts click visible
+        assert spec.loc[4, "last_click_id"] == 5      # same-ts click visible
+        assert spec.loc[3, "last_click_id"] == 3      # click matches itself
+
+    def test_asof_pipeline_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import events_asof_clicks
+
+        mine = events_asof_clicks(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("events", pq.read_table(f"{SF}/events.parquet"))
+        ora = con.execute("""
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            c AS (SELECT user_id, ts_us, max(event_id) AS click_id
+                  FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
+            SELECT e.event_id, e.user_id, e.ts_us,
+                   coalesce(c.click_id, -1) AS last_click_id,
+                   coalesce(e.ts_us - c.ts_us, -1) AS since_click_us
+            FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts_us >= c.ts_us
+            ORDER BY event_id
+        """).df()
+        for c in ("event_id", "last_click_id", "since_click_us"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ora[c].to_numpy().astype(np.int64)), c
+
+
+class TestIVFFlat:
+    def test_deterministic_and_query_first(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ann_topk_ivf_flat
+
+        a = ann_topk_ivf_flat(SF, k=10, query_vec_id=0).to_pandas()
+        b = ann_topk_ivf_flat(SF, k=10, query_vec_id=0).to_pandas()
+        assert a.equals(b)
+        assert a.loc[0, "vec_id"] == 0 and a.loc[0, "sim"] == 1.0
+        assert (np.diff(a["sim"].to_numpy()) <= 0).all()
+
+    def test_recall_vs_exact(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ann_topk, ann_topk_ivf_flat
+
+        exact = set(ann_topk(SF, k=10, query_vec_id=0)["vec_id"].to_pylist())
+        flat = set(ann_topk_ivf_flat(SF, k=10, query_vec_id=0, nprobe=16)["vec_id"].to_pylist())
+        # with nprobe == n_lists the IVF search is exhaustive → exact
+        assert flat == exact
