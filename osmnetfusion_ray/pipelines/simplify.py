@@ -190,10 +190,19 @@ def _pairs_in_cell(g: pd.DataFrame, ref_lat: float | None = None) -> pd.DataFram
     return pd.DataFrame({"a": lab[m], "b": touched[m]})
 
 
+# below this many pair edges, connected components run as a driver-side
+# union-find instead of distributed label-propagation rounds (see the
+# size-adaptive branch in cluster_labels_ds). 200k int64 pairs ≈ 3 MB —
+# trivially driver-safe; a continental network (pairs ≈ O(nodes) ≈ 10^8)
+# takes the distributed path.
+LOCAL_CC_MAX_PAIRS = 200_000
+
+
 def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
                       res: int | None = None, jump_after: int = 4,
                       ref_lat: float | None = None,
-                      join_partitions: int | None = None) -> rd.Dataset:
+                      join_partitions: int | None = None,
+                      rows: int | None = None) -> rd.Dataset:
     """Component label (min member osmid) per node, fully on Ray Data.
 
     Pairs come from per-cell ``map_groups``; labels converge by iterative
@@ -217,7 +226,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
                                      batch_format="pandas"),
                 ["cell"],
                 _per_group(["cell"], lambda g: _pairs_in_cell(g, ref_lat=ref_lat)),
-                small=True)
+                small=True, rows=rows)
         .map_batches(
             lambda df: pd.DataFrame({
                 "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
@@ -230,8 +239,41 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
         lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["osmid"]}),
         batch_format="pandas").materialize()
 
-    if msg_edges.count() == 0:
+    n_pairs = msg_edges.count()
+    if n_pairs == 0:
         return labels
+
+    if n_pairs <= LOCAL_CC_MAX_PAIRS:
+        # size-adaptive local path: below this bound, 2+ distributed
+        # label-propagation rounds (a hash join + keyed shuffle +
+        # materialize EACH) cost far more than a driver-side union-find
+        # over the pair list (≤ ~3 MB of int64 here). The node table itself
+        # never lands on the driver — labels come back as two sorted numpy
+        # arrays broadcast via ray.put, applied with searchsorted inside
+        # map_batches; nodes without a pair keep label = osmid. Smaller-
+        # root-wins union-find yields exactly the min-member label the
+        # distributed rounds converge to (tests assert path equality).
+        pe = msg_edges.to_pandas()
+        a = pe["node"].to_numpy().astype(np.int64)
+        b = pe["nbr"].to_numpy().astype(np.int64)
+        uniq = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(uniq, a)
+        ib = np.searchsorted(uniq, b)
+        uf = geom.UnionFind(len(uniq))
+        for i, j in zip(ia.tolist(), ib.tolist()):
+            uf.union(i, j)
+        lab = uniq[uf.labels()]
+        lab_ref = ray.put((uniq, lab))
+
+        def _apply_labels(df: pd.DataFrame) -> pd.DataFrame:
+            u, lv = ray.get(lab_ref)
+            ids = df["osmid"].to_numpy().astype(np.int64)
+            pos = np.clip(np.searchsorted(u, ids), 0, max(len(u) - 1, 0))
+            hit = u[pos] == ids if len(u) else np.zeros(len(ids), bool)
+            out = np.where(hit, lv[pos], ids)
+            return pd.DataFrame({"osmid": ids, "label": out})
+
+        return nodes_ds.map_batches(_apply_labels, batch_format="pandas")
 
     def _min_block(df: pd.DataFrame) -> pd.DataFrame:
         """Grouped min with IN-BLOCK convergence detection: the union tags
@@ -270,7 +312,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
                                      "flag": np.zeros(len(df), dtype=np.int8)}),
             batch_format="pandas")
         merged = grouped(base.union(msgs), ["osmid"], _min_block,
-                         small=True).materialize()
+                         small=True, rows=rows).materialize()
         if _n_changed(merged) == 0:
             labels = merged.select_columns(["osmid", "label"])
             converged = True
@@ -329,16 +371,17 @@ def _merge_map_block(df: pd.DataFrame, threshold: int) -> pd.DataFrame:
 def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESHOLD,
                          res: int | None = None,
                          ref_lat: float | None = None,
-                         join_partitions: int | None = None) -> rd.Dataset:
+                         join_partitions: int | None = None,
+                         rows: int | None = None) -> rd.Dataset:
     """nodes (osmid,x,y,highway_rank,buffer_r) → merge map dataset
     (osmid, merged_by, mx, my, merged)."""
     labels = cluster_labels_ds(nodes_ds, res=res, ref_lat=ref_lat,
-                               join_partitions=join_partitions)
+                               join_partitions=join_partitions, rows=rows)
     joined = nodes_ds.join(labels, join_type="inner",
                            num_partitions=join_partitions or _num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
-                   lambda df: _merge_map_block(df, threshold), small=True)
+                   lambda df: _merge_map_block(df, threshold), small=True, rows=rows)
 
 
 # ---------------------------------------------------------------------------
@@ -376,11 +419,14 @@ def simplify_network(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT1_BASE), batch_format="pandas")
     nodes_all = _union_nodes(nodes_ds, split_nodes1)
 
+    n_edges = edges_ds.count()  # metadata-cheap: edges_ds is materialized
+
     # 2. highway rank
     edges_ds = edges_ds.map_batches(lambda df: _rank_batch(df, ranking), batch_format="pandas")
 
     # 3+4. node importance + buffer radii
-    nodes_all = _attach_importance(nodes_all, edges_ds, buffers).materialize()
+    nodes_all = _attach_importance(nodes_all, edges_ds, buffers,
+                                   rows=2 * n_edges).materialize()
     # joins below are node-scale; size their aggregator pools to the actual
     # row count so a toy city doesn't spin 16 actors per join. The merge
     # groupbys get FULL-width pools once the network is real-sized — the
@@ -397,7 +443,8 @@ def simplify_network(
 
     # 5. cluster pass 1 (drives edge splitting only)
     mm1 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
-                               ref_lat=cfg.ref_lat, join_partitions=jp)
+                               ref_lat=cfg.ref_lat, join_partitions=jp,
+                               rows=n_nodes)
 
     # 6. split edges passing through merged cluster buffers (two-phase).
     # Phase 1 streams edges against the broadcast cluster-buffer state and
@@ -428,7 +475,8 @@ def simplify_network(
             out, _ = S.apply_edge_splits(edges_only, req)
             return out
 
-        edges_ds = grouped(joined, ["osmid"], _apply_block, small=merge_small).materialize()
+        edges_ds = grouped(joined, ["osmid"], _apply_block, small=merge_small,
+                           rows=n_edges).materialize()
     split_nodes2 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT2_BASE), batch_format="pandas")
     # keep the node TAG columns (highway, crossing, old_osmid) through the
@@ -438,9 +486,10 @@ def simplify_network(
 
     # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers,
-                                   join_partitions=jp).materialize()
+                                   join_partitions=jp, rows=2 * n_edges).materialize()
     mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
-                               ref_lat=cfg.ref_lat, join_partitions=jp).materialize()
+                               ref_lat=cfg.ref_lat, join_partitions=jp,
+                               rows=n_nodes).materialize()
 
     # 8. reassign edges to merged nodes. The merge map is broadcast as
     # SORTED numpy arrays (id + searchsorted lookup inside the kernel) —
@@ -471,7 +520,8 @@ def simplify_network(
     def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
         return _per_group(["merged_by"], S.merge_nodes_group)(S.prepare_nodes_for_merge(df))
 
-    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block, small=merge_small)
+    nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block, small=merge_small,
+                        rows=n_nodes)
 
     # 11-13. merge edges by canonical uv key (clean inside the block), orient
     edges_keyed = edges_ds.map_batches(S.add_uv_keys, batch_format="pandas")
@@ -479,7 +529,8 @@ def simplify_network(
     def _edge_merge_block(df: pd.DataFrame) -> pd.DataFrame:
         return _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(S.prepare_edges_for_merge(df))
 
-    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block, small=merge_small)
+    edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block, small=merge_small,
+                        rows=n_edges)
     edges_out = edges_out.map_batches(S.orient_edges, batch_format="pandas")
     return {"nodes": nodes_out, "edges": edges_out}
 
@@ -505,10 +556,11 @@ def _union_nodes(nodes_ds: rd.Dataset, new_nodes: rd.Dataset) -> rd.Dataset:
 
 def _attach_importance(nodes_ds: rd.Dataset, edges_ds: rd.Dataset,
                        buffers: dict | None = None,
-                       join_partitions: int | None = None) -> rd.Dataset:
+                       join_partitions: int | None = None,
+                       rows: int | None = None) -> rd.Dataset:
     attrs = grouped(
         edges_ds.map_batches(_importance_pairs_batch, batch_format="pandas"),
-        ["osmid"], _importance_final_block, small=True)
+        ["osmid"], _importance_final_block, small=True, rows=rows)
     nodes = nodes_ds.join(attrs, join_type="left_outer",
                           num_partitions=join_partitions or _num_partitions(),
                           on=("osmid",), right_suffix="_imp")

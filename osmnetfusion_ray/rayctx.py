@@ -41,23 +41,30 @@ def ensure_tuned():
     return ctx
 
 
-def n_shuffle_blocks(small: bool = False) -> int:
-    """Output blocks for keyed repartitions, sized to the cluster."""
+def n_shuffle_blocks(small: bool = False, rows: int | None = None) -> int:
+    """Output blocks for keyed repartitions, sized to the cluster. With a
+    known row count the pool shrinks further — every block is a live
+    aggregator actor (~1 s startup on this host), and a 200-row groupby
+    does not need 8 of them. The curve (rows/2k + 2) reaches the
+    cluster-sized cap by ~12k rows, so real-sized inputs are unaffected."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    if small:
-        return max(2, min(8, cpus // 4))
-    return max(4, min(64, cpus))
+    cap = max(2, min(8, cpus // 4)) if small else max(4, min(64, cpus))
+    if rows is not None:
+        return max(2, min(cap, rows // 2_000 + 2))
+    return cap
 
 
-def grouped(ds, keys, block_fn, *, small: bool = False):
+def grouped(ds, keys, block_fn, *, small: bool = False, rows: int | None = None):
     """The engine's grouped-operator primitive: hash-repartition by ``keys``
     (every key fully in one block) then apply ``block_fn`` (a vectorized
     pandas kernel that must reduce/transform WITHIN key groups — it may see
-    many keys per block, never a partial key)."""
+    many keys per block, never a partial key). ``rows`` (approximate input
+    row count, when the caller already knows it) bounds the aggregator pool
+    for small inputs."""
     ensure_tuned()
-    n = n_shuffle_blocks(small=small)
+    n = n_shuffle_blocks(small=small, rows=rows)
     return ds.repartition(num_blocks=n, keys=list(keys)).map_batches(
         block_fn, batch_format="pandas")

@@ -158,6 +158,39 @@ class TestClusterComponents:
         assert lab.tolist() == [10, 10, 30, 30]
 
 
+class TestClusterLocalVsDistributed:
+    def test_paths_identical(self, ray_session):
+        """The size-adaptive local union-find branch of cluster_labels_ds
+        must produce EXACTLY the labels the distributed label-propagation
+        rounds converge to, on the same node set."""
+        import ray.data as rd
+
+        from osmnetfusion_ray.pipelines import simplify as P
+
+        rng = np.random.RandomState(3)
+        n = 400
+        nodes = pd.DataFrame({
+            "osmid": np.arange(n, dtype=np.int64) + 100,
+            "x": 11.55 + rng.rand(n) * 0.02,
+            "y": 48.13 + rng.rand(n) * 0.02,
+            "highway_rank": rng.randint(0, 9, n),
+            "buffer_r": rng.choice([4.0, 8.0, 14.0, 18.0], n),
+        })
+        ds = rd.from_pandas(nodes)
+        res = P.pair_gen_res({"primary": 18.0})
+        old = P.LOCAL_CC_MAX_PAIRS
+        try:
+            loc = P.cluster_labels_ds(ds, res=res, ref_lat=48.14).to_pandas()
+            P.LOCAL_CC_MAX_PAIRS = 0
+            dist = P.cluster_labels_ds(ds, res=res, ref_lat=48.14).to_pandas()
+        finally:
+            P.LOCAL_CC_MAX_PAIRS = old
+        loc = loc.sort_values("osmid").reset_index(drop=True)
+        dist = dist.sort_values("osmid").reset_index(drop=True)
+        assert loc.equals(dist)
+        assert (loc["label"] <= loc["osmid"]).all()
+
+
 class TestReassign:
     def test_linear_and_reassigned(self):
         e = pd.DataFrame({
