@@ -357,6 +357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": analytics.events_sessionize,
         "events_sliding": analytics.events_sliding,
         "events_asof_clicks": analytics.events_asof_clicks,
+        "stratified_sample": analytics.stratified_sample,
+        "lang_length_quantiles": analytics.lang_length_quantiles,
         "supplier_part_stats": analytics.supplier_part_stats,
         "orders_by_month": analytics.orders_by_month,
         "docs_by_lang": analytics.docs_by_lang,
@@ -487,6 +489,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM x GROUP BY user_id, window_start_us
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 10000
+                  < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                              WHEN 'fr' THEN 5000 WHEN 'es' THEN 7500
+                              ELSE 10000 END
+        """,
+        "lang_length_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
         """,
         "events_asof_clicks": """
             WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type

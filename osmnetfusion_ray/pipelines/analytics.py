@@ -343,3 +343,54 @@ def events_asof_clicks(sf_dir: str) -> rd.Dataset:
     from ..rayctx import grouped
 
     return grouped(ds, ["user_id"], asof_block, small=True)
+
+
+# deterministic per-stratum sampling rates for stratified_sample (a
+# training-data curation primitive: balance languages by down-sampling the
+# dominant ones; any stratum absent here keeps rate 1.0)
+STRATA_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.75}
+
+
+def stratified_sample(sf_dir: str, rates: dict | None = None) -> rd.Dataset:
+    """Deterministic stratified Bernoulli sampling: keep a document iff
+    ``knuth_hash(doc_id) % 10^4 < rate[lang] * 10^4``. Hash-derived, so the
+    sample is reproducible at any parallelism / partitioning and needs NO
+    shuffle — one streaming ``map_batches`` filter over a pruned read (the
+    way a 100 TB corpus gets subsampled; a random() filter would be neither
+    reproducible nor oracle-checkable). Integer arithmetic only; the DuckDB
+    oracle replays it exactly."""
+    rates = STRATA_RATES if rates is None else rates
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        thr = np.asarray(
+            [int(rates.get(l, 1.0) * 10_000) for l in t["lang"].to_pylist()],
+            dtype=np.uint64)
+        return t.filter(pa.array((h % np.uint64(10_000)) < thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-language EXACT length quantiles (p25/p50/p90/p99 of n_chars) —
+    the length-distribution audit every corpus curation run needs. One hash
+    shuffle on lang (each language fully local to a block), then vectorized
+    ``np.quantile`` per group. Values rounded to 4 on both sides: numpy and
+    DuckDB use the same linear-interpolation definition but different fma
+    orderings (last-ulp differences measured on this data)."""
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def qblock(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            x = g["n_chars"].to_numpy()
+            p25, p50, p90, p99 = (np.quantile(x, q) for q in (0.25, 0.5, 0.9, 0.99))
+            rows.append((lang, len(x), round(float(p25), 4), round(float(p50), 4),
+                         round(float(p90), 4), round(float(p99), 4)))
+        return pd.DataFrame(rows, columns=["lang", "n_docs", "p25", "p50", "p90", "p99"])
+
+    from ..rayctx import grouped
+
+    return grouped(docs, ["lang"], qblock, small=True)

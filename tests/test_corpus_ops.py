@@ -246,3 +246,36 @@ class TestIVFFlat:
         flat = set(ann_topk_ivf_flat(SF, k=10, query_vec_id=0, nprobe=16)["vec_id"].to_pylist())
         # with nprobe == n_lists the IVF search is exhaustive → exact
         assert flat == exact
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rates(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import stratified_sample
+
+        a = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        # full-rate strata keep everything; down-sampled strata keep less
+        import pyarrow.parquet as pq
+
+        full = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        for lang, rate in (("en", 0.25), ("de", 0.5)):
+            n_all = (full.lang == lang).sum()
+            n_kept = (a.lang == lang).sum()
+            if n_all >= 20:
+                assert 0 < n_kept < n_all
+                assert abs(n_kept / n_all - rate) < 0.25
+
+
+class TestLangQuantiles:
+    def test_monotone_and_counts(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import lang_length_quantiles
+
+        out = lang_length_quantiles(SF).to_pandas()
+        assert (out["p25"] <= out["p50"]).all()
+        assert (out["p50"] <= out["p90"]).all()
+        assert (out["p90"] <= out["p99"]).all()
+        import pyarrow.parquet as pq
+
+        full = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        assert out["n_docs"].sum() == len(full)
