@@ -160,31 +160,56 @@ class MinHasher:
         self.shingle = shingle
         self.a, self.b = _minhash_params(k, seed)
 
+    # bound on the (shingles × k) permutation matrix per vectorized chunk
+    # (2^19 rows × 64 perms × 8 B = 256 MB transient — fits a worker heap)
+    _CHUNK_SHINGLES = 1 << 19
+
     def signatures(self, texts: np.ndarray) -> np.ndarray:
-        """(N, k) uint64 signature matrix."""
-        sigs = np.full((len(texts), self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        """(N, k) uint64 signature matrix — vectorized ACROSS documents:
+        one batch-wide shingle-hash call, then per-doc mins via
+        ``minimum.reduceat`` over doc boundaries (every doc emits ≥1
+        shingle, so boundaries are strictly valid)."""
+        n = len(texts)
+        sigs = np.empty((n, self.k), dtype=np.uint64)
+        if n == 0:
+            return sigs
+        all_sh: list[str] = []
+        counts = np.empty(n, dtype=np.int64)
         for i, t in enumerate(texts):
             words = t.split()
             if len(words) < self.shingle:
-                shingles = [" ".join(words)] if words else [""]
+                sh = [" ".join(words)] if words else [""]
             else:
-                shingles = [" ".join(words[j : j + self.shingle]) for j in range(len(words) - self.shingle + 1)]
-            sh = hashing.fnv1a64(np.asarray(shingles, dtype=object)) & _MERSENNE
-            # k permutations at once: (a*x + b) mod M, min over shingles
-            vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-            sigs[i] = vals.min(axis=0)
+                sh = [" ".join(words[j : j + self.shingle]) for j in range(len(words) - self.shingle + 1)]
+            all_sh.extend(sh)
+            counts[i] = len(sh)
+        hv = hashing.fnv1a64(np.asarray(all_sh, dtype=object)) & _MERSENNE
+        starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+        i0 = 0
+        while i0 < n:
+            i1 = i0 + 1
+            while i1 < n and starts[i1 + 1] - starts[i0] <= self._CHUNK_SHINGLES:
+                i1 += 1
+            seg = hv[starts[i0] : starts[i1]]
+            # k permutations at once: (a*x + b) mod M (same numpy wrap order
+            # as the DuckDB oracle mirrors), min over each doc's shingle run
+            vals = (seg[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+            sigs[i0:i1] = np.minimum.reduceat(vals, starts[i0:i1] - starts[i0], axis=0)
+            i0 = i1
         return sigs
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_numpy(zero_copy_only=False)
-        doc_ids = batch["doc_id"].to_numpy()
-        sigs = self.signatures(texts)
-        # band hashes: hash the concatenated rows of each band
-        n = len(texts)
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(N, bands) uint64 — hash of the concatenated rows of each band."""
+        n = len(sigs)
         band_rows = sigs.reshape(n, self.bands, self.rows)
         bh = band_rows.astype(np.uint64).sum(axis=2) * np.uint64(0x9E3779B97F4A7C15)
         for r in range(self.rows):
             bh ^= band_rows[:, :, r] * np.uint64(0xC2B2AE3D27D4EB4F + r)
+        return bh
+
+    def _band_table(self, doc_ids: np.ndarray, sigs: np.ndarray) -> pa.Table:
+        n = len(sigs)
+        bh = self.band_hashes(sigs)
         band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
@@ -194,8 +219,26 @@ class MinHasher:
             }
         )
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_numpy()
+        return self._band_table(doc_ids, self.signatures(texts))
 
-def minhash_candidate_pairs_ds(docs: rd.Dataset, k: int = 64, bands: int = 16) -> rd.Dataset:
+
+class BandRowsFromSigs(MinHasher):
+    """Cheap stage: packed signatures (doc_id, sig binary) → LSH band rows —
+    lets the pipeline hash each document's text ONCE (SignatureEmitter) and
+    derive the candidate-generation side from the signature bytes."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        doc_ids = batch["doc_id"].to_numpy()
+        raw = b"".join(batch["sig"].to_pylist())
+        sigs = np.frombuffer(raw, dtype=np.uint64).reshape(len(doc_ids), self.k)
+        return self._band_table(doc_ids, sigs)
+
+
+def minhash_candidate_pairs_ds(docs: rd.Dataset, k: int = 64, bands: int = 16,
+                               n_docs: int | None = None) -> rd.Dataset:
     """LSH bucket groupby → DISTINCT candidate pairs (a < b) as a Dataset.
     The bucket groupby shuffles only (band, band_h, doc_id) triples — ~100
     bytes/doc — and the cross-band dedup is a second exact-key shuffle on
@@ -203,7 +246,19 @@ def minhash_candidate_pairs_ds(docs: rd.Dataset, k: int = 64, bands: int = 16) -
     band_rows = docs.map_batches(
         MinHasher, fn_constructor_args=(k, bands), batch_format="pyarrow", concurrency=(1, 8)
     )
+    rows = n_docs * bands if n_docs is not None else None
+    return _pairs_from_band_rows(band_rows, rows=rows)
 
+
+# Below this many band rows (~20 B each ⇒ ≤ ~20 MB) the bucket→pairs step
+# runs driver-side with the SAME block kernel: two keyed shuffles cost more
+# in aggregator-actor startup than the whole dataset. Same size-adaptive
+# pattern as the near-dup verify and the clustering connected components; a
+# corpus-scale input takes the distributed path (both paths pair-tested).
+_PAIRGEN_DRIVER_MAX = 1_000_000
+
+
+def _pairs_from_band_rows(band_rows: rd.Dataset, rows: int | None = None) -> rd.Dataset:
     def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
         """Hash-partitioned block: every (band, band_h) bucket fully local.
         Only multi-doc buckets (rare) loop; mega-buckets skipped."""
@@ -224,9 +279,14 @@ def minhash_candidate_pairs_ds(docs: rd.Dataset, k: int = 64, bands: int = 16) -
         b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
         return pd.DataFrame({"a": a, "b": b})
 
-    from ..rayctx import grouped
+    from ..rayctx import ensure_tuned, grouped
 
-    cand = grouped(band_rows, ["band", "band_h"], pairs_block)
+    if rows is not None and rows <= _PAIRGEN_DRIVER_MAX:
+        out = (pairs_block(band_rows.to_pandas())
+               .drop_duplicates(["a", "b"]).reset_index(drop=True))
+        ensure_tuned()
+        return rd.from_pandas(out)
+    cand = grouped(band_rows, ["band", "band_h"], pairs_block, rows=rows)
     return grouped(cand, ["a", "b"],
                    lambda df: df.drop_duplicates(["a", "b"]), small=True)
 
@@ -309,13 +369,18 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
     from ..pipelines.simplify import _num_partitions
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands).materialize()
+    # hash each text ONCE: signatures feed BOTH the LSH candidate side
+    # (band rows derived from the packed bytes) and the verify side
     sigs = docs.map_batches(SignatureEmitter, fn_constructor_args=(k, bands),
-                            batch_format="pyarrow", concurrency=(1, 8))
+                            batch_format="pyarrow", concurrency=(1, 8)).materialize()
+    n_docs = sigs.count()  # free on a materialized dataset
+    band_rows = sigs.map_batches(BandRowsFromSigs, fn_constructor_args=(k, bands),
+                                 batch_format="pyarrow", concurrency=(1, 8))
+    cand = _pairs_from_band_rows(band_rows, rows=n_docs * bands).materialize()
     if cand.count() <= _VERIFY_BROADCAST_MAX:
         joined = _broadcast_pair_payload(cand, sigs, "sig")
     else:
-        joined = _join_pair_payload(cand, sigs.materialize(), "sig", _num_partitions())
+        joined = _join_pair_payload(cand, sigs, "sig", _num_partitions())
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -341,7 +406,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
     from ..pipelines.simplify import _num_partitions
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands).materialize()
+    cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands,
+                                      n_docs=docs.count()).materialize()
     if cand.count() <= _VERIFY_BROADCAST_MAX:
         joined = _broadcast_pair_payload(cand, docs, "text")
     else:
@@ -425,36 +491,57 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.92,
 
 
 def emb_lsh_bucket_batch(batch: pa.Table, planes: np.ndarray, band_bits: int) -> pa.Table:
-    """Random-hyperplane signature → one row per (band, bucket, vec) — the
-    sub-quadratic candidate generator for embedding near-dup at scale."""
+    """Random-hyperplane signature → SKINNY band rows (band, band_h, doc_id)
+    — same shape as the MinHash LSH side, so the bucket-groupby pair
+    generator is shared. Embeddings do NOT ride the shuffle (~20 B/row vs
+    ~280 B/row with the vector attached)."""
     emb = batch["embedding"].combine_chunks()
     mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
     bits = (mat @ planes.T) >= 0  # (N, n_planes)
     n_bands = planes.shape[0] // band_bits
     weights = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))
-    vid = batch["vec_id"].to_numpy()
-    parts = []
-    for b in range(n_bands):
-        chunk = bits[:, b * band_bits:(b + 1) * band_bits].astype(np.uint64)
-        bucket = (chunk * weights[None, :]).sum(axis=1)
-        parts.append(pa.table({
-            "band": pa.array(np.full(len(vid), b, dtype=np.int32)),
-            "bucket": pa.array(bucket, type=pa.uint64()),
-            "vec_id": batch["vec_id"],
-            "embedding": batch["embedding"],
-        }))
-    return pa.concat_tables(parts)
+    n = len(mat)
+    chunks = bits.reshape(n, n_bands, band_bits).astype(np.uint64)
+    bucket = (chunks * weights[None, None, :]).sum(axis=2)  # (N, bands)
+    band = np.tile(np.arange(n_bands, dtype=np.int32), n)
+    return pa.table({
+        "band": pa.array(band),
+        "band_h": pa.array(bucket.ravel(), type=pa.uint64()),
+        "doc_id": pa.array(np.repeat(batch["vec_id"].to_numpy(), n_bands)),
+    })
+
+
+class EmbeddingPacker:
+    """(vec_id, embedding list<float>) → (doc_id, emb fixed-width binary) —
+    nested list types are rejected as hash-join payload, so the verify side
+    ships packed float64 bytes (decoded with one frombuffer per batch)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(emb), -1)
+        raw = mat.tobytes()
+        w = mat.shape[1] * 8 if len(mat) else 8
+        return pa.table({
+            "doc_id": batch["vec_id"],
+            "emb": pa.array([raw[i * w:(i + 1) * w] for i in range(len(mat))],
+                            type=pa.binary()),
+        })
 
 
 def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.92,
                             n_planes: int = 32, band_bits: int = 4,
                             seed: int = 99) -> rd.Dataset:
     """Sub-quadratic near-dup: random-hyperplane bucketing (8 bands × 4
-    bits) → per-bucket exact cosine verify → cross-band pair dedup. Two
+    bits) → candidate pairs from the shared LSH bucket groupby → cross-band
+    pair dedup → ONE exact cosine verify per distinct pair (size-adaptive:
+    broadcast payload under 200k candidates, two hash joins above). Two
     vectors at cosine ≥ 0.92 agree on a 4-bit band with p ≈ 0.31; across 8
     bands the miss rate is ≈ (1-p)^8 ≈ 5% per pair — recall is checked
-    against the exact op in tests. Shuffle volume: (bands × vec) rows,
-    bucket-bounded pair generation, no all-pairs stage."""
+    against the exact op in tests. Shuffle volume: (bands × vec) skinny
+    rows; the cosine runs once per deduped pair (was once per co-bucketed
+    band — up to 8× duplicated flops)."""
+    from ..pipelines.simplify import _num_partitions
+
     rng = np.random.RandomState(seed)
     dim = 32  # embeddings table dim (TESTDATA.md); planes re-drawn if wider
     planes = rng.randn(n_planes, dim)
@@ -470,32 +557,65 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.92,
         return emb_lsh_bucket_batch(batch, p, band_bits)
 
     rows = ds.map_batches(bucket, batch_format="pyarrow")
+    n_vecs = ds.count()  # parquet metadata count — no read
+    cand = _pairs_from_band_rows(rows, rows=n_vecs * (n_planes // band_bits)).materialize()
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(["band", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
-            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-            n = np.linalg.norm(mat, axis=1)
-            n[n == 0] = 1.0
-            mat = mat / n[:, None]
-            sims = mat @ mat.T
-            vid = g["vec_id"].to_numpy()
-            ii, jj = np.nonzero(sims >= threshold)
-            a, b = vid[ii], vid[jj]
-            m = a < b
-            out.append(pd.DataFrame({"a": a[m], "b": b[m],
-                                     "sim": np.round(sims[ii[m], jj[m]], 6)}))
-        return (pd.concat(out, ignore_index=True) if out
-                else pd.DataFrame({"a": np.zeros(0, np.int64),
-                                   "b": np.zeros(0, np.int64), "sim": np.zeros(0)}))
+    # The verify path keys on the VECTOR count, not the candidate count:
+    # short bands collide often (candidate pairs can be a large multiple of
+    # n_vecs) but the payload each task needs is one (n_vecs × dim) float
+    # matrix — broadcast it whole while it fits a worker heap and verify
+    # each pair batch with one gather + einsum; only a vector table too big
+    # to broadcast pays for the two hash joins.
+    if n_vecs <= _VERIFY_BROADCAST_MAX:
+        tab = pd.concat(list(ds.iter_batches(batch_format="pandas")),
+                        ignore_index=True)
+        mat = np.stack(tab["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm[:, None]
+        ids = tab["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        mat_ref = ray.put((ids[order], mat[order]))
 
-    from ..rayctx import grouped
+        def verify_bc(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                     "b": np.zeros(0, np.int64),
+                                     "sim": np.zeros(0)})
+            sids, smat = ray.get(mat_ref)
+            a = df["a"].to_numpy().astype(np.int64)
+            b = df["b"].to_numpy().astype(np.int64)
+            sims = np.einsum("ij,ij->i",
+                             smat[np.searchsorted(sids, a)],
+                             smat[np.searchsorted(sids, b)])
+            m = sims >= threshold
+            return pd.DataFrame({"a": a[m], "b": b[m],
+                                 "sim": np.round(sims[m], 6)})
 
-    cand = grouped(rows, ["band", "bucket"], bucket_pairs)
-    return grouped(cand, ["a", "b"],
-                   lambda df: df.drop_duplicates(["a", "b"]), small=True)
+        return cand.map_batches(verify_bc, batch_format="pandas")
+
+    payload = ds.map_batches(EmbeddingPacker, batch_format="pyarrow",
+                             concurrency=(1, 8))
+    joined = _join_pair_payload(cand, payload.materialize(), "emb",
+                                _num_partitions())
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64), "sim": np.zeros(0)})
+        ea = np.frombuffer(b"".join(df["emb_a"]), np.float64).reshape(len(df), -1)
+        eb = np.frombuffer(b"".join(df["emb_b"]), np.float64).reshape(len(df), -1)
+        na = np.linalg.norm(ea, axis=1)
+        na[na == 0] = 1.0
+        nb = np.linalg.norm(eb, axis=1)
+        nb[nb == 0] = 1.0
+        sims = np.einsum("ij,ij->i", ea / na[:, None], eb / nb[:, None])
+        m = sims >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[m].astype(np.int64),
+                             "b": df["b"].to_numpy()[m].astype(np.int64),
+                             "sim": np.round(sims[m], 6)})
+
+    return joined.map_batches(verify, batch_format="pandas")
 
 
 def ann_topk_ivf(sf_dir: str, k: int = 10, query_vec_id: int = 0,

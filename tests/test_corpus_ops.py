@@ -279,3 +279,27 @@ class TestLangQuantiles:
 
         full = pq.read_table(f"{SF}/documents.parquet").to_pandas()
         assert out["n_docs"].sum() == len(full)
+
+
+class TestPairgenPaths:
+    def test_driver_and_distributed_pairs_equal(self):
+        """The size-adaptive LSH bucket→pairs step must yield the same
+        candidate set from the driver-side kernel (rows below the
+        threshold) and the distributed two-shuffle path (rows=None forces
+        it), since scale decides the path at runtime."""
+        import ray.data as rd
+
+        from osmnetfusion_ray.pipelines.corpus import (
+            MinHasher, _pairs_from_band_rows)
+        from osmnetfusion_ray.sources import read_table
+
+        docs = read_table(SF, "documents", columns=["doc_id", "text"])
+        band_rows = docs.map_batches(
+            MinHasher, fn_constructor_args=(64, 16),
+            batch_format="pyarrow", concurrency=(1, 2)).materialize()
+        n = band_rows.count()
+        drv = _pairs_from_band_rows(band_rows, rows=n).to_pandas()
+        dist = _pairs_from_band_rows(band_rows, rows=None).to_pandas()
+        key = lambda df: set(zip(df["a"].astype(int), df["b"].astype(int)))
+        assert key(drv) == key(dist)
+        assert len(drv) == len(dist)
