@@ -136,6 +136,18 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(sf_dir, k=50)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import top_docs_per_lang
+
+    return top_docs_per_lang(sf_dir, k=5)
+
+
+def _q_inverted_index(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import inverted_index
+
+    return inverted_index(sf_dir, max_postings=20)
+
+
 def _q_token_counts(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import token_counts_batch
     from osmnetfusion_ray.sources import read_table
@@ -379,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "inverted_index": _q_inverted_index,
         "latest_page_per_site": _q_latest_page_per_site,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
@@ -643,6 +657,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM toks WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "top_docs_per_lang": f"""
+            WITH t AS ({_TEXT_STATS}),
+            q AS (
+                SELECT d.lang, t.doc_id,
+                       0.5 * least(CAST(t.n_tokens AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * least(t.stopword_ratio * 5.0, 1.0)
+                     + 0.2 * (1.0 - least(t.punct_ratio * 10.0, 1.0)) AS quality_score
+                FROM t JOIN documents d ON t.doc_id = d.doc_id
+            ),
+            r AS (
+                SELECT lang, doc_id, quality_score,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY quality_score DESC, doc_id) AS rn
+                FROM q
+            )
+            SELECT lang, doc_id, quality_score, CAST(rn AS BIGINT) AS lang_rank
+            FROM r WHERE rn <= 5
+        """,
+        "inverted_index": """
+            WITH inc AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                    FROM documents WHERE length(trim(text)) > 0
+                ) WHERE token <> ''
+            )
+            SELECT token, count(*) AS df,
+                   array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20),
+                                   ',') AS postings
+            FROM inc GROUP BY token
         """,
         "token_counts": """
             SELECT doc_id,

@@ -237,6 +237,52 @@ def scaling():
     }))
 
 
+def p3_only():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from osmnetfusion_ray.rayctx import ensure_tuned
+
+    ensure_tuned()
+    run_p3_large(n=max(32, CITY_P3_N // 2))  # warmup: worker spawn + pools
+    res = run_p3_large()
+    ray.shutdown()
+    print(json.dumps({"num_cpus": NUM_CPUS, "city_n": CITY_P3_N, **res}))
+
+
+def p3_scaling():
+    """North-rule scaling evidence for the CONTRACTION chain (not just the
+    page join): the same enrich+simplify job on the same n=150 city
+    (~90k directed edges) in fresh processes at num_cpus=6 and 24."""
+    n_small, n_big = 6, 24
+    city_n = os.environ.get("GRAFT_CITY_P3_N", "150")
+    out = {}
+    for ncpu in (n_small, n_big):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CITY_P3_N=city_n)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--p3-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    eff = (out[n_big]["p3_edges_per_s"] / out[n_small]["p3_edges_per_s"]) / (n_big / n_small)
+    eff_e2e = (out[n_big]["e2e_edges_per_s"] / out[n_small]["e2e_edges_per_s"]) / (n_big / n_small)
+    print(json.dumps({
+        f"p3_edges_per_s_{n_small}": out[n_small]["p3_edges_per_s"],
+        f"p3_edges_per_s_{n_big}": out[n_big]["p3_edges_per_s"],
+        f"e2e_edges_per_s_{n_small}": out[n_small]["e2e_edges_per_s"],
+        f"e2e_edges_per_s_{n_big}": out[n_big]["e2e_edges_per_s"],
+        "p3_scaling_efficiency": round(eff, 3),
+        "e2e_scaling_efficiency": round(eff_e2e, 3),
+        "city_n": int(city_n),
+        "edges_in": out[n_big]["edges_in"],
+        "protocol": f"fresh ray.init(num_cpus={n_small}) vs {n_big}, warmup at n/2 then one timed run",
+    }))
+
+
 def headline_only():
     import ray
 
@@ -257,6 +303,10 @@ def headline_only():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--p3-scaling" in sys.argv:
+        p3_scaling()
+    elif "--p3-only" in sys.argv:
+        p3_only()
     elif "--headline-only" in sys.argv:
         headline_only()
     else:

@@ -791,6 +791,71 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Grouped top-k: per language, the k highest-quality documents (ties
+    break on doc_id ascending). The canonical best-exemplars-per-stratum
+    selection for curriculum / eval-set curation. Per-block partial top-k
+    per language (combiner: at most k rows per (block, lang) enter the
+    shuffle — the shuffle volume is languages × blocks × k, independent of
+    corpus size), then a grouped final top-k per language."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "quality_score", "doc_id"],
+                            ascending=[True, False, True])
+        out = df[df.groupby("lang", sort=False).cumcount() < k].copy()
+        out["lang_rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out.reset_index(drop=True)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": q["doc_id"].to_numpy(),
+            "quality_score": q["quality_score"].to_numpy(),
+        })
+        return pa.Table.from_pandas(_topk(df).drop(columns=["lang_rank"]),
+                                    preserve_index=False)
+
+    from ..rayctx import grouped
+
+    partial = docs.map_batches(local_topk, batch_format="pyarrow")
+    return grouped(partial, ["lang"], _topk, small=True)
+
+
+def inverted_index(sf_dir: str, max_postings: int = 20) -> rd.Dataset:
+    """Distributed inverted token index: token → document frequency +
+    capped posting list (first ``max_postings`` doc_ids ascending, as a
+    comma string — bounded output row width no matter how hot the token).
+    Map side emits DISTINCT (doc_id, token) incidence rows; one exact-key
+    shuffle on token builds df + postings per fully-local token group."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def incidence(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.split().explode().dropna()
+        toks = toks[toks != ""]
+        out = toks.reset_index()
+        out.columns = ["doc_id", "token"]
+        return out.drop_duplicates()
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["token", "doc_id"])
+        dfreq = s.groupby("token", sort=False)["doc_id"].size()
+        capped = s[s.groupby("token", sort=False).cumcount() < max_postings]
+        postings = capped.groupby("token", sort=False)["doc_id"].agg(
+            lambda x: ",".join(map(str, x)))
+        return pd.DataFrame({
+            "token": dfreq.index.to_numpy(),
+            "df": dfreq.to_numpy().astype(np.int64),
+            "postings": postings.to_numpy(),
+        })
+
+    from ..rayctx import grouped
+
+    return grouped(docs.map_batches(incidence, batch_format="pandas"),
+                   ["token"], build)
+
+
 BPE_TOKEN_RE = r"\w+|[^\w\s]+"  # GPT-style pre-tokenizer, RE2-safe
 
 

@@ -303,3 +303,57 @@ class TestPairgenPaths:
         key = lambda df: set(zip(df["a"].astype(int), df["b"].astype(int)))
         assert key(drv) == key(dist)
         assert len(drv) == len(dist)
+
+
+class TestTopDocsPerLang:
+    def test_rank_and_monotonicity(self):
+        from osmnetfusion_ray.pipelines.corpus import top_docs_per_lang
+
+        out = top_docs_per_lang(SF, k=3).to_pandas()
+        for lang, g in out.groupby("lang"):
+            g = g.sort_values("lang_rank")
+            assert list(g["lang_rank"]) == list(range(1, len(g) + 1))
+            assert len(g) <= 3
+            # quality non-increasing along rank; ties broken by doc_id asc
+            q = g["quality_score"].to_numpy()
+            assert (np.diff(q) <= 1e-12).all()
+            tied = np.flatnonzero(np.diff(q) == 0)
+            d = g["doc_id"].to_numpy()
+            assert all(d[i] < d[i + 1] for i in tied)
+
+    def test_partial_topk_equals_global(self):
+        """The per-block combiner must not change the result vs a single
+        global sort."""
+        import pandas as pd
+
+        from osmnetfusion_ray.pipelines.corpus import (
+            quality_score_batch, top_docs_per_lang)
+        from osmnetfusion_ray.sources import read_table
+
+        docs = read_table(SF, "documents", columns=["doc_id", "text", "lang"]).materialize()
+        tabs = []
+        for b in docs.iter_batches(batch_format="pyarrow"):
+            q = quality_score_batch(b)
+            tabs.append(pd.DataFrame({
+                "lang": b["lang"].to_pylist(),
+                "doc_id": q["doc_id"].to_pylist(),
+                "quality_score": q["quality_score"].to_pylist()}))
+        ref = pd.concat(tabs).sort_values(
+            ["lang", "quality_score", "doc_id"], ascending=[True, False, True])
+        ref = ref[ref.groupby("lang", sort=False).cumcount() < 3]
+        out = top_docs_per_lang(SF, k=3).to_pandas()
+        key = lambda df: sorted(zip(df["lang"], df["doc_id"].astype(int)))
+        assert key(out) == key(ref)
+
+
+class TestInvertedIndex:
+    def test_df_and_postings_cap(self):
+        from osmnetfusion_ray.pipelines.corpus import inverted_index
+
+        out = inverted_index(SF, max_postings=4).to_pandas()
+        assert (out["df"] >= 1).all()
+        for _, r in out.iterrows():
+            ids = [int(x) for x in r["postings"].split(",")]
+            assert len(ids) <= 4
+            assert ids == sorted(ids)
+            assert len(ids) == min(r["df"], 4)
