@@ -148,6 +148,18 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(sf_dir, max_postings=20)
 
 
+def _q_customers_without_events(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import customers_without_events
+
+    return customers_without_events(sf_dir)
+
+
+def _q_doc_length_ntile(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_length_ntile
+
+    return doc_length_ntile(sf_dir, tiles=4)
+
+
 def _q_token_counts(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import token_counts_batch
     from osmnetfusion_ray.sources import read_table
@@ -393,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "inverted_index": _q_inverted_index,
+        "customers_without_events": _q_customers_without_events,
+        "doc_length_ntile": _q_doc_length_ntile,
         "latest_page_per_site": _q_latest_page_per_site,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
@@ -657,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM toks WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        """,
+        "doc_length_ntile": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER w AS BIGINT) AS lang_pos,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile
+            FROM documents WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
         """,
         "top_docs_per_lang": f"""
             WITH t AS ({_TEXT_STATS}),

@@ -856,6 +856,50 @@ def inverted_index(sf_dir: str, max_postings: int = 20) -> rd.Dataset:
                    ["token"], build)
 
 
+def customers_without_events(sf_dir: str) -> rd.Dataset:
+    """Distributed ANTI join: customers with no event activity — Ray
+    Data's native hash-shuffle ``left_anti`` join. The events side is
+    reduced to per-block distinct user_ids inside ``map_batches`` first
+    (combiner: the shuffle ships at most one row per (block, user), not
+    one per event)."""
+    from ..pipelines.simplify import _num_partitions
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_nationkey"])
+    users = read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas")
+    n_cust = cust.count()  # parquet metadata count
+    return cust.join(users, join_type="left_anti",
+                     num_partitions=_num_partitions(rows=n_cust),
+                     on=("c_custkey",), right_on=("user_id",))
+
+
+def doc_length_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+    """Per-language window ranking: position by (n_chars, doc_id) and an
+    ntile bucket assignment matching SQL semantics exactly (first n mod t
+    buckets take the extra row). One hash shuffle on lang puts each
+    language's window fully local (the sessionize pattern); inside the
+    block everything is vectorized."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"]).copy()
+        r = df.groupby("lang", sort=False).cumcount().to_numpy()
+        n = df.groupby("lang", sort=False)["doc_id"].transform("size").to_numpy()
+        base, rem = n // tiles, n % tiles
+        cut = rem * (base + 1)
+        tile = np.where(r < cut,
+                        r // np.maximum(base + 1, 1),
+                        rem + (r - cut) // np.maximum(base, 1))
+        df["lang_pos"] = (r + 1).astype(np.int64)
+        df["tile"] = (tile + 1).astype(np.int64)
+        return df.reset_index(drop=True)
+
+    from ..rayctx import grouped
+
+    return grouped(docs, ["lang"], block, small=True)
+
+
 BPE_TOKEN_RE = r"\w+|[^\w\s]+"  # GPT-style pre-tokenizer, RE2-safe
 
 

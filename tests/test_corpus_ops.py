@@ -357,3 +357,36 @@ class TestInvertedIndex:
             assert len(ids) <= 4
             assert ids == sorted(ids)
             assert len(ids) == min(r["df"], 4)
+
+
+class TestAntiJoin:
+    def test_customers_without_events(self):
+        import duckdb
+
+        from osmnetfusion_ray.pipelines.corpus import customers_without_events
+
+        out = customers_without_events(SF).to_pandas()
+        ref = duckdb.sql(f"""
+            SELECT c_custkey FROM '{SF}/customer.parquet' c
+            WHERE NOT EXISTS (SELECT 1 FROM '{SF}/events.parquet' e
+                              WHERE e.user_id = c.c_custkey)""").df()
+        assert sorted(out["c_custkey"]) == sorted(ref["c_custkey"])
+        assert set(out.columns) == {"c_custkey", "c_name", "c_nationkey"}
+
+
+class TestNtile:
+    def test_ntile_buckets(self):
+        from osmnetfusion_ray.pipelines.corpus import doc_length_ntile
+
+        out = doc_length_ntile(SF, tiles=4).to_pandas()
+        for lang, g in out.groupby("lang"):
+            g = g.sort_values("lang_pos")
+            n = len(g)
+            assert list(g["lang_pos"]) == list(range(1, n + 1))
+            sizes = g["tile"].value_counts().sort_index()
+            base, rem = n // 4, n % 4
+            expect = [base + 1] * rem + [base] * (min(n, 4) - rem)
+            expect = [x for x in expect if x > 0]
+            assert list(sizes) == expect
+            # n_chars non-decreasing along position
+            assert (np.diff(g["n_chars"].to_numpy()) >= 0).all()
