@@ -258,35 +258,36 @@ def minhash_candidate_pairs_ds(docs: rd.Dataset, k: int = 64, bands: int = 16,
 _PAIRGEN_DRIVER_MAX = 1_000_000
 
 
-def _pairs_from_band_rows(band_rows: rd.Dataset, rows: int | None = None) -> rd.Dataset:
-    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
-        """Hash-partitioned block: every (band, band_h) bucket fully local.
-        Only multi-doc buckets (rare) loop; mega-buckets skipped."""
-        out_a, out_b = [], []
-        if len(df):
-            df = df.sort_values(["band", "band_h", "doc_id"])
-            # iterate only buckets with 2..1000 docs
-            grp = df.groupby(["band", "band_h"], sort=False)["doc_id"]
-            for _, ids in grp:
-                n = len(ids)
-                if n < 2 or n > 1000:
-                    continue
-                arr = ids.to_numpy()
-                ii, jj = np.triu_indices(n, k=1)
-                out_a.append(arr[ii])
-                out_b.append(arr[jj])
-        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
-        return pd.DataFrame({"a": a, "b": b})
+def _pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Hash-partitioned block: every (band, band_h) bucket fully local.
+    Only multi-doc buckets (rare) loop; mega-buckets skipped."""
+    out_a, out_b = [], []
+    if len(df):
+        df = df.sort_values(["band", "band_h", "doc_id"])
+        # iterate only buckets with 2..1000 docs
+        grp = df.groupby(["band", "band_h"], sort=False)["doc_id"]
+        for _, ids in grp:
+            n = len(ids)
+            if n < 2 or n > 1000:
+                continue
+            arr = ids.to_numpy()
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(arr[ii])
+            out_b.append(arr[jj])
+    a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    return pd.DataFrame({"a": a, "b": b})
 
+
+def _pairs_from_band_rows(band_rows: rd.Dataset, rows: int | None = None) -> rd.Dataset:
     from ..rayctx import ensure_tuned, grouped
 
     if rows is not None and rows <= _PAIRGEN_DRIVER_MAX:
-        out = (pairs_block(band_rows.to_pandas())
+        out = (_pairs_block(band_rows.to_pandas())
                .drop_duplicates(["a", "b"]).reset_index(drop=True))
         ensure_tuned()
         return rd.from_pandas(out)
-    cand = grouped(band_rows, ["band", "band_h"], pairs_block, rows=rows)
+    cand = grouped(band_rows, ["band", "band_h"], _pairs_block, rows=rows)
     return grouped(cand, ["a", "b"],
                    lambda df: df.drop_duplicates(["a", "b"]), small=True)
 
@@ -327,6 +328,50 @@ def _join_pair_payload(cand: rd.Dataset, payload: rd.Dataset, col: str,
 # joins' fixed actor-pool cost; above it, the join path bounds memory
 _VERIFY_BROADCAST_MAX = 200_000
 
+# block target for the signature stage: the shingle hash is the one real
+# compute in the near-dup family (~1 ms/doc measured), and a single-file
+# parquet read arrives as ONE block — split it so the pool actually fans out
+_SIG_DOCS_PER_BLOCK = 512
+
+
+def _signatures_ds(docs: rd.Dataset, n_docs: int, k: int, bands: int) -> rd.Dataset:
+    """(doc_id, text) → materialized (doc_id, sig fixed-width binary).
+
+    Runs as a TASK pool (bound method of a driver-built emitter — the hash
+    params are ~1 KB of state, far cheaper to ship per task than spawning
+    actor processes) over size-split blocks; a corpus-scale input already
+    arrives as many blocks and skips the repartition."""
+    blocks = int(min(64, max(1, n_docs // _SIG_DOCS_PER_BLOCK)))
+    if blocks > 1:
+        docs = docs.repartition(blocks)
+    emitter = SignatureEmitter(k, bands)
+    return docs.map_batches(emitter.__call__, batch_format="pyarrow").materialize()
+
+
+def _sig_matrix(sub: pd.DataFrame, k: int) -> tuple[np.ndarray, np.ndarray]:
+    ids = sub["doc_id"].to_numpy().astype(np.int64)
+    sigm = np.frombuffer(b"".join(sub["sig"]), dtype=np.uint64).reshape(len(ids), k)
+    return sigm, ids
+
+
+def _driver_band_pairs(sigm: np.ndarray, ids: np.ndarray, k: int, bands: int) -> pd.DataFrame:
+    """Band rows → DISTINCT candidate pairs, driver-side, with the SAME
+    band-hash and bucket kernels as the distributed path."""
+    mh = MinHasher(k, bands)
+    bh = mh.band_hashes(sigm)
+    bdf = pd.DataFrame({
+        "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+        "band_h": bh.ravel(),
+        "doc_id": np.repeat(ids, bands),
+    })
+    return _pairs_block(bdf).drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def _rows_of(ids: np.ndarray, wanted: np.ndarray) -> np.ndarray:
+    """Positions of ``wanted`` doc ids inside the (unsorted) ``ids`` array."""
+    order = np.argsort(ids, kind="stable")
+    return order[np.searchsorted(ids, wanted, sorter=order)]
+
 
 def _broadcast_pair_payload(cand: rd.Dataset, docs: rd.Dataset, col: str) -> rd.Dataset:
     """Small-candidate verify path: the candidate ids are collected (bounded
@@ -361,19 +406,31 @@ def _broadcast_pair_payload(cand: rd.Dataset, docs: rd.Dataset, col: str) -> rd.
 
 def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
                       bands: int = 16) -> rd.Dataset:
-    """Near-duplicate pairs with estimated Jaccard ≥ threshold. Verify is
-    DISTRIBUTED and size-adaptive: few candidates → gather just their
-    signatures and broadcast (two hash joins cost more than the data);
-    many → join the candidate-pair dataset to per-doc signatures (two hash
-    joins, nothing driver-materialized beyond the bounded id list)."""
+    """Near-duplicate pairs with estimated Jaccard ≥ threshold. Each text is
+    hashed ONCE (distributed task pool); everything downstream is
+    size-adaptive on the SAME kernels: under the pair-gen driver cap the
+    band/pair/verify steps run driver-side on the gathered signature bytes
+    (k×8 B per doc — ~30 MB at the cap), above it band rows shuffle by
+    bucket and the verify is a distributed signature join."""
     from ..pipelines.simplify import _num_partitions
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # hash each text ONCE: signatures feed BOTH the LSH candidate side
-    # (band rows derived from the packed bytes) and the verify side
-    sigs = docs.map_batches(SignatureEmitter, fn_constructor_args=(k, bands),
-                            batch_format="pyarrow", concurrency=(1, 8)).materialize()
-    n_docs = sigs.count()  # free on a materialized dataset
+    n_docs = docs.count()  # parquet-metadata count — no execution
+    sigs = _signatures_ds(docs, n_docs, k, bands)
+    if n_docs * bands <= _PAIRGEN_DRIVER_MAX:
+        sigm, ids = _sig_matrix(sigs.to_pandas(), k)
+        pairs = _driver_band_pairs(sigm, ids, k, bands)
+        a, b = pairs["a"].to_numpy(), pairs["b"].to_numpy()
+        est = (sigm[_rows_of(ids, a)] == sigm[_rows_of(ids, b)]).mean(axis=1)
+        m = est >= threshold
+        from ..rayctx import ensure_tuned
+
+        ensure_tuned()
+        # raw (unrounded) estimate: est is an exact k/64 double on both the
+        # engine and DuckDB-oracle sides, so bit-equality needs no rounding
+        return rd.from_pandas(pd.DataFrame(
+            {"a": a[m], "b": b[m], "jaccard_est": est[m]}))
+
     band_rows = sigs.map_batches(BandRowsFromSigs, fn_constructor_args=(k, bands),
                                  batch_format="pyarrow", concurrency=(1, 8))
     cand = _pairs_from_band_rows(band_rows, rows=n_docs * bands).materialize()
@@ -390,47 +447,79 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
         sb = np.frombuffer(b"".join(df["sig_b"]), dtype=np.uint64).reshape(len(df), k)
         est = (sa == sb).mean(axis=1)
         m = est >= threshold
-        # raw (unrounded) estimate: est is an exact k/64 double on both the
-        # engine and DuckDB-oracle sides, so bit-equality needs no rounding
         return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m],
                              "jaccard_est": est[m]})
 
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def _shingle_set(t: str, shingle: int) -> set:
+    w = t.split()
+    if len(w) < shingle:
+        return {" ".join(w)} if w else set()
+    return {" ".join(w[i: i + shingle]) for i in range(len(w) - shingle + 1)}
+
+
+def _exact_jaccard(ta, tb, shingle: int) -> float:
+    s1, s2 = _shingle_set(ta, shingle), _shingle_set(tb, shingle)
+    # unrounded: |∩|/|∪| is one IEEE division on both sides (np.round's
+    # half-even vs DuckDB's half-away differ on exact .5e-6 ties, which
+    # power-of-two union sizes CAN hit — so don't round at all)
+    return len(s1 & s2) / max(len(s1 | s2), 1)
+
+
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle: int = 3,
                         k: int = 64, bands: int = 16) -> rd.Dataset:
     """Near-dup pairs by EXACT token n-gram Jaccard, with MinHash-LSH as the
     candidate generator (the exact O(n²) comparison only touches LSH
-    buckets) and a DISTRIBUTED text join for the verify step."""
+    buckets). Size-adaptive like :func:`minhash_near_dups`: under the
+    pair-gen cap the pairs are generated driver-side and ONLY the candidate
+    docs' texts are fetched back (pushdown semi-filter read); above it the
+    verify is a distributed two-sided text join."""
     from ..pipelines.simplify import _num_partitions
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = minhash_candidate_pairs_ds(docs, k=k, bands=bands,
-                                      n_docs=docs.count()).materialize()
+    n_docs = docs.count()  # parquet-metadata count — no execution
+    sigs = _signatures_ds(docs, n_docs, k, bands)
+    if n_docs * bands <= _PAIRGEN_DRIVER_MAX:
+        sigm, ids = _sig_matrix(sigs.to_pandas(), k)
+        pairs = _driver_band_pairs(sigm, ids, k, bands)
+        a, b = pairs["a"].to_numpy(), pairs["b"].to_numpy()
+        texts: dict[int, str] = {}
+        if len(a):
+            need_ref = ray.put(np.unique(np.concatenate([a, b])))
+
+            def keep(df: pd.DataFrame) -> pd.DataFrame:
+                nd = ray.get(need_ref)
+                d = df["doc_id"].to_numpy().astype(np.int64)
+                pos = np.clip(np.searchsorted(nd, d), 0, len(nd) - 1)
+                return df[nd[pos] == d]
+
+            sub = docs.map_batches(keep, batch_format="pandas").to_pandas()
+            texts = dict(zip(sub["doc_id"].astype(int), sub["text"]))
+        jac = np.asarray([_exact_jaccard(texts[int(x)], texts[int(y)], shingle)
+                          for x, y in zip(a, b)])
+        m = jac >= threshold if len(a) else np.zeros(0, bool)
+        from ..rayctx import ensure_tuned
+
+        ensure_tuned()
+        return rd.from_pandas(pd.DataFrame({"a": a[m], "b": b[m], "jaccard": jac[m]}))
+
+    band_rows = sigs.map_batches(BandRowsFromSigs, fn_constructor_args=(k, bands),
+                                 batch_format="pyarrow", concurrency=(1, 8))
+    cand = _pairs_from_band_rows(band_rows, rows=n_docs * bands).materialize()
     if cand.count() <= _VERIFY_BROADCAST_MAX:
         joined = _broadcast_pair_payload(cand, docs, "text")
     else:
         joined = _join_pair_payload(cand, docs, "text", _num_partitions())
 
-    def shingles(t: str) -> set:
-        w = t.split()
-        if len(w) < shingle:
-            return {" ".join(w)} if w else set()
-        return {" ".join(w[i: i + shingle]) for i in range(len(w) - shingle + 1)}
-
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({"a": np.zeros(0, np.int64), "b": np.zeros(0, np.int64),
                                  "jaccard": np.zeros(0)})
-        jac = np.asarray([
-            (lambda s1, s2: len(s1 & s2) / max(len(s1 | s2), 1))(shingles(ta), shingles(tb))
-            for ta, tb in zip(df["text_a"], df["text_b"])
-        ])
+        jac = np.asarray([_exact_jaccard(ta, tb, shingle)
+                          for ta, tb in zip(df["text_a"], df["text_b"])])
         m = jac >= threshold
-        # unrounded: |∩|/|∪| is one IEEE division on both sides (np.round's
-        # half-even vs DuckDB's half-away differ on exact .5e-6 ties, which
-        # power-of-two union sizes CAN hit — so don't round at all)
         return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m],
                              "jaccard": jac[m]})
 

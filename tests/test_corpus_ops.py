@@ -304,6 +304,32 @@ class TestPairgenPaths:
         assert key(drv) == key(dist)
         assert len(drv) == len(dist)
 
+    def test_near_dup_queries_path_equal(self, ray_session, monkeypatch):
+        """The full minhash / ngram near-dup queries must return identical
+        rows from the driver small path (default at this size) and the
+        distributed band-shuffle + verify-join path (forced by zeroing the
+        driver cap), since data scale picks the path at runtime."""
+        import pandas as pd
+
+        from osmnetfusion_ray.pipelines import corpus as C
+
+        def run_both(fn, value_col):
+            small = fn(SF, threshold=0.4).to_pandas()
+            monkeypatch.setattr(C, "_PAIRGEN_DRIVER_MAX", 0)
+            monkeypatch.setattr(C, "_VERIFY_BROADCAST_MAX", 0)
+            big = fn(SF, threshold=0.4).to_pandas()
+            monkeypatch.undo()
+            srt = lambda df: df.sort_values(["a", "b"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                srt(small)[["a", "b", value_col]].astype({"a": "int64", "b": "int64"}),
+                srt(big)[["a", "b", value_col]].astype({"a": "int64", "b": "int64"}),
+                check_dtype=False)
+            return small
+
+        out = run_both(C.minhash_near_dups, "jaccard_est")
+        assert len(out) > 0
+        run_both(C.ngram_jaccard_pairs, "jaccard")
+
 
 class TestTopDocsPerLang:
     def test_rank_and_monotonicity(self):
