@@ -168,6 +168,28 @@ def _q_token_counts(sf_dir: str):
         token_counts_batch, batch_format="pyarrow")
 
 
+def _q_repetition_stats(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import repetition_stats_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow")
+
+
+def _q_pii_counts(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import pii_counts_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        pii_counts_batch, batch_format="pyarrow")
+
+
+def _q_contamination(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import contamination_flags
+
+    return contamination_flags(sf_dir)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
 
@@ -417,6 +439,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": _q_media_pipeline,
         "media_features": _q_media_features,         # rows-only (list<float> output; media_feature_stats is the oracled projection)
         "media_feature_stats": _q_media_feature_stats,
+        "repetition_stats": _q_repetition_stats,
+        "pii_counts": _q_pii_counts,
+        "contamination_check": _q_contamination,
     }
 
 
@@ -468,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
         "media_pipeline": corpusoracle.media_pipeline_sql(),
         "media_feature_stats": corpusoracle.media_feature_stats_sql(),
         "ann_topk_ivf_flat": corpusoracle.ann_topk_ivf_flat_sql(),
+        "repetition_stats": corpusoracle.repetition_stats_sql(),
+        "pii_counts": corpusoracle.pii_counts_sql(),
+        "contamination_check": corpusoracle.contamination_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -221,6 +221,77 @@ def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _shingle_cte(shingle: int = 3) -> str:
+    """words + shing CTE bodies shared by the repetition / contamination
+    oracles (same shingle construction as _candidates_cte)."""
+    assert shingle == 3
+    return """
+      words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS nw
+        FROM documents
+      ),
+      shing AS (
+        SELECT doc_id,
+               unnest(CASE WHEN nw < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE [array_to_string(list_slice(ws, i + 1, i + 3), ' ')
+                            for i in range(nw - 2)] END) AS s
+        FROM words
+      )"""
+
+
+def repetition_stats_sql() -> str:
+    """Mirrors repetition_stats_batch: 1 - distinct/total over 3-gram
+    occurrences — the division and subtraction are each ONE IEEE op on both
+    sides, so no rounding is needed."""
+    return f"""
+      WITH {_shingle_cte()}
+      SELECT doc_id,
+             count(*) AS n_shingles,
+             count(DISTINCT s) AS n_distinct,
+             1.0 - CAST(count(DISTINCT s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS repetition_ratio
+      FROM shing GROUP BY doc_id
+    """
+
+
+def pii_counts_sql() -> str:
+    """Mirrors pii_counts_batch — DuckDB regexp_* is RE2, same as pyarrow's
+    count_substring_regex, so non-overlapping match counts agree exactly."""
+    return """
+      SELECT doc_id, n_emails, n_ipv4, n_phones, n_digit_runs,
+             (n_emails + n_ipv4 + n_phones) > 0 AS has_pii
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+          len(regexp_extract_all(text, '\\+[0-9]{6,15}')) AS n_phones,
+          len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs
+        FROM documents
+      )
+    """
+
+
+def contamination_sql(test_max_doc_id: int = 10) -> str:
+    """Mirrors contamination_flags: n_hits = corpus shingle OCCURRENCES that
+    appear in the held-out docs' DISTINCT shingle set."""
+    return f"""
+      WITH {_shingle_cte()},
+      test AS (SELECT DISTINCT s FROM shing WHERE doc_id < {test_max_doc_id}),
+      hits AS (
+        SELECT c.doc_id, count(*) AS n_hits
+        FROM shing c JOIN test t ON c.s = t.s
+        WHERE c.doc_id >= {test_max_doc_id}
+        GROUP BY c.doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id >= {test_max_doc_id}
+    """
+
+
 def ann_topk_ivf_flat_sql(k: int = 10, query_vec_id: int = 0,
                           n_lists: int = 16, nprobe: int = 4) -> str:
     """Mirror of corpus.ann_topk_ivf_flat: stride-seeded coarse quantizer,

@@ -94,6 +94,86 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
+# PII patterns (RE2 — identical semantics in pyarrow and DuckDB regexp_*)
+PII_RES = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "n_phones": r"\+[0-9]{6,15}",
+    "n_digit_runs": r"[0-9]+",
+}
+
+
+def pii_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-document counts of PII-shaped patterns (emails, IPv4, intl phone
+    numbers, digit runs) — the redaction-candidate signal of a training-data
+    pipeline, as pure vectorized RE2 kernels."""
+    text = batch["text"]
+    out = pa.table({"doc_id": batch["doc_id"]})
+    total = np.zeros(len(batch), dtype=np.int64)
+    for name, rx in PII_RES.items():
+        c = pc.count_substring_regex(text, rx).to_numpy().astype(np.int64)
+        out = out.append_column(name, pa.array(c))
+        if name != "n_digit_runs":
+            total += c
+    return out.append_column("has_pii", pa.array(total > 0))
+
+
+def repetition_stats_batch(batch: pa.Table, shingle: int = 3) -> pa.Table:
+    """Gopher-style intra-document repetition signal: the fraction of word
+    ``shingle``-gram occurrences that repeat an earlier occurrence
+    (``1 - distinct/total``). One flattened shingle build per batch; the
+    per-doc distinct counts come from a single grouped ``nunique``."""
+    texts = batch["text"].to_numpy(zero_copy_only=False)
+    n = len(texts)
+    all_sh, counts = _batch_shingles(texts, shingle)
+    doc_idx = np.repeat(np.arange(n), counts)
+    distinct = (pd.DataFrame({"d": doc_idx, "s": all_sh})
+                .groupby("d", sort=True)["s"].nunique().to_numpy())
+    rep = 1.0 - distinct.astype(np.float64) / counts.astype(np.float64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_shingles": pa.array(counts),
+        "n_distinct": pa.array(distinct.astype(np.int64)),
+        "repetition_ratio": pa.array(rep),
+    })
+
+
+def contamination_flags(sf_dir: str, test_max_doc_id: int = 10,
+                        shingle: int = 3) -> rd.Dataset:
+    """Test-set decontamination: flag every corpus document that shares a
+    word ``shingle``-gram with the held-out set (docs with
+    ``doc_id < test_max_doc_id``). The held-out shingle set is SMALL by
+    nature — gathered once, broadcast via ``ray.put``, membership checked
+    per batch with a hashed ``isin``; the corpus side streams. ``n_hits``
+    counts shingle OCCURRENCES that appear in the test set."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _test_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].to_numpy() < test_max_doc_id]
+
+    test = docs.map_batches(_test_part, batch_format="pandas").to_pandas()
+    # _batch_shingles (not _shingle_set) so an EMPTY held-out doc contributes
+    # the "" shingle — exactly what the SQL shingle CTE emits for it
+    tsh = set(_batch_shingles(test["text"].to_numpy(), shingle)[0])
+    test_ref = ray.put(tsh)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["doc_id"].to_numpy() >= test_max_doc_id]
+        texts = keep["text"].to_numpy()
+        ts = ray.get(test_ref)
+        all_sh, counts = _batch_shingles(texts, shingle)
+        hit = pd.Series(all_sh, dtype=object).isin(ts).to_numpy()
+        n_hits = np.add.reduceat(hit.astype(np.int64), np.concatenate(
+            [[0], np.cumsum(counts)[:-1]])) if len(counts) else np.zeros(0, np.int64)
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].to_numpy(),
+            "n_hits": n_hits,
+            "contaminated": n_hits > 0,
+        })
+
+    return docs.map_batches(flag, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting / dedup
 # ---------------------------------------------------------------------------
@@ -147,6 +227,24 @@ def _minhash_params(k: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _batch_shingles(texts: np.ndarray, shingle: int) -> tuple[list, np.ndarray]:
+    """All word ``shingle``-grams of a text batch, flattened, plus the
+    per-document shingle counts (every doc emits ≥1 shingle — short/empty
+    texts yield their whole token list as the single shingle)."""
+    n = len(texts)
+    all_sh: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        if len(words) < shingle:
+            sh = [" ".join(words)] if words else [""]
+        else:
+            sh = [" ".join(words[j: j + shingle]) for j in range(len(words) - shingle + 1)]
+        all_sh.extend(sh)
+        counts[i] = len(sh)
+    return all_sh, counts
+
+
 class MinHasher:
     """Actor-pool stage: text → k-permutation MinHash signature over
     3-word shingles, emitted as LSH band rows ``(band, band_h, doc_id)``.
@@ -173,16 +271,7 @@ class MinHasher:
         sigs = np.empty((n, self.k), dtype=np.uint64)
         if n == 0:
             return sigs
-        all_sh: list[str] = []
-        counts = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = t.split()
-            if len(words) < self.shingle:
-                sh = [" ".join(words)] if words else [""]
-            else:
-                sh = [" ".join(words[j : j + self.shingle]) for j in range(len(words) - self.shingle + 1)]
-            all_sh.extend(sh)
-            counts[i] = len(sh)
+        all_sh, counts = _batch_shingles(texts, self.shingle)
         hv = hashing.fnv1a64(np.asarray(all_sh, dtype=object)) & _MERSENNE
         starts = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
         i0 = 0

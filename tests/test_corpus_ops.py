@@ -416,3 +416,56 @@ class TestNtile:
             assert list(sizes) == expect
             # n_chars non-decreasing along position
             assert (np.diff(g["n_chars"].to_numpy()) >= 0).all()
+
+
+class TestPiiCounts:
+    def test_pattern_counts(self):
+        from osmnetfusion_ray.pipelines.corpus import pii_counts_batch
+
+        t = pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "mail me at jane.doe+spam@example.co.uk or bob@x.io today",
+                "server 192.168.0.1 and 10.0.0.255 up, build 42 of 2026",
+                "call +4915112345678 now",
+                "nothing here",
+            ],
+        })
+        out = pii_counts_batch(t)
+        assert out["n_emails"].to_pylist() == [2, 0, 0, 0]
+        assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]
+        assert out["n_phones"].to_pylist() == [0, 0, 1, 0]
+        # doc2: 192,168,0,1,10,0,0,255,42,2026 = 10 runs; doc3: 4915112345678
+        assert out["n_digit_runs"].to_pylist() == [0, 10, 1, 0]
+        assert out["has_pii"].to_pylist() == [True, True, True, False]
+
+
+class TestRepetitionStats:
+    def test_known_ratio(self):
+        from osmnetfusion_ray.pipelines.corpus import repetition_stats_batch
+
+        t = pa.table({
+            "doc_id": [1, 2, 3],
+            "text": ["a b c a b c a b c", "w x y z", ""],
+        })
+        out = repetition_stats_batch(t)
+        # doc1: 7 rolling 3-grams, 3 distinct ("a b c","b c a","c a b")
+        assert out["n_shingles"].to_pylist() == [7, 2, 1]
+        assert out["n_distinct"].to_pylist() == [3, 2, 1]
+        r = out["repetition_ratio"].to_pylist()
+        assert r[0] == 1.0 - 3.0 / 7.0
+        assert r[1] == 0.0 and r[2] == 0.0
+
+
+class TestContamination:
+    def test_flags_structure_and_self_overlap(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import contamination_flags
+
+        out = contamination_flags(SF).to_pandas()
+        assert (out["doc_id"] >= 10).all()          # held-out docs excluded
+        assert ((out["n_hits"] > 0) == out["contaminated"]).all()
+        assert out["contaminated"].any()            # synth corpus does overlap
+        # deterministic
+        out2 = contamination_flags(SF).to_pandas()
+        assert out.sort_values("doc_id").reset_index(drop=True).equals(
+            out2.sort_values("doc_id").reset_index(drop=True))
