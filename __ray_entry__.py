@@ -190,6 +190,12 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(sf_dir)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import near_dup_clusters
+
+    return near_dup_clusters(sf_dir)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import embedding_near_dups
 
@@ -442,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_counts": _q_pii_counts,
         "contamination_check": _q_contamination,
+        "near_dup_clusters": _q_near_dup_clusters,
     }
 
 
@@ -496,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": corpusoracle.repetition_stats_sql(),
         "pii_counts": corpusoracle.pii_counts_sql(),
         "contamination_check": corpusoracle.contamination_sql(),
+        "near_dup_clusters": corpusoracle.near_dup_clusters_sql(threshold=0.6),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

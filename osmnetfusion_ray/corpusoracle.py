@@ -197,6 +197,34 @@ def minhash_near_dups_sql(threshold: float = 0.6) -> str:
     """
 
 
+def near_dup_clusters_sql(threshold: float = 0.6) -> str:
+    """Mirrors near_dup_clusters: est-filtered minhash pairs → recursive
+    min-label connected components → canonical = min doc_id per cluster."""
+    return f"""
+      WITH {_candidates_cte()},
+      est AS (
+        SELECT p.a, p.b,
+               avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.a
+        JOIN sigs sb ON sb.doc_id = p.b AND sb.p = sa.p
+        GROUP BY p.a, p.b
+      ),
+      nd AS (SELECT a, b FROM est WHERE est >= {threshold!r}),
+      sym AS (SELECT a AS s, b AS t FROM nd UNION ALL SELECT b, a FROM nd),
+      comp AS (
+        WITH RECURSIVE w(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.t, w.lab FROM w JOIN sym s ON s.s = w.node
+        )
+        SELECT node, min(lab) AS label FROM w GROUP BY node
+      )
+      SELECT node AS doc_id, label AS cluster_rep, node = label AS is_canonical
+      FROM comp
+    """
+
+
 def ngram_jaccard_sql(threshold: float = 0.5) -> str:
     return f"""
       WITH {_candidates_cte()},

@@ -542,6 +542,41 @@ def minhash_near_dups(sf_dir: str, threshold: float = 0.6, k: int = 64,
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def near_dup_clusters(sf_dir: str, threshold: float = 0.6, k: int = 64,
+                      bands: int = 16) -> rd.Dataset:
+    """Fuzzy-dedup clustering: MinHash near-dup pairs → connected
+    components → canonical document per cluster (min doc_id). Every
+    document appears once; ``is_canonical`` marks the keeper — the standard
+    corpus-dedup contraction (keep one representative per near-dup group).
+
+    Components run on :func:`..pipelines.simplify.labels_from_edges_ds` —
+    the SAME size-adaptive machinery as the geometric node clustering
+    (driver union-find under 200k pair edges, distributed min-label
+    propagation with pointer jumping above)."""
+    from ..pipelines.simplify import labels_from_edges_ds
+    from ..rayctx import ensure_tuned
+
+    pairs = minhash_near_dups(sf_dir, threshold=threshold, k=k, bands=bands)
+    msg_edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
+            "nbr": np.concatenate([df["b"].to_numpy(np.int64), df["a"].to_numpy(np.int64)]),
+        }), batch_format="pandas").materialize()
+    ids = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"osmid": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    ensure_tuned()
+    labels = labels_from_edges_ds(ids, msg_edges)
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["osmid"].to_numpy().astype(np.int64)
+        lab = df["label"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"doc_id": d, "cluster_rep": lab,
+                             "is_canonical": d == lab})
+
+    return labels.map_batches(_fin, batch_format="pandas")
+
+
 def _shingle_set(t: str, shingle: int) -> set:
     w = t.split()
     if len(w) < shingle:

@@ -234,8 +234,22 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
             }),
             batch_format="pandas")
     ).materialize()
+    return labels_from_edges_ds(nodes_ds, msg_edges, max_rounds=max_rounds,
+                                jump_after=jump_after,
+                                join_partitions=join_partitions, rows=rows)
 
-    labels = nodes_ds.map_batches(
+
+def labels_from_edges_ds(ids_ds: rd.Dataset, msg_edges: rd.Dataset, *,
+                         max_rounds: int = 64, jump_after: int = 4,
+                         join_partitions: int | None = None,
+                         rows: int | None = None) -> rd.Dataset:
+    """GENERIC distributed connected components: (osmid) ids + materialized
+    directed message edges (node, nbr; both directions present) → (osmid,
+    label) with label = min member id. This is the machinery behind the
+    geometric node clustering AND the corpus near-dup clustering — the
+    same size-adaptive shape: driver union-find below LOCAL_CC_MAX_PAIRS,
+    iterative min-label propagation with pointer jumping above it."""
+    labels = ids_ds.map_batches(
         lambda df: pd.DataFrame({"osmid": df["osmid"], "label": df["osmid"]}),
         batch_format="pandas").materialize()
 
@@ -273,7 +287,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
             out = np.where(hit, lv[pos], ids)
             return pd.DataFrame({"osmid": ids, "label": out})
 
-        return nodes_ds.map_batches(_apply_labels, batch_format="pandas")
+        return ids_ds.map_batches(_apply_labels, batch_format="pandas")
 
     def _min_block(df: pd.DataFrame) -> pd.DataFrame:
         """Grouped min with IN-BLOCK convergence detection: the union tags

@@ -469,3 +469,32 @@ class TestContamination:
         out2 = contamination_flags(SF).to_pandas()
         assert out.sort_values("doc_id").reset_index(drop=True).equals(
             out2.sort_values("doc_id").reset_index(drop=True))
+
+
+class TestNearDupClusters:
+    def test_structure_and_oracle_props(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import (minhash_near_dups,
+                                                       near_dup_clusters)
+
+        out = near_dup_clusters(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == 500                      # every doc appears once
+        assert ((out["doc_id"] == out["cluster_rep"]) == out["is_canonical"]).all()
+        # rep is the min member: every rep is itself canonical
+        reps = set(out["cluster_rep"])
+        canon = set(out.loc[out["is_canonical"], "doc_id"])
+        assert reps <= canon
+        # each near-dup pair landed in one cluster
+        pairs = minhash_near_dups(SF).to_pandas()
+        lab = dict(zip(out["doc_id"], out["cluster_rep"]))
+        assert all(lab[a] == lab[b] for a, b in zip(pairs["a"], pairs["b"]))
+
+    def test_driver_and_distributed_components_equal(self, ray_session, monkeypatch):
+        from osmnetfusion_ray.pipelines import simplify as SIMP
+        from osmnetfusion_ray.pipelines.corpus import near_dup_clusters
+
+        small = near_dup_clusters(SF).to_pandas()
+        monkeypatch.setattr(SIMP, "LOCAL_CC_MAX_PAIRS", 0)
+        big = near_dup_clusters(SF).to_pandas()
+        monkeypatch.undo()
+        srt = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+        assert srt(small).equals(srt(big))
