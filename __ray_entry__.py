@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": analytics.lang_length_quantiles,
         "supplier_part_stats": analytics.supplier_part_stats,
         "orders_by_month": analytics.orders_by_month,
+        "daily_active_users": analytics.daily_active_users,
         "docs_by_lang": analytics.docs_by_lang,
         "doc_cell_counts_salted": _q_cell_counts_salted,
         "text_stats": _q_text_stats,
@@ -681,6 +682,18 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "daily_active_users": """
+            WITH per AS (
+                SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                       user_id,
+                       max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked
+                FROM events GROUP BY 1, 2
+            )
+            SELECT day_us,
+                   count(*) AS n_users,
+                   count(*) FILTER (WHERE clicked = 1) AS n_clicking_users
+            FROM per GROUP BY day_us
         """,
         "doc_cell_counts_salted": f"""
             WITH g AS ({_GEO})

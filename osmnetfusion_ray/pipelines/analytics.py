@@ -203,6 +203,43 @@ def events_tumbling(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rounded, batch_format="pandas")
 
 
+DAY_US = 86_400_000_000
+
+
+def daily_active_users(sf_dir: str) -> rd.Dataset:
+    """Exact COUNT(DISTINCT user_id) per day — the distributed exact-distinct
+    pattern: each block first reduces to its LOCAL distinct (day, user)
+    incidence pairs (the combiner: repeated events of a user within a block
+    never enter the shuffle), then ONE hash shuffle co-locates each day and
+    the final block dedups across blocks and counts. Payload entering the
+    exchange is bounded by |distinct pairs|, not event count."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(DAY_US, type=pa.int64())),
+                          pa.scalar(DAY_US, type=pa.int64()))
+        df = pd.DataFrame({"day_us": day.to_numpy(),
+                           "user_id": t["user_id"].to_numpy(),
+                           "is_click": pc.equal(t["event_type"], pa.scalar("click")).to_numpy()})
+        # local distinct per (day,user) + per-user-day click flag (any)
+        g = df.groupby(["day_us", "user_id"], sort=False)["is_click"].any().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = ev.map_batches(local_pairs, batch_format="pyarrow")
+
+    def final_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["day_us", "user_id"], sort=False)["is_click"].any().reset_index()
+        out = g.groupby("day_us", sort=False).agg(
+            n_users=("user_id", "size"), n_clicking_users=("is_click", "sum"))
+        out["n_clicking_users"] = out["n_clicking_users"].astype(np.int64)
+        return out.reset_index()
+
+    return grouped(pairs, ["day_us"], final_block, small=True)
+
+
 HOP_US = 1_800_000_000  # 30 min hop
 
 

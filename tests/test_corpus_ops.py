@@ -498,3 +498,23 @@ class TestNearDupClusters:
         monkeypatch.undo()
         srt = lambda df: df.sort_values("doc_id").reset_index(drop=True)
         assert srt(small).equals(srt(big))
+
+
+class TestDailyActiveUsers:
+    def test_matches_pandas_exact_distinct(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import DAY_US, daily_active_users
+
+        out = daily_active_users(SF).to_pandas().sort_values("day_us").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        day = (ev["ts"].astype("int64") // DAY_US) * DAY_US
+        per = (pd.DataFrame({"day_us": day, "user_id": ev["user_id"],
+                             "clicked": ev["event_type"] == "click"})
+               .groupby(["day_us", "user_id"])["clicked"].any().reset_index())
+        exp = per.groupby("day_us").agg(n_users=("user_id", "size"),
+                                        n_clicking_users=("clicked", "sum")).reset_index()
+        assert out["day_us"].tolist() == exp["day_us"].tolist()
+        assert out["n_users"].tolist() == exp["n_users"].tolist()
+        assert out["n_clicking_users"].tolist() == exp["n_clicking_users"].astype(int).tolist()
