@@ -421,6 +421,10 @@ _VERIFY_BROADCAST_MAX = 200_000
 # compute in the near-dup family (~1 ms/doc measured), and a single-file
 # parquet read arrives as ONE block — split it so the pool actually fans out
 _SIG_DOCS_PER_BLOCK = 512
+# above this row count the reader's own size-based splitting already fans
+# out (multi-file / multi-row-group corpus) — a forced repartition there
+# would cost a full pass AND cap parallelism at the block target
+_SIG_SMALL_INPUT_MAX = 1_000_000
 
 
 def _signatures_ds(docs: rd.Dataset, n_docs: int, k: int, bands: int) -> rd.Dataset:
@@ -428,10 +432,12 @@ def _signatures_ds(docs: rd.Dataset, n_docs: int, k: int, bands: int) -> rd.Data
 
     Runs as a TASK pool (bound method of a driver-built emitter — the hash
     params are ~1 KB of state, far cheaper to ship per task than spawning
-    actor processes) over size-split blocks; a corpus-scale input already
-    arrives as many blocks and skips the repartition."""
+    actor processes) over size-split blocks. Only a SMALL input is
+    repartitioned (a small single-file read arrives as ONE block and would
+    hash serially); a corpus-scale input is already split by the reader's
+    target block size, and a full repartition of it would be pure cost."""
     blocks = int(min(64, max(1, n_docs // _SIG_DOCS_PER_BLOCK)))
-    if blocks > 1:
+    if blocks > 1 and n_docs <= _SIG_SMALL_INPUT_MAX:
         docs = docs.repartition(blocks)
     emitter = SignatureEmitter(k, bands)
     return docs.map_batches(emitter.__call__, batch_format="pyarrow").materialize()

@@ -406,6 +406,103 @@ def _collect_pandas(ds: rd.Dataset, columns: list[str]) -> pd.DataFrame:
     return ds.select_columns(columns).to_pandas()
 
 
+# below this many edges the whole p3 chain runs driver-side on the same
+# kernels: the distributed chain's ~15 hash-shuffle/join stages cost ~1 s
+# of aggregator-actor startup EACH on this host — a 237-edge toy city spent
+# ~13 s on pure pool spin-up. Same size-adaptive contract as the
+# connected-components and near-dup-verify paths (path equality tested).
+SMALL_SIMPLIFY_MAX_EDGES = 4_000
+
+
+def _union_nodes_local(nodes_pd: pd.DataFrame, new_pd: pd.DataFrame) -> pd.DataFrame:
+    """Driver mirror of :func:`_union_nodes` (same keep-columns + norm)."""
+    keep = [c for c in ("osmid", "x", "y", "highway", "crossing", "old_osmid")
+            if c in nodes_pd.columns]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in keep:
+            if c not in df.columns:
+                df[c] = "" if c in ("highway", "crossing") else np.nan
+        if "old_osmid" in keep:
+            df["old_osmid"] = pd.to_numeric(df["old_osmid"], errors="coerce").astype(np.float64)
+        return df[keep]
+
+    return pd.concat([norm(nodes_pd), norm(new_pd)], ignore_index=True)
+
+
+def _attach_importance_local(nodes_pd: pd.DataFrame, edges_pd: pd.DataFrame,
+                             buffers: dict) -> pd.DataFrame:
+    """Driver mirror of :func:`_attach_importance` (merge suffixes replicate
+    the Ray join's collision-only right suffix)."""
+    attrs = _importance_final_block(_importance_pairs_batch(edges_pd))
+    df = nodes_pd.merge(attrs, on="osmid", how="left", suffixes=("", "_imp"))
+    rank_col = "highway_rank_imp" if "highway_rank_imp" in df.columns else "highway_rank"
+    conn_col = "highway_conn_imp" if "highway_conn_imp" in df.columns else "highway_conn"
+    df["highway_rank"] = pd.to_numeric(df[rank_col], errors="coerce")
+    df["highway_conn"] = df[conn_col]
+    df["buffer_r"] = S.buffer_radii(df["highway_conn"], buffers)
+    return df.drop(columns=[c for c in (rank_col, conn_col) if c.endswith("_imp")])
+
+
+def _merge_map_local(nodes_pd: pd.DataFrame, threshold: int, ref_lat: float) -> pd.DataFrame:
+    """Driver mirror of :func:`cluster_merge_map_ds`: one all-nodes pair
+    generation (exact disk intersection), union-find components, then the
+    same singleton-vectorized merge-map block."""
+    ids = nodes_pd["osmid"].to_numpy().astype(np.int64)
+    a, b = S.cluster_pairs_local(
+        nodes_pd["x"].to_numpy(np.float64), nodes_pd["y"].to_numpy(np.float64),
+        nodes_pd["buffer_r"].to_numpy(np.float64), ids, ref_lat=ref_lat)
+    labels = S.components_from_pairs(ids, a, b)
+    withlab = nodes_pd.copy()
+    withlab["label"] = labels
+    return _merge_map_block(withlab, threshold)
+
+
+def _simplify_local(nodes_pd: pd.DataFrame, edges_pd: pd.DataFrame,
+                    cluster_threshold: int, cfg, ranking: dict,
+                    buffers: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """The full 13-step p3 chain, driver-side, on the SAME kernels as the
+    distributed path — each pipeline stage maps to exactly one kernel call
+    here, so any semantic change to a kernel changes both paths."""
+    # 1. split curves + new split nodes
+    edges_pd = _split_curves_batch(edges_pd, cfg.max_angle_initial, cfg.max_angle_prev)
+    nodes_all = _union_nodes_local(
+        nodes_pd, _new_nodes_from_split_edges(edges_pd, S.SPLIT1_BASE))
+    # 2. highway rank
+    edges_pd = _rank_batch(edges_pd, ranking)
+    # 3+4. node importance + buffer radii
+    nodes_all = _attach_importance_local(nodes_all, edges_pd, buffers)
+    # 5. cluster pass 1 (drives edge splitting only)
+    mm1 = _merge_map_local(nodes_all, cluster_threshold, cfg.ref_lat)
+    # 6. two-phase edge splitting
+    state = S.ClusterBufferState(
+        mm1, nodes_all[["osmid", "x", "y", "buffer_r"]], ref_lat=cfg.ref_lat)
+    req = S.split_requests(edges_pd, state)
+    if len(req):
+        edges_pd, _ = S.apply_edge_splits(edges_pd, req)
+    nodes_all = _union_nodes_local(
+        nodes_all, _new_nodes_from_split_edges(edges_pd, S.SPLIT2_BASE))
+    # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
+    nodes_all = _attach_importance_local(nodes_all, edges_pd, buffers)
+    mm2 = _merge_map_local(nodes_all, cluster_threshold, cfg.ref_lat)
+    # 8. reassign edges to merged nodes
+    order = np.argsort(mm2["osmid"].to_numpy(), kind="stable")
+    ids_sorted = mm2["osmid"].to_numpy()[order].astype(np.int64)
+    mb = mm2["merged_by"].to_numpy()[order].astype(np.int64)
+    mxa = mm2["mx"].to_numpy()[order].astype(np.float64)
+    mya = mm2["my"].to_numpy()[order].astype(np.float64)
+    edges_pd = S.reassign_edges_arrays(edges_pd, ids_sorted, mb, ids_sorted, mxa,
+                                       ids_sorted, mya)
+    # 10. merge nodes
+    nodes_out = _per_group(["merged_by"], S.merge_nodes_group)(
+        S.prepare_nodes_for_merge(nodes_all.merge(mm2, on="osmid", how="inner")))
+    # 11-13. merge edges by canonical uv key, orient
+    edges_out = _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(
+        S.prepare_edges_for_merge(S.add_uv_keys(edges_pd)))
+    return nodes_out, S.orient_edges(edges_out)
+
+
 def simplify_network(
     nodes_ds: rd.Dataset,
     edges_ds: rd.Dataset,
@@ -425,6 +522,17 @@ def simplify_network(
     ranking = dict(cfg.highway_ranking)
     buffers = dict(cfg.highway_buffers)
     ensure_tuned()
+    # size-adaptive: a tiny network pays ~15 shuffle stages' fixed
+    # actor-pool costs in the distributed chain — below the cap the SAME
+    # kernels run once each on the driver (path equality tested + golden
+    # snapshot); a real city takes the distributed path below
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= SMALL_SIMPLIFY_MAX_EDGES:
+        nodes_out, edges_out = _simplify_local(
+            nodes_ds.to_pandas(), edges_ds.to_pandas(),
+            cluster_threshold, cfg, ranking, buffers)
+        return {"nodes": rd.from_pandas(nodes_out),
+                "edges": rd.from_pandas(edges_out)}
     # 1. split curves (stateless flat-map; deterministic ids)
     edges_ds = edges_ds.map_batches(
         lambda df: _split_curves_batch(df, cfg.max_angle_initial, cfg.max_angle_prev),

@@ -137,3 +137,29 @@ class TestTiledJoin:
             pages, nodes, edges, geocode_mode="doc_id").to_pandas()
         assert (out["edge_id"] == -1).any()          # far pages unsnapped
         assert set(out.columns) >= {"doc_id", "edge_id", "snap_dist_m", "node_buffer_id"}
+
+
+class TestSimplifyPathEquality:
+    def test_local_and_distributed_identical(self, ray_session, monkeypatch):
+        """The driver-local small path and the distributed chain must yield
+        identical simplified networks (data scale picks the path)."""
+        from osmnetfusion_ray.pipelines import simplify as SIMP
+        from osmnetfusion_ray.pipelines.enrich import enrich_network
+        from osmnetfusion_ray.pipelines.network import build_network_inputs
+
+        def run():
+            nodes_ds, edges_ds, dims, osmids = build_network_inputs(n=6, seed=42)
+            nodes_ds, edges_ds = enrich_network(nodes_ds, edges_ds, dims, osmids)
+            out = SIMP.simplify_network(nodes_ds, edges_ds)
+            e = out["edges"].to_pandas().sort_values("g_id").reset_index(drop=True)
+            n = out["nodes"].to_pandas().sort_values("g_id").reset_index(drop=True)
+            return n, e
+
+        ln, le = run()                       # small path (default at this size)
+        monkeypatch.setattr(SIMP, "SMALL_SIMPLIFY_MAX_EDGES", 0)
+        dn, de = run()                       # forced distributed path
+        monkeypatch.undo()
+        assert sorted(le.columns) == sorted(de.columns)
+        assert sorted(ln.columns) == sorted(dn.columns)
+        pd.testing.assert_frame_equal(le, de[le.columns], check_dtype=False)
+        pd.testing.assert_frame_equal(ln, dn[ln.columns], check_dtype=False)
