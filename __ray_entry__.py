@@ -190,6 +190,18 @@ def _q_contamination(sf_dir: str):
     return contamination_flags(sf_dir)
 
 
+def _q_extract_text(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import extract_page_text
+
+    return extract_page_text(sf_dir)
+
+
+def _q_boilerplate(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import boilerplate_stats
+
+    return boilerplate_stats(sf_dir)
+
+
 def _q_near_dup_clusters(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import near_dup_clusters
 
@@ -450,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_counts": _q_pii_counts,
         "contamination_check": _q_contamination,
         "near_dup_clusters": _q_near_dup_clusters,
+        "extract_page_text": _q_extract_text,
+        "boilerplate_stats": _q_boilerplate,
     }
 
 
@@ -505,6 +519,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_counts": corpusoracle.pii_counts_sql(),
         "contamination_check": corpusoracle.contamination_sql(),
         "near_dup_clusters": corpusoracle.near_dup_clusters_sql(threshold=0.6),
+        "extract_page_text": corpusoracle.extract_text_sql(),
+        "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,

@@ -417,3 +417,50 @@ def media_pipeline_sql() -> str:
                   AS BIGINT) AS resized_h
       FROM d
     """
+
+
+def extract_text_sql() -> str:
+    """Mirror of pipelines.corpus.extract_page_text: rebuild the page html
+    with the same template (functions/htmltext.wrap_sql) and run the same
+    RE2 extraction chain (extract_sql) — both engines share RE2 semantics,
+    so the extracted strings are byte-equal."""
+    from .functions.htmltext import extract_sql, wrap_sql
+
+    html = wrap_sql("text", "doc_id::VARCHAR")
+    return f"""
+      WITH pages AS (
+        SELECT doc_id,
+               'https://crawl.example/doc/' || doc_id::VARCHAR AS url,
+               {html} AS html_s, text
+        FROM documents
+      )
+      SELECT doc_id::BIGINT AS doc_id, url,
+             {extract_sql('html_s')} AS extracted,
+             {extract_sql('html_s')} = text AS matches,
+             length({extract_sql('html_s')})::BIGINT AS ext_chars
+      FROM pages
+    """
+
+
+def boilerplate_stats_sql() -> str:
+    """Mirror of pipelines.corpus.boilerplate_stats (same template + RE2)."""
+    from .functions.htmltext import _BLOCK_PATTERNS, extract_sql, wrap_sql
+
+    html = wrap_sql("text", "doc_id::VARCHAR")
+    deblocked = "html_s"
+    for pat in _BLOCK_PATTERNS:
+        deblocked = f"regexp_replace({deblocked}, '{pat}', '', 'g')"
+    return f"""
+      WITH pages AS (
+        SELECT doc_id, {html} AS html_s FROM documents
+      )
+      SELECT doc_id::BIGINT AS doc_id,
+             length(html_s)::BIGINT AS html_chars,
+             len(regexp_extract_all(html_s, '<a\\b[^>]*>'))::BIGINT AS n_links,
+             len(regexp_extract_all(html_s, '<[^>]*>'))::BIGINT AS n_tags,
+             (length(html_s) - length({deblocked}))::BIGINT AS block_chars,
+             length({extract_sql('html_s')})::BIGINT AS text_chars,
+             length({extract_sql('html_s')})::DOUBLE
+               / (CASE WHEN length(html_s) > 0 THEN length(html_s) ELSE 1 END)::DOUBLE AS text_ratio
+      FROM pages
+    """

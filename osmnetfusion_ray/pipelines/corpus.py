@@ -1323,3 +1323,74 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
     )
     top = local.to_pandas().sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# html → text extraction (the input_hint's html:binary column, made real)
+# ---------------------------------------------------------------------------
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """Extract main-content text from the ``html`` column and check the
+    north-star invariant in the same pass: the extracted text must equal the
+    carried ``text`` column byte-for-byte (BASELINE.json input_hint). Pure
+    RE2 / Arrow kernels — the 10^12-row side never leaves Arrow."""
+    from ..functions.htmltext import extract_text
+
+    ext = extract_text(batch["html"])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": batch["url"],
+            "extracted": ext,
+            "matches": pc.equal(ext, batch["text"]),
+            "ext_chars": pc.cast(pc.utf8_length(ext), pa.int64()),
+        }
+    )
+
+
+def extract_page_text(sf_dir: str) -> rd.Dataset:
+    """html → text extraction over the page table (streamed)."""
+    from ..sources import pages_from_documents
+
+    return pages_from_documents(sf_dir).map_batches(
+        extract_text_batch, batch_format="pyarrow"
+    )
+
+
+def boilerplate_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-page boilerplate metrics from raw html: link count, tag count,
+    script payload size, and content-to-markup ratio — the quality signals
+    a crawl pipeline filters on before training."""
+    from ..functions.htmltext import extract_text, strip_blocks
+
+    s = pc.cast(batch["html"], pa.string())
+    html_chars = pc.cast(pc.utf8_length(s), pa.int64())
+    n_links = pc.cast(pc.count_substring_regex(s, r"<a\b[^>]*>"), pa.int64())
+    n_tags = pc.cast(pc.count_substring_regex(s, r"<[^>]*>"), pa.int64())
+    deblocked_chars = pc.cast(pc.utf8_length(strip_blocks(s)), pa.int64())
+    block_chars = pc.subtract(html_chars, deblocked_chars)
+    text_chars = pc.cast(pc.utf8_length(extract_text(batch["html"])), pa.int64())
+    ratio = pc.divide(
+        pc.cast(text_chars, pa.float64()),
+        pc.if_else(pc.greater(html_chars, 0), pc.cast(html_chars, pa.float64()), pa.scalar(1.0)),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "html_chars": html_chars,
+            "n_links": n_links,
+            "n_tags": n_tags,
+            "block_chars": block_chars,
+            "text_chars": text_chars,
+            "text_ratio": ratio,
+        }
+    )
+
+
+def boilerplate_stats(sf_dir: str) -> rd.Dataset:
+    """Boilerplate / markup-density metrics over the page table."""
+    from ..sources import pages_from_documents
+
+    return pages_from_documents(sf_dir).map_batches(
+        boilerplate_stats_batch, batch_format="pyarrow"
+    )

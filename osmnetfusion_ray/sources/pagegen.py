@@ -53,8 +53,9 @@ def _gen_batch(batch: pa.Table, columns=ALL_COLUMNS) -> pa.Table:
             parts.append(_WORD_ARR.take(pa.array(sel)))
         text = pc.binary_join_element_wise(*parts, " ")
     if "html" in columns:
-        cols["html"] = pc.cast(
-            pc.binary_join_element_wise("<html><body>", text, "</body></html>", ""), pa.binary())
+        from ..functions.htmltext import wrap_html
+
+        cols["html"] = wrap_html(text, pc.cast(pa.array(idx), pa.string()))
     if "text" in columns:
         cols["text"] = text
     if "lang" in columns:

@@ -40,10 +40,9 @@ def _docs_to_pages(batch: pa.Table) -> pa.Table:
                pc.multiply(pc.cast(doc_id, pa.int64()), pa.scalar(1_000_000, type=pa.int64()))),
         pa.timestamp("us"),
     )
-    html = pc.cast(
-        pc.binary_join_element_wise(pa.scalar("<html><body>"), batch["text"], pa.scalar("</body></html>"), ""),
-        pa.binary(),
-    )
+    from ..functions.htmltext import wrap_html
+
+    html = wrap_html(batch["text"], pc.cast(doc_id, pa.string()))
     return pa.table(
         {
             "url": url,

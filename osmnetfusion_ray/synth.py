@@ -421,14 +421,16 @@ def synth_pages(n_pages: int = 2000, seed: int = 42) -> pa.Table:
     rng = _rng(seed + 13)
     urls = [f"https://site{i % 97}.example/page/{i}" for i in range(n_pages)]
     texts = [page_text(i) for i in range(n_pages)]
-    htmls = [f"<html><body><p>{t}</p></body></html>".encode() for t in texts]
+    from .functions.htmltext import wrap_html
+
+    htmls = wrap_html(pa.array(texts), pa.array([str(i) for i in range(n_pages)]))
     ts = (1_600_000_000_000_000 + rng.randint(0, 10**9, size=n_pages).astype(np.int64) * 1000)
     langs = rng.choice(np.asarray(LANGS, dtype=object), size=n_pages, p=[0.4, 0.2, 0.1, 0.08, 0.07, 0.06, 0.05, 0.04])
     return pa.table(
         {
             "url": pa.array(urls),
             "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
+            "html": htmls,
             "text": pa.array(texts),
             "lang": pa.array(langs.tolist(), type=pa.string()),
         }

@@ -518,3 +518,54 @@ class TestDailyActiveUsers:
         assert out["day_us"].tolist() == exp["day_us"].tolist()
         assert out["n_users"].tolist() == exp["n_users"].tolist()
         assert out["n_clicking_users"].tolist() == exp["n_clicking_users"].astype(int).tolist()
+
+
+class TestHtmlExtraction:
+    def test_roundtrip_byte_identical(self):
+        from osmnetfusion_ray.functions import htmltext as H
+
+        texts = pa.array(["hello world", "", "a longer doc with many words here"])
+        ids = pa.array(["0", "7", "123456"])
+        ext = H.extract_text(H.wrap_html(texts, ids))
+        assert ext.to_pylist() == texts.to_pylist()
+
+    def test_entities_and_boilerplate(self):
+        from osmnetfusion_ray.functions import htmltext as H
+
+        # escaped specials survive the round trip; head/nav/footer content
+        # (title, script id, link labels, &copy;) never leaks into the text
+        texts = pa.array(["x & y < z > w"])
+        html = H.wrap_html(texts, pa.array(["42"]))
+        s = html.to_pylist()[0].decode()
+        assert "&amp;" in s and "&lt;" in s and "docId=42" in s
+        ext = H.extract_text(html).to_pylist()[0]
+        assert ext == "x & y < z > w"
+        assert "home" not in ext and "crawl.example" not in ext and "42" not in ext
+
+    def test_handwritten_html_generalizes(self):
+        from osmnetfusion_ray.functions import htmltext as H
+
+        raw = pa.array([
+            b"<html><head><title>t</title></head><body><header>skip?no</header>"
+            b"<p>one</p><p>two &amp; three</p><nav class=\"m\"><a href=\"#\">x</a></nav>"
+            b"</body></html>",
+        ])
+        # <header> must NOT be eaten by the <head> pattern (\b guard), and
+        # adjacent <p> blocks must not merge words
+        assert H.extract_text(raw).to_pylist() == ["skip?no one two & three"]
+
+    def test_extract_query_all_match(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import extract_page_text
+
+        out = extract_page_text(SF).to_pandas()
+        assert out["matches"].all()
+        assert (out["ext_chars"] == out["extracted"].str.len()).all()
+
+    def test_boilerplate_stats_shapes(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import boilerplate_stats
+
+        out = boilerplate_stats(SF).to_pandas()
+        assert (out["n_links"] == 3).all()          # nav(2) + footer(1)
+        assert (out["text_ratio"] > 0).all() and (out["text_ratio"] < 1).all()
+        assert (out["block_chars"] > 0).all()
+        assert (out["html_chars"] > out["text_chars"]).all()
