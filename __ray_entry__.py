@@ -392,6 +392,30 @@ def _q_simhash(sf_dir: str):
     )
 
 
+def _q_top_bigrams(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import top_bigrams
+
+    return top_bigrams(sf_dir, k=50)
+
+
+def _q_embedding_centroids(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import embedding_centroids
+
+    return embedding_centroids(sf_dir)
+
+
+def _q_length_filter_p90(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import length_filter_p90
+
+    return length_filter_p90(sf_dir)
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import simhash_near_dups
+
+    return simhash_near_dups(sf_dir)
+
+
 def _q_cell_counts_salted(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import doc_cell_counts_salted
 
@@ -421,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": analytics.events_sessionize,
         "events_sliding": analytics.events_sliding,
         "events_asof_clicks": analytics.events_asof_clicks,
+        "event_gaps": analytics.event_gaps,
         "stratified_sample": analytics.stratified_sample,
         "lang_length_quantiles": analytics.lang_length_quantiles,
         "supplier_part_stats": analytics.supplier_part_stats,
@@ -438,12 +463,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_network_join": _q_page_network_join,
         "page_network_join_tiled": _q_page_network_join_tiled,
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
-        "simhash_fingerprints": _q_simhash,          # rows-only (hash not in SQL)
+        "simhash_fingerprints": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "network_enrich": _q_network_enrich,         # FULL p2 chain, SQL-oracled
         "network_simplify": _q_network_simplify,     # rows-only composite (stages individually oracled)
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
         "top_tokens": _q_top_tokens,
+        "top_bigrams": _q_top_bigrams,
+        "embedding_centroids": _q_embedding_centroids,
+        "length_filter_p90": _q_length_filter_p90,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "inverted_index": _q_inverted_index,
         "customers_without_events": _q_customers_without_events,
@@ -509,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **net,
         "simhash_fingerprints": corpusoracle.simhash_sql(),
+        "simhash_near_dups": corpusoracle.simhash_near_dups_sql(maxdist=3),
         "doc_fingerprints": corpusoracle.fingerprints_sql(),
         "minhash_near_dups": corpusoracle.minhash_near_dups_sql(threshold=0.6),
         "ngram_jaccard_pairs": corpusoracle.ngram_jaccard_sql(threshold=0.5),
@@ -736,6 +766,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS n FROM toks WHERE token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS l
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            b AS (
+                SELECT unnest(l[1:len(l)-1]) AS t1, unnest(l[2:len(l)]) AS t2
+                FROM toks WHERE len(l) >= 2
+            )
+            SELECT t1 || ' ' || t2 AS bigram, count(*) AS n FROM b
+            GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+        """,
+        "embedding_centroids": """
+            SELECT label, dim, round(avg(e), 4) AS centroid
+            FROM (SELECT label, unnest(embedding) AS e,
+                         unnest(range(len(embedding))) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
+        """,
+        "length_filter_p90": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.9) FROM documents)
+        """,
+        "event_gaps": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                                 lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id),
+                                 ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(gap_us) AS n_gaps,
+                   coalesce(round(avg(gap_us / 1000000.0), 4), 0.0) AS avg_gap_s,
+                   coalesce(round(max(gap_us / 1000000.0), 4), 0.0) AS max_gap_s
+            FROM g GROUP BY user_id
         """,
         "customers_without_events": """
             SELECT c_custkey, c_name, c_nationkey FROM customer c

@@ -137,6 +137,19 @@ def simhash_sql() -> str:
     """
 
 
+def simhash_near_dups_sql(maxdist: int = 3) -> str:
+    """O(n²) self-join ground truth for the banded hamming-ball pairs: the
+    engine's 4×16-bit pigeonhole banding has recall 1.0 at maxdist ≤ 3, so
+    the two must be bit-equal (pipelines/corpus.py simhash_near_dups)."""
+    return f"""
+      WITH shv AS ({simhash_sql()})
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxdist}
+    """
+
+
 def fingerprints_sql(window: int = 32) -> str:
     """Polynomial rolling hash (base 257 mod 2^64): full-document Horner
     plus min window hash via the prefix closed form

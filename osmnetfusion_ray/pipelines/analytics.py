@@ -318,6 +318,40 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
     return grouped(ev, ["user_id"], sessions_block)
 
 
+def event_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event-gap statistics (lag-window shape): one hash
+    shuffle on user_id, then a single vectorized diff over the
+    (user, ts, event_id)-sorted block — consecutive-event time deltas with
+    user boundaries masked, reduced to per-user n_events / n_gaps /
+    avg / max gap seconds. The SQL mirror is lag() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def gaps_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_events", "n_gaps", "avg_gap_s", "max_gap_s"]
+        if len(df) == 0:
+            return pd.DataFrame(columns=cols)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        us = df["ts"].astype("int64").to_numpy()
+        same = uid[1:] == uid[:-1]
+        gap_s = (us[1:] - us[:-1]).astype(np.float64) / 1e6
+        g = pd.DataFrame({"user_id": uid[1:][same], "gap": gap_s[same]})
+        stats = g.groupby("user_id", sort=False).agg(
+            n_gaps=("gap", "size"), avg_gap_s=("gap", "mean"), max_gap_s=("gap", "max"))
+        counts = pd.Series(uid).value_counts().rename("n_events")
+        out = counts.to_frame().join(stats, how="left").reset_index(names="user_id")
+        out["n_gaps"] = out["n_gaps"].fillna(0).astype("int64")
+        out["avg_gap_s"] = out["avg_gap_s"].fillna(0.0).round(4)
+        out["max_gap_s"] = out["max_gap_s"].fillna(0.0).round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[cols]
+
+    from ..rayctx import grouped
+
+    return grouped(ev, ["user_id"], gaps_block, small=True)
+
+
 def events_asof_clicks(sf_dir: str) -> rd.Dataset:
     """Distributed AS-OF join: each event matched to the latest ``click``
     event of the same user at-or-before its timestamp (the classic

@@ -1010,6 +1010,121 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
+    """Corpus-wide top-k token bigrams (n-gram LM-style counting). Same
+    combiner shape as ``top_tokens``: adjacent-token pairing is one flat
+    numpy slice per block (tokens[:-1] ⨯ tokens[1:] masked at document
+    boundaries — no per-row loop), the Zipf head collapses locally, one
+    exact-key shuffle of (bigram, n) partials, per-block top-k, tiny final
+    reduce. Ties break on bigram text ascending."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in df["text"]]
+        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame({"bigram": np.array([], object), "n": np.array([], np.int64)})
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos: pos + len(toks)] = toks
+            pos += len(toks)
+        # adjacent pairs, masked where the successor starts a new document
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        same_doc = doc_of[:-1] == doc_of[1:]
+        lhs, rhs = flat[:-1][same_doc], flat[1:][same_doc]
+        c = pd.Series(
+            np.fromiter((a + " " + b for a, b in zip(lhs, rhs)), dtype=object,
+                        count=len(lhs))
+        ).value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64)})
+
+    from ..rayctx import grouped
+
+    def block_sum_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("bigram", sort=False, as_index=False)["n"].sum()
+        return agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+
+    partial = docs.map_batches(local_counts, batch_format="pandas")
+    per_block = grouped(partial, ["bigram"], block_sum_topk, small=True)
+    top = per_block.to_pandas().sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def embedding_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label per-dimension centroid of the embedding column, emitted as
+    (label, dim, centroid) rows — the grouped vector-mean every clustering /
+    class-balance audit needs. The combiner reduces each block to a dense
+    (labels × dim) sum/count matrix (one ``np.add.at`` over the zero-copy
+    flattened value buffer), so the shuffle carries labels × dim × blocks
+    rows regardless of corpus size."""
+    emb = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        col = batch["embedding"].combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(mat) // len(col) if len(col) else 0
+        mat = mat.reshape(len(col), dim) if len(col) else mat.reshape(0, 0)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+            "s": sums.ravel(),
+            "c": np.repeat(cnts, dim),
+        })
+
+    from ..rayctx import grouped
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "dim"], sort=False, as_index=False)[["s", "c"]].sum()
+        g["centroid"] = (g["s"] / g["c"]).round(4)
+        return g[["label", "dim", "centroid"]]
+
+    part = emb.map_batches(partials, batch_format="pyarrow")
+    return grouped(part, ["label", "dim"], finalize, small=True)
+
+
+def length_filter_p90(sf_dir: str, q: float = 0.9) -> rd.Dataset:
+    """Global-quantile filter: keep documents with n_chars ≥ the corpus-wide
+    q-quantile (quantile_cont interpolation, matching SQL exactly). The
+    two-pass global-statistic-then-filter pattern: pass 1 reduces each block
+    to a (value → count) histogram (shuffle volume bounded by DISTINCT
+    lengths, not rows), the exact interpolated quantile is computed from the
+    merged histogram, broadcast as one scalar, and pass 2 streams the filter."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_chars"].value_counts()
+        return pd.DataFrame({"v": c.index.to_numpy().astype(np.int64),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    h = docs.map_batches(hist, batch_format="pandas").to_pandas()
+    h = h.groupby("v", as_index=False)["n"].sum().sort_values("v")
+    vals = h["v"].to_numpy()
+    cum = h["n"].to_numpy().cumsum()
+    n_total = int(cum[-1]) if len(cum) else 0
+    if not n_total:
+        thresh = 0.0
+    else:
+        # quantile_cont: rank h = q*(N-1); interpolate the two order stats
+        rank = q * (n_total - 1)
+        lo_i = int(np.searchsorted(cum, np.floor(rank) + 1))
+        hi_i = int(np.searchsorted(cum, np.ceil(rank) + 1))
+        frac = rank - np.floor(rank)
+        thresh = float(vals[lo_i]) * (1 - frac) + float(vals[hi_i]) * frac
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(pc.cast(batch["n_chars"], pa.float64()), pa.scalar(thresh))
+        return batch.filter(m)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
     """Grouped top-k: per language, the k highest-quality documents (ties
     break on doc_id ascending). The canonical best-exemplars-per-stratum
@@ -1202,6 +1317,99 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         out = np.bitwise_or.reduce(np.where(votes > 0, powers[None, :], np.uint64(0)), axis=1)
         out[counts == 0] = 0
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, type=pa.uint64())})
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-ball near-dup pairs — EXACT via pigeonhole banding
+# ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4     # 4 disjoint 16-bit slices of the 64-bit fingerprint
+SIMHASH_MAXDIST = 3   # ≤3 differing bits over 4 bands ⇒ ≥1 band identical,
+                      # so band-bucket LSH has recall 1.0 (pigeonhole) and the
+                      # result is bit-equal to the O(n²) SQL self-join oracle
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=False)
+    out = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        out = out + _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
+def _simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) → SIMHASH_BANDS rows per doc: (band, bval, doc_id,
+    simhash). ~26 B/row × 4 rows/doc is the ONLY thing the pair-gen shuffle
+    moves; texts never leave their read blocks."""
+    ids = batch["doc_id"].to_numpy().astype(np.int64)
+    sh = batch["simhash"].to_numpy().astype(np.uint64)
+    n = len(ids)
+    band = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), n)
+    shr = np.repeat(sh, SIMHASH_BANDS)
+    bval = ((shr >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(np.int32)
+    return pa.table({
+        "band": pa.array(band),
+        "bval": pa.array(bval),
+        "doc_id": pa.array(np.repeat(ids, SIMHASH_BANDS)),
+        "simhash": pa.array(shr, type=pa.uint64()),
+    })
+
+
+def _simhash_pairs_block(df: pd.DataFrame, maxdist: int = SIMHASH_MAXDIST) -> pd.DataFrame:
+    """Per (band, bval) bucket: all pairs a<b, hamming ≤ maxdist. Cross-band
+    dedup WITHOUT a second shuffle: a pair colliding in several bands is
+    emitted only from its FIRST matching band (checkable locally — both
+    fingerprints are in hand), so the union over buckets is already
+    distinct."""
+    out_a, out_b, out_h = [], [], []
+    if len(df):
+        df = df.sort_values(["band", "bval", "doc_id"])
+        for (band, _), sub in df.groupby(["band", "bval"], sort=False):
+            n = len(sub)
+            if n < 2 or n > 1000:  # mega-buckets (mass-identical docs) skipped
+                continue
+            ids = sub["doc_id"].to_numpy()
+            sh = sub["simhash"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(n, k=1)
+            sa, sb = sh[ii], sh[jj]
+            keep = _popcount64(sa ^ sb) <= maxdist
+            for eb in range(int(band)):
+                s = np.uint64(16 * eb)
+                keep &= ((sa >> s) & np.uint64(0xFFFF)) != ((sb >> s) & np.uint64(0xFFFF))
+            ham = _popcount64(sa[keep] ^ sb[keep])
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+            out_h.append(ham)
+    a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+    h = np.concatenate(out_h) if out_h else np.zeros(0, np.int64)
+    return pd.DataFrame({"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64),
+                         "hamming": h.astype(np.int64)})
+
+
+def simhash_near_dups(sf_dir: str, maxdist: int = SIMHASH_MAXDIST) -> rd.Dataset:
+    """All document pairs within hamming distance ``maxdist`` of each other's
+    SimHash — the SimHash member of the dedup family (exact/MinHash/SimHash/
+    n-gram/embedding). One fingerprint pass over the texts, one 16-bit-band
+    shuffle of (band, bval, doc_id, simhash) rows, pairs generated per
+    bucket; size-adaptive like the MinHash path (driver kernel under
+    ``_PAIRGEN_DRIVER_MAX`` band rows, same block kernel both ways)."""
+    from ..rayctx import ensure_tuned, grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
+    band_rows = docs.map_batches(simhash_batch, batch_format="pyarrow").map_batches(
+        _simhash_band_rows, batch_format="pyarrow")
+    rows = n_docs * SIMHASH_BANDS
+    if rows <= _PAIRGEN_DRIVER_MAX:
+        out = _simhash_pairs_block(band_rows.to_pandas(), maxdist=maxdist)
+        ensure_tuned()
+        return rd.from_pandas(out)
+    return grouped(band_rows, ["band", "bval"],
+                   lambda df: _simhash_pairs_block(df, maxdist=maxdist), rows=rows)
 
 
 # ---------------------------------------------------------------------------

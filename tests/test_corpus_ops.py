@@ -569,3 +569,102 @@ class TestHtmlExtraction:
         assert (out["text_ratio"] > 0).all() and (out["text_ratio"] < 1).all()
         assert (out["block_chars"] > 0).all()
         assert (out["html_chars"] > out["text_chars"]).all()
+
+
+class TestSimhashNearDups:
+    def test_popcount_and_banding_exact(self):
+        from osmnetfusion_ray.pipelines.corpus import _popcount64
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+        ref = np.array([bin(int(v)).count("1") for v in x])
+        assert (_popcount64(x) == ref).all()
+
+    def test_pairs_match_bruteforce(self, ray_session):
+        """4x16-bit banding at maxdist<=3 is EXACT (pigeonhole): every
+        qualifying pair shares at least one identical band."""
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import (
+            _popcount64, simhash_batch, simhash_near_dups)
+
+        out = simhash_near_dups(SF, maxdist=3).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        sh = simhash_batch(docs).to_pandas()
+        ids = sh["doc_id"].to_numpy()
+        h = sh["simhash"].to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(h[ii] ^ h[jj])
+        want = {(int(a), int(b)) for a, b in
+                zip(ids[ii][ham <= 3], ids[jj][ham <= 3])}
+        got = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
+        assert got == want
+        assert (out["hamming"] <= 3).all()
+        # distinct pairs (first-matching-band dedup, no second shuffle)
+        assert not out.duplicated(["doc_a", "doc_b"]).any()
+
+
+class TestTopBigrams:
+    def test_counts_match_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import top_bigrams
+
+        out = top_bigrams(SF, k=20).to_pandas()
+        texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"].to_pylist()
+        from collections import Counter
+        c = Counter()
+        for t in texts:
+            toks = t.split()
+            c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = list(zip(out["bigram"], out["n"]))
+        assert [(g[0], int(g[1])) for g in got] == want
+
+
+class TestEmbeddingCentroids:
+    def test_matches_numpy_groupmean(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import embedding_centroids
+
+        out = embedding_centroids(SF).to_pandas()
+        tab = pq.read_table(f"{SF}/embeddings.parquet")
+        mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
+        labels = tab["label"].to_numpy()
+        for lbl in np.unique(labels):
+            want = np.round(mat[labels == lbl].mean(axis=0), 4)
+            sub = out[out["label"] == lbl].sort_values("dim")["centroid"].to_numpy()
+            assert np.allclose(sub, want, atol=1e-9)
+
+
+class TestLengthFilter:
+    def test_threshold_semantics(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import length_filter_p90
+
+        out = length_filter_p90(SF, q=0.9).to_pandas()
+        n_chars = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])["n_chars"].to_numpy()
+        thresh = np.quantile(n_chars, 0.9)  # numpy default = linear interp = quantile_cont
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+        want = set(docs.loc[docs["n_chars"] >= thresh, "doc_id"])
+        assert set(out["doc_id"]) == want
+        assert len(out) == len(want) and len(want) > 0
+
+
+class TestEventGaps:
+    def test_matches_pandas_lag(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_gaps
+
+        out = event_gaps(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        gap = ev.groupby("user_id")["ts"].diff().dt.total_seconds()
+        ref = ev.assign(gap=gap).groupby("user_id").agg(
+            n_events=("ts", "size"), n_gaps=("gap", "count"),
+            avg_gap_s=("gap", "mean"), max_gap_s=("gap", "max")).reset_index()
+        ref["avg_gap_s"] = ref["avg_gap_s"].fillna(0.0).round(4)
+        ref["max_gap_s"] = ref["max_gap_s"].fillna(0.0).round(4)
+        assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+        assert (out["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+        assert (out["n_gaps"].to_numpy() == ref["n_gaps"].to_numpy()).all()
+        assert np.allclose(out["avg_gap_s"], ref["avg_gap_s"], atol=1e-9)
+        assert np.allclose(out["max_gap_s"], ref["max_gap_s"], atol=1e-9)

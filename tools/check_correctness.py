@@ -83,6 +83,9 @@ def main(sf_dir: str):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
