@@ -416,6 +416,12 @@ def _q_simhash_near_dups(sf_dir: str):
     return simhash_near_dups(sf_dir)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(sf_dir)
+
+
 def _q_cell_counts_salted(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import doc_cell_counts_salted
 
@@ -446,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": analytics.events_sliding,
         "events_asof_clicks": analytics.events_asof_clicks,
         "event_gaps": analytics.event_gaps,
+        "event_zscore_outliers": analytics.event_zscore_outliers,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
         "stratified_sample": analytics.stratified_sample,
         "lang_length_quantiles": analytics.lang_length_quantiles,
         "supplier_part_stats": analytics.supplier_part_stats,
@@ -473,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "embedding_centroids": _q_embedding_centroids,
         "length_filter_p90": _q_length_filter_p90,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "inverted_index": _q_inverted_index,
         "customers_without_events": _q_customers_without_events,
@@ -789,6 +798,50 @@ def oracle_sql() -> dict[str, str]:
         "length_filter_p90": """
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.9) FROM documents)
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "event_zscore_outliers": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round(e.value, 4) AS value,
+                   round((e.value - s.m) / s.sd, 4) AS zscore
+            FROM events e JOIN s USING (event_type)
+            WHERE abs(e.value - s.m) > 3 * s.sd
+        """,
+        "tfidf_top_terms": """
+            WITH tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY doc_id, token
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT doc_id, token, tf,
+                       count(*) OVER (PARTITION BY token) AS df,
+                       round(tf * ln(n.n / (count(*) OVER (PARTITION BY token))), 4)
+                           AS tfidf
+                FROM tf, n
+            )
+            SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, tfidf FROM scored
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) = 1
         """,
         "event_gaps": """
             WITH g AS (

@@ -75,6 +75,102 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     return out.map_batches(rounded, batch_format="pandas")
 
 
+def q3_shipping_priority(sf_dir: str, k: int = 10,
+                         segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01") -> pa.Table:
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(date<cutoff) ⋈
+    lineitem(shipdate>cutoff) → revenue per order → global top-k. The
+    multiway-join layout for 100 TB: the big side (lineitem) is reduced to
+    ≤1 partial-revenue row per (block, orderkey) by a combiner BEFORE any
+    shuffle, both joins are Ray-native hash-shuffle joins keyed on custkey
+    then orderkey (never a broadcast of a non-dim table), and the final
+    top-k is per-block k → (#blocks × k)-row driver reduce."""
+    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
+
+    cut = pd.Timestamp(cutoff)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))),
+        batch_format="pyarrow")
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cut]
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "rev": df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()),
+        })
+        return out.groupby("l_orderkey", sort=False, as_index=False)["rev"].sum()
+
+    li_part = li.map_batches(li_partial, batch_format="pandas")
+    n_ord = orders.count()
+    sized = orders.join(cust, join_type="inner",
+                        num_partitions=_num_partitions(rows=n_ord),
+                        on=("o_custkey",), right_on=("c_custkey",))
+    joined = sized.join(li_part, join_type="inner",
+                        num_partitions=_num_partitions(rows=n_ord),
+                        on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finalize_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False, as_index=False)["rev"].sum()
+        g["revenue"] = g["rev"].round(2)
+        g = g[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+        return g.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+
+    per_block = grouped(joined, ["o_orderkey"], finalize_topk, rows=n_ord)
+    pdf = per_block.to_pandas().sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def event_zscore_outliers(sf_dir: str, z: float = 3.0) -> rd.Dataset:
+    """Per-event-type z-score outlier flagging — the two-pass
+    global-statistic pattern: pass 1 reduces every block to (type, n, Σv,
+    Σv²) partials (shuffle-free driver reduce over #types × #blocks rows),
+    the per-type mean/σ_pop pair is broadcast as a tiny closure dict, and
+    pass 2 streams the |v−μ| > z·σ filter with no shuffle at all."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["value"]
+        return pd.DataFrame({
+            "event_type": g.sum().index,
+            "n": g.size().to_numpy().astype(np.int64),
+            "s": g.sum().to_numpy(),
+            "ss": df.assign(v2=df["value"] ** 2)
+                    .groupby("event_type", sort=False)["v2"].sum().to_numpy(),
+        })
+
+    m = ev.map_batches(moments, batch_format="pandas").to_pandas()
+    m = m.groupby("event_type", as_index=False)[["n", "s", "ss"]].sum()
+    mu = m["s"] / m["n"]
+    sd = np.sqrt(np.maximum(m["ss"] / m["n"] - mu**2, 0.0))
+    stats = {t: (float(a), float(b)) for t, a, b in zip(m["event_type"], mu, sd)}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        ms = df["event_type"].map({k: v[0] for k, v in stats.items()}).to_numpy()
+        sds = df["event_type"].map({k: v[1] for k, v in stats.items()}).to_numpy()
+        v = df["value"].to_numpy()
+        keep = np.abs(v - ms) > z * sds
+        out = df.loc[keep, ["event_id", "event_type"]].copy()
+        out["value"] = np.round(v[keep], 4)
+        out["zscore"] = np.round((v[keep] - ms[keep]) / sds[keep], 4)
+        return out
+
+    return ev.map_batches(flag, batch_format="pandas")
+
+
 def top_parts_by_revenue(sf_dir: str, k: int = 10) -> pa.Table:
     """Global top-k: partial agg per part → small sort on aggregates."""
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])

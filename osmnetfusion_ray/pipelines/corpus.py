@@ -1052,6 +1052,57 @@ def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Per-document most-relevant token by TF-IDF (score = tf · ln(N/df),
+    rounded to 4 before ranking; ties break token-ascending). Two bounded
+    shuffles, both over (doc, token) term rows — never texts: documents
+    are block-local so per-block ``value_counts`` yields globally-distinct
+    (doc_id, token, tf) rows; shuffle 1 keys them by token so df is a local
+    group size (attached in place — no separate df table or broadcast, which
+    at corpus scale would be the whole vocabulary); shuffle 2 keys the
+    scored rows by doc_id for the per-document top-1."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
+
+    def term_rows(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in df["text"]]
+        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "token": np.array([], object),
+                                 "tf": np.array([], np.int64)})
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos: pos + len(toks)] = toks
+            pos += len(toks)
+        g = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), counts),
+            "token": flat,
+        }).groupby(["doc_id", "token"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["df"] = df.groupby("token", sort=False)["doc_id"].transform("size").astype(np.int64)
+        df["tfidf"] = np.round(
+            df["tf"].to_numpy() * np.log(float(n_docs) / df["df"].to_numpy()), 4)
+        return df
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "tfidf", "token"],
+                            ascending=[True, False, True], kind="stable")
+        out = df.groupby("doc_id", sort=False, as_index=False).head(1)
+        return out[["doc_id", "token", "tf", "df", "tfidf"]].reset_index(drop=True)
+
+    tf = docs.map_batches(term_rows, batch_format="pandas")
+    scored = grouped(tf, ["token"], attach_df)
+    return grouped(scored, ["doc_id"], top1)
+
+
 def embedding_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label per-dimension centroid of the embedding column, emitted as
     (label, dim, centroid) rows — the grouped vector-mean every clustering /

@@ -3,6 +3,7 @@ inventory: token counts, rolling fingerprints, embedding near-dups,
 n-gram Jaccard, IVF ANN, multimodal stub stages."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -668,3 +669,76 @@ class TestEventGaps:
         assert (out["n_gaps"].to_numpy() == ref["n_gaps"].to_numpy()).all()
         assert np.allclose(out["avg_gap_s"], ref["avg_gap_s"], atol=1e-9)
         assert np.allclose(out["max_gap_s"], ref["max_gap_s"], atol=1e-9)
+
+
+class TestQ3ShippingPriority:
+    def test_matches_pandas_threeway_join(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q3_shipping_priority
+
+        out = q3_shipping_priority(SF, k=10).to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        cut = pd.Timestamp("1998-06-01")
+        cust = cust[cust["c_mktsegment"] == "BUILDING"]
+        orders = orders[orders["o_orderdate"] < cut]
+        li = li[li["l_shipdate"] > cut].assign(
+            rev=lambda d: d["l_extendedprice"] * (1 - d["l_discount"]))
+        j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+                  .merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        ref = j.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                        as_index=False)["rev"].sum()
+        ref["revenue"] = ref["rev"].round(2)
+        ref = ref.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+        assert (out["o_orderkey"].to_numpy() == ref["o_orderkey"].to_numpy()).all()
+        assert np.allclose(out["revenue"], ref["revenue"], atol=1e-9)
+        assert list(out.columns) == ["o_orderkey", "revenue", "o_orderdate",
+                                     "o_orderpriority"]
+
+
+class TestEventZscoreOutliers:
+    def test_matches_pandas_zscore(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_zscore_outliers
+
+        out = event_zscore_outliers(SF).to_pandas().sort_values("event_id")
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        g = ev.groupby("event_type")["value"]
+        m = ev["event_type"].map(g.mean())
+        sd = ev["event_type"].map(g.std(ddof=0))
+        keep = (ev["value"] - m).abs() > 3 * sd
+        ref = ev[keep].sort_values("event_id")
+        assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+        want_z = ((ref["value"] - m[keep]) / sd[keep]).round(4)
+        assert np.allclose(out["zscore"], want_z, atol=1e-9)
+        assert len(out) > 0
+
+
+class TestTfidfTopTerms:
+    def test_matches_pandas_tfidf(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import tfidf_top_terms
+
+        out = tfidf_top_terms(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        rows = []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            for tok in text.split():
+                rows.append((did, tok))
+        tf = pd.DataFrame(rows, columns=["doc_id", "token"]).groupby(
+            ["doc_id", "token"], as_index=False).size().rename(columns={"size": "tf"})
+        df_tab = tf.groupby("token", as_index=False)["doc_id"].size().rename(
+            columns={"size": "df"})
+        tf = tf.merge(df_tab, on="token")
+        tf["tfidf"] = (tf["tf"] * np.log(len(docs) / tf["df"])).round(4)
+        ref = tf.sort_values(["doc_id", "tfidf", "token"],
+                             ascending=[True, False, True]).groupby(
+            "doc_id", as_index=False).head(1).sort_values("doc_id").reset_index(drop=True)
+        assert len(out) == len(docs)  # exactly one term per document
+        assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+        assert (out["token"].to_numpy() == ref["token"].to_numpy()).all()
+        assert (out["df"].to_numpy() == ref["df"].to_numpy()).all()
+        assert np.allclose(out["tfidf"], ref["tfidf"], atol=1e-9)
