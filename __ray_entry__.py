@@ -422,6 +422,12 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(sf_dir)
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir)
+
+
 def _q_cell_counts_salted(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import doc_cell_counts_salted
 
@@ -453,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_clicks": analytics.events_asof_clicks,
         "event_gaps": analytics.event_gaps,
         "event_zscore_outliers": analytics.event_zscore_outliers,
+        "event_type_pivot": analytics.event_type_pivot,
+        "conversion_funnel": analytics.conversion_funnel,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "stratified_sample": analytics.stratified_sample,
         "lang_length_quantiles": analytics.lang_length_quantiles,
@@ -482,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "length_filter_p90": _q_length_filter_p90,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "kmeans_embeddings": _q_kmeans_embeddings,   # rows-only (iterative by design)
         "top_docs_per_lang": _q_top_docs_per_lang,
         "inverted_index": _q_inverted_index,
         "customers_without_events": _q_customers_without_events,
@@ -842,6 +851,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, tfidf FROM scored
             QUALIFY row_number() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, token) = 1
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "conversion_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+                  GROUP BY e.user_id)
+            SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+                   v.user_id IS NOT NULL AS viewed,
+                   c.user_id IS NOT NULL AS clicked,
+                   p.user_id IS NOT NULL AS purchased
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
         """,
         "event_gaps": """
             WITH g AS (

@@ -448,6 +448,74 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
     return grouped(ev, ["user_id"], gaps_block, small=True)
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str) -> rd.Dataset:
+    """Crosstab: one wide row per user with a count column per event type.
+    The pivot happens INSIDE the combiner (each block emits ≤1 wide partial
+    row per user), so the shuffle carries users × blocks wide rows instead
+    of raw events, and the final pass just sums co-located partials."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def pivot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in _PIVOT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[list(_PIVOT_TYPES)].astype(np.int64)
+        ct.columns = cols
+        ct["n_total"] = ct.sum(axis=1)
+        return ct.reset_index()
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False, as_index=False)[
+            cols + ["n_total"]].sum()
+
+    from ..rayctx import grouped
+
+    part = ev.map_batches(pivot_partial, batch_format="pandas")
+    return grouped(part, ["user_id"], final_sum, small=True)
+
+
+def conversion_funnel(sf_dir: str) -> rd.Dataset:
+    """Staged-sequence funnel: per user, the first ``view``, the first
+    ``click`` at-or-after it, and the first ``purchase`` at-or-after that —
+    the classic in-order conversion chain. One hash shuffle on user_id puts
+    every user's history in one block; inside it each stage is a masked
+    groupby-min gated by the previous stage's time (three vectorized
+    passes, no per-user loop)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def funnel_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "t_view", "t_click", "t_purchase",
+                "viewed", "clicked", "purchased"]
+        if len(df) == 0:
+            return pd.DataFrame(columns=cols)
+        # three masked groupby-mins — each stage gates the next via a map
+        t_view = df.loc[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        tv = df["user_id"].map(t_view)
+        t_click = df.loc[(df["event_type"] == "click") & (df["ts"] >= tv)] \
+                    .groupby("user_id")["ts"].min()
+        tc = df["user_id"].map(t_click)
+        t_purchase = df.loc[(df["event_type"] == "purchase") & (df["ts"] >= tc)] \
+                       .groupby("user_id")["ts"].min()
+        users = np.sort(df["user_id"].unique())
+        res = pd.DataFrame({"user_id": users})
+        res["t_view"] = res["user_id"].map(t_view)
+        res["t_click"] = res["user_id"].map(t_click)
+        res["t_purchase"] = res["user_id"].map(t_purchase)
+        res["viewed"] = res["t_view"].notna()
+        res["clicked"] = res["t_click"].notna()
+        res["purchased"] = res["t_purchase"].notna()
+        return res
+
+    from ..rayctx import grouped
+
+    return grouped(ev, ["user_id"], funnel_block, small=True)
+
+
 def events_asof_clicks(sf_dir: str) -> rd.Dataset:
     """Distributed AS-OF join: each event matched to the latest ``click``
     event of the same user at-or-before its timestamp (the classic

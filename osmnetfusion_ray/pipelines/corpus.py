@@ -1052,6 +1052,74 @@ def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
 
 
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
+    """Distributed Lloyd's KMeans over the embedding column — the iterative
+    ML-pipeline shape the Dataset API can't express in one graph: each round
+    is a stateless assign-and-reduce ``map_batches`` pass emitting one dense
+    (k × dim) partial-sum matrix + count vector per block (so the driver
+    reduce touches k·dim·#blocks floats, never rows), centroids are rebroadcast
+    as a closure array, and the final pass streams out (vec_id, cluster).
+    Deterministic: init = the k lowest-vec_id vectors, empty clusters keep
+    their previous centroid, ties in distance go to the lower cluster id
+    (np.argmin). No SQL oracle (iterative by design — the brief's carve-out);
+    parity-tested against single-matrix numpy Lloyd's, and
+    ``embedding_centroids`` is the oracled grouped-vector-mean relative."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def mat_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        dim = len(flat) // n if n else 0
+        return batch["vec_id"].to_numpy().astype(np.int64), flat.reshape(n, dim)
+
+    # deterministic seeds: the k lowest-vec_id embeddings — per-block
+    # bottom-k then a (#blocks × k)-row driver reduce, NOT a global sort
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, "vec_id")
+
+    cand = sorted(emb.map_batches(bottomk, batch_format="pandas").take_all(),
+                  key=lambda r: r["vec_id"])[:k]
+    centroids = np.asarray([r["embedding"] for r in cand], dtype=np.float64)
+
+    for _ in range(iters):
+        cref = centroids  # captured by value per round
+
+        def partial(batch: pa.Table, _c=cref) -> pa.Table:
+            _, m = mat_of(batch)
+            # argmin of ||x-c||² == argmin of ||c||² - 2x·c  (BLAS matmul,
+            # no n×k×dim broadcast tensor)
+            d = (_c**2).sum(axis=1)[None, :] - 2.0 * (m @ _c.T)
+            a = d.argmin(axis=1)
+            sums = np.zeros_like(_c)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=len(_c)).astype(np.float64)
+            return pa.table({
+                "sums": pa.array([sums.ravel().tolist()], type=pa.list_(pa.float64())),
+                "cnt": pa.array([cnt.tolist()], type=pa.list_(pa.float64())),
+            })
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        cnt = np.zeros(len(centroids))
+        for r in parts:
+            sums += np.asarray(r["sums"]).reshape(centroids.shape)
+            cnt += np.asarray(r["cnt"])
+        nonempty = cnt > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / cnt[nonempty, None]
+
+    cfinal = centroids
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, m = mat_of(batch)
+        d = (cfinal**2).sum(axis=1)[None, :] - 2.0 * (m @ cfinal.T)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(d.argmin(axis=1).astype(np.int64))})
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
 def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     """Per-document most-relevant token by TF-IDF (score = tf · ln(N/df),
     rounded to 4 before ranking; ties break token-ascending). Two bounded

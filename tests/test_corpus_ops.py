@@ -742,3 +742,76 @@ class TestTfidfTopTerms:
         assert (out["token"].to_numpy() == ref["token"].to_numpy()).all()
         assert (out["df"].to_numpy() == ref["df"].to_numpy()).all()
         assert np.allclose(out["tfidf"], ref["tfidf"], atol=1e-9)
+
+
+class TestEventTypePivot:
+    def test_matches_pandas_crosstab(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_type_pivot
+
+        out = event_type_pivot(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ct = pd.crosstab(ev["user_id"], ev["event_type"])
+        for t in ("click", "error", "purchase", "signup", "view"):
+            assert (out[f"n_{t}"].to_numpy()
+                    == ct.get(t, pd.Series(0, index=ct.index)).to_numpy()).all()
+        assert (out["n_total"].to_numpy()
+                == ev.groupby("user_id").size().to_numpy()).all()
+
+
+class TestConversionFunnel:
+    def test_staged_sequence(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import conversion_funnel
+
+        out = conversion_funnel(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        for _, r in out.head(50).iterrows():
+            sub = ev[ev["user_id"] == r["user_id"]].sort_values("ts")
+            views = sub.loc[sub["event_type"] == "view", "ts"]
+            if views.empty:
+                assert not r["viewed"] and not r["clicked"] and not r["purchased"]
+                continue
+            assert r["viewed"] and r["t_view"] == views.min()
+            clicks = sub.loc[(sub["event_type"] == "click") & (sub["ts"] >= views.min()), "ts"]
+            if clicks.empty:
+                assert not r["clicked"] and not r["purchased"]
+                continue
+            assert r["clicked"] and r["t_click"] == clicks.min()
+            purch = sub.loc[(sub["event_type"] == "purchase") & (sub["ts"] >= clicks.min()), "ts"]
+            if purch.empty:
+                assert not r["purchased"]
+            else:
+                assert r["purchased"] and r["t_purchase"] == purch.min()
+        # funnel is monotone: viewed >= clicked >= purchased
+        assert (out["viewed"].sum() >= out["clicked"].sum()
+                >= out["purchased"].sum() > 0)
+
+
+class TestKmeansEmbeddings:
+    def test_matches_numpy_lloyds(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import kmeans_embeddings
+
+        k, iters = 8, 5
+        out = kmeans_embeddings(SF, k=k, iters=iters).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        tab = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = tab["vec_id"].to_numpy()
+        mat = np.asarray(tab["embedding"].to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        c = mat[:k].copy()
+        for _ in range(iters):
+            d = (c**2).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+            a = d.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, mat)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            ne = cnt > 0
+            c[ne] = sums[ne] / cnt[ne, None]
+        d = (c**2).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        want = d.argmin(axis=1)
+        assert (out["vec_id"].to_numpy() == ids).all()
+        assert (out["cluster"].to_numpy() == want).all()
+        assert len(np.unique(want)) > 1  # non-degenerate clustering
