@@ -375,6 +375,15 @@ def _pairs_from_band_rows(band_rows: rd.Dataset, rows: int | None = None) -> rd.
         out = (_pairs_block(band_rows.to_pandas())
                .drop_duplicates(["a", "b"]).reset_index(drop=True))
         ensure_tuned()
+        # fan the candidate table out over several blocks — a single
+        # from_pandas block would serialize the downstream verify into one
+        # task (the 810k-pair LSH verify ran 6× slower that way)
+        from ..rayctx import n_shuffle_blocks
+
+        if len(out) > 65536:
+            return rd.from_pandas(
+                [p.reset_index(drop=True)
+                 for p in np.array_split(out, n_shuffle_blocks())])
         return rd.from_pandas(out)
     cand = grouped(band_rows, ["band", "band_h"], _pairs_block, rows=rows)
     return grouped(cand, ["a", "b"],
@@ -811,7 +820,8 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.92,
             return pd.DataFrame({"a": a[m], "b": b[m],
                                  "sim": np.round(sims[m], 6)})
 
-        return cand.map_batches(verify_bc, batch_format="pandas")
+        return cand.map_batches(verify_bc, batch_format="pandas",
+                                batch_size=65536)
 
     payload = ds.map_batches(EmbeddingPacker, batch_format="pyarrow",
                              concurrency=(1, 8))
