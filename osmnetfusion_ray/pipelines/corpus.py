@@ -1130,7 +1130,14 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5) -> rd.Dataset:
     return emb.map_batches(assign, batch_format="pyarrow")
 
 
-def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+# below this many documents the token-keyed ops run their reduce driver-side
+# (two full-size hash-shuffle aggregator pools cost more in actor startup
+# than the whole reduce at this size); the distributed path above the gate
+# is the same kernel and is asserted path-equal in tests
+_TOKEN_DRIVER_DOCS = 50_000
+
+
+def tfidf_top_terms(sf_dir: str, driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.Dataset:
     """Per-document most-relevant token by TF-IDF (score = tf · ln(N/df),
     rounded to 4 before ranking; ties break token-ascending). Two bounded
     shuffles, both over (doc, token) term rows — never texts: documents
@@ -1138,7 +1145,9 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     (doc_id, token, tf) rows; shuffle 1 keys them by token so df is a local
     group size (attached in place — no separate df table or broadcast, which
     at corpus scale would be the whole vocabulary); shuffle 2 keys the
-    scored rows by doc_id for the per-document top-1."""
+    scored rows by doc_id for the per-document top-1. Size-adaptive: under
+    ``driver_below`` documents both reduces run driver-side on the SAME
+    kernels (the map-side tokenize stays distributed)."""
     from ..rayctx import grouped
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1177,6 +1186,12 @@ def tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         return out[["doc_id", "token", "tf", "df", "tfidf"]].reset_index(drop=True)
 
     tf = docs.map_batches(term_rows, batch_format="pandas")
+    if n_docs <= driver_below:
+        out = top1(attach_df(tf.to_pandas()))
+        from ..rayctx import ensure_tuned
+
+        ensure_tuned()
+        return rd.from_pandas(out)
     scored = grouped(tf, ["token"], attach_df)
     return grouped(scored, ["doc_id"], top1)
 
@@ -1286,13 +1301,17 @@ def top_docs_per_lang(sf_dir: str, k: int = 5) -> rd.Dataset:
     return grouped(partial, ["lang"], _topk, small=True)
 
 
-def inverted_index(sf_dir: str, max_postings: int = 20) -> rd.Dataset:
+def inverted_index(sf_dir: str, max_postings: int = 20,
+                   driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.Dataset:
     """Distributed inverted token index: token → document frequency +
     capped posting list (first ``max_postings`` doc_ids ascending, as a
     comma string — bounded output row width no matter how hot the token).
     Map side emits DISTINCT (doc_id, token) incidence rows; one exact-key
-    shuffle on token builds df + postings per fully-local token group."""
+    shuffle on token builds df + postings per fully-local token group.
+    Size-adaptive: under ``driver_below`` documents the reduce runs
+    driver-side on the same ``build`` kernel (tokenize stays distributed)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
 
     def incidence(df: pd.DataFrame) -> pd.DataFrame:
         toks = df.set_index("doc_id")["text"].str.split().explode().dropna()
@@ -1313,10 +1332,14 @@ def inverted_index(sf_dir: str, max_postings: int = 20) -> rd.Dataset:
             "postings": postings.to_numpy(),
         })
 
-    from ..rayctx import grouped
+    from ..rayctx import ensure_tuned, grouped
 
-    return grouped(docs.map_batches(incidence, batch_format="pandas"),
-                   ["token"], build)
+    inc = docs.map_batches(incidence, batch_format="pandas")
+    if n_docs <= driver_below:
+        out = build(inc.to_pandas())
+        ensure_tuned()
+        return rd.from_pandas(out)
+    return grouped(inc, ["token"], build)
 
 
 def customers_without_events(sf_dir: str) -> rd.Dataset:

@@ -815,3 +815,21 @@ class TestKmeansEmbeddings:
         assert (out["vec_id"].to_numpy() == ids).all()
         assert (out["cluster"].to_numpy() == want).all()
         assert len(np.unique(want)) > 1  # non-degenerate clustering
+
+
+class TestTokenOpsPathEquality:
+    def test_tfidf_driver_equals_distributed(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import tfidf_top_terms
+
+        drv = tfidf_top_terms(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        dist = tfidf_top_terms(SF, driver_below=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv, dist[drv.columns])
+
+    def test_inverted_index_driver_equals_distributed(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import inverted_index
+
+        drv = inverted_index(SF).to_pandas().sort_values("token").reset_index(drop=True)
+        dist = inverted_index(SF, driver_below=0).to_pandas() \
+            .sort_values("token").reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv, dist[drv.columns])
