@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": analytics.event_gaps,
         "event_zscore_outliers": analytics.event_zscore_outliers,
         "event_type_pivot": analytics.event_type_pivot,
+        "docs_rollup": analytics.docs_rollup,
         "conversion_funnel": analytics.conversion_funnel,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "stratified_sample": analytics.stratified_sample,
@@ -851,6 +852,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, tfidf FROM scored
             QUALIFY row_number() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, token) = 1
+        """,
+        "docs_rollup": """
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "event_type_pivot": """
             SELECT user_id,

@@ -451,6 +451,40 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def docs_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP(lang, source) document stats — every level (leaf, per-lang
+    subtotal, grand total) derived from ONE set of (lang, source, n, Σchars)
+    leaf partials: the combiner reduces each block to its distinct
+    (lang, source) pairs, one small shuffle co-locates them, and the rollup
+    levels are re-aggregations of the tiny leaf table (never a second scan
+    of the corpus). Subtotal rows carry the ``(all)`` sentinel in the
+    rolled-up key (SQL mirror: coalesce over GROUP BY ROLLUP)."""
+    docs = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def leaf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], sort=False)["n_chars"]
+        out = g.agg(n="size", s="sum").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        leaf = df.groupby(["lang", "source"], sort=False, as_index=False)[["n", "s"]].sum()
+        per_lang = leaf.groupby("lang", sort=False, as_index=False)[["n", "s"]].sum()
+        per_lang["source"] = "(all)"
+        total = pd.DataFrame({"lang": ["(all)"], "source": ["(all)"],
+                              "n": [leaf["n"].sum()], "s": [leaf["s"].sum()]})
+        out = pd.concat([leaf, per_lang, total], ignore_index=True)
+        out["n_docs"] = out["n"].astype(np.int64)
+        out["avg_chars"] = (out["s"] / out["n"]).round(4)
+        return out[["lang", "source", "n_docs", "avg_chars"]]
+
+    part = docs.map_batches(leaf_partial, batch_format="pandas")
+    # single terminal block: the rollup needs ALL leaves together and the
+    # leaf table is tiny (langs × sources) by construction
+    return part.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
 def event_type_pivot(sf_dir: str) -> rd.Dataset:
     """Crosstab: one wide row per user with a count column per event type.
     The pivot happens INSIDE the combiner (each block emits ≤1 wide partial

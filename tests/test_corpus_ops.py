@@ -833,3 +833,25 @@ class TestTokenOpsPathEquality:
         dist = inverted_index(SF, driver_below=0).to_pandas() \
             .sort_values("token").reset_index(drop=True)
         pd.testing.assert_frame_equal(drv, dist[drv.columns])
+
+
+class TestDocsRollup:
+    def test_levels_consistent(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import docs_rollup
+
+        out = docs_rollup(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["lang", "source", "n_chars"]).to_pandas()
+        total = out[(out["lang"] == "(all)") & (out["source"] == "(all)")]
+        assert len(total) == 1 and int(total["n_docs"].iloc[0]) == len(docs)
+        assert np.isclose(total["avg_chars"].iloc[0],
+                          round(docs["n_chars"].mean(), 4))
+        # per-lang subtotals equal the sum of their leaves
+        leaves = out[(out["lang"] != "(all)") & (out["source"] != "(all)")]
+        langs = out[(out["lang"] != "(all)") & (out["source"] == "(all)")]
+        agg = leaves.groupby("lang")["n_docs"].sum()
+        assert (langs.set_index("lang")["n_docs"].sort_index()
+                == agg.sort_index()).all()
+        ref = docs.groupby(["lang", "source"]).size()
+        assert len(leaves) == len(ref)
