@@ -411,7 +411,7 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
 
     from ..rayctx import grouped
 
-    return grouped(ev, ["user_id"], sessions_block)
+    return grouped(ev, ["user_id"], sessions_block, rows=ev.count())
 
 
 def event_gaps(sf_dir: str) -> rd.Dataset:

@@ -211,8 +211,9 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
 
     from ..rayctx import grouped
 
+    n_docs = docs.count()  # parquet-metadata count; shuffle rows ≤ n_docs
     return grouped(docs.map_batches(local_min, batch_format="pandas"),
-                   ["text_h"], block_min)
+                   ["text_h"], block_min, rows=n_docs)
 
 
 # --- MinHash + LSH near-dup --------------------------------------------------
@@ -980,8 +981,11 @@ def latest_page_per_site(sf_dir: str, n_sites: int = 97) -> rd.Dataset:
 
     from ..rayctx import grouped
 
+    # rows bound from the UNDERLYING documents parquet metadata (counting
+    # the mapped pages dataset would execute the map)
+    n_pages = read_table(sf_dir, "documents", columns=["doc_id"]).count()
     out = grouped(pages.map_batches(local_max, batch_format="pandas"),
-                  ["site"], block_max)
+                  ["site"], block_max, rows=n_pages)
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
