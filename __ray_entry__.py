@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": analytics.docs_rollup,
         "conversion_funnel": analytics.conversion_funnel,
         "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q18_large_orders": analytics.q18_large_orders,
+        "q4_order_priority": analytics.q4_order_priority,
+        "event_running_stats": analytics.event_running_stats,
+        "event_type_cooccurrence": analytics.event_type_cooccurrence,
+        "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
         "stratified_sample": analytics.stratified_sample,
         "lang_length_quantiles": analytics.lang_length_quantiles,
         "supplier_part_stats": analytics.supplier_part_stats,
@@ -852,6 +857,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, tfidf FROM scored
             QUALIFY row_number() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, token) = 1
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250.0
+            )
+            SELECT o.o_orderkey, c.c_name,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(big.total_qty, 4) AS total_qty
+            FROM orders o
+            JOIN big ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity >= 45.0)
+            GROUP BY o_orderpriority
+        """,
+        "event_running_stats": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 4) AS run_sum,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 3 PRECEDING
+                                          AND CURRENT ROW), 4) AS mavg4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "event_type_cooccurrence": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n_users
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "embedding_norms_by_lang": """
+            SELECT d.lang, count(*) AS n_vecs,
+                   round(avg(n.norm), 4) AS avg_norm,
+                   round(max(n.norm), 4) AS max_norm
+            FROM documents d
+            JOIN (SELECT vec_id,
+                         sqrt(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                             AS norm
+                  FROM embeddings) n
+              ON d.doc_id = n.vec_id
+            GROUP BY d.lang
         """,
         "docs_rollup": """
             SELECT coalesce(lang, '(all)') AS lang,

@@ -663,3 +663,184 @@ def lang_length_quantiles(sf_dir: str) -> rd.Dataset:
     from ..rayctx import grouped
 
     return grouped(docs, ["lang"], qblock, small=True)
+
+
+def event_running_stats(sf_dir: str) -> rd.Dataset:
+    """Running-aggregate windows per user: cumulative sum of ``value``
+    (UNBOUNDED PRECEDING) and a 4-row moving average (ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW), ordered by (ts, event_id). One hash shuffle
+    on user_id puts every user's rows in one block; inside the block a
+    single global cumsum + prefix-difference computes BOTH windows for all
+    users at once (user boundaries via repeated segment starts) — no
+    per-user loop, no per-row Python. The SQL mirror is SUM/AVG() OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN ...)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def win_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_id": np.zeros(0, np.int64),
+                                 "user_id": np.zeros(0, np.int64),
+                                 "run_sum": np.zeros(0), "mavg4": np.zeros(0)})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        val = df["value"].to_numpy().astype(np.float64)
+        n = len(uid)
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1])
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        user_start = np.repeat(starts, seg_len)
+        cs = np.cumsum(val)
+        # prefix sum BEFORE each user's first row (0 for the first user)
+        base = np.where(user_start > 0, cs[np.maximum(user_start - 1, 0)], 0.0)
+        run_sum = cs - base
+        idx = np.arange(n)
+        lo = np.maximum(user_start, idx - 3)          # window start (≥ user start)
+        prev = lo - 1
+        win_sum = cs - np.where(prev >= 0, cs[np.maximum(prev, 0)], 0.0)
+        cnt = (idx - lo + 1).astype(np.float64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": uid,
+            "run_sum": np.round(run_sum, 4),
+            "mavg4": np.round(win_sum / cnt, 4),
+        })
+
+    from ..rayctx import grouped
+
+    return grouped(ev, ["user_id"], win_block, rows=ev.count())
+
+
+def event_type_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """Co-occurrence graph over event types: for every unordered pair of
+    types (a < b), how many users performed both. The 100 TB layout: a
+    per-block DISTINCT (user, type) combiner bounds the exchange by the
+    incidence (≤ users × |types| rows, never raw events), one hash shuffle
+    on user_id co-locates each user's incidence rows, the block self-merge
+    explodes each user's k types into k(k-1)/2 pair rows (k ≤ |types|, a
+    constant), and per-block pair counts are re-summed in a tiny terminal
+    block — the pair key space is |types|² regardless of corpus size."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    inc = ev.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["type_a", "type_b", "n_users"]
+        if len(df) == 0:
+            return pd.DataFrame({"type_a": [], "type_b": [], "n_users": np.zeros(0, np.int64)})
+        df = df.drop_duplicates()  # cross-block dups (each user now fully local)
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = (m.groupby(["event_type_x", "event_type_y"], sort=False)
+                .size().rename("n_users").reset_index())
+        out.columns = cols
+        return out
+
+    from ..rayctx import grouped
+
+    part = grouped(inc, ["user_id"], pairs_block)
+    return groupby_agg(part, ["type_a", "type_b"],
+                       [AggSpec("n_users", "n_users", "sum")], small=True)
+
+
+def q18_large_orders(sf_dir: str, threshold: float = 250.0) -> rd.Dataset:
+    """TPC-H Q18 shape (large-volume customers): orders whose lineitems sum
+    to > threshold quantity, decorated with customer name. The
+    groupby-HAVING-then-join-back layout for 100 TB: lineitem is reduced to
+    ≤1 partial row per (block, orderkey) by a combiner, the exact per-order
+    sum comes out of ONE hash shuffle on orderkey, the HAVING filter drops
+    ~99% of orders BEFORE the join, and the surviving keys flow into a
+    Ray-native hash join against orders (never a broadcast of a fact
+    table); customer is a broadcast dim."""
+    from ..pipelines.simplify import _num_partitions
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    sums = groupby_agg(li, ["l_orderkey"], [AggSpec("total_qty", "l_quantity", "sum")])
+    big = sums.map_batches(
+        lambda df: df[df["total_qty"] > threshold], batch_format="pandas")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    n_big = big.count()
+    joined = orders.join(big, join_type="inner",
+                         num_partitions=_num_partitions(rows=max(n_big, 1)),
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    out = broadcast_join(joined, cust, left_on="o_custkey", right_on="c_custkey")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "c_name": df["c_name"].to_numpy(),
+            "o_totalprice": np.round(df["o_totalprice"].to_numpy(), 2),
+            "total_qty": np.round(df["total_qty"].to_numpy(), 4),
+        })
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q4_order_priority(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:
+    """TPC-H Q4 shape (order-priority checking): count orders BY priority
+    that have at least one qualifying lineitem — a distributed SEMI-join.
+    Scale layout: the EXISTS side is reduced to DISTINCT orderkeys by a
+    per-block combiner (dedup before the exchange), deduped exactly in one
+    hash shuffle, then inner-joined (already-unique right side ⇒ semi
+    semantics) against orders, finishing in a tiny 5-key aggregate."""
+    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def keys_block(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"], pa.scalar(min_qty)))
+        k = np.unique(t["l_orderkey"].to_numpy())
+        return pa.table({"l_orderkey": k})
+
+    keys = li.map_batches(keys_block, batch_format="pyarrow")
+    keys = grouped(keys, ["l_orderkey"],
+                   lambda df: df.drop_duplicates(ignore_index=True))
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_k = keys.count()
+    hits = orders.join(keys, join_type="inner",
+                       num_partitions=_num_partitions(rows=max(n_k, 1)),
+                       on=("o_orderkey",), right_on=("l_orderkey",))
+    return groupby_agg(hits, ["o_orderpriority"],
+                       [AggSpec("n_orders", None, "count")], small=True)
+
+
+def embedding_norms_by_lang(sf_dir: str) -> rd.Dataset:
+    """documents ⋈ embeddings (big×big, Ray-native hash join on
+    doc_id = vec_id) → per-language L2-norm statistics of the embedding
+    vectors. The vector payload NEVER enters the shuffle: each embedding
+    batch is reduced to (vec_id, norm) scalars by a vectorized einsum
+    BEFORE the exchange (Arrow hash joins can't carry list payloads, and at
+    100 TB shipping vectors through an all-to-all would dominate the job);
+    the metadata side is pruned to (doc_id, lang) at the read."""
+    from ..pipelines.simplify import _num_partitions
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": np.zeros(0, np.int64), "norm": np.zeros(0)})
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "norm": np.sqrt(np.einsum("ij,ij->i", m, m))})
+
+    emb_norms = emb.map_batches(norms, batch_format="pandas")
+    n = docs.count()
+    per_vec = docs.join(emb_norms, join_type="inner",
+                        num_partitions=_num_partitions(rows=n),
+                        on=("doc_id",), right_on=("vec_id",))
+    out = groupby_agg(per_vec, ["lang"], [
+        AggSpec("n_vecs", None, "count"),
+        AggSpec("avg_norm", "norm", "mean"),
+        AggSpec("max_norm", "norm", "max"),
+    ], small=True)
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_norm"] = df["avg_norm"].round(4)
+        df["max_norm"] = df["max_norm"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")

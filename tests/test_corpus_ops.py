@@ -855,3 +855,92 @@ class TestDocsRollup:
                 == agg.sort_index()).all()
         ref = docs.groupby(["lang", "source"]).size()
         assert len(leaves) == len(ref)
+
+
+class TestEventRunningStats:
+    def test_matches_pandas_windows(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_running_stats
+
+        out = event_running_stats(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = ev.groupby("user_id")["value"]
+        ev["run_sum"] = g.cumsum().round(4)
+        ev["mavg4"] = g.rolling(4, min_periods=1).mean().reset_index(level=0, drop=True).round(4)
+        ref = ev.sort_values("event_id").reset_index(drop=True)
+        assert len(out) == len(ref)
+        assert (out["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+        assert np.allclose(out["run_sum"], ref["run_sum"], atol=1e-6)
+        assert np.allclose(out["mavg4"], ref["mavg4"], atol=1e-6)
+
+
+class TestEventTypeCooccurrence:
+    def test_matches_pandas_pairs(self, ray_session):
+        import itertools
+
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_type_cooccurrence
+
+        out = event_type_cooccurrence(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        want = {}
+        for _, types in ev.groupby("user_id")["event_type"].unique().items():
+            for a, b in itertools.combinations(sorted(types), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
+        assert got == want
+        assert all(a < b for a, b in got)
+
+
+class TestQ18LargeOrders:
+    def test_matches_pandas_having_join(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q18_large_orders
+
+        out = q18_large_orders(SF).to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        sums = li.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        big = sums[sums["l_quantity"] > 250.0]
+        ref = orders.merge(big, left_on="o_orderkey", right_on="l_orderkey") \
+                    .merge(cust, left_on="o_custkey", right_on="c_custkey") \
+                    .sort_values("o_orderkey").reset_index(drop=True)
+        assert len(out) == len(ref) > 0
+        assert (out["o_orderkey"].to_numpy() == ref["o_orderkey"].to_numpy()).all()
+        assert (out["c_name"].to_numpy() == ref["c_name"].to_numpy()).all()
+        assert np.allclose(out["total_qty"], ref["l_quantity"].round(4), atol=1e-9)
+
+
+class TestQ4OrderPriority:
+    def test_matches_pandas_semijoin(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q4_order_priority
+
+        out = q4_order_priority(SF).to_pandas().set_index("o_orderpriority")["n_orders"]
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        keys = set(li.loc[li["l_quantity"] >= 45.0, "l_orderkey"])
+        ref = orders[orders["o_orderkey"].isin(keys)].groupby("o_orderpriority").size()
+        assert out.sort_index().to_dict() == ref.sort_index().to_dict()
+        assert out.sum() < len(orders)  # the semi-join actually filtered
+
+
+class TestEmbeddingNormsByLang:
+    def test_matches_numpy_norms(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import embedding_norms_by_lang
+
+        out = embedding_norms_by_lang(SF).to_pandas().sort_values("lang").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        emb["norm"] = np.sqrt((m * m).sum(axis=1))
+        j = docs.merge(emb, left_on="doc_id", right_on="vec_id")
+        ref = j.groupby("lang").agg(n_vecs=("norm", "size"), avg_norm=("norm", "mean"),
+                                    max_norm=("norm", "max")).reset_index()
+        assert (out["lang"].to_numpy() == ref["lang"].to_numpy()).all()
+        assert (out["n_vecs"].to_numpy() == ref["n_vecs"].to_numpy()).all()
+        assert np.allclose(out["avg_norm"], ref["avg_norm"].round(4), atol=1e-6)
+        assert np.allclose(out["max_norm"], ref["max_norm"].round(4), atol=1e-6)
