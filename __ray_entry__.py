@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q18_large_orders": analytics.q18_large_orders,
         "q4_order_priority": analytics.q4_order_priority,
+        "q12_priority_lines": analytics.q12_priority_lines,
         "event_running_stats": analytics.event_running_stats,
         "event_type_cooccurrence": analytics.event_type_cooccurrence,
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
@@ -870,6 +871,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q12_priority_lines": """
+            WITH cnt AS (
+                SELECT l_orderkey, l_returnflag, count(*) AS cnt
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN cnt ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE cnt END) AS low_line_count
+            FROM cnt JOIN orders o ON cnt.l_orderkey = o.o_orderkey
+            GROUP BY l_returnflag
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -844,3 +844,40 @@ def embedding_norms_by_lang(sf_dir: str) -> rd.Dataset:
         return df
 
     return out.map_batches(rounded, batch_format="pandas")
+
+
+def q12_priority_lines(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shape (shipping-mode priority split, l_returnflag standing
+    in for shipmode): per flag, how many lineitems belong to high-priority
+    (1-URGENT/2-HIGH) vs lower-priority orders. Scale layout: lineitem is
+    first reduced to exact per-(orderkey, flag) counts — the combiner bounds
+    that shuffle by distinct keys, never raw lineitems — then the counts
+    hash-join orders (big×big, Ray-native) and a conditional split inside a
+    streamed map feeds a 3-key terminal aggregate, so the CASE never sees
+    more rows than distinct (orderkey, flag) pairs."""
+    from ..pipelines.simplify import _num_partitions
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    cnt = groupby_agg(li, ["l_orderkey", "l_returnflag"],
+                      [AggSpec("cnt", None, "count")])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_o = orders.count()
+    joined = cnt.join(orders, join_type="inner",
+                      num_partitions=_num_partitions(rows=n_o),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+        c = df["cnt"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "high_line_count": np.where(hi, c, 0),
+            "low_line_count": np.where(hi, 0, c),
+        })
+
+    return groupby_agg(joined.map_batches(split, batch_format="pandas"),
+                       ["l_returnflag"],
+                       [AggSpec("high_line_count", "high_line_count", "sum"),
+                        AggSpec("low_line_count", "low_line_count", "sum")],
+                       small=True)

@@ -944,3 +944,23 @@ class TestEmbeddingNormsByLang:
         assert (out["n_vecs"].to_numpy() == ref["n_vecs"].to_numpy()).all()
         assert np.allclose(out["avg_norm"], ref["avg_norm"].round(4), atol=1e-6)
         assert np.allclose(out["max_norm"], ref["max_norm"].round(4), atol=1e-6)
+
+
+class TestQ12PriorityLines:
+    def test_matches_pandas_case_split(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q12_priority_lines
+
+        out = q12_priority_lines(SF).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        hi = j["o_orderpriority"].isin(("1-URGENT", "2-HIGH"))
+        ref = pd.DataFrame({
+            "high_line_count": j[hi].groupby("l_returnflag").size(),
+            "low_line_count": j[~hi].groupby("l_returnflag").size(),
+        }).fillna(0).astype(np.int64).sort_index()
+        assert (out["l_returnflag"].to_numpy() == ref.index.to_numpy()).all()
+        assert (out["high_line_count"].to_numpy() == ref["high_line_count"].to_numpy()).all()
+        assert (out["low_line_count"].to_numpy() == ref["low_line_count"].to_numpy()).all()
+        assert out["high_line_count"].sum() + out["low_line_count"].sum() == len(li)
