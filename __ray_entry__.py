@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": analytics.q18_large_orders,
         "q4_order_priority": analytics.q4_order_priority,
         "q12_priority_lines": analytics.q12_priority_lines,
+        "lineitem_price_corr": analytics.lineitem_price_corr,
         "event_running_stats": analytics.event_running_stats,
         "event_type_cooccurrence": analytics.event_type_cooccurrence,
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
@@ -871,6 +872,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "lineitem_price_corr": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "q12_priority_lines": """
             WITH cnt AS (

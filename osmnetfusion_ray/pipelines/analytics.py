@@ -881,3 +881,47 @@ def q12_priority_lines(sf_dir: str) -> rd.Dataset:
                        [AggSpec("high_line_count", "high_line_count", "sum"),
                         AggSpec("low_line_count", "low_line_count", "sum")],
                        small=True)
+
+
+def lineitem_price_corr(sf_dir: str) -> rd.Dataset:
+    """Per-returnflag Pearson correlation of quantity vs extended price —
+    the one-pass sufficient-statistics shape: each batch appends x·y, x²,
+    y² columns (pure Arrow kernels), the combiner reduces to five sums +
+    a count per (block, flag), ONE tiny hash shuffle re-sums them, and the
+    closed-form corr is computed in the terminal block. The corpus is
+    scanned once and the exchange carries 6 numbers per block per group —
+    the same layout computes covariance/regression slopes at 100 TB."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x, y = t["l_quantity"], t["l_extendedprice"]
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "x": x, "y": y,
+            "xy": pc.multiply(x, y),
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+        })
+
+    sums = groupby_agg(ds.map_batches(moments, batch_format="pyarrow"),
+                       ["l_returnflag"],
+                       [AggSpec("sx", "x", "sum"), AggSpec("sy", "y", "sum"),
+                        AggSpec("sxy", "xy", "sum"), AggSpec("sxx", "xx", "sum"),
+                        AggSpec("syy", "yy", "sum"),
+                        AggSpec("n", None, "count")],
+                       small=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        cov = df["sxy"].to_numpy() - sx * sy / n
+        vx = df["sxx"].to_numpy() - sx * sx / n
+        vy = df["syy"].to_numpy() - sy * sy / n
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "n": df["n"].to_numpy().astype(np.int64),
+            "corr_qty_price": np.round(cov / np.sqrt(vx * vy), 4),
+        })
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -964,3 +964,19 @@ class TestQ12PriorityLines:
         assert (out["high_line_count"].to_numpy() == ref["high_line_count"].to_numpy()).all()
         assert (out["low_line_count"].to_numpy() == ref["low_line_count"].to_numpy()).all()
         assert out["high_line_count"].sum() + out["low_line_count"].sum() == len(li)
+
+
+class TestLineitemPriceCorr:
+    def test_matches_pandas_corr(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import lineitem_price_corr
+
+        out = lineitem_price_corr(SF).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        ref = (li.groupby("l_returnflag")
+                 .apply(lambda g: g["l_quantity"].corr(g["l_extendedprice"]),
+                        include_groups=False)
+                 .sort_index())
+        assert (out["l_returnflag"].to_numpy() == ref.index.to_numpy()).all()
+        assert np.allclose(out["corr_qty_price"], ref.round(4).to_numpy(), atol=1e-6)
+        assert (out["n"].to_numpy() == li.groupby("l_returnflag").size().sort_index().to_numpy()).all()
