@@ -467,6 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": analytics.q4_order_priority,
         "q12_priority_lines": analytics.q12_priority_lines,
         "lineitem_price_corr": analytics.lineitem_price_corr,
+        # rows-only by design: HLL is approximate; its exact oracled twin
+        # is daily_active_users (same day keys, exact distinct counts)
+        "daily_active_users_hll": analytics.daily_active_users_hll,
         "event_running_stats": analytics.event_running_stats,
         "event_type_cooccurrence": analytics.event_type_cooccurrence,
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,

@@ -925,3 +925,80 @@ def lineitem_price_corr(sf_dir: str) -> rd.Dataset:
         })
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+# ---- HyperLogLog daily-distinct sketch (approximate twin of
+# ---- daily_active_users, which is the exact DuckDB-oracled counterpart)
+
+HLL_P = 12  # 2^12 = 4096 registers → ~1.04/√4096 ≈ 1.6% relative std error
+
+
+def _hll_registers(user_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (register, rank) pairs: splitmix64 the ids, top P bits
+    pick the register, rank = leading-zero count of the remaining 52 bits
+    + 1, computed EXACTLY via frexp (a 52-bit value converts to float64
+    exactly; the frexp exponent is its bit length — no log2 rounding)."""
+    x = user_id.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    reg = (x >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rem = x & np.uint64((1 << (64 - HLL_P)) - 1)
+    _, exp = np.frexp(rem.astype(np.float64))  # exact: rem < 2^52 ≤ 2^53
+    rank = np.where(rem == 0, 64 - HLL_P + 1, 64 - HLL_P - exp + 1)
+    return reg, rank.astype(np.int64)
+
+
+def _hll_estimate(reg: np.ndarray, mx: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range linear-counting
+    correction; reg/mx are the NON-ZERO registers (others implicitly 0)."""
+    m = float(1 << HLL_P)
+    s = np.sum(np.ldexp(1.0, -mx)) + (m - len(reg))  # zero regs add 2^0
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / s
+    v = m - len(reg)
+    if e <= 2.5 * m and v > 0:
+        e = m * np.log(m / v)
+    return float(e)
+
+
+def daily_active_users_hll(sf_dir: str) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT user_id) per day via HyperLogLog — the
+    sketch that replaces the exact-distinct shuffle when |distinct users|
+    per day is itself too big to exchange: each block reduces its events to
+    per-(day, register) max ranks (≤ days × 4096 rows per block, INDEPENDENT
+    of user count — the whole point), one hash shuffle on day merges
+    register maxima, and the estimator runs in the terminal block. Exact
+    oracled twin: daily_active_users. Deterministic (splitmix64, fixed P),
+    parity-tested against a numpy reference and accuracy-tested vs exact."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def local_regs(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(DAY_US, type=pa.int64())),
+                          pa.scalar(DAY_US, type=pa.int64()))
+        reg, rank = _hll_registers(t["user_id"].to_numpy())
+        df = pd.DataFrame({"day_us": day.to_numpy(), "reg": reg, "rank": rank})
+        g = df.groupby(["day_us", "reg"], sort=False)["rank"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regs = ev.map_batches(local_regs, batch_format="pyarrow")
+
+    def est_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day_us": np.zeros(0, np.int64),
+                                 "n_users_hll": np.zeros(0, np.int64)})
+        g = df.groupby(["day_us", "reg"], sort=False)["rank"].max().reset_index()
+        days, ests = [], []
+        for day, sub in g.groupby("day_us", sort=False):
+            days.append(day)
+            ests.append(round(_hll_estimate(sub["reg"].to_numpy(),
+                                            sub["rank"].to_numpy())))
+        return pd.DataFrame({"day_us": np.asarray(days, np.int64),
+                             "n_users_hll": np.asarray(ests, np.int64)})
+
+    return grouped(regs, ["day_us"], est_block)
