@@ -124,6 +124,12 @@ def _q_minhash(sf_dir: str):
     return minhash_near_dups(sf_dir)
 
 
+def _q_sample_bottomk(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import sample_bottomk
+
+    return sample_bottomk(sf_dir)
+
+
 def _q_latest_page_per_site(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import latest_page_per_site
 
@@ -507,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": _q_customers_without_events,
         "doc_length_ntile": _q_doc_length_ntile,
         "latest_page_per_site": _q_latest_page_per_site,
+        "sample_bottomk": _q_sample_bottomk,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -875,6 +882,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN big ON o.o_orderkey = big.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "sample_bottomk": f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            ORDER BY ({corpusoracle.fnv_expr(
+                "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+                " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}), doc_id
+            LIMIT 200
         """,
         "lineitem_price_corr": """
             SELECT l_returnflag, count(*) AS n,

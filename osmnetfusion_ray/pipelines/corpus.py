@@ -1758,3 +1758,42 @@ def boilerplate_stats(sf_dir: str) -> rd.Dataset:
     return pages_from_documents(sf_dir).map_batches(
         boilerplate_stats_batch, batch_format="pyarrow"
     )
+
+
+def sample_bottomk(sf_dir: str, k: int = 200) -> pa.Table:
+    """Deterministic uniform k-sample by minimal hash (bottom-k sketch):
+    order documents by FNV-1a(doc_id) and keep the k smallest. Each block
+    contributes AT MOST k rows to the reduce (np.argpartition local
+    bottom-k), so the exchange is k × blocks regardless of corpus size —
+    the pattern that yields a reproducible uniform sample with no global
+    sort/shuffle, and doubles as a k-minimum-values distinct sketch. The
+    codepoint-FNV hash is DuckDB-reproducible, so the oracle is the exact
+    same ORDER BY hash LIMIT k — bit-equal, not statistical. The hashed key
+    is ``lpad(s, 12) || reverse(lpad(s, 12))``: FNV-1a barely perturbs
+    trailing characters (the last char is only xor'd then multiplied once,
+    so ids sharing a prefix hash within ~15·prime of each other and
+    bottom-k would select whole prefix FAMILIES); zero-padding to a fixed
+    width and mirroring puts every significant digit ≥ 11 multiplications
+    from the end, restoring dispersion (measured: sampled-id adjacency at
+    the random-draw expectation)."""
+    from ..functions.hashing import fnv1a64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def local_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        if len(df) > k:
+            idx = np.argpartition(h, k)[:k]
+            df, h = df.iloc[idx], h[idx]
+        out = df[["doc_id", "lang", "n_chars"]].copy()
+        out["h"] = h
+        return out
+
+    local = docs.map_batches(local_bottomk, batch_format="pandas").to_pandas()
+    local = local.sort_values(["h", "doc_id"], kind="stable").head(k)
+    return pa.table({
+        "doc_id": local["doc_id"].to_numpy().astype(np.int64),
+        "lang": local["lang"].to_numpy().astype(str),
+        "n_chars": local["n_chars"].to_numpy().astype(np.int64),
+    })

@@ -1018,3 +1018,26 @@ class TestDailyActiveUsersHLL:
                  for r, k in ((reg[:1234], rank[:1234]), (reg[1234:], rank[1234:]))]
         merged = pd.concat(parts).groupby(level=0).max()
         assert (merged == whole).all()
+
+
+class TestSampleBottomK:
+    def test_matches_numpy_bottomk_and_partition_invariant(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import sample_bottomk
+
+        out = sample_bottomk(SF, k=50).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        s = docs["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        order = np.lexsort((docs["doc_id"].to_numpy(), h))[:50]
+        ref = docs.iloc[order]
+        assert (out["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+        assert (out["lang"].to_numpy() == ref["lang"].to_numpy()).all()
+        # dispersion: the sample spans the id range and consecutive-id runs
+        # stay near the random-draw expectation (k²/N ≈ 5) — the property
+        # the padded-mirrored hash key exists to provide
+        ids = np.sort(out["doc_id"].to_numpy())
+        assert ids.max() > docs["doc_id"].max() * 0.5
+        assert ids.min() < docs["doc_id"].max() * 0.5
+        assert (np.diff(ids) == 1).sum() <= 15
