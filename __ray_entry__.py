@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only by design: HLL is approximate; its exact oracled twin
         # is daily_active_users (same day keys, exact distinct counts)
         "daily_active_users_hll": analytics.daily_active_users_hll,
+        "dau_retention": analytics.dau_retention,
         "event_running_stats": analytics.event_running_stats,
         "event_type_cooccurrence": analytics.event_type_cooccurrence,
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
@@ -890,6 +891,19 @@ def oracle_sql() -> dict[str, str]:
                 "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
                 " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}), doc_id
             LIMIT 200
+        """,
+        "dau_retention": """
+            WITH inc AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+                FROM events
+            )
+            SELECT a.day_us, count(*) AS n_active,
+                   count(b.user_id) AS n_retained
+            FROM inc a
+            LEFT JOIN inc b ON a.user_id = b.user_id
+                           AND b.day_us = a.day_us + 86400000000
+            GROUP BY a.day_us
         """,
         "lineitem_price_corr": """
             SELECT l_returnflag, count(*) AS n,

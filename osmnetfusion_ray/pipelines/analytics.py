@@ -1002,3 +1002,54 @@ def daily_active_users_hll(sf_dir: str) -> rd.Dataset:
                              "n_users_hll": np.asarray(ests, np.int64)})
 
     return grouped(regs, ["day_us"], est_block)
+
+
+def dau_retention(sf_dir: str) -> rd.Dataset:
+    """Day-over-day retention: of the users active on day d, how many were
+    also active on day d+1. Classically an incidence self-join; the
+    distributed layout avoids joining two full copies: the per-block
+    DISTINCT (day, user) combiner bounds the exchange by the incidence,
+    ONE hash shuffle on user_id co-locates each user's active days, and a
+    sorted-diff inside the block emits exactly the (day, retained-user)
+    pairs (next active day == day + 1) plus (day, active-user) markers —
+    both re-summed in a tiny per-day terminal aggregate. No day×day join,
+    no second pass over events."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(DAY_US, type=pa.int64())),
+                          pa.scalar(DAY_US, type=pa.int64()))
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "day_us": day.to_numpy()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    inc = ev.map_batches(local_pairs, batch_format="pyarrow")
+
+    def retain_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day_us": np.zeros(0, np.int64),
+                                 "n_active": np.zeros(0, np.int64),
+                                 "n_retained": np.zeros(0, np.int64)})
+        df = df.drop_duplicates()  # cross-block dups (user now fully local)
+        df = df.sort_values(["user_id", "day_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        day = df["day_us"].to_numpy()
+        same_user = np.concatenate([uid[1:] == uid[:-1], [False]])
+        nxt = np.concatenate([day[1:], [0]])
+        retained = same_user & (nxt == day + DAY_US)
+        act = pd.DataFrame({"day_us": day}).groupby("day_us").size().rename("n_active")
+        ret = (pd.DataFrame({"day_us": day[retained]})
+                 .groupby("day_us").size().rename("n_retained"))
+        out = pd.concat([act, ret], axis=1).fillna(0).reset_index()
+        out["n_active"] = out["n_active"].astype(np.int64)
+        out["n_retained"] = out["n_retained"].astype(np.int64)
+        return out
+
+    part = grouped(inc, ["user_id"], retain_block)
+    return groupby_agg(part, ["day_us"],
+                       [AggSpec("n_active", "n_active", "sum"),
+                        AggSpec("n_retained", "n_retained", "sum")],
+                       small=True)

@@ -1041,3 +1041,23 @@ class TestSampleBottomK:
         assert ids.max() > docs["doc_id"].max() * 0.5
         assert ids.min() < docs["doc_id"].max() * 0.5
         assert (np.diff(ids) == 1).sum() <= 15
+
+
+class TestDauRetention:
+    def test_matches_pandas_shift_join(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import DAY_US, dau_retention
+
+        out = dau_retention(SF).to_pandas().sort_values("day_us").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ev["day_us"] = (ev["ts"].astype("int64") // DAY_US) * DAY_US
+        inc = ev[["user_id", "day_us"]].drop_duplicates()
+        nxt = inc.copy(); nxt["day_us"] = nxt["day_us"] - DAY_US
+        ref_act = inc.groupby("day_us").size()
+        ref_ret = inc.merge(nxt, on=["user_id", "day_us"]).groupby("day_us").size()
+        ref = pd.concat([ref_act.rename("n_active"), ref_ret.rename("n_retained")],
+                        axis=1).fillna(0).astype(np.int64).sort_index()
+        assert (out["day_us"].to_numpy() == ref.index.to_numpy()).all()
+        assert (out["n_active"].to_numpy() == ref["n_active"].to_numpy()).all()
+        assert (out["n_retained"].to_numpy() == ref["n_retained"].to_numpy()).all()
+        assert (out["n_retained"] <= out["n_active"]).all()
