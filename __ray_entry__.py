@@ -440,6 +440,12 @@ def _q_cell_counts_salted(sf_dir: str):
     return doc_cell_counts_salted(sf_dir)
 
 
+def _q_doc_cell_pyramid(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_cell_pyramid
+
+    return doc_cell_pyramid(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmnetfusion_ray.pipelines import analytics, netqueries
 
@@ -477,6 +483,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is daily_active_users (same day keys, exact distinct counts)
         "daily_active_users_hll": analytics.daily_active_users_hll,
         "dau_retention": analytics.dau_retention,
+        "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+        "event_type_transitions": analytics.event_type_transitions,
+        "doc_cell_pyramid": _q_doc_cell_pyramid,
         "event_running_stats": analytics.event_running_stats,
         "event_type_cooccurrence": analytics.event_type_cooccurrence,
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
@@ -904,6 +914,56 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inc b ON a.user_id = b.user_id
                            AND b.day_us = a.day_us + 86400000000
             GROUP BY a.day_us
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "event_type_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS next_type
+                FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "doc_cell_pyramid": f"""
+            WITH g AS ({_GEO}), leaf AS (
+                SELECT CAST(floor(fx * 64) AS BIGINT) AS ix,
+                       CAST(floor(fy * 64) AS BIGINT) AS iy,
+                       count(*) AS n_docs
+                FROM g GROUP BY 1, 2
+            )
+            SELECT CAST(6 AS BIGINT) AS res, ix AS pix, iy AS piy, n_docs
+            FROM leaf
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), ix // 4, iy // 4,
+                   CAST(sum(n_docs) AS BIGINT)
+            FROM leaf GROUP BY 1, 2, 3
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), ix // 16, iy // 16,
+                   CAST(sum(n_docs) AS BIGINT)
+            FROM leaf GROUP BY 1, 2, 3
         """,
         "lineitem_price_corr": """
             SELECT l_returnflag, count(*) AS n,

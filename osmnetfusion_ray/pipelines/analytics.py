@@ -10,11 +10,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..sources import read_table
 from ..stages.agg import AggSpec, groupby_agg
-from ..stages.join import broadcast_join
+from ..stages.join import broadcast_join, broadcast_semi_filter
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
@@ -1052,4 +1053,155 @@ def dau_retention(sf_dir: str) -> rd.Dataset:
     return groupby_agg(part, ["day_us"],
                        [AggSpec("n_active", "n_active", "sum"),
                         AggSpec("n_retained", "n_retained", "sum")],
+                       small=True)
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
+    """TPC-H Q5 shape (local supplier volume): revenue per nation from
+    orders where the CUSTOMER and the SUPPLIER sit in the same nation of
+    one region (reference parity target: the multi-dim star join,
+    p2_enrichData-style dim chaining). Scale layout for 100 TB:
+
+    - region -> nation -> supplier is a DIM CHAIN resolved driver-side and
+      broadcast once (suppliers are the small side of TPC-H by
+      construction; the broadcast is |suppliers in region| rows).
+    - lineitem is decorated with s_nationkey inside map_batches (no
+      shuffle), then a combiner reduces it to one partial-revenue row per
+      (block, orderkey, nationkey) BEFORE the exchange; the exact
+      per-(orderkey, nationkey) revenue comes out of one hash shuffle.
+    - orders and customer are BIG tables: both arrive via Ray-native hash
+      joins (never broadcast), and the same-nation predicate
+      (c_nationkey = s_nationkey) is a streamed filter between them.
+    - terminal aggregate has |nations| keys.
+    """
+    import pyarrow.parquet as pq_mod
+    import os
+
+    from ..pipelines.simplify import _num_partitions
+
+    # dim chain (driver-side: region 5 rows, nation 25, supplier small)
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nat[nat["n_regionkey"].isin(set(rkey))]
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(set(nat["n_nationkey"]))]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        return df[["l_orderkey", "s_nationkey", "rev"]]
+
+    per_key = groupby_agg(dec.map_batches(revenue, batch_format="pandas"),
+                          ["l_orderkey", "s_nationkey"], [AggSpec("rev", "rev", "sum")])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_o = orders.count()
+    w_cust = per_key.join(orders, join_type="inner",
+                          num_partitions=_num_partitions(rows=n_o),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    w_nat = w_cust.join(cust, join_type="inner",
+                        num_partitions=_num_partitions(rows=n_o),
+                        on=("o_custkey",), right_on=("c_custkey",))
+
+    same = w_nat.map_batches(
+        lambda df: df[df["c_nationkey"] == df["s_nationkey"]][["s_nationkey", "rev"]],
+        batch_format="pandas")
+    total = groupby_agg(same, ["s_nationkey"], [AggSpec("revenue", "rev", "sum")],
+                        small=True)
+    names = nat[["n_nationkey", "n_name"]]
+    out = broadcast_join(total, names, left_on="s_nationkey", right_on="n_nationkey")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_name": df["n_name"].to_numpy(),
+                             "revenue": np.round(df["revenue"].to_numpy(), 2)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders (below 20% of the part's mean quantity)
+    were not filled, for one brand. The aggregate-then-rejoin-the-fact
+    layout: the correlated subquery becomes (1) a brand semi-filter pushed
+    into the lineitem scan (broadcast partkey set — bounded by the brand's
+    share of parts, small at any scale), (2) one combiner-bounded shuffle
+    producing exact per-part mean quantity, (3) a SECOND streamed pass over
+    the same pruned lineitems with the per-part thresholds broadcast back,
+    reduced to per-block partial sums and one scalar. The fact table is
+    scanned twice but never shuffled; only per-part scalars move."""
+    import pyarrow.parquet as pq_mod
+    import os
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_brand"]).to_pandas()
+    keys = np.sort(part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy())
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li_b = broadcast_semi_filter(li, keys, "l_partkey")
+
+    stats = groupby_agg(li_b, ["l_partkey"],
+                        [AggSpec("qty_sum", "l_quantity", "sum"),
+                         AggSpec("qty_n", None, "count")], small=True).to_pandas()
+    thr = stats.assign(thr=0.2 * stats["qty_sum"] / stats["qty_n"])[["l_partkey", "thr"]]
+    tkeys = np.sort(thr["l_partkey"].to_numpy())
+    tvals = thr.set_index("l_partkey").loc[tkeys, "thr"].to_numpy()
+    kref = ray.put(tkeys)
+    vref = ray.put(tvals)
+
+    class _SmallQty:
+        def __init__(self):
+            self.k = ray.get(kref)
+            self.v = ray.get(vref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = t["l_partkey"].to_numpy()
+            pos = np.searchsorted(self.k, pk)
+            pos = np.clip(pos, 0, max(len(self.k) - 1, 0))
+            ok = (self.k[pos] == pk) if len(self.k) else np.zeros(len(pk), bool)
+            ok &= t["l_quantity"].to_numpy() < self.v[pos] if len(self.k) else False
+            s = float(t["l_extendedprice"].to_numpy()[ok].sum())
+            return pa.table({"s": pa.array([s], type=pa.float64())})
+
+    parts = li_b.map_batches(_SmallQty, batch_format="pyarrow",
+                             concurrency=(1, 8)).to_pandas()
+    return pd.DataFrame({"avg_yearly": [round(float(parts["s"].sum()) / 7.0, 2)]})
+
+
+def event_type_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts over per-user event sequences: for every
+    consecutive (by ts, event_id) pair of events of one user, count
+    (from_type, to_type) occurrences — the sequence-mining primitive
+    (n-gram over event streams; reference parity: order-dependent tag
+    cascades, p2_enrichData.py:333-378 are the same consecutive-scan
+    shape). One hash shuffle on user_id co-locates each user's events;
+    inside the block a single vectorized sort + shift computes ALL users'
+    transitions at once (user boundaries masked), and per-block pair
+    counts — at most |types|^2 rows — feed a tiny terminal aggregate."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def trans_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=str),
+                                 "to_type": pd.Series([], dtype=str),
+                                 "n": np.zeros(0, np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        out = pairs.groupby(["from_type", "to_type"], sort=False).size().rename("n")
+        return out.reset_index()
+
+    part = grouped(ev, ["user_id"], trans_block)
+    return groupby_agg(part, ["from_type", "to_type"], [AggSpec("n", "n", "sum")],
                        small=True)

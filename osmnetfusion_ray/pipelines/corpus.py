@@ -1797,3 +1797,42 @@ def sample_bottomk(sf_dir: str, k: int = 200) -> pa.Table:
         "lang": local["lang"].to_numpy().astype(str),
         "n_chars": local["n_chars"].to_numpy().astype(np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution tile pyramid
+# ---------------------------------------------------------------------------
+
+def doc_cell_pyramid(sf_dir: str, levels: tuple = (6, 4, 2)) -> rd.Dataset:
+    """Multi-resolution tile pyramid (H3/S2 ``parent()`` rollup; north_star:
+    hierarchical cell encoding): doc counts at res 6/4/2 of the grid, ALL
+    levels derived from ONE leaf pass. 100 TB layout: the corpus is scanned
+    once and reduced to per-block leaf-cell partials (combiner inside
+    ``groupby_agg``), one small shuffle produces exact leaf counts (key
+    space 2^6·2^6 = 4096 regardless of corpus size), and every coarser
+    level is a driver-free re-aggregation of the LEAF TABLE in a single
+    terminal block — the parent id is pure integer arithmetic
+    (``ix >> (6-res)``, the Morton-parent relation in cells.parent,
+    cells.py:91), never a second corpus scan."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pts = docs.map_batches(doc_geocode_batch, batch_format="pyarrow")
+    leaf = groupby_agg(pts, ["ix", "iy"], [AggSpec("n_docs", None, "count")],
+                       small=True)
+
+    base = max(levels)
+
+    def pyramid(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for res in levels:
+            s = base - res
+            lvl = pd.DataFrame({
+                "res": np.full(len(df), res, np.int64),
+                "pix": df["ix"].to_numpy().astype(np.int64) >> s,
+                "piy": df["iy"].to_numpy().astype(np.int64) >> s,
+                "n_docs": df["n_docs"].to_numpy().astype(np.int64),
+            })
+            outs.append(lvl.groupby(["res", "pix", "piy"], sort=False)["n_docs"]
+                        .sum().reset_index())
+        return pd.concat(outs, ignore_index=True)
+
+    return leaf.repartition(1).map_batches(pyramid, batch_format="pandas")

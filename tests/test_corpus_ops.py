@@ -1061,3 +1061,80 @@ class TestDauRetention:
         assert (out["n_active"].to_numpy() == ref["n_active"].to_numpy()).all()
         assert (out["n_retained"].to_numpy() == ref["n_retained"].to_numpy()).all()
         assert (out["n_retained"] <= out["n_active"]).all()
+
+
+class TestQ5LocalSupplierVolume:
+    def test_matches_pandas_star_join(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q5_local_supplier_volume
+
+        out = (q5_local_supplier_volume(SF).to_pandas()
+               .sort_values("n_name").reset_index(drop=True))
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        j = (li.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+               .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+               .merge(cust, left_on="o_custkey", right_on="c_custkey")
+               .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+               .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+        j = j[(j["r_name"] == "ASIA") & (j["c_nationkey"] == j["s_nationkey"])]
+        j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+        ref = j.groupby("n_name")["rev"].sum().round(2).sort_index()
+        assert (out["n_name"].to_numpy() == ref.index.to_numpy()).all()
+        assert np.allclose(out["revenue"], ref.to_numpy(), atol=0.02)
+
+
+class TestQ17SmallQuantityRevenue:
+    def test_matches_pandas_correlated_avg(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q17_small_quantity_revenue
+
+        out = q17_small_quantity_revenue(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        brand_keys = set(part.loc[part["p_brand"] == "Brand#23", "p_partkey"])
+        lb = li[li["l_partkey"].isin(brand_keys)].copy()
+        thr = 0.2 * lb.groupby("l_partkey")["l_quantity"].transform("mean")
+        ref = round(float(lb.loc[lb["l_quantity"] < thr, "l_extendedprice"].sum()) / 7.0, 2)
+        assert len(out) == 1
+        assert abs(float(out["avg_yearly"].iloc[0]) - ref) < 0.02
+
+
+class TestEventTypeTransitions:
+    def test_matches_pandas_lead(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_type_transitions
+
+        out = (event_type_transitions(SF).to_pandas()
+               .sort_values(["from_type", "to_type"]).reset_index(drop=True))
+        ev = (pq.read_table(f"{SF}/events.parquet").to_pandas()
+              .sort_values(["user_id", "ts", "event_id"], kind="stable"))
+        nxt = ev.groupby("user_id")["event_type"].shift(-1)
+        pairs = pd.DataFrame({"from_type": ev["event_type"], "to_type": nxt}).dropna()
+        ref = (pairs.groupby(["from_type", "to_type"]).size().rename("n")
+               .reset_index().sort_values(["from_type", "to_type"]).reset_index(drop=True))
+        assert (out["from_type"].to_numpy() == ref["from_type"].to_numpy()).all()
+        assert (out["to_type"].to_numpy() == ref["to_type"].to_numpy()).all()
+        assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
+        # every event except each user's last contributes exactly one transition
+        assert out["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+class TestDocCellPyramid:
+    def test_levels_sum_and_parent_arithmetic(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_cell_pyramid
+
+        out = doc_cell_pyramid(SF).to_pandas()
+        total = out[out["res"] == 6]["n_docs"].sum()
+        # mass conservation at every level
+        for res in (6, 4, 2):
+            assert out[out["res"] == res]["n_docs"].sum() == total
+        # each leaf's parent at res 4 carries >= the leaf's count
+        leaf = out[out["res"] == 6].copy()
+        p4 = out[out["res"] == 4].set_index(["pix", "piy"])["n_docs"]
+        got = p4.loc[list(zip(leaf["pix"] // 4, leaf["piy"] // 4))].to_numpy()
+        assert (got >= leaf["n_docs"].to_numpy()).all()
