@@ -446,6 +446,18 @@ def _q_doc_cell_pyramid(sf_dir: str):
     return doc_cell_pyramid(sf_dir)
 
 
+def _q_doc_radius_pairs(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_radius_pairs
+
+    return doc_radius_pairs(sf_dir)
+
+
+def _q_contamination_bloom(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import contamination_flags_bloom
+
+    return contamination_flags_bloom(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmnetfusion_ray.pipelines import analytics, netqueries
 
@@ -485,8 +497,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_retention": analytics.dau_retention,
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+        "q10_returned_items": analytics.q10_returned_items,
+        "q22_global_sales_opportunity": analytics.q22_global_sales_opportunity,
         "event_type_transitions": analytics.event_type_transitions,
+        "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
         "doc_cell_pyramid": _q_doc_cell_pyramid,
+        "doc_radius_pairs": _q_doc_radius_pairs,
+        # rows-only by design: Bloom membership can over-count with prob
+        # ~1.3e-5/shingle; exact oracled twin is contamination_check
+        "contamination_check_bloom": _q_contamination_bloom,
         "event_running_stats": analytics.event_running_stats,
         "event_type_cooccurrence": analytics.event_type_cooccurrence,
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
@@ -914,6 +933,73 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inc b ON a.user_id = b.user_id
                            AND b.day_us = a.day_us + 86400000000
             GROUP BY a.day_us
+        """,
+        "event_value_quantiles_hist": """
+            WITH mm AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+                        FROM events GROUP BY 1),
+            b AS (SELECT e.event_type,
+                         LEAST(CAST(floor((e.value - mm.lo)
+                               / ((mm.hi - mm.lo) / 64.0)) AS BIGINT), 63) AS bin,
+                         count(*) AS n
+                  FROM events e JOIN mm ON e.event_type = mm.event_type
+                  GROUP BY 1, 2),
+            c AS (SELECT event_type, bin, n,
+                         sum(n) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS cum,
+                         sum(n) OVER (PARTITION BY event_type) AS tot
+                  FROM b)
+            SELECT c.event_type,
+                   round(mm.lo + ((mm.hi - mm.lo) / 64.0)
+                         * min(CASE WHEN cum >= 0.5 * tot THEN bin END), 6)
+                       AS p50_est,
+                   round(mm.lo + ((mm.hi - mm.lo) / 64.0)
+                         * min(CASE WHEN cum >= 0.95 * tot THEN bin END), 6)
+                       AS p95_est
+            FROM c JOIN mm ON c.event_type = mm.event_type
+            GROUP BY c.event_type, mm.lo, mm.hi
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   c_acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+            LIMIT 20
+        """,
+        "q22_global_sales_opportunity": """
+            WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer
+                       WHERE c_acctbal > 0.0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, a
+            WHERE c_acctbal > a.ab
+              AND c_custkey NOT IN (SELECT user_id FROM events)
+            GROUP BY c_nationkey
+        """,
+        "doc_radius_pairs": f"""
+            WITH g AS ({_GEO}),
+            p AS (
+                SELECT doc_id, fx, fy,
+                       CAST(floor(fx / 0.03) AS BIGINT) AS cx,
+                       CAST(floor(fy / 0.03) AS BIGINT) AS cy
+                FROM g
+            ),
+            o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                        (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(sqrt((a.fx - b.fx) * (a.fx - b.fx)
+                            + (a.fy - b.fy) * (a.fy - b.fy)), 6) AS dist
+            FROM p a
+            CROSS JOIN o
+            JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+            WHERE a.doc_id < b.doc_id
+              AND (a.fx - b.fx) * (a.fx - b.fx)
+                + (a.fy - b.fy) * (a.fy - b.fy)
+                < CAST(0.03 AS DOUBLE) * CAST(0.03 AS DOUBLE)
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

@@ -48,6 +48,21 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a NONLINEAR uint64 mix. Use it
+    whenever a second hash must be INDEPENDENT of a first (Bloom double
+    hashing, HLL register split): an affine h2 = a*h1+b keeps h2 congruent
+    whenever h1 is congruent mod a power of two, which collapses k probe
+    positions into one collision event."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
 FNV_OFFSET = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
 

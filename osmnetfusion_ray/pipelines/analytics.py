@@ -1205,3 +1205,167 @@ def event_type_transitions(sf_dir: str) -> rd.Dataset:
     part = grouped(ev, ["user_id"], trans_block)
     return groupby_agg(part, ["from_type", "to_type"], [AggSpec("n", "n", "sum")],
                        small=True)
+
+
+def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-k customers by
+    revenue from returned lineitems. Scale layout: the returnflag
+    predicate is pushed INTO the parquet scan (row groups whose statistics
+    exclude 'R' never leave storage), the pruned fact is combiner-reduced
+    to per-orderkey revenue in one shuffle, a Ray-native hash join attaches
+    o_custkey, a second combiner-bounded shuffle yields per-customer
+    revenue, and the top-k is per-block argpartition + a tiny driver
+    reduce (only k rows per block move); the k winners are decorated from
+    the customer table by a keyed parquet point-read — the customer dim is
+    never broadcast or shuffled."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    from ..pipelines.simplify import _num_partitions
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"],
+                    filter=(pads.field("l_returnflag") == "R"))
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "rev": df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()),
+        })
+
+    per_order = groupby_agg(li.map_batches(revenue, batch_format="pandas"),
+                            ["l_orderkey"], [AggSpec("rev", "rev", "sum")])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_o = orders.count()
+    j = per_order.join(orders, join_type="inner",
+                       num_partitions=_num_partitions(rows=n_o),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = groupby_agg(j, ["o_custkey"], [AggSpec("revenue", "rev", "sum")])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= k:
+            return df
+        idx = np.lexsort((df["o_custkey"].to_numpy(), -df["revenue"].to_numpy()))[:k]
+        return df.iloc[idx]
+
+    cand = per_cust.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["revenue", "o_custkey"], ascending=[False, True],
+                            kind="stable").head(k)
+
+    names = pq_mod.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+        filters=[("c_custkey", "in", cand["o_custkey"].tolist())]).to_pandas()
+    out = cand.merge(names, left_on="o_custkey", right_on="c_custkey")
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].to_numpy(),
+        "c_name": out["c_name"].to_numpy(),
+        "revenue": np.round(out["revenue"].to_numpy(), 2),
+        "c_acctbal": out["c_acctbal"].to_numpy(),
+    })
+
+
+def q22_global_sales_opportunity(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape (global sales opportunity): per nation, count and
+    total balance of customers whose balance exceeds the positive-balance
+    average AND who show no event activity (the anti side is the events
+    table — every synthetic customer has orders, so the classic orders
+    anti-join is vacuously empty at all scales). Three primitives composed
+    at scale: a streamed one-pass global scalar (per-block partial
+    sum/count of positive balances, tiny reduce, scalar broadcast — never
+    a second scan), a Ray-native hash-shuffle ANTI join against events
+    reduced to per-block distinct user ids by a combiner, and a
+    |nations|-key terminal aggregate."""
+    from ..pipelines.simplify import _num_partitions
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bal = df["c_acctbal"].to_numpy()
+        pos = bal[bal > 0.0]
+        return pd.DataFrame({"s": [pos.sum()], "n": [len(pos)]})
+
+    parts = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    avg_bal = float(parts["s"].sum()) / max(int(parts["n"].sum()), 1)
+
+    rich = cust.map_batches(
+        lambda df, t=avg_bal: df[df["c_acctbal"].to_numpy() > t],
+        batch_format="pandas")
+    active = read_table(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas")
+    n_cust = cust.count()
+    no_orders = rich.join(active, join_type="left_anti",
+                          num_partitions=_num_partitions(rows=n_cust),
+                          on=("c_custkey",), right_on=("user_id",))
+    out = groupby_agg(no_orders, ["c_nationkey"],
+                      [AggSpec("numcust", None, "count"),
+                       AggSpec("totacctbal", "c_acctbal", "sum")], small=True)
+    return out.map_batches(
+        lambda df: df.assign(totacctbal=df["totacctbal"].round(2)),
+        batch_format="pandas")
+
+
+def event_value_quantiles_hist(sf_dir: str, nbins: int = 64) -> rd.Dataset:
+    """Per-event-type p50/p95 via a MERGEABLE fixed-width histogram — the
+    quantile layout that scales where exact per-group sort cannot: at
+    100 TB a type's values never co-locate, but per-block bin counts merge
+    associatively, so the exchange carries at most |types|·nbins rows per
+    block. Two passes: (1) per-type min/max (tiny aggregate, broadcast as
+    scalars), (2) per-block (type, bin) counts → one small shuffle → the
+    estimate is the lower edge of the first bin whose cumulative count
+    crosses the quantile. Every arithmetic step (bin width, floor, clamp,
+    cumsum crossing) is mirrored verbatim by the DuckDB oracle, so the
+    sketch itself is bit-checkable — unlike HLL/KMV it trades resolution,
+    not determinism."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    mm = groupby_agg(ev, ["event_type"],
+                     [AggSpec("lo", "value", "min"), AggSpec("hi", "value", "max")],
+                     small=True).to_pandas().sort_values("event_type")
+    types = mm["event_type"].to_numpy()
+    lo = mm["lo"].to_numpy()
+    w = (mm["hi"].to_numpy() - lo) / float(nbins)
+    tref = ray.put((types, lo, w))
+
+    class _Bins:
+        def __init__(self):
+            self.types, self.lo, self.w = ray.get(tref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ti = np.searchsorted(self.types, df["event_type"].to_numpy())
+            v = df["value"].to_numpy()
+            b = np.floor((v - self.lo[ti]) / self.w[ti]).astype(np.int64)
+            b = np.minimum(b, nbins - 1)
+            out = pd.DataFrame({"event_type": df["event_type"].to_numpy(), "bin": b})
+            return (out.groupby(["event_type", "bin"], sort=False)
+                    .size().rename("n").reset_index())
+
+    counts = groupby_agg(ev.map_batches(_Bins, batch_format="pandas",
+                                        concurrency=(1, 8)),
+                         ["event_type", "bin"], [AggSpec("n", "n", "sum")],
+                         small=True)
+
+    def _round_half_away(x: float, nd: int = 6) -> float:
+        # DuckDB round() is half-away-from-zero; Python round() is
+        # banker's, and bin edges (span/64 multiples) land EXACTLY on
+        # decimal halves often enough to flip the last digit
+        s = 10.0 ** nd
+        return float(np.sign(x) * np.floor(abs(x) * s + 0.5) / s)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "bin"], kind="stable")
+        outs = []
+        for t, g in df.groupby("event_type", sort=False):
+            cum = g["n"].to_numpy().cumsum()
+            tot = cum[-1]
+            i = np.searchsorted(types, t)
+            p50b = g["bin"].to_numpy()[np.argmax(cum >= 0.5 * tot)]
+            p95b = g["bin"].to_numpy()[np.argmax(cum >= 0.95 * tot)]
+            outs.append({"event_type": t,
+                         "p50_est": _round_half_away(float(lo[i] + w[i] * p50b)),
+                         "p95_est": _round_half_away(float(lo[i] + w[i] * p95b))})
+        return pd.DataFrame(outs)
+
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")

@@ -1836,3 +1836,139 @@ def doc_cell_pyramid(sf_dir: str, levels: tuple = (6, 4, 2)) -> rd.Dataset:
         return pd.concat(outs, ignore_index=True)
 
     return leaf.repartition(1).map_batches(pyramid, batch_format="pandas")
+
+
+def doc_radius_pairs(sf_dir: str, r: float = 0.03) -> rd.Dataset:
+    """Spatial self-join within radius ``r`` (in bbox-fraction units): every
+    pair of documents whose geocoded points lie closer than ``r`` — the
+    core north_star spatial-join shape (reference parity: clusterNodes'
+    buffer-intersection pair generation, p3_functions.py; same cell+halo
+    layout as stages/simplify pair-gen). 100 TB layout:
+
+    - each point is keyed to a grid of cell size ``r``, then REPLICATED to
+      its 9-cell halo (bounded 9x fan-out; at production scale the halo is
+      replaced by a boundary exchange, but the shuffle key and kernel are
+      unchanged);
+    - ONE hash shuffle on the cell key co-locates every candidate pair —
+      two points within ``r`` always share at least one halo cell;
+    - the per-cell kernel computes all-pairs distances vectorized and
+      emits a pair ONLY from the cell that is min(home_a, home_b), so no
+      cross-cell dedup exchange is ever needed;
+    - per-cell work is O(density²) — skewed cells are the documented
+      assumption, handled exactly like the salted histogram
+      (doc_cell_counts_salted) by splitting hot cells one res finer.
+    """
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    r2 = r * r
+
+    def halo_pts(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        cx = np.floor(fx / r).astype(np.int64)
+        cy = np.floor(fy / r).astype(np.int64)
+        home = ((cx + 1) << np.int64(32)) | (cy + 1)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
+                outs.append(pa.table({
+                    "cell": pa.array(cell), "doc_id": pa.array(doc_id),
+                    "fx": pa.array(fx), "fy": pa.array(fy),
+                    "home": pa.array(home),
+                }))
+        return pa.concat_tables(outs)
+
+    pts = docs.map_batches(halo_pts, batch_format="pyarrow")
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell, g in df.groupby("cell", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            fx = g["fx"].to_numpy(); fy = g["fy"].to_numpy()
+            d2 = (fx[i] - fx[j]) ** 2 + (fy[i] - fy[j]) ** 2
+            home = g["home"].to_numpy()
+            keep = (d2 < r2) & (np.minimum(home[i], home[j]) == cell)
+            if not keep.any():
+                continue
+            ida = g["doc_id"].to_numpy()[i[keep]]
+            idb = g["doc_id"].to_numpy()[j[keep]]
+            lo = np.minimum(ida, idb); hi = np.maximum(ida, idb)
+            outs.append(pd.DataFrame({
+                "id_a": lo, "id_b": hi,
+                "dist": np.round(np.sqrt(d2[keep]), 6)}))
+        if not outs:
+            return pd.DataFrame({"id_a": np.zeros(0, np.int64),
+                                 "id_b": np.zeros(0, np.int64),
+                                 "dist": np.zeros(0)})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped(pts, ["cell"], pair_block)
+
+
+def contamination_flags_bloom(sf_dir: str, test_max_doc_id: int = 10,
+                              shingle: int = 3, bits_per_key: int = 64,
+                              n_hashes: int = 4) -> rd.Dataset:
+    """Scale path of :func:`contamination_flags`: the held-out shingle set
+    is broadcast as a BLOOM FILTER (packed uint64 bitset, ~8 bytes/key at
+    64 bits/key) instead of a Python set — at a 10^9-shingle held-out
+    corpus the set broadcast is tens of GB of Python objects, the filter is
+    a flat 8 GB numpy array shared once via ``ray.put`` and zero-copy in
+    every task. Membership FP rate at 64 bits/key, 4 hashes is ~1.3e-5
+    (n_hits may only ever OVER-count), so the op is rows-only by design;
+    its exact oracled twin is contamination_flags, and the parity test
+    asserts identity at test scale."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _test_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].to_numpy() < test_max_doc_id]
+
+    test = docs.map_batches(_test_part, batch_format="pandas").to_pandas()
+    tsh = sorted(set(_batch_shingles(test["text"].to_numpy(), shingle)[0]))
+    m_bits = max(64, 1 << int(np.ceil(np.log2(max(len(tsh), 1) * bits_per_key))))
+    mask = np.uint64(m_bits - 1)
+    filt = np.zeros(m_bits // 64, np.uint64)
+    h1 = hashing.hash64(pa.array(tsh, type=pa.string()))
+    # h2 via a NONLINEAR mix: an affine h2(h1) makes the k probe positions
+    # collide together whenever h1 collides mod m (measured 1.8% FP vs the
+    # ~1e-5 design rate); splitmix64 decorrelates them
+    h2 = hashing.splitmix64(h1)
+    for k in range(n_hashes):
+        pos = (h1 + np.uint64(k) * h2) & mask
+        np.bitwise_or.at(filt, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    fref = ray.put(filt)
+
+    class _BloomFlag:
+        def __init__(self):
+            self.f = ray.get(fref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["doc_id"].to_numpy() >= test_max_doc_id]
+            all_sh, counts = _batch_shingles(keep["text"].to_numpy(), shingle)
+            if len(all_sh):
+                s1 = hashing.hash64(pa.array(all_sh, type=pa.string()))
+                s2 = hashing.splitmix64(s1)
+                hit = np.ones(len(all_sh), bool)
+                for k in range(n_hashes):
+                    pos = (s1 + np.uint64(k) * s2) & mask
+                    bit = (self.f[(pos >> np.uint64(6)).astype(np.int64)]
+                           >> (pos & np.uint64(63))) & np.uint64(1)
+                    hit &= bit.astype(bool)
+                n_hits = np.add.reduceat(hit.astype(np.int64), np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]))
+            else:
+                n_hits = np.zeros(0, np.int64)
+            return pd.DataFrame({
+                "doc_id": keep["doc_id"].to_numpy(),
+                "n_hits": n_hits,
+                "contaminated": n_hits > 0,
+            })
+
+    return docs.map_batches(_BloomFlag, batch_format="pandas", concurrency=(1, 8))

@@ -119,16 +119,26 @@ def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table],
         pts[kind] = (lon, lat, rings, pidx)
     ref = ray.put(pts)
 
-    def _batch(df: pd.DataFrame) -> pd.DataFrame:
-        p = ray.get(ref)
-        for kind, _ in kinds:
-            lon, lat, rings, pidx = p[kind]
-            df = E.landuse_ratio(df, lon, lat, kind, poly_rings=rings,
-                                 ref_lat=ref_lat, poly_index=pidx)
-            df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
-        return df
+    class _LanduseBatch:
+        """Actor-pool stage: the broadcast bundle holds thousands of small
+        ring arrays + grid indexes — ``ray.get`` UNPICKLES that object
+        graph on every call, so a task pool paid the deserialization per
+        BATCH (measured: the whole enrich wall at city scale). One get in
+        ``__init__`` amortizes it per actor."""
 
-    return edges_ds.map_batches(_batch, batch_format="pandas")
+        def __init__(self):
+            self.p = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            for kind, _ in kinds:
+                lon, lat, rings, pidx = self.p[kind]
+                df = E.landuse_ratio(df, lon, lat, kind, poly_rings=rings,
+                                     ref_lat=ref_lat, poly_index=pidx)
+                df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
+            return df
+
+    return edges_ds.map_batches(_LanduseBatch, batch_format="pandas",
+                                concurrency=(1, 16))
 
 
 def add_bike_labels(edges_ds: rd.Dataset) -> rd.Dataset:
@@ -315,22 +325,24 @@ def add_bicycle_parking(edges_ds: rd.Dataset, amenities: pa.Table, radius_m=200.
 
     cand = edges_ds.map_batches(_cand, batch_format="pandas").to_pandas()
     best = _resolve_argmin(cand)
-    on_map: dict[int, list[str]] = {}
-    for r in best.sort_values("dim_row").itertuples(index=False):
-        on_map.setdefault(int(r.elem), []).append(str(names[int(r.dim_row)]))
-    nearby_map: dict[int, list[str]] = {}
-    for r in cand.sort_values("dim_row").itertuples(index=False):
-        nearby_map.setdefault(int(r.elem), []).append(str(names[int(r.dim_row)]))
-    ref = ray.put((
-        {k: ", ".join(v) for k, v in on_map.items()},
-        {k: ", ".join(sorted(v)) for k, v in nearby_map.items()},
-    ))
+    # vectorized label maps (an itertuples loop here cost ~20 s at 1M
+    # candidate pairs): names attached by fancy-indexing, the join-order
+    # semantics preserved by sorting before the groupby agg
+    bs = best.sort_values("dim_row")
+    on_ser = (pd.Series(names[bs["dim_row"].to_numpy().astype(np.int64)],
+                        index=bs["elem"].to_numpy().astype(np.int64))
+              .groupby(level=0).agg(", ".join))
+    cs = cand.assign(name=names[cand["dim_row"].to_numpy().astype(np.int64)])
+    nearby_ser = (cs.sort_values("name").groupby(cs["elem"].astype(np.int64))["name"]
+                  .agg(", ".join))
+    ref = ray.put((on_ser.to_dict(), nearby_ser.to_dict()))
 
     def _apply(df: pd.DataFrame) -> pd.DataFrame:
         on, nearby = ray.get(ref)
         df = df.copy()
-        df["amenity_on"] = df["osmid"].map(lambda o: on.get(int(o), ""))
-        df["amenity_nearby"] = df["osmid"].map(lambda o: nearby.get(int(o), ""))
+        ids = df["osmid"].astype(np.int64)
+        df["amenity_on"] = ids.map(on).fillna("")
+        df["amenity_nearby"] = ids.map(nearby).fillna("")
         return df
 
     return edges_ds.map_batches(_apply, batch_format="pandas")
@@ -360,6 +372,15 @@ def enrich_network(
     from ..config import DEFAULT
 
     cfg = cfg or DEFAULT
+    # fan the inputs across the cluster FIRST: synthetic/from_pandas (and
+    # single-file parquet) inputs arrive as 1-8 blocks, and map_batches
+    # parallelism is per-BLOCK — a 1-block node table serializes every
+    # node-side stage no matter how many CPUs exist (measured: the p3
+    # chain's N→4N scaling was pinned at ~0.33 by exactly this)
+    from ..rayctx import ensure_fanout
+
+    edges_ds = ensure_fanout(edges_ds)
+    nodes_ds = ensure_fanout(nodes_ds)
     if cfg.landuse:
         edges_ds = add_landuse_ratios(edges_ds, dims, ref_lat=cfg.ref_lat)
     edges_ds = add_bike_labels(edges_ds)

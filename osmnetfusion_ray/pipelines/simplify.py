@@ -192,10 +192,16 @@ def _pairs_in_cell(g: pd.DataFrame, ref_lat: float | None = None) -> pd.DataFram
 
 # below this many pair edges, connected components run as a driver-side
 # union-find instead of distributed label-propagation rounds (see the
-# size-adaptive branch in cluster_labels_ds). 200k int64 pairs ≈ 3 MB —
-# trivially driver-safe; a continental network (pairs ≈ O(nodes) ≈ 10^8)
-# takes the distributed path.
-LOCAL_CC_MAX_PAIRS = 200_000
+# size-adaptive branch in cluster_labels_ds). The cutover is sized by
+# BYTES, not row-count aesthetics: 20M pairs = two int64 columns = 320 MB
+# on the driver, well inside budget, and the union-find itself is ~2 s —
+# while ONE distributed propagation round costs several hash-shuffle
+# stages of fixed actor-pool spin-up (measured: 240k pairs crossing the
+# old 200k cutoff took ~90 s/pass in the loop vs <1 s in the union-find —
+# a 180 s cliff in the n=200 bench city). A continental network
+# (pairs ≈ O(nodes) ≈ 10^8, multi-GB) still takes the distributed path,
+# where those fixed costs amortize over real per-round work.
+LOCAL_CC_MAX_PAIRS = 20_000_000
 
 
 def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
@@ -522,6 +528,18 @@ def simplify_network(
     ranking = dict(cfg.highway_ranking)
     buffers = dict(cfg.highway_buffers)
     ensure_tuned()
+
+    # stage timing, printed only when OSMNF_PROF is set (perf triage)
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("OSMNF_PROF"))
+    _t = [_time.time()]
+
+    def _mark(label: str):
+        if _prof:
+            now = _time.time()
+            print(f"  <p3:{label}> {now - _t[0]:.1f}s", flush=True)
+            _t[0] = now
     # size-adaptive: a tiny network pays ~15 shuffle stages' fixed
     # actor-pool costs in the distributed chain — below the cap the SAME
     # kernels run once each on the driver (path equality tested + golden
@@ -533,10 +551,17 @@ def simplify_network(
             cluster_threshold, cfg, ranking, buffers)
         return {"nodes": rd.from_pandas(nodes_out),
                 "edges": rd.from_pandas(edges_out)}
+    # per-block map parallelism: narrow inputs serialize the chain (see
+    # rayctx.ensure_fanout)
+    from ..rayctx import ensure_fanout
+
+    edges_ds = ensure_fanout(edges_ds).materialize()
+    nodes_ds = ensure_fanout(nodes_ds)
     # 1. split curves (stateless flat-map; deterministic ids)
     edges_ds = edges_ds.map_batches(
         lambda df: _split_curves_batch(df, cfg.max_angle_initial, cfg.max_angle_prev),
         batch_format="pandas").materialize()
+    _mark("split_curves")
     split_nodes1 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT1_BASE), batch_format="pandas")
     nodes_all = _union_nodes(nodes_ds, split_nodes1)
@@ -549,6 +574,7 @@ def simplify_network(
     # 3+4. node importance + buffer radii
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers,
                                    rows=2 * n_edges).materialize()
+    _mark("attach_importance_1")
     # joins below are node-scale; size their aggregator pools to the actual
     # row count so a toy city doesn't spin 16 actors per join. The merge
     # groupbys get FULL-width pools once the network is real-sized — the
@@ -576,14 +602,25 @@ def simplify_network(
     # request table is O(edge×buffer crossings) and can reach GBs at 10^8
     # edges).
     mm1_pd = mm1.to_pandas()
+    _mark("cluster_pass_1")
     nodes_pd = _collect_pandas(nodes_all, ["osmid", "x", "y", "buffer_r"])
     state = S.ClusterBufferState(mm1_pd, nodes_pd, ref_lat=cfg.ref_lat)
     state_ref = ray.put(state)
 
-    def _requests_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return S.split_requests(df, ray.get(state_ref))
+    class _RequestsBatch:
+        """Actor-pool stage: ClusterBufferState is an object graph (grid
+        index + per-cluster arrays) that ``ray.get`` unpickles on every
+        call — fetched once per actor, not once per batch."""
 
-    req_ds = edges_ds.map_batches(_requests_batch, batch_format="pandas").materialize()
+        def __init__(self):
+            self.state = ray.get(state_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return S.split_requests(df, self.state)
+
+    req_ds = edges_ds.map_batches(_RequestsBatch, batch_format="pandas",
+                                  concurrency=(1, 16)).materialize()
+    _mark("split_requests")
     if req_ds.count() > 0:
         joined = edges_ds.join(req_ds, join_type="left_outer",
                                num_partitions=jp,
@@ -599,6 +636,7 @@ def simplify_network(
 
         edges_ds = grouped(joined, ["osmid"], _apply_block, small=merge_small,
                            rows=n_edges).materialize()
+        _mark("apply_edge_splits")
     split_nodes2 = edges_ds.map_batches(
         lambda df: _new_nodes_from_split_edges(df, S.SPLIT2_BASE), batch_format="pandas")
     # keep the node TAG columns (highway, crossing, old_osmid) through the
@@ -609,15 +647,18 @@ def simplify_network(
     # 6b+7. re-rank importance over the final edge set, re-buffer, recluster
     nodes_all = _attach_importance(nodes_all, edges_ds, buffers,
                                    join_partitions=jp, rows=2 * n_edges).materialize()
+    _mark("attach_importance_2")
     mm2 = cluster_merge_map_ds(nodes_all, cluster_threshold, res=res,
                                ref_lat=cfg.ref_lat, join_partitions=jp,
                                rows=n_nodes).materialize()
+    _mark("cluster_pass_2")
 
     # 8. reassign edges to merged nodes. The merge map is broadcast as
     # SORTED numpy arrays (id + searchsorted lookup inside the kernel) —
     # compact, zero-copy out of the object store, no driver-held Python
     # dicts (round-1 flag: dicts cost tens of GB at 10^8 nodes).
     mm2_pd = mm2.to_pandas()
+    _mark("mm2_to_driver")
     order = np.argsort(mm2_pd["osmid"].to_numpy(), kind="stable")
     ids_sorted = mm2_pd["osmid"].to_numpy()[order].astype(np.int64)
     maps_ref = ray.put((
@@ -627,11 +668,16 @@ def simplify_network(
         mm2_pd["my"].to_numpy()[order].astype(np.float64),
     ))
 
-    def _reassign_batch(df: pd.DataFrame) -> pd.DataFrame:
-        ids, mb, mxa, mya = ray.get(maps_ref)
-        return S.reassign_edges_arrays(df, ids, mb, ids, mxa, ids, mya)
+    class _ReassignBatch:
+        def __init__(self):
+            self.maps = ray.get(maps_ref)
 
-    edges_ds = edges_ds.map_batches(_reassign_batch, batch_format="pandas")
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, mb, mxa, mya = self.maps
+            return S.reassign_edges_arrays(df, ids, mb, ids, mxa, ids, mya)
+
+    edges_ds = edges_ds.map_batches(_ReassignBatch, batch_format="pandas",
+                                    concurrency=(1, 16))
 
     # 10. merge nodes: join merge map, group by representative. The tag
     # cleaning happens INSIDE the post-shuffle block — cleaned columns hold

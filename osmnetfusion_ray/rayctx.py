@@ -57,6 +57,23 @@ def n_shuffle_blocks(small: bool = False, rows: int | None = None) -> int:
     return cap
 
 
+def ensure_fanout(ds, min_blocks: int | None = None):
+    """Guarantee at least ``min_blocks`` blocks so map stages can use the
+    cluster: synthetic ``from_pandas`` and single-file parquet inputs
+    arrive as 1-8 blocks, and map_batches parallelism is per-BLOCK — a
+    1-block table serializes every downstream map stage no matter how many
+    CPUs exist. No-op when the dataset is already wide (checkable only on
+    materialized datasets; lazy inputs are repartitioned defensively)."""
+    nb = min_blocks or n_shuffle_blocks()
+    try:
+        cur = ds.num_blocks()
+    except Exception:
+        cur = None
+    if cur is not None and cur >= nb:
+        return ds
+    return ds.repartition(num_blocks=nb)
+
+
 def grouped(ds, keys, block_fn, *, small: bool = False, rows: int | None = None):
     """The engine's grouped-operator primitive: hash-repartition by ``keys``
     (every key fully in one block) then apply ``block_fn`` (a vectorized

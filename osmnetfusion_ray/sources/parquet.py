@@ -17,12 +17,18 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Pruned read of one testdata table."""
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               filter=None) -> rd.Dataset:
+    """Pruned read of one testdata table. ``filter`` (a pyarrow dataset
+    expression) is pushed INTO the parquet scan — row groups whose
+    statistics exclude the predicate never leave storage."""
     from ..rayctx import ensure_tuned
 
     ensure_tuned()
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    kwargs = {"columns": columns}
+    if filter is not None:
+        kwargs["filter"] = filter
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), **kwargs)
 
 
 def _docs_to_pages(batch: pa.Table) -> pa.Table:

@@ -58,6 +58,17 @@ def synth_city(n: int = 12, seed: int = 42, satellites: int = 0) -> tuple[pa.Tab
     """
     rng = _rng(seed)
     lon0, lat0, lon1, lat1 = BBOX
+    # constant street density: past n=150 the fixed bbox would pack
+    # intersections closer than twice the largest node-buffer radius
+    # (30 m spacing at n=200 vs 18 m trunk buffers), chaining every buffer
+    # disk into ONE giant cluster — a geometry no real city has (a bigger
+    # city is more AREA, not denser corners). Scaling the extent keeps
+    # spacing at the n=150 level; n <= 150 (all tests, golden snapshots)
+    # is bit-identical to before.
+    s = max(1.0, n / 150.0)
+    _cx, _cy = (lon0 + lon1) / 2.0, (lat0 + lat1) / 2.0
+    lon0, lon1 = _cx + (lon0 - _cx) * s, _cx + (lon1 - _cx) * s
+    lat0, lat1 = _cy + (lat0 - _cy) * s, _cy + (lat1 - _cy) * s
     xs = np.linspace(lon0 + 0.004, lon1 - 0.004, n)
     ys = np.linspace(lat0 + 0.004, lat1 - 0.004, n)
     gx, gy = np.meshgrid(xs, ys)

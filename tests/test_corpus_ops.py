@@ -1138,3 +1138,123 @@ class TestDocCellPyramid:
         p4 = out[out["res"] == 4].set_index(["pix", "piy"])["n_docs"]
         got = p4.loc[list(zip(leaf["pix"] // 4, leaf["piy"] // 4))].to_numpy()
         assert (got >= leaf["n_docs"].to_numpy()).all()
+
+
+class TestQ10ReturnedItems:
+    def test_matches_pandas_topk(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q10_returned_items
+
+        out = q10_returned_items(SF).reset_index(drop=True)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        j = (li[li["l_returnflag"] == "R"]
+             .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+             .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+        j["rev"] = j["l_extendedprice"] * (1 - j["l_discount"])
+        per = j.groupby(["c_custkey", "c_name", "c_acctbal"])["rev"].sum().reset_index()
+        ref = per.sort_values(["rev", "c_custkey"], ascending=[False, True]).head(20)
+        assert len(out) == 20
+        assert (out["c_custkey"].to_numpy() == ref["c_custkey"].to_numpy()).all()
+        assert np.allclose(out["revenue"], ref["rev"].round(2), atol=0.02)
+        assert (out["c_name"].to_numpy() == ref["c_name"].to_numpy()).all()
+
+
+class TestQ22GlobalSalesOpportunity:
+    def test_matches_pandas_scalar_anti_join(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q22_global_sales_opportunity
+
+        out = (q22_global_sales_opportunity(SF).to_pandas()
+               .sort_values("c_nationkey").reset_index(drop=True))
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        events = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ab = cust.loc[cust["c_acctbal"] > 0, "c_acctbal"].mean()
+        sel = cust[(cust["c_acctbal"] > ab)
+                   & ~cust["c_custkey"].isin(set(events["user_id"]))]
+        ref = sel.groupby("c_nationkey").agg(
+            numcust=("c_custkey", "size"),
+            totacctbal=("c_acctbal", "sum")).reset_index()
+        assert (out["c_nationkey"].to_numpy() == ref["c_nationkey"].to_numpy()).all()
+        assert (out["numcust"].to_numpy() == ref["numcust"].to_numpy()).all()
+        assert np.allclose(out["totacctbal"], ref["totacctbal"].round(2), atol=0.02)
+
+
+class TestDocRadiusPairs:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import doc_radius_pairs
+
+        out = (doc_radius_pairs(SF).to_pandas()
+               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        doc_id = np.sort(pq.read_table(f"{SF}/documents.parquet",
+                                       columns=["doc_id"])["doc_id"].to_numpy())
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        i, j = np.triu_indices(len(doc_id), k=1)
+        d2 = (fx[i] - fx[j]) ** 2 + (fy[i] - fy[j]) ** 2
+        keep = d2 < 0.03 * 0.03
+        ref = pd.DataFrame({
+            "id_a": np.minimum(doc_id[i[keep]], doc_id[j[keep]]),
+            "id_b": np.maximum(doc_id[i[keep]], doc_id[j[keep]]),
+            "dist": np.round(np.sqrt(d2[keep]), 6),
+        }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(out) == len(ref) > 0
+        assert (out["id_a"].to_numpy() == ref["id_a"].to_numpy()).all()
+        assert (out["id_b"].to_numpy() == ref["id_b"].to_numpy()).all()
+        assert np.allclose(out["dist"], ref["dist"], atol=1e-9)
+
+    def test_partition_invariance(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_radius_pairs
+
+        a = (doc_radius_pairs(SF).to_pandas()
+             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        b = (doc_radius_pairs(SF).to_pandas()
+             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestContaminationBloom:
+    def test_identical_to_exact_set(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import (contamination_flags,
+                                                       contamination_flags_bloom)
+
+        exact = (contamination_flags(SF).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        bloom = (contamination_flags_bloom(SF).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(exact, bloom)
+        assert exact["contaminated"].any()
+
+
+class TestEventValueQuantilesHist:
+    def test_matches_numpy_histogram(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_value_quantiles_hist
+
+        out = (event_value_quantiles_hist(SF).to_pandas()
+               .sort_values("event_type").reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        rows = []
+        for t, g in ev.groupby("event_type"):
+            v = g["value"].to_numpy()
+            lo, hi = v.min(), v.max()
+            w = (hi - lo) / 64.0
+            b = np.minimum(np.floor((v - lo) / w).astype(np.int64), 63)
+            cnt = np.bincount(b, minlength=64)
+            cum = cnt.cumsum()
+            p50 = lo + w * int(np.argmax(cum >= 0.5 * cum[-1]))
+            p95 = lo + w * int(np.argmax(cum >= 0.95 * cum[-1]))
+            rows.append({"event_type": t, "p50_est": round(p50, 6),
+                         "p95_est": round(p95, 6)})
+        ref = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref)
+        # sketch is within a bin width of the true quantiles
+        for t, g in ev.groupby("event_type"):
+            v = g["value"].to_numpy()
+            w = (v.max() - v.min()) / 64.0
+            row = out[out["event_type"] == t].iloc[0]
+            assert abs(row["p50_est"] - np.quantile(v, 0.5)) <= 2 * w
+            assert abs(row["p95_est"] - np.quantile(v, 0.95)) <= 2 * w
