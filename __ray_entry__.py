@@ -498,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q10_returned_items": analytics.q10_returned_items,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q19_discounted_revenue": analytics.q19_discounted_revenue,
         "q22_global_sales_opportunity": analytics.q22_global_sales_opportunity,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
@@ -969,6 +971,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
             LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "q19_discounted_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q22_global_sales_opportunity": """
             WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer

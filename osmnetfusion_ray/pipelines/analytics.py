@@ -1369,3 +1369,90 @@ def event_value_quantiles_hist(sf_dir: str, nbins: int = 64) -> rd.Dataset:
         return pd.DataFrame(outs)
 
     return counts.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of revenue from promo-type
+    parts in one ship-month. Layout: the month predicate prunes row groups
+    AT THE SCAN (timestamp filter expression), part's (partkey → is-promo)
+    flag is a broadcast dim lookup inside map_batches, and the two
+    conditional sums reduce per block to ONE scalar row each — the only
+    thing that ever reaches the driver is n_blocks rows."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    lo = pd.Timestamp("1995-09-01")
+    hi = pd.Timestamp("1995-10-01")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount"],
+                    filter=((pads.field("l_shipdate") >= lo)
+                            & (pads.field("l_shipdate") < hi)))
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_type"]).to_pandas()
+    promo_keys = np.sort(
+        part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"].to_numpy())
+    kref = ray.put(promo_keys)
+
+    class _Partial:
+        def __init__(self):
+            self.k = ray.get(kref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+            pk = df["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.k, pk), 0, max(len(self.k) - 1, 0))
+            promo = (self.k[pos] == pk) if len(self.k) else np.zeros(len(pk), bool)
+            return pd.DataFrame({"promo": [rev[promo].sum()], "total": [rev.sum()]})
+
+    parts = li.map_batches(_Partial, batch_format="pandas",
+                           concurrency=(1, 8)).to_pandas()
+    total = float(parts["total"].sum())
+    promo = float(parts["promo"].sum())
+    return pd.DataFrame({"promo_revenue_pct":
+                         [round(100.0 * promo / total if total else 0.0, 4)]})
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): revenue from
+    lineitems matching ANY of three (brand, size-range, quantity-range)
+    clauses — the OR-of-ANDs predicate evaluated fully vectorized inside
+    one streamed pass (no shuffle at all; per-block scalar partials). The
+    part attributes arrive as broadcast sorted arrays + searchsorted, never
+    a join."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy())
+    order = np.argsort(part["p_partkey"].to_numpy())
+    brand = part["p_brand"].to_numpy()[order]
+    size = part["p_size"].to_numpy()[order].astype(np.int64)
+    ref = ray.put((pk, brand, size))
+
+    class _Partial:
+        def __init__(self):
+            self.pk, self.brand, self.size = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            k = df["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(self.pk, k), 0, max(len(self.pk) - 1, 0))
+            ok = self.pk[pos] == k
+            b = self.brand[pos]
+            s = self.size[pos]
+            q = df["l_quantity"].to_numpy()
+            c1 = (b == "Brand#12") & (s >= 1) & (s <= 15) & (q >= 1) & (q <= 11)
+            c2 = (b == "Brand#23") & (s >= 1) & (s <= 30) & (q >= 10) & (q <= 20)
+            c3 = (b == "Brand#34") & (s >= 1) & (s <= 45) & (q >= 20) & (q <= 30)
+            m = ok & (c1 | c2 | c3)
+            rev = (df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()))[m]
+            return pd.DataFrame({"s": [rev.sum()]})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    parts = li.map_batches(_Partial, batch_format="pandas",
+                           concurrency=(1, 8)).to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts["s"].sum()), 2)]})

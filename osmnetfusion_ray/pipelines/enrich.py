@@ -116,7 +116,10 @@ def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table],
         # city scale
         pidx = (PolygonGridIndex(rings, np.arange(len(rings), dtype=np.int64),
                                  max_radius_m=200.0) if rings else None)
-        pts[kind] = (lon, lat, rings, pidx)
+        # broadcast the INDEX only — its internals are a handful of flat
+        # arrays (near-zero unpickle cost); the raw ring list is thousands
+        # of small numpy objects that every actor would deserialize
+        pts[kind] = (lon, lat, pidx)
     ref = ray.put(pts)
 
     class _LanduseBatch:
@@ -131,14 +134,22 @@ def add_landuse_ratios(edges_ds: rd.Dataset, dims: dict[str, pa.Table],
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             for kind, _ in kinds:
-                lon, lat, rings, pidx = self.p[kind]
-                df = E.landuse_ratio(df, lon, lat, kind, poly_rings=rings,
+                lon, lat, pidx = self.p[kind]
+                df = E.landuse_ratio(df, lon, lat, kind, poly_rings=[],
                                      ref_lat=ref_lat, poly_index=pidx)
                 df = df.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
             return df
 
+    from ..rayctx import pool_width
+
+    # half-width FLOOR, full-width cap: autoscaling from one actor left a
+    # ~60 s stage under-provisioned half its life (measured 30-142 s
+    # swings), but a FIXED full-width pool reserves every CPU at startup
+    # and deadlocks the plan — the upstream repartition that FEEDS this
+    # pool can never get a core (observed wedged at num_cpus=8)
+    w = pool_width()
     return edges_ds.map_batches(_LanduseBatch, batch_format="pandas",
-                                concurrency=(1, 16))
+                                concurrency=(max(2, w // 2), w))
 
 
 def add_bike_labels(edges_ds: rd.Dataset) -> rd.Dataset:

@@ -232,7 +232,7 @@ def cluster_labels_ds(nodes_ds: rd.Dataset, max_rounds: int = 64,
                                      batch_format="pandas"),
                 ["cell"],
                 _per_group(["cell"], lambda g: _pairs_in_cell(g, ref_lat=ref_lat)),
-                small=True, rows=rows)
+                small=False, rows=rows)
         .map_batches(
             lambda df: pd.DataFrame({
                 "node": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
@@ -401,7 +401,7 @@ def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESH
                            num_partitions=join_partitions or _num_partitions(),
                            on=("osmid",))
     return grouped(joined, ["label"],
-                   lambda df: _merge_map_block(df, threshold), small=True, rows=rows)
+                   lambda df: _merge_map_block(df, threshold), small=False, rows=rows)
 
 
 # ---------------------------------------------------------------------------
@@ -582,7 +582,13 @@ def simplify_network(
     # spread over every core.
     n_nodes = nodes_all.count()
     jp = _num_partitions(n_nodes)
-    merge_small = True  # full-width pools measured SLOWER on this host (aggregator actor startup ~1s each outweighs per-group spread; see BENCH notes)
+    # the node/edge merge groupbys are the chain's main COMPUTE (a Python
+    # per-group kernel over ~0.7 groups/edge) — full-width pools pay off as
+    # soon as the per-group work dwarfs aggregator startup (~1 s/actor on
+    # this host): small pools measured 258 s for the merge tail at 161k
+    # edges where full width cuts it ~4x. Below ~20k edges the startup
+    # cost dominates and the small pool wins (earlier BENCH note).
+    merge_small = n_edges < 20_000
 
     # shared pair-gen resolution: ONE global value for every clustering batch
     # (a batch-local choice breaks cross-batch pair generation — see
@@ -618,8 +624,10 @@ def simplify_network(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return S.split_requests(df, self.state)
 
+    from ..rayctx import pool_width
+
     req_ds = edges_ds.map_batches(_RequestsBatch, batch_format="pandas",
-                                  concurrency=(1, 16)).materialize()
+                                  concurrency=(1, pool_width())).materialize()
     _mark("split_requests")
     if req_ds.count() > 0:
         joined = edges_ds.join(req_ds, join_type="left_outer",
@@ -677,7 +685,7 @@ def simplify_network(
             return S.reassign_edges_arrays(df, ids, mb, ids, mxa, ids, mya)
 
     edges_ds = edges_ds.map_batches(_ReassignBatch, batch_format="pandas",
-                                    concurrency=(1, 16))
+                                    concurrency=(1, pool_width()))
 
     # 10. merge nodes: join merge map, group by representative. The tag
     # cleaning happens INSIDE the post-shuffle block — cleaned columns hold

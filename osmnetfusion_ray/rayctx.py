@@ -57,6 +57,17 @@ def n_shuffle_blocks(small: bool = False, rows: int | None = None) -> int:
     return cap
 
 
+def pool_width(cap: int = 32) -> int:
+    """Actor-pool width sized to the CLUSTER, not a constant: a literal
+    ``concurrency=(1, 16)`` starves the large-cluster leg of the N→4N
+    scaling protocol (16/24 CPUs busy) while oversizing tiny ones."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus))
+
+
 def ensure_fanout(ds, min_blocks: int | None = None):
     """Guarantee at least ``min_blocks`` blocks so map stages can use the
     cluster: synthetic ``from_pandas`` and single-file parquet inputs

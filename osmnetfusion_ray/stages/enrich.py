@@ -254,7 +254,7 @@ def landuse_ratio(
     ratio_point = np.minimum(counts * 5.0 / np.maximum(lengths, 1e-9), 1.0)
 
     ratio_poly = np.zeros(n_edges)
-    if poly_rings:
+    if poly_rings or poly_index is not None:
         ax, ay, bx, by, seg_edge = _edge_segments(edges)
         seg_len = geom.haversine_m(ax, ay, bx, by)
         n_samples = np.maximum((seg_len / sample_step_m).astype(np.int64), 1)

@@ -1258,3 +1258,39 @@ class TestEventValueQuantilesHist:
             row = out[out["event_type"] == t].iloc[0]
             assert abs(row["p50_est"] - np.quantile(v, 0.5)) <= 2 * w
             assert abs(row["p95_est"] - np.quantile(v, 0.95)) <= 2 * w
+
+
+class TestQ14PromoRevenue:
+    def test_matches_pandas_conditional_ratio(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q14_promo_revenue
+
+        out = q14_promo_revenue(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        j = li[(li["l_shipdate"] >= "1995-09-01") & (li["l_shipdate"] < "1995-10-01")]
+        j = j.merge(part, left_on="l_partkey", right_on="p_partkey")
+        rev = j["l_extendedprice"] * (1 - j["l_discount"])
+        promo = rev[j["p_type"].str.startswith("PROMO")].sum()
+        ref = round(100.0 * promo / rev.sum(), 4)
+        assert len(out) == 1
+        assert abs(float(out["promo_revenue_pct"].iloc[0]) - ref) < 1e-6
+
+
+class TestQ19DiscountedRevenue:
+    def test_matches_pandas_or_predicate(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q19_discounted_revenue
+
+        out = q19_discounted_revenue(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        q, s, b = j["l_quantity"], j["p_size"], j["p_brand"]
+        m = (((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+             | ((b == "Brand#23") & s.between(1, 30) & q.between(10, 20))
+             | ((b == "Brand#34") & s.between(1, 45) & q.between(20, 30)))
+        ref = round(float((j["l_extendedprice"] * (1 - j["l_discount"]))[m].sum()), 2)
+        assert len(out) == 1
+        assert abs(float(out["revenue"].iloc[0]) - ref) < 0.02
+        assert ref > 0
