@@ -142,6 +142,12 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(sf_dir, k=50)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import heavy_hitters
+
+    return heavy_hitters(sf_dir, k=100)
+
+
 def _q_top_docs_per_lang(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import top_docs_per_lang
 
@@ -500,6 +506,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": analytics.q10_returned_items,
         "q14_promo_revenue": analytics.q14_promo_revenue,
         "q19_discounted_revenue": analytics.q19_discounted_revenue,
+        "q7_volume_shipping": analytics.q7_volume_shipping,
+        "q13_customer_distribution": analytics.q13_customer_distribution,
+        "q15_top_supplier": analytics.q15_top_supplier,
+        "events_horizon_counts": analytics.events_horizon_counts,
+        "heavy_hitters": _q_heavy_hitters,
         "q22_global_sales_opportunity": analytics.q22_global_sales_opportunity,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
@@ -991,6 +1002,73 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_region, cust_region, l_year,
+                   CAST((sum(rev) + 50) // 100 AS BIGINT) / 100.0 AS revenue
+            FROM (
+                SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+                       year(l_shipdate) AS l_year,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT) AS rev
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+                JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                WHERE ((r1.r_name = 'AMERICA' AND r2.r_name = 'EUROPE')
+                       OR (r1.r_name = 'EUROPE' AND r2.r_name = 'AMERICA'))
+                  AND l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+            ) GROUP BY supp_region, cust_region, l_year
+            ORDER BY supp_region, cust_region, l_year
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "events_horizon_counts": """
+            SELECT a.event_id, count(b.event_id) AS n_follow
+            FROM events a LEFT JOIN events b
+              ON b.user_id = a.user_id AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 86400 SECOND
+            GROUP BY a.event_id ORDER BY a.event_id
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tot AS (SELECT count(*) AS total FROM toks WHERE token <> '')
+            SELECT token, count(*) AS n
+            FROM toks, tot
+            WHERE token <> ''
+            GROUP BY token, total
+            HAVING count(*) > total / 100.0
+            ORDER BY n DESC, token
         """,
         "q22_global_sales_opportunity": """
             WITH a AS (SELECT avg(c_acctbal) AS ab FROM customer

@@ -1456,3 +1456,225 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
     parts = li.map_batches(_Partial, batch_format="pandas",
                            concurrency=(1, 8)).to_pandas()
     return pd.DataFrame({"revenue": [round(float(parts["s"].sum()), 2)]})
+
+
+def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
+                       r2: str = "EUROPE") -> rd.Dataset:
+    """TPC-H Q7 shape (volume shipping): revenue flowing BETWEEN two
+    regions (supplier region ↔ customer region, both directions) by ship
+    year. Distinguishing distributed feature vs the Q5 star: the pair
+    predicate is BIDIRECTIONAL, so neither side can be pre-filtered to one
+    region — both region labels must travel to the final filter.
+
+    Scale layout: region→nation→supplier is a driver-side dim chain
+    broadcast once (suppliers restricted to r1∪r2 — the semi-filter
+    happens inside the first streamed pass, shrinking everything
+    downstream); lineitem is combiner-reduced to one partial-revenue row
+    per (orderkey, supp_region, year) BEFORE its only exchange; orders and
+    customer arrive via Ray-native big-big hash joins; customer's nation →
+    region decode is a 25-row broadcast applied in-stream; the terminal
+    aggregate has |2 regions|² × |years| keys."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..pipelines.simplify import _num_partitions
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"].isin([r1, r2])]
+    nat_region = dict(zip(nat["n_nationkey"], nat["r_name"]))
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nat_region)]
+    sup["supp_region"] = sup["s_nationkey"].map(nat_region)
+    sup = sup[["s_suppkey", "supp_region"]]
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        df = df[m]
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        # exact integer ten-thousandths: per-row revenue is mathematically a
+        # multiple of 1e-4 (2dp price × 2dp discount), so int64 sums are
+        # order-independent — the ~1.6e8 float sums here land ON the cent-
+        # rounding boundary and differ from the oracle's sum order otherwise
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "supp_region": df["supp_region"].to_numpy(),
+            "l_year": df["l_shipdate"].dt.year.to_numpy().astype(np.int64),
+            "rev": np.round(rev * 10000.0).astype(np.int64),
+        })
+
+    per_key = groupby_agg(dec.map_batches(revenue, batch_format="pandas"),
+                          ["l_orderkey", "supp_region", "l_year"],
+                          [AggSpec("rev", "rev", "sum")])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    n_ord = orders.count()
+    w_cust = per_key.join(orders, join_type="inner",
+                          num_partitions=_num_partitions(rows=n_ord),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    w_nat = w_cust.join(cust, join_type="inner",
+                        num_partitions=_num_partitions(rows=n_ord),
+                        on=("o_custkey",), right_on=("c_custkey",))
+
+    nref = ray.put(nat_region)
+
+    class _PairFilter:
+        def __init__(self):
+            self.nr = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            cr = df["c_nationkey"].map(self.nr)
+            sr = df["supp_region"]
+            keep = ((sr == r1) & (cr == r2)) | ((sr == r2) & (cr == r1))
+            out = df.loc[keep, ["supp_region", "l_year", "rev"]].copy()
+            out["cust_region"] = cr[keep].to_numpy()
+            return out
+
+    paired = w_nat.map_batches(_PairFilter, batch_format="pandas",
+                               concurrency=(1, 8))
+    out = groupby_agg(paired, ["supp_region", "cust_region", "l_year"],
+                      [AggSpec("revenue", "rev", "sum")], small=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # final cent-rounding in INTEGER space (half away from zero): the
+        # 1.6e8 sums here land exactly on half-cent boundaries where float
+        # round(x, 2) is rounding-mode- and representation-dependent
+        cents = (df["revenue"].to_numpy(np.int64) + 50) // 100
+        df["revenue"] = cents / 100.0
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q13_customer_distribution(sf_dir: str,
+                              exclude_priority: str = "1-URGENT") -> pd.DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly c_count qualifying orders — INCLUDING the
+    zero-order customers the reference SQL gets from a left outer join.
+
+    Scale layout: the customer table is never joined at all. Per-custkey
+    order counts come out of one combiner-bounded hash shuffle of orders
+    (exchange ≤ |custkeys| rows); the histogram-of-counts is a second,
+    tiny aggregate (key space = max orders per customer); the zero row is
+    arithmetic — |customers| − |custkeys that ordered| — needing only the
+    customer table's row COUNT (a metadata read), not its rows. The
+    left-outer join the SQL writes is thus O(orders) total, no big-big
+    exchange anywhere."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["o_orderpriority"],
+                                     pa.scalar(exclude_priority))).select(["o_custkey"])
+
+    per_cust = groupby_agg(orders.map_batches(qualifying, batch_format="pyarrow"),
+                           ["o_custkey"], [AggSpec("c_count", None, "count")])
+    hist = groupby_agg(per_cust, ["c_count"],
+                       [AggSpec("custdist", None, "count")], small=True).to_pandas()
+
+    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_with = int(hist["custdist"].sum())
+    zero = pd.DataFrame({"c_count": [0], "custdist": [n_customers - n_with]})
+    out = pd.concat([hist, zero], ignore_index=True)
+    out = out[out["custdist"] > 0]
+    out = out.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return out.reset_index(drop=True).astype({"c_count": np.int64, "custdist": np.int64})
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum
+    revenue in one quarter — an aggregate whose RESULT feeds a scalar
+    subquery (max) that filters the same aggregate.
+
+    Scale layout: lineitem reduces to ≤|suppliers| rows through one
+    combiner-bounded shuffle; that per-supplier table (bounded by the
+    supplier dimension, ~10k rows/TB-scale — driver-safe by construction)
+    hosts both the max() and the equality filter driver-side; supplier
+    names decorate the ≤handful of winners. Revenue is rounded to cents on
+    BOTH sides before the equality compare (float-sum order differs
+    between engines)."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"],
+                    filter=((pads.field("l_shipdate") >= lo)
+                            & (pads.field("l_shipdate") < hi)))
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+            "rev": df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()),
+        })
+
+    per_supp = groupby_agg(li.map_batches(rev, batch_format="pandas"),
+                           ["l_suppkey"], [AggSpec("total_revenue", "rev", "sum")],
+                           small=True).to_pandas()
+    per_supp["total_revenue"] = per_supp["total_revenue"].round(2)
+    best = per_supp[per_supp["total_revenue"] == per_supp["total_revenue"].max()]
+    names = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                              columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_revenue"]].sort_values("s_suppkey")
+    return out.reset_index(drop=True)
+
+
+def events_horizon_counts(sf_dir: str, horizon_s: int = 86_400) -> rd.Dataset:
+    """Temporal RANGE self-join: for every event, how many events of the
+    SAME user fall strictly after it but within ``horizon_s`` seconds
+    (inclusive end) — the "activity in the following day" interval join.
+
+    Ray Data has no range join; the shape here is ONE hash shuffle on the
+    equi-key (user_id) + a per-block sorted searchsorted window count —
+    never a pairwise expansion, so the exchange is O(events) regardless of
+    how dense the windows are (a naive join materializes every matched
+    pair). Per-user segments are scanned with two vectorized searchsorted
+    calls per segment; cost O(n log n) per block. Partitioning assumption:
+    one user's rows share a block (same bound as every keyed window op
+    here)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    hz = np.int64(horizon_s) * 1_000_000
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def window_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"event_id": np.zeros(0, np.int64),
+                                 "n_follow": np.zeros(0, np.int64)})
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        n = len(ts)
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [n]])
+        cnt = np.empty(n, np.int64)
+        for a, b in zip(starts[:-1], starts[1:]):
+            seg = ts[a:b]
+            # strictly-after → side='right' at ts; inclusive end → 'right'
+            # at ts+hz; both clamp to the segment by construction
+            cnt[a:b] = (np.searchsorted(seg, seg + hz, side="right")
+                        - np.searchsorted(seg, seg, side="right"))
+        return pd.DataFrame({"event_id": eid, "n_follow": cnt})
+
+    from ..rayctx import grouped
+
+    return grouped(ev.map_batches(to_us, batch_format="pyarrow"),
+                   ["user_id"], window_counts, small=True)

@@ -1972,3 +1972,80 @@ def contamination_flags_bloom(sf_dir: str, test_max_doc_id: int = 10,
             })
 
     return docs.map_batches(_BloomFlag, batch_format="pandas", concurrency=(1, 8))
+
+
+def heavy_hitters(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Exact frequent-token detection via a Misra–Gries sketch + recount:
+    every token whose corpus frequency exceeds total/k, with its EXACT
+    count — the two-pass heavy-hitters layout that never ships the raw
+    token stream anywhere.
+
+    Pass 1: each block counts its tokens exactly, then COMPRESSES to a
+    Misra–Gries summary of ≤k counters (subtract the (k+1)-th largest
+    count, keep positive remainders). MG summaries merge by counter
+    addition + re-compression and the merged sketch provably retains every
+    item with true frequency > N/(k+1) ≥ N/k, so the candidate set —
+    n_blocks × k rows, independent of corpus size — is a superset of the
+    answer. Pass 2: the candidate tokens broadcast as one sorted array;
+    a second streamed scan recounts ONLY them (per-block exact counts,
+    ≤|candidates| rows per block to a tiny terminal reduce), and the
+    N/k threshold filters driver-side. No token shuffle in either pass —
+    compare ``top_tokens`` which hash-exchanges the full distinct-token
+    key space."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def mg_block(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        c = toks.value_counts()
+        total = np.int64(c.to_numpy().sum()) if len(c) else np.int64(0)
+        if len(c) > k:
+            cut = np.partition(c.to_numpy(), -(k + 1))[-(k + 1)]
+            c = c - cut
+            c = c[c > 0]
+        out = pd.DataFrame({"token": c.index.to_numpy(object),
+                            "n": c.to_numpy().astype(np.int64)})
+        out["block_total"] = np.int64(0)
+        if len(out) == 0:
+            out = pd.DataFrame({"token": np.array([""], object),
+                                "n": np.array([0], np.int64),
+                                "block_total": np.array([0], np.int64)})
+        out.loc[out.index[0], "block_total"] = total
+        return out
+
+    sk = docs.map_batches(mg_block, batch_format="pandas").to_pandas()
+    total = int(sk["block_total"].sum())
+    if total == 0:
+        return pd.DataFrame({"token": np.array([], object),
+                             "n": np.array([], np.int64)})
+    merged = sk.groupby("token", sort=False)["n"].sum()
+    if len(merged) > k:
+        cut = np.partition(merged.to_numpy(), -(k + 1))[-(k + 1)]
+        merged = merged - cut
+        merged = merged[merged > 0]
+    cand = np.sort(merged.index.to_numpy(object).astype(str))
+    cref = ray.put(cand)
+
+    class _Recount:
+        def __init__(self):
+            self.cand = ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.split().explode()
+            toks = toks[toks.notna() & (toks != "")].to_numpy(object).astype(str)
+            if len(toks) == 0 or len(self.cand) == 0:
+                return pd.DataFrame({"token": np.array([], object),
+                                     "n": np.array([], np.int64)})
+            pos = np.searchsorted(self.cand, toks)
+            pos = np.clip(pos, 0, len(self.cand) - 1)
+            hit = self.cand[pos] == toks
+            c = pd.Series(pos[hit]).value_counts()
+            return pd.DataFrame({"token": self.cand[c.index.to_numpy()],
+                                 "n": c.to_numpy().astype(np.int64)})
+
+    counts = (docs.map_batches(_Recount, batch_format="pandas",
+                               concurrency=(1, 8)).to_pandas()
+              .groupby("token", sort=False, as_index=False)["n"].sum())
+    out = counts[counts["n"] > total / k]
+    out = out.sort_values(["n", "token"], ascending=[False, True])
+    return out.reset_index(drop=True)
