@@ -511,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": analytics.q15_top_supplier,
         "events_horizon_counts": analytics.events_horizon_counts,
         "heavy_hitters": _q_heavy_hitters,
+        "nation_balance_full_outer": analytics.nation_balance_full_outer,
+        "events_cube": analytics.events_cube,
         "q22_global_sales_opportunity": analytics.q22_global_sales_opportunity,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
@@ -1056,6 +1058,34 @@ def oracle_sql() -> dict[str, str]:
               ON b.user_id = a.user_id AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 86400 SECOND
             GROUP BY a.event_id ORDER BY a.event_id
+        """,
+        "nation_balance_full_outer": """
+            WITH c AS (SELECT c_nationkey AS nk,
+                              sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cb,
+                              count(*) AS n_cust
+                       FROM customer GROUP BY 1),
+                 s AS (SELECT s_nationkey AS nk,
+                              sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS sb,
+                              count(*) AS n_supp
+                       FROM supplier GROUP BY 1)
+            SELECT n_name,
+                   coalesce(c.cb, 0) / 100.0 AS cust_bal,
+                   coalesce(c.n_cust, 0) AS n_cust,
+                   coalesce(s.sb, 0) / 100.0 AS supp_bal,
+                   coalesce(s.n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
+            JOIN nation ON n_nationkey = coalesce(c.nk, s.nk)
+            ORDER BY n_name
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(day, '(all)') AS day,
+                   count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY CUBE (event_type, day)
+            ORDER BY event_type, day
         """,
         "heavy_hitters": """
             WITH toks AS (

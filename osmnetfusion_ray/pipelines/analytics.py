@@ -1678,3 +1678,100 @@ def events_horizon_counts(sf_dir: str, horizon_s: int = 86_400) -> rd.Dataset:
 
     return grouped(ev.map_batches(to_us, batch_format="pyarrow"),
                    ["user_id"], window_counts, small=True)
+
+
+def nation_balance_full_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join demo over two independently-aggregated sides:
+    per-nation customer account balance vs per-nation supplier account
+    balance — nations appearing on EITHER side survive, the missing side
+    zero-filled (at sf0.001 only 10 suppliers exist, so several nations are
+    customer-only: the outer semantics are actually exercised).
+
+    Scale layout: each side reduces through its own combiner-bounded
+    shuffle to ≤|nations| rows BEFORE the Ray-native full_outer exchange
+    (the join moves dimension-bounded tables, never fact rows); balances
+    are exact int64 cents (acctbal is 2dp) so the sums are
+    order-independent; nation names decorate via a 25-row broadcast."""
+    from ..pipelines.simplify import _num_partitions
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    def cents_agg(table: str, key: str, bal: str, nk: str, n_out: str, b_out: str):
+        ds = read_table(sf_dir, table, columns=[key, bal])
+
+        def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                nk: df[key].to_numpy(np.int64),
+                b_out: np.round(df[bal].to_numpy() * 100.0).astype(np.int64),
+            })
+
+        return groupby_agg(ds.map_batches(to_cents, batch_format="pandas"),
+                           [nk], [AggSpec(b_out, b_out, "sum"),
+                                  AggSpec(n_out, None, "count")], small=True)
+
+    cust = cents_agg("customer", "c_nationkey", "c_acctbal", "nk_c", "n_cust", "cb")
+    supp = cents_agg("supplier", "s_nationkey", "s_acctbal", "nk_s", "n_supp", "sb")
+    joined = cust.join(supp, join_type="full_outer", num_partitions=4,
+                       on=("nk_c",), right_on=("nk_s",))
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nref = ray.put(names)
+
+    class _Finish:
+        def __init__(self):
+            self.names = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            # Ray's full_outer coalesces the key pair into the left column
+            nk = df["nk_c"].astype(np.int64)
+            return pd.DataFrame({
+                "n_name": nk.map(self.names).to_numpy(),
+                "cust_bal": df["cb"].fillna(0).astype(np.int64).to_numpy() / 100.0,
+                "n_cust": df["n_cust"].fillna(0).astype(np.int64).to_numpy(),
+                "supp_bal": df["sb"].fillna(0).astype(np.int64).to_numpy() / 100.0,
+                "n_supp": df["n_supp"].fillna(0).astype(np.int64).to_numpy(),
+            })
+
+    return joined.map_batches(_Finish, batch_format="pandas", concurrency=(1, 4))
+
+
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """CUBE(event_type, day) over events — all four grouping sets (leaf,
+    per-type, per-day, grand total) derived from ONE pass of leaf partials:
+    each block reduces to its distinct (type, day) pairs, one small shuffle
+    co-locates them, and the three coarser levels re-aggregate the tiny
+    leaf table (|types| × |days|) — the corpus is never re-scanned per
+    grouping set, which is the whole point of cube-from-leaves at scale.
+    Rolled-up keys carry the ``(all)`` sentinel (SQL mirror: coalesce over
+    GROUP BY CUBE)."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def leaf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        g = pd.DataFrame({"event_type": df["event_type"], "day": day,
+                          "value": df["value"]}).groupby(
+            ["event_type", "day"], sort=False)["value"]
+        out = g.agg(n="size", s="sum").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        leaf = df.groupby(["event_type", "day"], sort=False, as_index=False)[["n", "s"]].sum()
+        per_type = leaf.groupby("event_type", sort=False, as_index=False)[["n", "s"]].sum()
+        per_type["day"] = "(all)"
+        per_day = leaf.groupby("day", sort=False, as_index=False)[["n", "s"]].sum()
+        per_day["event_type"] = "(all)"
+        total = pd.DataFrame({"event_type": ["(all)"], "day": ["(all)"],
+                              "n": [leaf["n"].sum()], "s": [leaf["s"].sum()]})
+        out = pd.concat([leaf, per_type, per_day, total], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        out["total_value"] = out["s"].round(4)
+        return out[["event_type", "day", "n", "total_value"]]
+
+    part = ev.map_batches(leaf_partial, batch_format="pandas")
+    # single terminal block: every grouping set needs ALL leaves and the
+    # leaf table is |types| × |days| by construction
+    return part.repartition(1).map_batches(cube, batch_format="pandas")

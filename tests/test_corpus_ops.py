@@ -1467,3 +1467,57 @@ class TestHeavyHitters:
         c = toks.value_counts()
         ref = set(c[c > len(toks) / 10].index)
         assert set(out["token"]) == ref
+
+
+class TestNationBalanceFullOuter:
+    def test_matches_pandas_outer_merge(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import nation_balance_full_outer
+
+        out = (nation_balance_full_outer(SF).to_pandas()
+               .sort_values("n_name").reset_index(drop=True))
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        c = (cust.assign(cb=np.round(cust["c_acctbal"] * 100).astype(np.int64))
+             .groupby("c_nationkey").agg(cb=("cb", "sum"), n_cust=("cb", "size")))
+        s = (sup.assign(sb=np.round(sup["s_acctbal"] * 100).astype(np.int64))
+             .groupby("s_nationkey").agg(sb=("sb", "sum"), n_supp=("sb", "size")))
+        ref = c.join(s, how="outer").fillna(0)
+        ref["n_name"] = ref.index.map(dict(zip(nat["n_nationkey"], nat["n_name"])))
+        ref = ref.sort_values("n_name").reset_index(drop=True)
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["n_name"], ref["n_name"])
+        np.testing.assert_allclose(out["cust_bal"], ref["cb"].to_numpy() / 100.0)
+        np.testing.assert_allclose(out["supp_bal"], ref["sb"].to_numpy() / 100.0)
+        np.testing.assert_array_equal(out["n_cust"], ref["n_cust"].astype(np.int64))
+        np.testing.assert_array_equal(out["n_supp"], ref["n_supp"].astype(np.int64))
+        # sf0.001 has 10 suppliers over 25 nations: outer semantics live
+        assert (out["n_supp"] == 0).any() and (out["n_cust"] > 0).all()
+
+
+class TestEventsCube:
+    def test_matches_pandas_grouping_sets(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import events_cube
+
+        out = (events_cube(SF).to_pandas()
+               .sort_values(["event_type", "day"]).reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+        leaf = ev.groupby(["event_type", "day"], as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"))
+        pt = leaf.groupby("event_type", as_index=False)[["n", "s"]].sum().assign(day="(all)")
+        pdy = leaf.groupby("day", as_index=False)[["n", "s"]].sum().assign(event_type="(all)")
+        tot = pd.DataFrame({"event_type": ["(all)"], "day": ["(all)"],
+                            "n": [leaf["n"].sum()], "s": [leaf["s"].sum()]})
+        ref = (pd.concat([leaf, pt, pdy, tot], ignore_index=True)
+               .sort_values(["event_type", "day"]).reset_index(drop=True))
+        assert len(out) == len(ref)
+        np.testing.assert_array_equal(out["event_type"], ref["event_type"])
+        np.testing.assert_array_equal(out["day"], ref["day"])
+        np.testing.assert_array_equal(out["n"], ref["n"].astype(np.int64))
+        np.testing.assert_allclose(out["total_value"], ref["s"].round(4), atol=1e-4)
+        # grand total row equals the full corpus
+        g = out[(out["event_type"] == "(all)") & (out["day"] == "(all)")]
+        assert int(g["n"].iloc[0]) == len(ev)
