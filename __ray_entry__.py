@@ -514,6 +514,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_full_outer": analytics.nation_balance_full_outer,
         "events_cube": analytics.events_cube,
         "q22_global_sales_opportunity": analytics.q22_global_sales_opportunity,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q8_market_share": analytics.q8_market_share,
+        "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
         "doc_cell_pyramid": _q_doc_cell_pyramid,
@@ -1058,6 +1061,54 @@ def oracle_sql() -> dict[str, str]:
               ON b.user_id = a.user_id AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 86400 SECOND
             GROUP BY a.event_id ORDER BY a.event_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                                  AS BIGINT)) / 10000.0, 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+              AND CAST(round(l_discount * 100) AS INTEGER) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT) AS rev,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s_nationkey
+                JOIN orders ON o_orderkey = l_orderkey
+                 AND o_orderdate >= DATE '1995-01-01'
+                 AND o_orderdate < DATE '1997-01-01'
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation cn ON cn.n_nationkey = c_nationkey
+                JOIN region ON r_regionkey = cn.n_regionkey
+                 AND r_name = 'AMERICA'
+            )
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'BRAZIL' THEN rev
+                                  ELSE 0 END) / sum(rev), 6) AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier, lineitem l1, orders
+            WHERE s_suppkey = l1.l_suppkey
+              AND o_orderkey = l1.l_orderkey
+              AND o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name ORDER BY numwait DESC, s_name
         """,
         "nation_balance_full_outer": """
             WITH c AS (SELECT c_nationkey AS nk,

@@ -1775,3 +1775,208 @@ def events_cube(sf_dir: str) -> rd.Dataset:
     # single terminal block: every grouping set needs ALL leaves and the
     # leaf table is |types| × |days| by construction
     return part.repartition(1).map_batches(cube, batch_format="pandas")
+
+
+def q6_forecast_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q6 shape (forecasting revenue change): triple-predicate scan
+    → one global scalar. The 100 TB layout is the degenerate-but-important
+    case: NO shuffle at all — every block reduces to a single int64
+    partial (revenue is exact in ten-thousandths: 2dp price × 2dp
+    discount), and the terminal add runs over #blocks rows. The discount
+    band compares round(d*100) integers so the float boundary (0.05 stored
+    as 0.0500000001) cannot flip membership — the SQL mirror does the
+    same cast."""
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1996-01-01")
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d100 = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        m = ((df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+             & (d100 >= 5) & (d100 <= 7)
+             & (df["l_quantity"].to_numpy() < 24))
+        rev = (df.loc[m, "l_extendedprice"].to_numpy()
+               * df.loc[m, "l_discount"].to_numpy())
+        return pd.DataFrame({"r": [np.round(rev * 10000.0).astype(np.int64).sum()]})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": [round(df["r"].sum() / 10000.0, 4)]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .repartition(1).map_batches(total, batch_format="pandas"))
+
+
+def q8_market_share(sf_dir: str, region: str = "AMERICA",
+                    nation_name: str = "BRAZIL",
+                    ptype: str = "ECONOMY") -> rd.Dataset:
+    """TPC-H Q8 shape (national market share): of all revenue for parts of
+    one type sold to customers in one region during 1995–1996, the share
+    supplied from one nation, per order year.
+
+    Scale layout: the part-type semi-filter is a broadcast partkey set
+    applied inside the first streamed pass (the fact shrinks before
+    anything else happens); supplier→nation is a dim broadcast; lineitem
+    combiner-reduces to one int64 partial-revenue row per (orderkey,
+    supp_nation) before its only exchange; orders (year-filtered in-scan)
+    and customer arrive via Ray-native hash joins; customer nation→region
+    is a 25-entry broadcast decode; the numerator is a masked copy of the
+    same revenue column so ONE terminal |years|-row aggregate yields both
+    sides of the ratio."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..pipelines.simplify import _num_partitions
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_type"]).to_pandas()
+    pkeys = part.loc[part["p_type"] == ptype, "p_partkey"].to_numpy()
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat_region = dict(zip(nat["n_nationkey"], nat["r_name"]))
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup["supp_nation"] = sup["s_nationkey"].map(nat_name)
+    sup = sup[["s_suppkey", "supp_nation"]]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    li = broadcast_semi_filter(li, pkeys, "l_partkey")
+    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "supp_nation": df["supp_nation"].to_numpy(),
+            "rev": np.round(rev * 10000.0).astype(np.int64),
+        })
+        return out.groupby(["l_orderkey", "supp_nation"], sort=False,
+                           as_index=False)["rev"].sum()
+
+    per_key = groupby_agg(dec.map_batches(rev_partial, batch_format="pandas"),
+                          ["l_orderkey", "supp_nation"],
+                          [AggSpec("rev", "rev", "sum")])
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                                   pc.less(t["o_orderdate"], pa.scalar(hi)))),
+        batch_format="pyarrow")
+    n_ord = orders.count()
+    w_ord = per_key.join(orders, join_type="inner",
+                         num_partitions=_num_partitions(rows=n_ord),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    w_cust = w_ord.join(cust, join_type="inner",
+                        num_partitions=_num_partitions(rows=n_ord),
+                        on=("o_custkey",), right_on=("c_custkey",))
+
+    # 25-entry decode: plain task closure (an actor pool here reserves a CPU
+    # that can starve the two upstream join aggregator pools on small hosts)
+    region_keys = np.array(sorted(k for k, v in nat_region.items() if v == region),
+                           dtype=np.int64)
+
+    def region_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df["c_nationkey"].to_numpy(np.int64), region_keys)
+        df = df[keep]
+        return pd.DataFrame({
+            "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            "vol": df["rev"].to_numpy(),
+            "nat_vol": np.where(df["supp_nation"].to_numpy() == nation_name,
+                                df["rev"].to_numpy(), 0),
+        })
+
+    dec2 = w_cust.map_batches(region_filter, batch_format="pandas")
+    out = groupby_agg(dec2, ["o_year"],
+                      [AggSpec("nat_vol", "nat_vol", "sum"),
+                       AggSpec("vol", "vol", "sum")], small=True)
+
+    def share(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_year": df["o_year"].to_numpy(),
+            "mkt_share": np.round(df["nat_vol"].to_numpy() / df["vol"].to_numpy(), 6),
+        })
+
+    return out.map_batches(share, batch_format="pandas")
+
+
+def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    available columns: count, per supplier, the returned ('R') lineitems
+    on finalized ('F') orders where ANOTHER supplier is on the order
+    (EXISTS) but no OTHER supplier returned (NOT EXISTS) — the classic
+    double fact-self-semi-join.
+
+    Scale layout: neither EXISTS clause becomes a self-join — lineitem
+    combiner-reduces to one row per (orderkey, suppkey) carrying (any_R,
+    n_R_lines), the F-order semi-filter is a Ray-native hash join against
+    the key-only filtered orders scan, ONE orderkey shuffle co-locates
+    each order's supplier set, and both EXISTS predicates collapse to two
+    group-level counts (distinct suppliers, distinct R-suppliers) read off
+    the co-located block. The per-supplier terminal aggregate is
+    dimension-bounded. (No l_commitdate/l_receiptdate in this corpus —
+    'R' returnflag stands in for 'late'; the SQL mirror uses the same
+    predicate so the check is exact.)"""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        isr = (df["l_returnflag"].to_numpy() == "R").astype(np.int64)
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                            "l_suppkey": df["l_suppkey"].to_numpy(),
+                            "n_r": isr})
+        g = out.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)
+        return g["n_r"].sum()
+
+    pairs = groupby_agg(li.map_batches(pair_partial, batch_format="pandas"),
+                        ["l_orderkey", "l_suppkey"],
+                        [AggSpec("n_r", "n_r", "sum")])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    okeys = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    n_ord = okeys.count()
+    fpairs = pairs.join(okeys, join_type="inner",
+                        num_partitions=_num_partitions(rows=n_ord),
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def exists_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(is_r=(df["n_r"] > 0).astype(np.int64))
+        g = df.groupby("l_orderkey", sort=False)
+        n_supp = g["l_suppkey"].transform("size")  # pairs are distinct
+        n_supp_r = g["is_r"].transform("sum")      # cythonized, no per-group lambda
+        keep = (df["n_r"].to_numpy() > 0) & (n_supp.to_numpy() > 1) \
+            & (n_supp_r.to_numpy() == 1)
+        return pd.DataFrame({"l_suppkey": df.loc[keep, "l_suppkey"].to_numpy(),
+                             "numwait": df.loc[keep, "n_r"].to_numpy()})
+
+    waits = grouped(fpairs, ["l_orderkey"], exists_block)
+    per_supp = groupby_agg(waits, ["l_suppkey"],
+                           [AggSpec("numwait", "numwait", "sum")], small=True)
+
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name"]).to_pandas()
+    out = broadcast_join(per_supp, sup, left_on="l_suppkey",
+                         right_on="s_suppkey", concurrency=(1, 2))
+    return out.map_batches(
+        lambda df: pd.DataFrame({"s_name": df["s_name"].to_numpy(),
+                                 "numwait": df["numwait"].to_numpy()}),
+        batch_format="pandas")

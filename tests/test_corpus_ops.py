@@ -1521,3 +1521,85 @@ class TestEventsCube:
         # grand total row equals the full corpus
         g = out[(out["event_type"] == "(all)") & (out["day"] == "(all)")]
         assert int(g["n"].iloc[0]) == len(ev)
+
+
+class TestQ6ForecastRevenue:
+    def test_matches_pandas_scan(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q6_forecast_revenue
+
+        out = q6_forecast_revenue(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        d100 = np.round(li["l_discount"] * 100).astype(np.int64)
+        m = ((li["l_shipdate"] >= "1995-01-01") & (li["l_shipdate"] < "1996-01-01")
+             & d100.between(5, 7) & (li["l_quantity"] < 24))
+        ref = np.round((li.loc[m, "l_extendedprice"] * li.loc[m, "l_discount"]
+                        * 10000).round().astype(np.int64).sum() / 10000.0, 4)
+        assert len(out) == 1
+        assert out["revenue"].iloc[0] == ref
+
+
+class TestQ8MarketShare:
+    def test_matches_pandas_joins(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q8_market_share
+
+        out = (q8_market_share(SF).to_pandas()
+               .sort_values("o_year").reset_index(drop=True))
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+
+        df = li.merge(part[part["p_type"] == "ECONOMY"][["p_partkey"]],
+                      left_on="l_partkey", right_on="p_partkey")
+        df = df.merge(sup[["s_suppkey", "s_nationkey"]],
+                      left_on="l_suppkey", right_on="s_suppkey")
+        df = df.merge(nat[["n_nationkey", "n_name"]],
+                      left_on="s_nationkey", right_on="n_nationkey")
+        df = df.merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]],
+                      left_on="l_orderkey", right_on="o_orderkey")
+        df = df[(df["o_orderdate"] >= "1995-01-01") & (df["o_orderdate"] < "1997-01-01")]
+        df = df.merge(cust[["c_custkey", "c_nationkey"]],
+                      left_on="o_custkey", right_on="c_custkey")
+        nat_reg = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        region_of = dict(zip(nat_reg["n_nationkey"], nat_reg["r_name"]))
+        df = df[df["c_nationkey"].map(region_of) == "AMERICA"]
+        df["rev"] = np.round(df["l_extendedprice"] * (1 - df["l_discount"]) * 10000).astype(np.int64)
+        df["o_year"] = df["o_orderdate"].dt.year
+        g = df.groupby("o_year")
+        ref = (g.apply(lambda s: round(s.loc[s["n_name"] == "BRAZIL", "rev"].sum()
+                                       / s["rev"].sum(), 6), include_groups=False)
+               .rename("mkt_share").reset_index())
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["o_year"], ref["o_year"].astype(np.int64))
+        np.testing.assert_allclose(out["mkt_share"], ref["mkt_share"], atol=1e-9)
+
+
+class TestQ21WaitingSuppliers:
+    def test_matches_pandas_exists(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q21_waiting_suppliers
+
+        out = (q21_waiting_suppliers(SF).to_pandas()
+               .sort_values("s_name").reset_index(drop=True))
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        fkeys = set(orders.loc[orders["o_orderstatus"] == "F", "o_orderkey"])
+        li = li[li["l_orderkey"].isin(fkeys)]
+        pairs = (li.assign(is_r=(li["l_returnflag"] == "R").astype(int))
+                 .groupby(["l_orderkey", "l_suppkey"], as_index=False)["is_r"].sum())
+        g = pairs.groupby("l_orderkey")
+        pairs["n_supp"] = g["l_suppkey"].transform("size")
+        pairs["n_supp_r"] = g["is_r"].transform(lambda s: int((s > 0).sum()))
+        q = pairs[(pairs["is_r"] > 0) & (pairs["n_supp"] > 1) & (pairs["n_supp_r"] == 1)]
+        ref = q.groupby("l_suppkey", as_index=False)["is_r"].sum()
+        ref["s_name"] = ref["l_suppkey"].map(dict(zip(sup["s_suppkey"], sup["s_name"])))
+        ref = ref.sort_values("s_name").reset_index(drop=True)
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["s_name"], ref["s_name"])
+        np.testing.assert_array_equal(out["numwait"], ref["is_r"].astype(np.int64))
