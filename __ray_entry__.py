@@ -517,6 +517,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "q8_market_share": analytics.q8_market_share,
         "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
+        "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+        "q9_product_type_profit": analytics.q9_product_type_profit,
+        "q11_important_parts": analytics.q11_important_parts,
+        "q16_parts_supplier_counts": analytics.q16_parts_supplier_counts,
+        "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
         "doc_cell_pyramid": _q_doc_cell_pyramid,
@@ -1109,6 +1114,86 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_suppkey <> l1.l_suppkey
                                 AND l3.l_returnflag = 'R')
             GROUP BY s_name ORDER BY numwait DESC, s_name
+        """,
+        "q2_min_cost_supplier": """
+            WITH pairs AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey AND p_size = 15
+                GROUP BY 1, 2
+            ), epairs AS (
+                SELECT s_acctbal, s_name, n_name, l_partkey, unit_cost
+                FROM pairs
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+            )
+            SELECT s_acctbal, s_name, n_name, l_partkey, unit_cost
+            FROM epairs e
+            WHERE unit_cost = (SELECT min(unit_cost) FROM epairs e2
+                               WHERE e2.l_partkey = e.l_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, l_partkey
+            LIMIT 100
+        """,
+        "q9_product_type_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 10000) AS BIGINT)) / 10000.0, 4)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "q11_important_parts": """
+            WITH val AS (
+                SELECT l_partkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT)) AS v
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+                GROUP BY 1
+            )
+            SELECT l_partkey, round(v / 10000.0, 4) AS value
+            FROM val
+            WHERE 2 * v * (SELECT count(*) FROM val)
+                  > 3 * (SELECT sum(v) FROM val)
+            ORDER BY value DESC, l_partkey
+        """,
+        "q16_parts_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_promotion_suppliers": """
+            WITH q AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS BIGINT)) AS qty
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+                WHERE l_shipdate >= DATE '1995-01-01'
+                  AND l_shipdate < DATE '1996-01-01'
+                GROUP BY 1, 2
+            )
+            SELECT DISTINCT s_name
+            FROM q
+            JOIN (SELECT l_partkey AS pk, sum(qty) AS tot FROM q GROUP BY 1)
+              ON pk = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE 2 * qty > tot
+            ORDER BY s_name
         """,
         "nation_balance_full_outer": """
             WITH c AS (SELECT c_nationkey AS nk,

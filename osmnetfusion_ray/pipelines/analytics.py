@@ -1980,3 +1980,346 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         lambda df: pd.DataFrame({"s_name": df["s_name"].to_numpy(),
                                  "numwait": df["numwait"].to_numpy()}),
         batch_format="pandas")
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 15,
+                         region: str = "EUROPE") -> rd.Dataset:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted to this corpus:
+    lineitem stands in for partsupp — a supplier's "cost" for a part is its
+    minimum observed unit price (l_extendedprice / l_quantity). For parts
+    of one size, find the region's suppliers matching the per-part global
+    minimum cost; top-100 by (s_acctbal desc, n_name, s_name, p_partkey).
+
+    Scale layout: the size filter is a broadcast partkey set applied in the
+    fact's only streamed pass; the fact combiner-reduces to one min-cost
+    row per (partkey, suppkey) before its single exchange; the region's
+    supplier decode (name/acctbal/nation) is a dim broadcast that also
+    semi-filters; the correlated per-part MIN never becomes a self-join —
+    one partkey co-location computes the group min and keeps the matching
+    pairs in the same block pass; LIMIT is per-block top-100 → one tiny
+    terminal reduce (the ordering key is total on (part, supplier) rows so
+    the cut is deterministic)."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_size"]).to_pandas()
+    pkeys = part.loc[part["p_size"] == size, "p_partkey"].to_numpy()
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nat = nat[nat["r_name"] == region]
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name", "s_acctbal",
+                                     "s_nationkey"]).to_pandas()
+    sup = sup.merge(nat[["n_nationkey", "n_name"]],
+                    left_on="s_nationkey", right_on="n_nationkey")
+    sup = sup[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_quantity"])
+    li = broadcast_semi_filter(li, pkeys, "l_partkey")
+
+    def cost_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uc = df["l_extendedprice"].to_numpy() / df["l_quantity"].to_numpy()
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+                            "l_suppkey": df["l_suppkey"].to_numpy(),
+                            "unit_cost": uc})
+        return out.groupby(["l_partkey", "l_suppkey"], sort=False,
+                           as_index=False)["unit_cost"].min()
+
+    pairs = groupby_agg(li.map_batches(cost_partial, batch_format="pandas"),
+                        ["l_partkey", "l_suppkey"],
+                        [AggSpec("unit_cost", "unit_cost", "min")])
+    # inner broadcast join doubles as the region semi-filter
+    dec = broadcast_join(pairs, sup, left_on="l_suppkey", right_on="s_suppkey",
+                         concurrency=(1, 2))
+
+    from ..rayctx import grouped
+
+    def per_part_min(df: pd.DataFrame) -> pd.DataFrame:
+        gmin = df.groupby("l_partkey", sort=False)["unit_cost"].transform("min")
+        df = df[df["unit_cost"].to_numpy() == gmin.to_numpy()]
+        return df[["s_acctbal", "s_name", "n_name", "l_partkey", "unit_cost"]]
+
+    winners = grouped(dec, ["l_partkey"], per_part_min, small=True)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        # unit_cost stays the raw IEEE quotient: both engines compute the
+        # same divide, so it is bit-equal without a rounding convention
+        df = df.sort_values(["s_acctbal", "n_name", "s_name", "l_partkey"],
+                            ascending=[False, True, True, True]).head(100)
+        return df.reset_index(drop=True)
+
+    return (winners.map_batches(topk, batch_format="pandas")
+                   .repartition(1).map_batches(topk, batch_format="pandas"))
+
+
+def q9_product_type_profit(sf_dir: str, name_like: str = "bolt") -> rd.Dataset:
+    """TPC-H Q9 shape (product-type profit), adapted: no partsupp table, so
+    profit is l_extendedprice*(1-l_discount) (no supplycost term) for parts
+    whose name contains a substring, grouped by supplier nation × order
+    year.
+
+    Scale layout: same skeleton as Q8 — partkey semi-filter broadcast into
+    the fact's first pass, supplier→nation a dim broadcast, the fact
+    combiner-reduced to one int64 partial per (orderkey, nation) before
+    its only exchange, orders arriving via a Ray-native hash join, and a
+    |nations|×|years| terminal aggregate."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..pipelines.simplify import _num_partitions
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_name"]).to_pandas()
+    pkeys = part.loc[part["p_name"].str.contains(name_like),
+                     "p_partkey"].to_numpy()
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup["nation"] = sup["s_nationkey"].map(nat_name)
+    sup = sup[["s_suppkey", "nation"]]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    li = broadcast_semi_filter(li, pkeys, "l_partkey")
+    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        amt = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
+                            "nation": df["nation"].to_numpy(),
+                            "amt": np.round(amt * 10000.0).astype(np.int64)})
+        return out.groupby(["l_orderkey", "nation"], sort=False,
+                           as_index=False)["amt"].sum()
+
+    per_key = groupby_agg(dec.map_batches(profit_partial, batch_format="pandas"),
+                          ["l_orderkey", "nation"],
+                          [AggSpec("amt", "amt", "sum")])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    n_ord = orders.count()
+    w_ord = per_key.join(orders, join_type="inner",
+                         num_partitions=_num_partitions(rows=n_ord),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": df["nation"].to_numpy(),
+            "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            "amt": df["amt"].to_numpy(),
+        })
+
+    out = groupby_agg(w_ord.map_batches(year_partial, batch_format="pandas"),
+                      ["nation", "o_year"], [AggSpec("amt", "amt", "sum")],
+                      small=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["nation", "o_year"],
+                            ascending=[True, False]).reset_index(drop=True)
+        return pd.DataFrame({"nation": df["nation"].to_numpy(),
+                             "o_year": df["o_year"].to_numpy(),
+                             "sum_profit": np.round(df["amt"].to_numpy() / 10000.0, 4)})
+
+    return out.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def q11_important_parts(sf_dir: str, region: str = "EUROPE") -> rd.Dataset:
+    """TPC-H Q11 shape (important stock identification), adapted: a part's
+    "value" is its total discounted revenue via suppliers of one region;
+    keep parts whose value exceeds 2× the mean part value — the global
+    scalar HAVING threshold, computed exactly in integers
+    (value·count > 2·total avoids any float mean at the boundary).
+
+    Scale layout: region suppliers are a broadcast semi-filter inside the
+    fact's single streamed pass; per-part int64 partials bound the one
+    exchange; the global (total, count) reduces the already-dimension-
+    bounded per-part table, and the HAVING filter streams with two scalar
+    broadcasts. Only survivors (a fraction of |parts|) hit the terminal
+    sort block."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    nkeys = set(nat.loc[nat["r_name"] == region, "n_nationkey"])
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = sup.loc[sup["s_nationkey"].isin(nkeys), "s_suppkey"].to_numpy()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    li = broadcast_semi_filter(li, skeys, "l_suppkey")
+
+    def value_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+                            "v": np.round(v * 10000.0).astype(np.int64)})
+        return out.groupby("l_partkey", sort=False, as_index=False)["v"].sum()
+
+    per_part = groupby_agg(li.map_batches(value_partial, batch_format="pandas"),
+                           ["l_partkey"], [AggSpec("v", "v", "sum")])
+
+    # global scalar: one tiny reduce over the per-part aggregate
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [df["v"].sum()], "c": [len(df)]})
+
+    tot = (per_part.map_batches(tot_partial, batch_format="pandas")
+                   .repartition(1)
+                   .map_batches(lambda df: pd.DataFrame(
+                       {"t": [df["t"].sum()], "c": [df["c"].sum()]}),
+                       batch_format="pandas")
+                   .take_all())
+    total, count = int(tot[0]["t"]), int(tot[0]["c"])
+
+    # 2·v·count > 3·total ⇔ v > floor(3·total / (2·count)) for ints (both
+    # the divisible and non-divisible cases reduce to strict >): the exact
+    # integer HAVING collapses to one overflow-free vectorized compare
+    thr = (3 * total) // (2 * count)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["v"].to_numpy() > thr]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["v", "l_partkey"],
+                            ascending=[False, True]).reset_index(drop=True)
+        return pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+                             "value": np.round(df["v"].to_numpy() / 10000.0, 4)})
+
+    return (per_part.map_batches(having, batch_format="pandas")
+                    .repartition(1).map_batches(finish, batch_format="pandas"))
+
+
+def q16_parts_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
+                              sizes: tuple = (1, 5, 10, 15, 20, 25, 30, 35)
+                              ) -> rd.Dataset:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) for qualifying parts, excluding
+    complaint suppliers (stand-in: negative account balance).
+
+    Scale layout: COUNT(DISTINCT) never sees raw fact rows — each block
+    first reduces to distinct (partkey, suppkey) pairs, one exchange
+    dedups the pairs globally, the part-attr decode is a broadcast join
+    that doubles as the attribute filter, blocks then re-dedup to
+    (brand, type, size, suppkey) before the second (attr-keyed, tiny)
+    exchange where nunique is a block-local count."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..rayctx import grouped
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_brand", "p_type",
+                                      "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != excl_brand)
+                & part["p_size"].isin(list(sizes))]
+
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].to_numpy()
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    li = broadcast_semi_filter(li, part["p_partkey"].to_numpy(), "l_partkey")
+    if len(bad):
+        li = broadcast_semi_filter(li, bad, "l_suppkey", keep=False)
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    pairs = grouped(li.map_batches(pair_distinct, batch_format="pandas"),
+                    ["l_partkey", "l_suppkey"], pair_distinct)
+    dec = broadcast_join(pairs, part, left_on="l_partkey",
+                         right_on="p_partkey", concurrency=(1, 2))
+
+    def attr_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])[
+            ["p_brand", "p_type", "p_size", "l_suppkey"]]
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+               .groupby(["p_brand", "p_type", "p_size"], sort=False)["l_suppkey"]
+               .size().rename("supplier_cnt").reset_index())
+        return g
+
+    counts = grouped(dec.map_batches(attr_distinct, batch_format="pandas"),
+                     ["p_brand", "p_type", "p_size"], count_block, small=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                              ascending=[False, True, True, True]
+                              ).reset_index(drop=True)
+
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def q20_promotion_suppliers(sf_dir: str, name_like: str = "bolt",
+                            year: int = 1995) -> rd.Dataset:
+    """TPC-H Q20 shape (potential part promotion), adapted: suppliers who
+    shipped a MAJORITY (2·qty > part total) of some qualifying part's
+    shipped quantity in one year. The nested per-part aggregate never
+    self-joins: one partkey co-location computes each part's total and
+    filters its supplier rows in the same block pass (quantities are
+    integral so the majority test is exact).
+
+    Scale: partkey semi-filter + year predicate inside the fact's only
+    streamed pass; combiner bounds the single exchange at one row per
+    (partkey, suppkey); winners are a tiny supplier-id set decoded via a
+    dim broadcast, dedup'd and sorted in one terminal block."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..rayctx import grouped
+
+    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_name"]).to_pandas()
+    pkeys = part.loc[part["p_name"].str.contains(name_like),
+                     "p_partkey"].to_numpy()
+    lo, hi = pd.Timestamp(f"{year}-01-01"), pd.Timestamp(f"{year + 1}-01-01")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+    li = broadcast_semi_filter(li, pkeys, "l_partkey")
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        df = df[m]
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+                            "l_suppkey": df["l_suppkey"].to_numpy(),
+                            "qty": df["l_quantity"].to_numpy().astype(np.int64)})
+        return out.groupby(["l_partkey", "l_suppkey"], sort=False,
+                           as_index=False)["qty"].sum()
+
+    pairs = groupby_agg(li.map_batches(qty_partial, batch_format="pandas"),
+                        ["l_partkey", "l_suppkey"], [AggSpec("qty", "qty", "sum")])
+
+    def majority(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("l_partkey", sort=False)["qty"].transform("sum")
+        keep = 2 * df["qty"].to_numpy() > tot.to_numpy()
+        return df.loc[keep, ["l_suppkey"]]
+
+    winners = grouped(pairs, ["l_partkey"], majority, small=True)
+
+    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name"]).to_pandas()
+    dec = broadcast_join(winners, sup, left_on="l_suppkey",
+                         right_on="s_suppkey", concurrency=(1, 2))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(["s_name"])[["s_name"]]
+                  .sort_values("s_name").reset_index(drop=True))
+
+    return dec.repartition(1).map_batches(finish, batch_format="pandas")

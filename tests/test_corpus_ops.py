@@ -1603,3 +1603,136 @@ class TestQ21WaitingSuppliers:
         assert len(out) == len(ref) > 0
         np.testing.assert_array_equal(out["s_name"], ref["s_name"])
         np.testing.assert_array_equal(out["numwait"], ref["is_r"].astype(np.int64))
+
+
+class TestQ2MinCostSupplier:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q2_min_cost_supplier
+
+        out = q2_min_cost_supplier(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+
+        li = li.merge(part.loc[part["p_size"] == 15, ["p_partkey"]],
+                      left_on="l_partkey", right_on="p_partkey")
+        li["uc"] = li["l_extendedprice"] / li["l_quantity"]
+        pairs = li.groupby(["l_partkey", "l_suppkey"], as_index=False)["uc"].min()
+        nr = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        nr = nr[nr["r_name"] == "EUROPE"]
+        dec = pairs.merge(sup, left_on="l_suppkey", right_on="s_suppkey") \
+                   .merge(nr[["n_nationkey", "n_name"]],
+                          left_on="s_nationkey", right_on="n_nationkey")
+        dec["pmin"] = dec.groupby("l_partkey")["uc"].transform("min")
+        ref = (dec[dec["uc"] == dec["pmin"]]
+               .sort_values(["s_acctbal", "n_name", "s_name", "l_partkey"],
+                            ascending=[False, True, True, True]).head(100))
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["l_partkey"], ref["l_partkey"])
+        np.testing.assert_array_equal(out["unit_cost"], ref["uc"])
+
+
+class TestQ9ProductTypeProfit:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q9_product_type_profit
+
+        out = q9_product_type_profit(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+
+        df = li.merge(part.loc[part["p_name"].str.contains("bolt"), ["p_partkey"]],
+                      left_on="l_partkey", right_on="p_partkey")
+        df = df.merge(sup[["s_suppkey", "s_nationkey"]],
+                      left_on="l_suppkey", right_on="s_suppkey")
+        df = df.merge(nat[["n_nationkey", "n_name"]],
+                      left_on="s_nationkey", right_on="n_nationkey")
+        df = df.merge(orders[["o_orderkey", "o_orderdate"]],
+                      left_on="l_orderkey", right_on="o_orderkey")
+        df["amt"] = np.round(df["l_extendedprice"] * (1 - df["l_discount"])
+                             * 10000).astype(np.int64)
+        df["o_year"] = df["o_orderdate"].dt.year
+        ref = (df.groupby(["n_name", "o_year"], as_index=False)["amt"].sum()
+                 .sort_values(["n_name", "o_year"], ascending=[True, False])
+                 .reset_index(drop=True))
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["nation"], ref["n_name"])
+        np.testing.assert_allclose(out["sum_profit"],
+                                   np.round(ref["amt"] / 10000.0, 4))
+
+
+class TestQ11ImportantParts:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q11_important_parts
+
+        out = q11_important_parts(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        nat = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{SF}/region.parquet").to_pandas()
+        nr = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        skeys = sup.loc[sup["s_nationkey"].isin(
+            nr.loc[nr["r_name"] == "EUROPE", "n_nationkey"]), "s_suppkey"]
+        df = li[li["l_suppkey"].isin(set(skeys))].copy()
+        df["v"] = np.round(df["l_extendedprice"] * (1 - df["l_discount"])
+                           * 10000).astype(np.int64)
+        val = df.groupby("l_partkey", as_index=False)["v"].sum()
+        keep = 2 * val["v"] * len(val) > 3 * val["v"].sum()
+        ref = (val[keep].sort_values(["v", "l_partkey"],
+                                     ascending=[False, True])
+                        .reset_index(drop=True))
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["l_partkey"], ref["l_partkey"])
+        np.testing.assert_allclose(out["value"], np.round(ref["v"] / 10000.0, 4))
+
+
+class TestQ16PartsSupplierCounts:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q16_parts_supplier_counts
+
+        out = q16_parts_supplier_counts(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        part = part[(part["p_brand"] != "Brand#1")
+                    & part["p_size"].isin([1, 5, 10, 15, 20, 25, 30, 35])]
+        bad = set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"])
+        df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        df = df[~df["l_suppkey"].isin(bad)]
+        ref = (df.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+                 .nunique().rename("supplier_cnt").reset_index()
+                 .sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                              ascending=[False, True, True, True])
+                 .reset_index(drop=True))
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["supplier_cnt"], ref["supplier_cnt"])
+        np.testing.assert_array_equal(out["p_brand"], ref["p_brand"])
+
+
+class TestQ20PromotionSuppliers:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import q20_promotion_suppliers
+
+        out = q20_promotion_suppliers(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+        sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+        df = li.merge(part.loc[part["p_name"].str.contains("bolt"), ["p_partkey"]],
+                      left_on="l_partkey", right_on="p_partkey")
+        df = df[(df["l_shipdate"] >= "1995-01-01") & (df["l_shipdate"] < "1996-01-01")]
+        q = df.groupby(["l_partkey", "l_suppkey"], as_index=False)["l_quantity"].sum()
+        q["tot"] = q.groupby("l_partkey")["l_quantity"].transform("sum")
+        win = q[2 * q["l_quantity"] > q["tot"]]
+        names = win.merge(sup, left_on="l_suppkey", right_on="s_suppkey")["s_name"]
+        ref = sorted(set(names))
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["s_name"], ref)
