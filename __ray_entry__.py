@@ -180,6 +180,18 @@ def _q_token_counts(sf_dir: str):
         token_counts_batch, batch_format="pyarrow")
 
 
+def _q_mixture_sample(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import mixture_sample
+
+    return mixture_sample(sf_dir)
+
+
+def _q_sequence_packing(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import sequence_packing
+
+    return sequence_packing(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import repetition_stats_batch
     from osmnetfusion_ray.sources import read_table
@@ -555,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_simplify": _q_network_simplify,     # rows-only composite (stages individually oracled)
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
         "token_counts": _q_token_counts,
+        "mixture_sample": _q_mixture_sample,
+        "sequence_packing": _q_sequence_packing,
         "top_tokens": _q_top_tokens,
         "top_bigrams": _q_top_bigrams,
         "embedding_centroids": _q_embedding_centroids,
@@ -1474,6 +1488,31 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
                    len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS n_bpe_tokens
             FROM documents
+        """,
+        "mixture_sample": f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE ({corpusoracle.fnv_expr(
+                "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+                " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}) % 4096
+                  < CASE lang WHEN 'en' THEN 2048
+                              WHEN 'de' THEN 1024 ELSE 410 END
+        """,
+        "sequence_packing": """
+            WITH tok AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS t
+                FROM documents
+            ), c AS (
+                SELECT t,
+                       sum(t) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - t AS excl
+                FROM tok
+            )
+            SELECT excl // 2048 AS pack_id, count(*) AS n_docs,
+                   sum(t) AS total_tokens
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "embedding_near_dups": """
             SELECT e1.vec_id AS a, e2.vec_id AS b,

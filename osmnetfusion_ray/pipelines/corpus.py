@@ -2049,3 +2049,112 @@ def heavy_hitters(sf_dir: str, k: int = 100) -> pd.DataFrame:
     out = counts[counts["n"] > total / k]
     out = out.sort_values(["n", "token"], ascending=[False, True])
     return out.reset_index(drop=True)
+
+
+def mixture_sample(sf_dir: str,
+                   rates_4096: dict[str, int] | None = None,
+                   default_4096: int = 410) -> rd.Dataset:
+    """Language-weighted mixture sampling — the LLM "data mixing" step:
+    keep each document with a per-language probability (en 50%, de 25%,
+    others ~10%) decided by a DETERMINISTIC hash of its id, so the sample
+    is reproducible run-to-run, shard-independent, and bit-equal to the
+    SQL mirror (thresholds are integers out of 4096; the hash is the same
+    mirror-padded codepoint-FNV as ``sample_bottomk``).
+
+    100 TB layout: a pure streamed filter — no shuffle, no state, no
+    driver materialization; rates ride in as a tiny broadcast-free
+    constant. This is the pattern for composing corpus mixtures (upsample
+    high-quality languages, downsample boilerplate-heavy ones) without a
+    sampling coordinator."""
+    from ..functions.hashing import fnv1a64
+
+    rates = rates_4096 or {"en": 2048, "de": 1024}
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        thr = (df["lang"].map(rates).fillna(default_4096)
+               .to_numpy().astype(np.uint64))
+        return df[(h & np.uint64(4095)) < thr]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def sequence_packing(sf_dir: str, budget: int = 2048,
+                     n_ranges: int = 64) -> rd.Dataset:
+    """Sequence packing for LLM pre-training: lay documents end-to-end in
+    doc_id order and cut packs every ``budget`` BPE-ish tokens — each doc
+    is assigned to the pack where it STARTS (pack_id = exclusive-prefix
+    // budget); the result is per-pack (n_docs, total_tokens).
+
+    The global ordered prefix sum never sorts the corpus: a two-phase
+    distributed scan — (1) per-RANGE token totals (range = doc_id //
+    width, a dimension-bounded table) reduce through one tiny exchange to
+    the driver, which prefix-sums them into per-range offsets; (2) one
+    range-keyed co-location sorts each range locally (ranges are
+    contiguous id slices, so local order + broadcast offset IS global
+    order), cumsums, assigns packs, and pre-aggregates per (pack) inside
+    the block. Only the final pack table (corpus_tokens / budget rows,
+    plus range-boundary partials) hits the last exchange."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.map_batches(token_counts_batch, batch_format="pyarrow") \
+               .select_columns(["doc_id", "n_bpe_tokens"])
+
+    max_id = int(read_table(sf_dir, "documents", columns=["doc_id"])
+                 .max("doc_id"))
+    width = max(1, max_id // n_ranges + 1)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        rng = pc.divide(t["doc_id"], pa.scalar(width, pa.int64()))
+        return t.append_column("rng", pc.cast(rng, pa.int64()))
+
+    ranged = toks.map_batches(add_range, batch_format="pyarrow")
+
+    # phase 1: per-range totals → driver-side exclusive prefix (≤ n_ranges
+    # rows of state, independent of corpus size)
+    per_range = groupby_agg(ranged, ["rng"],
+                            [AggSpec("t", "n_bpe_tokens", "sum")], small=True) \
+        .to_pandas().sort_values("rng")
+    offs = np.zeros(int(per_range["rng"].max()) + 1, dtype=np.int64)
+    offs[per_range["rng"].to_numpy()] = per_range["t"].to_numpy()
+    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    offs_ref = ray.put(offs)
+
+    def pack_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pack_id": np.zeros(0, np.int64), "n_docs": np.zeros(0, np.int64),
+                "total_tokens": np.zeros(0, np.int64), "edge": np.zeros(0, bool)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        offsets = ray.get(offs_ref)
+        out = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            t = g["n_bpe_tokens"].to_numpy().astype(np.int64)
+            excl = offsets[int(rng)] + np.cumsum(t) - t
+            pack = excl // budget
+            agg = (pd.DataFrame({"pack_id": pack, "t": t})
+                   .groupby("pack_id", sort=False)["t"]
+                   .agg(n_docs="size", total_tokens="sum").reset_index())
+            # only this range's FIRST and LAST pack can straddle into a
+            # neighbouring range; every interior pack is already final
+            agg["edge"] = ((agg["pack_id"] == pack[0])
+                           | (agg["pack_id"] == pack[-1]))
+            out.append(agg)
+        return pd.concat(out, ignore_index=True)
+
+    partials = grouped(ranged, ["rng"], pack_block, small=True)
+    keep_cols = ["pack_id", "n_docs", "total_tokens"]
+    interior = partials.map_batches(
+        lambda df: df.loc[~df["edge"], keep_cols], batch_format="pandas")
+    # the only rows that can be split across blocks: ≤ 2 per RANGE — the
+    # reduce moves O(n_ranges) rows no matter how big the corpus is
+    edge_rows = partials.map_batches(
+        lambda df: df.loc[df["edge"], keep_cols], batch_format="pandas")
+    edges = groupby_agg(edge_rows, ["pack_id"],
+                        [AggSpec("n_docs", "n_docs", "sum"),
+                         AggSpec("total_tokens", "total_tokens", "sum")],
+                        small=True)
+    return interior.union(edges)

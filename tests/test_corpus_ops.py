@@ -1736,3 +1736,68 @@ class TestQ20PromotionSuppliers:
         ref = sorted(set(names))
         assert len(out) == len(ref) > 0
         np.testing.assert_array_equal(out["s_name"], ref)
+
+
+class TestMixtureSample:
+    def test_matches_pandas_hash_filter(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import mixture_sample
+
+        out = (mixture_sample(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        s = docs["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        thr = docs["lang"].map({"en": 2048, "de": 1024}).fillna(410).to_numpy()
+        ref = docs[(h & np.uint64(4095)) < thr.astype(np.uint64)]
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["doc_id"], ref["doc_id"])
+        # achieved rates sit near the configured per-lang probabilities
+        for lang, lo, hi in [("en", 0.35, 0.65), ("de", 0.12, 0.40)]:
+            n_all = (docs["lang"] == lang).sum()
+            n_kept = (out["lang"] == lang).sum()
+            assert lo <= n_kept / n_all <= hi
+
+    def test_deterministic_and_shard_independent(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import mixture_sample
+
+        a = mixture_sample(SF).to_pandas().sort_values("doc_id")
+        b = mixture_sample(SF).to_pandas().sort_values("doc_id")
+        np.testing.assert_array_equal(a["doc_id"], b["doc_id"])
+
+
+class TestSequencePacking:
+    def test_matches_pandas_prefix_packing(self, ray_session):
+        import re
+
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import sequence_packing
+
+        out = (sequence_packing(SF).to_pandas()
+               .sort_values("pack_id").reset_index(drop=True))
+        docs = (pq.read_table(f"{SF}/documents.parquet").to_pandas()
+                .sort_values("doc_id"))
+        t = docs["text"].map(lambda x: len(re.findall(r"\w+|[^\w\s]+", x))) \
+                        .to_numpy().astype(np.int64)
+        excl = np.cumsum(t) - t
+        pack = excl // 2048
+        ref = (pd.DataFrame({"pack_id": pack, "t": t})
+               .groupby("pack_id")["t"].agg(n_docs="size", total_tokens="sum")
+               .reset_index())
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["pack_id"], ref["pack_id"])
+        np.testing.assert_array_equal(out["n_docs"], ref["n_docs"])
+        np.testing.assert_array_equal(out["total_tokens"], ref["total_tokens"])
+        # every pack except possibly the last is filled past the budget line
+        tot = out["total_tokens"].to_numpy()
+        assert (tot[:-1].cumsum() >= 2048 * np.arange(1, len(tot))).all()
+
+    def test_partitioning_invariance(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import sequence_packing
+
+        a = (sequence_packing(SF, n_ranges=3).to_pandas()
+             .sort_values("pack_id").reset_index(drop=True))
+        b = (sequence_packing(SF, n_ranges=64).to_pandas()
+             .sort_values("pack_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
