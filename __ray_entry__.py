@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": analytics.q11_important_parts,
         "q16_parts_supplier_counts": analytics.q16_parts_supplier_counts,
         "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
+        "salted_enrich_events": analytics.salted_enrich_events,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
         "doc_cell_pyramid": _q_doc_cell_pyramid,
@@ -1190,6 +1191,10 @@ def oracle_sql() -> dict[str, str]:
                                     WHERE s_acctbal < 0)
             GROUP BY 1, 2, 3
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "salted_enrich_events": """
+            SELECT event_id, user_id, event_type, c_mktsegment, value
+            FROM events JOIN customer ON user_id = c_custkey
         """,
         "q20_promotion_suppliers": """
             WITH q AS (

@@ -2323,3 +2323,33 @@ def q20_promotion_suppliers(sf_dir: str, name_like: str = "bolt",
                   .sort_values("s_name").reset_index(drop=True))
 
     return dec.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def salted_enrich_events(sf_dir: str,
+                         target_rows_per_key: int = 50) -> rd.Dataset:
+    """Row-level fact×dim enrichment through the skew-safe ``salted_join``:
+    events join customer on user_id (the corpus's deliberately hot key —
+    tens of thousands of events share each user), with hot keys split
+    across ceil(count/target) salt shards so no join partition owns a
+    whole hot key. The tiny ``target_rows_per_key`` here forces EVERY key
+    hot at test scale, exercising the replication path end-to-end; the
+    output is row-identical to the plain SQL join, which is the oracle."""
+    from ..stages.join import salted_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "value"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    out = salted_join(ev, cust, "user_id", "c_custkey", salt_src="event_id",
+                      target_rows_per_key=target_rows_per_key)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "c_mktsegment": df["c_mktsegment"].to_numpy(),
+            "value": df["value"].to_numpy(),  # passthrough → bit-equal raw
+        })
+
+    return out.map_batches(project, batch_format="pandas")

@@ -76,3 +76,85 @@ def broadcast_semi_filter(
             return batch.filter(pa.array(hit if keep else ~hit))
 
     return ds.map_batches(_Filter, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 8))
+
+
+def salted_join(
+    fact: rd.Dataset,
+    dim: rd.Dataset,
+    fact_key: str,
+    dim_key: str,
+    salt_src: str,
+    target_rows_per_key: int = 100_000,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Skew-safe big-big inner hash join: the north_rule's "explicit
+    salting/splitting of skewed keys" as a reusable operator. A plain hash
+    join sends EVERY row of a hot key to one aggregator — one task then
+    owns the whole hot key while the rest of the cluster idles. Here:
+
+    1. one streamed pass pre-counts the fact side per key (per-block
+       combiner, then a small exchange — the count table is |keys| rows);
+       keys above ``target_rows_per_key`` become the HOT set, each with a
+       replication factor ceil(count/target). At most
+       fact_rows/target keys can be hot, so the broadcast is bounded.
+    2. fact rows of hot keys get salt = fnv1a64(salt_src) %% factor
+       (deterministic — reruns and resumes shard identically); cold rows
+       salt 0.
+    3. dim rows of hot keys are REPLICATED once per salt value (the dim
+       grows by sum(factors) rows, not by the fact's skew); cold rows
+       pass through with salt 0.
+    4. one Ray-native hash join on (key, salt) — every partition now holds
+       at most ~target rows of any key.
+
+    Result-identical to the unsalted join for inner semantics (each fact
+    row meets exactly the dim rows of its key, in exactly one salt
+    shard)."""
+    from ..functions.hashing import fnv1a64
+    from ..pipelines.simplify import _num_partitions
+    from ..stages.agg import AggSpec, groupby_agg
+
+    counts = groupby_agg(
+        fact.select_columns([fact_key]),
+        [fact_key], [AggSpec("n", None, "count")], small=True,
+    ).to_pandas()
+    hot = counts[counts["n"] > target_rows_per_key]
+    factors = {
+        int(k): int(-(-n // target_rows_per_key))
+        for k, n in zip(hot[fact_key], hot["n"])
+    }
+    fref = ray.put(factors)
+
+    def salt_fact(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fref)
+        df = df.copy()
+        salt = np.zeros(len(df), dtype=np.int64)
+        if f:
+            fac = df[fact_key].map(f).fillna(0).to_numpy(np.int64)
+            m = fac > 0
+            if m.any():
+                h = fnv1a64(df.loc[m, salt_src].astype(str).to_numpy())
+                salt[m] = (h % fac[m].astype(np.uint64)).astype(np.int64)
+        df["__salt"] = salt
+        return df
+
+    def replicate_dim(df: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fref)
+        fac = (df[dim_key].map(f).fillna(1).to_numpy(np.int64)
+               if f else np.ones(len(df), dtype=np.int64))
+        rep = df.loc[df.index.repeat(fac)].reset_index(drop=True)
+        # within each repeated run, salts 0..factor-1
+        idx = np.arange(len(rep))
+        starts = np.repeat(np.cumsum(fac) - fac, fac)
+        rep["__salt"] = idx - starts
+        return rep
+
+    n = num_partitions or _num_partitions()
+    out = fact.map_batches(salt_fact, batch_format="pandas").join(
+        dim.map_batches(replicate_dim, batch_format="pandas"),
+        join_type="inner",
+        num_partitions=n,
+        on=(fact_key, "__salt"),
+        right_on=(dim_key, "__salt"),
+    )
+    return out.map_batches(lambda df: df.drop(columns=["__salt"]),
+                           batch_format="pandas")
