@@ -13,7 +13,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..sources import read_table
+from ..sources import read_table, table_rows
 from ..stages.agg import AggSpec, groupby_agg
 from ..stages.join import broadcast_join, broadcast_semi_filter
 
@@ -113,7 +113,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
         return out.groupby("l_orderkey", sort=False, as_index=False)["rev"].sum()
 
     li_part = li.map_batches(li_partial, batch_format="pandas")
-    n_ord = orders.count()
+    n_ord = table_rows(sf_dir, "orders")
     sized = orders.join(cust, join_type="inner",
                         num_partitions=_num_partitions(rows=n_ord),
                         on=("o_custkey",), right_on=("c_custkey",))
@@ -412,7 +412,7 @@ def events_sessionize(sf_dir: str) -> rd.Dataset:
 
     from ..rayctx import grouped
 
-    return grouped(ev, ["user_id"], sessions_block, rows=ev.count())
+    return grouped(ev, ["user_id"], sessions_block, rows=table_rows(sf_dir, "events"))
 
 
 def event_gaps(sf_dir: str) -> rd.Dataset:
@@ -707,7 +707,7 @@ def event_running_stats(sf_dir: str) -> rd.Dataset:
 
     from ..rayctx import grouped
 
-    return grouped(ev, ["user_id"], win_block, rows=ev.count())
+    return grouped(ev, ["user_id"], win_block, rows=table_rows(sf_dir, "events"))
 
 
 def event_type_cooccurrence(sf_dir: str) -> rd.Dataset:
@@ -759,6 +759,7 @@ def q18_large_orders(sf_dir: str, threshold: float = 250.0) -> rd.Dataset:
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    big = big.materialize()  # tiny post-HAVING survivor set
     n_big = big.count()
     joined = orders.join(big, join_type="inner",
                          num_partitions=_num_partitions(rows=max(n_big, 1)),
@@ -800,6 +801,7 @@ def q4_order_priority(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:
                    lambda df: df.drop_duplicates(ignore_index=True))
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    keys = keys.materialize()  # deduped keyset, reduced before here
     n_k = keys.count()
     hits = orders.join(keys, join_type="inner",
                        num_partitions=_num_partitions(rows=max(n_k, 1)),
@@ -829,7 +831,7 @@ def embedding_norms_by_lang(sf_dir: str) -> rd.Dataset:
                              "norm": np.sqrt(np.einsum("ij,ij->i", m, m))})
 
     emb_norms = emb.map_batches(norms, batch_format="pandas")
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     per_vec = docs.join(emb_norms, join_type="inner",
                         num_partitions=_num_partitions(rows=n),
                         on=("doc_id",), right_on=("vec_id",))
@@ -863,7 +865,7 @@ def q12_priority_lines(sf_dir: str) -> rd.Dataset:
                       [AggSpec("cnt", None, "count")])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    n_o = orders.count()
+    n_o = table_rows(sf_dir, "orders")
     joined = cnt.join(orders, join_type="inner",
                       num_partitions=_num_partitions(rows=n_o),
                       on=("l_orderkey",), right_on=("o_orderkey",))
@@ -1100,7 +1102,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
                           ["l_orderkey", "s_nationkey"], [AggSpec("rev", "rev", "sum")])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    n_o = orders.count()
+    n_o = table_rows(sf_dir, "orders")
     w_cust = per_key.join(orders, join_type="inner",
                           num_partitions=_num_partitions(rows=n_o),
                           on=("l_orderkey",), right_on=("o_orderkey",))
@@ -1238,7 +1240,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
     per_order = groupby_agg(li.map_batches(revenue, batch_format="pandas"),
                             ["l_orderkey"], [AggSpec("rev", "rev", "sum")])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    n_o = orders.count()
+    n_o = table_rows(sf_dir, "orders")
     j = per_order.join(orders, join_type="inner",
                        num_partitions=_num_partitions(rows=n_o),
                        on=("l_orderkey",), right_on=("o_orderkey",))
@@ -1296,7 +1298,7 @@ def q22_global_sales_opportunity(sf_dir: str) -> rd.Dataset:
         batch_format="pandas")
     active = read_table(sf_dir, "events", columns=["user_id"]).map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas")
-    n_cust = cust.count()
+    n_cust = table_rows(sf_dir, "customer")
     no_orders = rich.join(active, join_type="left_anti",
                           num_partitions=_num_partitions(rows=n_cust),
                           on=("c_custkey",), right_on=("user_id",))
@@ -1517,7 +1519,7 @@ def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
                           [AggSpec("rev", "rev", "sum")])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    n_ord = orders.count()
+    n_ord = table_rows(sf_dir, "orders")
     w_cust = per_key.join(orders, join_type="inner",
                           num_partitions=_num_partitions(rows=n_ord),
                           on=("l_orderkey",), right_on=("o_orderkey",))
@@ -1581,7 +1583,7 @@ def q13_customer_distribution(sf_dir: str,
     hist = groupby_agg(per_cust, ["c_count"],
                        [AggSpec("custdist", None, "count")], small=True).to_pandas()
 
-    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_customers = table_rows(sf_dir, "customer")
     n_with = int(hist["custdist"].sum())
     zero = pd.DataFrame({"c_count": [0], "custdist": [n_customers - n_with]})
     out = pd.concat([hist, zero], ignore_index=True)
@@ -1871,7 +1873,7 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
         lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
                                    pc.less(t["o_orderdate"], pa.scalar(hi)))),
         batch_format="pyarrow")
-    n_ord = orders.count()
+    n_ord = table_rows(sf_dir, "orders")
     w_ord = per_key.join(orders, join_type="inner",
                          num_partitions=_num_partitions(rows=n_ord),
                          on=("l_orderkey",), right_on=("o_orderkey",))
@@ -1953,7 +1955,7 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
                    .select(["o_orderkey"]),
         batch_format="pyarrow")
-    n_ord = okeys.count()
+    n_ord = table_rows(sf_dir, "orders")
     fpairs = pairs.join(okeys, join_type="inner",
                         num_partitions=_num_partitions(rows=n_ord),
                         on=("l_orderkey",), right_on=("o_orderkey",))
@@ -2106,7 +2108,7 @@ def q9_product_type_profit(sf_dir: str, name_like: str = "bolt") -> rd.Dataset:
                           [AggSpec("amt", "amt", "sum")])
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
-    n_ord = orders.count()
+    n_ord = table_rows(sf_dir, "orders")
     w_ord = per_key.join(orders, join_type="inner",
                          num_partitions=_num_partitions(rows=n_ord),
                          on=("l_orderkey",), right_on=("o_orderkey",))

@@ -2103,8 +2103,9 @@ def sequence_packing(sf_dir: str, budget: int = 2048,
     toks = docs.map_batches(token_counts_batch, batch_format="pyarrow") \
                .select_columns(["doc_id", "n_bpe_tokens"])
 
-    max_id = int(read_table(sf_dir, "documents", columns=["doc_id"])
-                 .max("doc_id"))
+    from ..sources import column_max
+
+    max_id = int(column_max(sf_dir, "documents", "doc_id"))  # footer stats
     width = max(1, max_id // n_ranges + 1)
 
     def add_range(t: pa.Table) -> pa.Table:

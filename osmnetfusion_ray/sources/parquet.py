@@ -65,3 +65,29 @@ def pages_from_documents(sf_dir: str) -> rd.Dataset:
     """The graft input table built from the driver corpus, streamed."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return ds.map_batches(_docs_to_pages, batch_format="pyarrow")
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER METADATA — zero scan, zero Ray
+    tasks. Use this (not ``Dataset.count()`` on a transformed dataset) to
+    size join/shuffle pools: counting a filtered dataset executes its whole
+    upstream pipeline once, and the join then executes it AGAIN."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
+def column_max(sf_dir: str, name: str, col: str):
+    """Column max from parquet ROW-GROUP STATISTICS — zero scan. Falls back
+    to a Ray aggregate only if the writer omitted stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    vals = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return read_table(sf_dir, name, columns=[col]).max(col)
+        vals.append(st.max)
+    return max(vals)
