@@ -300,8 +300,35 @@ def headline_only():
                       "num_cpus": NUM_CPUS, "pagejoin_rows_per_s": round(head["rows_per_s"], 1)}))
 
 
+def stats_mode():
+    """--stats: print the headline pipeline's per-stage ds.stats() so stage
+    wall-time can be audited (is the time in useful compute or in shuffle /
+    actor startup?). Not part of the JSON contract."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from osmnetfusion_ray import synth
+    from osmnetfusion_ray.pipelines import pagejoin
+    from osmnetfusion_ray.sources.pagegen import synth_pages_ds
+
+    nodes, edges = synth.synth_city(n=CITY_N, seed=42)
+    pages = synth_pages_ds(PAGES_N, parallelism=max(64, PAGES_N // 7812),
+                           columns=("url", "text"))
+    ds = pagejoin.join_pages_summary(pages, nodes, edges, batch_size=8192)
+    n = sum(r["n_rows"] for r in ds.take_all())
+    print(ds.stats())
+    print(f"rows={n}")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--stats" in sys.argv:
+        stats_mode()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--p3-scaling" in sys.argv:
         p3_scaling()
