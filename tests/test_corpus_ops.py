@@ -1838,3 +1838,37 @@ class TestSaltedJoin:
             assert shard_sizes.max() <= 4 * target  # hash balance, loose bound
             if fac > 1:
                 assert len(shard_sizes) > 1  # the key actually split
+
+
+class TestAnnTopkPQ:
+    def test_recall_vs_exact(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ann_topk, ann_topk_pq
+
+        exact = set(ann_topk(SF, k=10, query_vec_id=0)["vec_id"].to_pylist())
+        approx = set(ann_topk_pq(SF, k=10, query_vec_id=0)["vec_id"].to_pylist())
+        assert len(approx) == 10
+        # shortlist-rerank: the returned sims are exact, so recall@10 only
+        # misses true neighbors that PQ fails to put in a block shortlist
+        assert len(exact & approx) >= 8
+
+    def test_deterministic(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ann_topk_pq
+
+        a = ann_topk_pq(SF, k=10, query_vec_id=3).to_pandas()
+        b = ann_topk_pq(SF, k=10, query_vec_id=3).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_returned_sims_are_exact_cosines(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import ann_topk_pq
+
+        out = ann_topk_pq(SF, k=10, query_vec_id=0).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        x = np.asarray(emb["embedding"].tolist(), dtype=np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        by_id = dict(zip(emb["vec_id"], range(len(emb))))
+        q = x[by_id[0]]
+        for vid, sim in zip(out["vec_id"], out["sim"]):
+            assert abs(sim - round(float(x[by_id[vid]] @ q), 6)) < 1e-9
+        # sorted by sim descending
+        assert (np.diff(out["sim"].to_numpy()) <= 1e-12).all()
