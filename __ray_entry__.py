@@ -192,6 +192,18 @@ def _q_sequence_packing(sf_dir: str):
     return sequence_packing(sf_dir)
 
 
+def _q_link_graph(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_graph
+
+    return link_graph(sf_dir)
+
+
+def _q_pagerank(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import pagerank
+
+    return pagerank(sf_dir)
+
+
 def _q_repetition_stats(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import repetition_stats_batch
     from osmnetfusion_ray.sources import read_table
@@ -576,6 +588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "mixture_sample": _q_mixture_sample,
         "sequence_packing": _q_sequence_packing,
+        "link_graph": _q_link_graph,
+        "pagerank": _q_pagerank,
         "top_tokens": _q_top_tokens,
         "top_bigrams": _q_top_bigrams,
         "embedding_centroids": _q_embedding_centroids,
@@ -635,6 +649,7 @@ _TEXT_STATS = """
 
 def oracle_sql() -> dict[str, str]:
     from osmnetfusion_ray import corpusoracle, netfixture, netoracle
+    from osmnetfusion_ray.pipelines import graph as graphmod
 
     net = netoracle.network_oracles()
     d = netfixture.ensure_city_fixture()
@@ -1510,6 +1525,12 @@ def oracle_sql() -> dict[str, str]:
                   < CASE lang WHEN 'en' THEN 2048
                               WHEN 'de' THEN 1024 ELSE 410 END
         """,
+        "link_graph": """
+            SELECT d.doc_id AS src,
+                   (d.doc_id * 31 + t.j) % (SELECT count(*) FROM documents) AS dst
+            FROM documents d CROSS JOIN range(1, 9) t(j)
+        """,
+        "pagerank": graphmod.pagerank_sql(iters=5),
         "sequence_packing": """
             WITH tok AS (
                 SELECT doc_id,

@@ -1,0 +1,150 @@
+"""Link-graph pipelines over the Common-Crawl-style page corpus.
+
+A real crawl's pages link to each other; the driver corpus has no
+inter-document anchors, so the graph is DERIVED deterministically from
+``doc_id`` — page ``d`` links to ``(d*31 + j) mod N`` for ``j = 1..K`` —
+which both the engine and the DuckDB oracle can compute independently.
+That keeps the interesting part (the distributed iteration) honest: the
+oracle is a full unrolled recomputation, not a copy of our output.
+
+PageRank here is EXACT, not approximately-equal-modulo-float-order:
+ranks are int64 fixed-point (``SCALE = 1e12``) and every step is integer
+arithmetic (``//`` floor-division, ``%``), so per-node incoming sums are
+order-independent and the engine output is bit-equal to the SQL oracle
+no matter how blocks are partitioned. The float version of the same
+algorithm could never be driver-checkable this way — summation order
+differs between engines.
+
+Scale shape (the part that must survive 10^12 pages):
+
+- The edge list is never materialized: each iteration re-derives a
+  block's out-edges from its (doc_id, pr) rows inside ``map_batches``
+  (K integers of arithmetic per row), so the only persistent state per
+  iteration is the N-row rank vector.
+- Contributions are pre-summed per destination INSIDE each block
+  (np.unique + add.at) before the shuffle, so a block of B rows ships
+  at most ``min(B*K, distinct dst)`` rows into the one hash exchange
+  per iteration — the textbook combiner-before-groupby layout.
+- Zero-in-degree pages survive because every block also emits a zero
+  contribution for each of its own source ids (each id appears as a
+  source exactly once corpus-wide, so this adds one row per node, not
+  one per edge).
+- Iterations chain lazily; nothing lands on the driver until the caller
+  consumes the final rank vector.
+
+Reference parity note: the reference engine has no link analysis (it is
+a street-network tool); this family is part of the LLM-training-data
+operator set the engine adds on top (SURVEY.md §2, corpus ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..rayctx import grouped
+from ..sources import read_table, table_rows
+
+SCALE = 10**12  # fixed-point denominator for integer PageRank
+MULT = 31       # link-graph multiplier: dst = (src*MULT + j) % N
+K_OUT = 8       # out-degree per page
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+
+
+def link_graph(sf_dir: str) -> rd.Dataset:
+    """The derived out-link edge list (src, dst) — the fan-out kernel the
+    PageRank iterations apply implicitly, exposed as its own query so the
+    graph derivation itself is oracle-checked."""
+    n = table_rows(sf_dir, "documents")
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["doc_id"].to_numpy(np.int64)
+        j = np.arange(1, K_OUT + 1, dtype=np.int64)
+        dst = (src[:, None] * MULT + j[None, :]) % n
+        return pd.DataFrame({
+            "src": np.repeat(src, K_OUT),
+            "dst": dst.ravel(),
+        })
+
+    return docs.map_batches(edges, batch_format="pandas")
+
+
+def _iterate(ranks: rd.Dataset, n: int, teleport: int) -> rd.Dataset:
+    """One PageRank round: derive out-edges per block, combine contributions
+    per destination block-locally, one hash exchange, finalize ranks."""
+
+    def contrib_partials(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["doc_id"].to_numpy(np.int64)
+        share = df["pr"].to_numpy(np.int64) // K_OUT
+        j = np.arange(1, K_OUT + 1, dtype=np.int64)
+        dst = ((src[:, None] * MULT + j[None, :]) % n).ravel()
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, np.repeat(share, K_OUT))
+        # zero-seed this block's own sources so no node drops out of the
+        # rank vector even with zero in-degree (gcd(MULT, N) > 1 cases)
+        return pd.DataFrame({
+            "doc_id": np.concatenate([uniq, src]),
+            "inc": np.concatenate([sums, np.zeros(len(src), dtype=np.int64)]),
+        })
+
+    partials = ranks.map_batches(contrib_partials, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["inc"].sum()
+        return pd.DataFrame({
+            "doc_id": g.index.to_numpy(np.int64),
+            "pr": teleport + (DAMP_NUM * g.to_numpy(np.int64)) // DAMP_DEN,
+        })
+
+    return grouped(partials, ["doc_id"], finalize, rows=n)
+
+
+def pagerank(sf_dir: str, iters: int = 5) -> rd.Dataset:
+    """Integer fixed-point PageRank over the derived link graph.
+
+    r0(v) = SCALE // N;   r'(v) = teleport + (85 * Σ_in r(u)//K) // 100
+    with teleport = (15 * (SCALE // N)) // 100. All arithmetic is int64
+    floor-division, so the result is partitioning-invariant and bit-equal
+    to the unrolled DuckDB oracle.
+    """
+    n = table_rows(sf_dir, "documents")
+    base = SCALE // n
+    teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    ranks = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "pr": np.full(len(df), base, dtype=np.int64),
+        }),
+        batch_format="pandas",
+    )
+    for _ in range(iters):
+        ranks = _iterate(ranks, n, teleport)
+    return ranks
+
+
+def pagerank_sql(iters: int = 5) -> str:
+    """The unrolled DuckDB mirror: same graph formula, same integer
+    arithmetic, ``iters`` LEFT-JOIN rounds over the documents view."""
+    base = f"({SCALE} // (SELECT count(*) FROM documents))"
+    tele = f"(({DAMP_DEN - DAMP_NUM} * {base}) // {DAMP_DEN})"
+    nn = "(SELECT count(*) FROM documents)"
+    sql = [
+        f"WITH e AS (SELECT d.doc_id AS src, (d.doc_id * {MULT} + t.j) % {nn} AS dst "
+        f"FROM documents d CROSS JOIN range(1, {K_OUT + 1}) t(j)),",
+        f"r0 AS (SELECT doc_id, {base}::BIGINT AS pr FROM documents),",
+    ]
+    for i in range(1, iters + 1):
+        sql.append(
+            f"r{i} AS (SELECT d.doc_id, ({tele} + ({DAMP_NUM} * COALESCE(s.inc, 0)) // {DAMP_DEN})::BIGINT AS pr "
+            f"FROM documents d LEFT JOIN "
+            f"(SELECT e.dst, SUM(r.pr // {K_OUT}) AS inc FROM e JOIN r{i - 1} r ON r.doc_id = e.src GROUP BY e.dst) s "
+            f"ON s.dst = d.doc_id),"
+        )
+    sql.append(f"fin AS (SELECT doc_id, pr FROM r{iters}) SELECT * FROM fin")
+    return "\n".join(sql)
