@@ -192,6 +192,14 @@ def _q_sequence_packing(sf_dir: str):
     return sequence_packing(sf_dir)
 
 
+def _q_pii_redact(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import pii_redact_batch
+    from osmnetfusion_ray.sources import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        pii_redact_batch, batch_format="pyarrow")
+
+
 def _q_link_graph(sf_dir: str):
     from osmnetfusion_ray.pipelines.graph import link_graph
 
@@ -590,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": _q_sequence_packing,
         "link_graph": _q_link_graph,
         "pagerank": _q_pagerank,
+        "pii_redact": _q_pii_redact,
         "top_tokens": _q_top_tokens,
         "top_bigrams": _q_top_bigrams,
         "embedding_centroids": _q_embedding_centroids,
@@ -673,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_flat": corpusoracle.ann_topk_ivf_flat_sql(),
         "repetition_stats": corpusoracle.repetition_stats_sql(),
         "pii_counts": corpusoracle.pii_counts_sql(),
+        "pii_redact": corpusoracle.pii_redact_sql(),
         "contamination_check": corpusoracle.contamination_sql(),
         "near_dup_clusters": corpusoracle.near_dup_clusters_sql(threshold=0.6),
         "extract_page_text": corpusoracle.extract_text_sql(),

@@ -296,6 +296,23 @@ def repetition_stats_sql() -> str:
     """
 
 
+def pii_redact_sql() -> str:
+    """Mirrors pii_redact_batch — the same RE2 patterns nested in the same
+    order (emails, IPs, phones) via regexp_replace(..., 'g')."""
+    from .pipelines.corpus import PII_REDACTIONS, PII_RES
+
+    expr = "text"
+    for name, token in PII_REDACTIONS:
+        # DuckDB '...' literals take backslashes verbatim → pass the RE2
+        # pattern through untouched, only quote-escape.
+        rx = PII_RES[name].replace("'", "''")
+        expr = f"regexp_replace({expr}, '{rx}', '{token}', 'g')"
+    return f"""
+      SELECT doc_id, {expr} AS text_red, len({expr}) AS n_chars_red
+      FROM documents
+    """
+
+
 def pii_counts_sql() -> str:
     """Mirrors pii_counts_batch — DuckDB regexp_* is RE2, same as pyarrow's
     count_substring_regex, so non-overlapping match counts agree exactly."""

@@ -118,6 +118,33 @@ def pii_counts_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("has_pii", pa.array(total > 0))
 
 
+# redaction targets and their replacement tokens, applied IN ORDER: emails
+# first (an email's local part may contain '+digits' that the phone pattern
+# would otherwise bite into), then IPs, then phones. Leftmost-non-overlapping
+# RE2 semantics are identical in pyarrow and DuckDB, so the SQL mirror is
+# the same nested regexp_replace chain.
+PII_REDACTIONS = (
+    ("n_emails", "<EMAIL>"),
+    ("n_ipv4", "<IP>"),
+    ("n_phones", "<PHONE>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """The transform side of the PII family: rewrite every email/IPv4/intl
+    phone match to a fixed token (the standard pre-training scrub), keeping
+    everything vectorized RE2 — one global replace per pattern per batch,
+    zero Python objects per row."""
+    red = batch["text"]
+    for name, token in PII_REDACTIONS:
+        red = pc.replace_substring_regex(red, PII_RES[name], token)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text_red": red,
+        "n_chars_red": pc.utf8_length(red),
+    })
+
+
 def repetition_stats_batch(batch: pa.Table, shingle: int = 3) -> pa.Table:
     """Gopher-style intra-document repetition signal: the fraction of word
     ``shingle``-gram occurrences that repeat an earlier occurrence

@@ -441,6 +441,28 @@ class TestPiiCounts:
         assert out["has_pii"].to_pylist() == [True, True, True, False]
 
 
+class TestPiiRedact:
+    def test_tokens_substituted_in_order(self):
+        from osmnetfusion_ray.pipelines.corpus import pii_redact_batch
+
+        t = pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [
+                # email whose local part carries '+digits': email replace must
+                # run first or the phone pattern would bite into it
+                "reach a+1234567@mail.org or dial +4915112345678",
+                "host 10.0.0.255 answered",
+                "clean",
+            ],
+        })
+        out = pii_redact_batch(t)
+        red = out["text_red"].to_pylist()
+        assert red[0] == "reach <EMAIL> or dial <PHONE>"
+        assert red[1] == "host <IP> answered"
+        assert red[2] == "clean"
+        assert out["n_chars_red"].to_pylist() == [len(r) for r in red]
+
+
 class TestRepetitionStats:
     def test_known_ratio(self):
         from osmnetfusion_ray.pipelines.corpus import repetition_stats_batch
