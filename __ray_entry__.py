@@ -192,6 +192,12 @@ def _q_sequence_packing(sf_dir: str):
     return sequence_packing(sf_dir)
 
 
+def _q_doc_global_rank(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_global_rank
+
+    return doc_global_rank(sf_dir)
+
+
 def _q_pii_redact(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import pii_redact_batch
     from osmnetfusion_ray.sources import read_table
@@ -599,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": _q_link_graph,
         "pagerank": _q_pagerank,
         "pii_redact": _q_pii_redact,
+        "doc_global_rank": _q_doc_global_rank,
         "top_tokens": _q_top_tokens,
         "top_bigrams": _q_top_bigrams,
         "embedding_centroids": _q_embedding_centroids,
@@ -1534,6 +1541,11 @@ def oracle_sql() -> dict[str, str]:
                 " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}) % 4096
                   < CASE lang WHEN 'en' THEN 2048
                               WHEN 'de' THEN 1024 ELSE 410 END
+        """,
+        "doc_global_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
         """,
         "link_graph": """
             SELECT d.doc_id AS src,

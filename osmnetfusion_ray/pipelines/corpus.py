@@ -19,7 +19,7 @@ import ray.data as rd
 
 from .. import cells
 from ..functions import hashing
-from ..sources import read_table
+from ..sources import read_table, table_rows
 from ..stages.agg import AggSpec, groupby_agg
 
 BBOX = hashing.DEFAULT_BBOX
@@ -1298,6 +1298,106 @@ def length_filter_p90(sf_dir: str, q: float = 0.9) -> rd.Dataset:
         return batch.filter(m)
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def doc_global_rank(sf_dir: str, n_ranges: int = 64) -> rd.Dataset:
+    """Global window rank — ``row_number() OVER (ORDER BY n_chars DESC,
+    doc_id)`` — WITHOUT a global sort.
+
+    The classic all-to-all sort is replaced by arithmetic on cells: every
+    row belongs to a (n_chars, doc_id-range) cell, and its global rank is
+
+        rank = (#docs with longer n_chars)                  [base offset]
+             + (#same-length docs in earlier ranges)        [intra offset]
+             + (local position by doc_id inside the cell)   [cell-local]
+
+    Pass 1 reduces the corpus to per-cell counts (shuffle volume bounded by
+    occupied cells, not rows). The per-length totals — bounded by DISTINCT
+    lengths, the same driver contract as ``length_filter_p90``'s histogram
+    — give the base offsets; a stats-only grouped pass turns cell counts
+    into intra-length prefix offsets. Pass 2 co-locates corpus rows WITH
+    their cell's offset row in one hash exchange keyed on the cell — the
+    range component keeps hot lengths split across partitions (self-salted),
+    so no partition ever owns a whole popular length — and emits final
+    ranks from a purely block-local sort. Nothing row-scale ever lands on
+    the driver or in a broadcast.
+    """
+    from ..rayctx import grouped
+    from ..sources import column_max
+
+    n_docs = table_rows(sf_dir, "documents")
+    max_id = int(column_max(sf_dir, "documents", "doc_id"))
+    range_w = max(1, (max_id + 1 + n_ranges - 1) // n_ranges)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def cell_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(range_id=df["doc_id"].to_numpy(np.int64) // range_w)
+               .groupby(["n_chars", "range_id"], sort=False).size())
+        out = g.reset_index()
+        out.columns = ["n_chars", "range_id", "cnt"]
+        return out.astype(np.int64)
+
+    cells = grouped(docs.map_batches(cell_partials, batch_format="pandas"),
+                    ["n_chars", "range_id"],
+                    lambda df: df.groupby(["n_chars", "range_id"], as_index=False,
+                                          sort=False)["cnt"].sum(),
+                    rows=n_docs)
+    cells = cells.materialize()  # consumed twice: totals + intra prefix
+
+    # base offsets: #docs strictly longer, from the bounded length histogram
+    totals = (cells.map_batches(
+        lambda df: df.groupby("n_chars", as_index=False, sort=False)["cnt"].sum(),
+        batch_format="pandas").to_pandas()
+        .groupby("n_chars", as_index=False)["cnt"].sum()
+        .sort_values("n_chars", ascending=False))
+    lens_desc = totals["n_chars"].to_numpy(np.int64)
+    base_desc = np.concatenate([[0], totals["cnt"].to_numpy(np.int64).cumsum()[:-1]])
+    lens_asc = lens_desc[::-1].copy()
+    base_asc = base_desc[::-1].copy()
+
+    def intra_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "range_id"], kind="mergesort")
+        c = df["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(c) - c  # global exclusive prefix over the sorted cells
+        lens = df["n_chars"].to_numpy(np.int64)
+        starts = np.r_[0, np.flatnonzero(np.diff(lens)) + 1]
+        run_len = np.diff(np.r_[starts, len(df)])
+        intra = cum - np.repeat(cum[starts], run_len)  # rebase per length run
+        base = base_asc[np.searchsorted(lens_asc, lens)]
+        return pd.DataFrame({
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+            "range_id": df["range_id"].to_numpy(np.int64),
+            "off": base + intra,
+            "doc_id": np.full(len(df), -1, dtype=np.int64),
+        })
+
+    offsets = grouped(cells, ["n_chars"], intra_prefix, small=True)
+
+    data = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "n_chars": df["n_chars"].to_numpy(np.int64),
+            "range_id": df["doc_id"].to_numpy(np.int64) // range_w,
+            "off": np.full(len(df), -1, dtype=np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+        }),
+        batch_format="pandas")
+
+    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+        off = df[df["doc_id"] < 0]
+        dat = df[df["doc_id"] >= 0].sort_values(
+            ["n_chars", "range_id", "doc_id"], kind="mergesort")
+        dat = dat.drop(columns=["off"]).merge(
+            off[["n_chars", "range_id", "off"]], on=["n_chars", "range_id"],
+            how="left", sort=False)
+        pos = dat.groupby(["n_chars", "range_id"], sort=False).cumcount()
+        return pd.DataFrame({
+            "doc_id": dat["doc_id"].to_numpy(np.int64),
+            "n_chars": dat["n_chars"].to_numpy(np.int64),
+            "rnk": dat["off"].to_numpy(np.int64) + pos.to_numpy(np.int64) + 1,
+        })
+
+    return grouped(data.union(offsets), ["n_chars", "range_id"], rank_block,
+                   rows=n_docs)
 
 
 def top_docs_per_lang(sf_dir: str, k: int = 5) -> rd.Dataset:

@@ -463,6 +463,33 @@ class TestPiiRedact:
         assert out["n_chars_red"].to_pylist() == [len(r) for r in red]
 
 
+class TestDocGlobalRank:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_pandas_window(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_global_rank
+
+        got = doc_global_rank(self.SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        docs = pd.read_parquet(self.SF + "/documents.parquet", columns=["doc_id", "n_chars"])
+        want = docs.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        want["rnk"] = np.arange(1, len(want) + 1, dtype=np.int64)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got["rnk"].to_numpy().tolist() == want["rnk"].to_numpy().tolist()
+
+    def test_invariant_to_range_count(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_global_rank
+
+        a = doc_global_rank(self.SF, n_ranges=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = doc_global_rank(self.SF, n_ranges=64).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_rank_is_permutation(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_global_rank
+
+        r = doc_global_rank(self.SF).to_pandas()["rnk"].to_numpy()
+        assert sorted(r.tolist()) == list(range(1, len(r) + 1))
+
+
 class TestRepetitionStats:
     def test_known_ratio(self):
         from osmnetfusion_ray.pipelines.corpus import repetition_stats_batch
