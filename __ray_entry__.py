@@ -130,6 +130,30 @@ def _q_sample_bottomk(sf_dir: str):
     return sample_bottomk(sf_dir)
 
 
+def _q_dup_passages(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import dup_passages
+
+    return dup_passages(sf_dir)
+
+
+def _q_cell_kde(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import cell_kde
+
+    return cell_kde(sf_dir)
+
+
+def _q_weighted_sample(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import weighted_sample
+
+    return weighted_sample(sf_dir)
+
+
+def _q_train_shuffle(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import train_shuffle
+
+    return train_shuffle(sf_dir)
+
+
 def _q_latest_page_per_site(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import latest_page_per_site
 
@@ -618,6 +642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ntile": _q_doc_length_ntile,
         "latest_page_per_site": _q_latest_page_per_site,
         "sample_bottomk": _q_sample_bottomk,
+        "dup_passages": _q_dup_passages,
+        "cell_kde": _q_cell_kde,
+        "weighted_sample": _q_weighted_sample,
+        "train_shuffle": _q_train_shuffle,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,  # rows-only (approximate by design)
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -997,6 +1025,37 @@ def oracle_sql() -> dict[str, str]:
                 "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
                 " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}), doc_id
             LIMIT 200
+        """,
+        "dup_passages": corpusoracle.dup_passages_sql(),
+        "train_shuffle": corpusoracle.train_shuffle_sql(),
+        "weighted_sample": f"""
+            SELECT doc_id, lang, n_chars,
+                   CAST(({corpusoracle.fnv_expr(
+                "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+                " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")})
+                        % 9007199254740992 AS DOUBLE) / n_chars AS wkey
+            FROM documents
+            ORDER BY wkey, doc_id
+            LIMIT 200
+        """,
+        "cell_kde": f"""
+            WITH g AS ({_GEO}),
+            c AS (SELECT CAST(floor(fx * 64) AS BIGINT) AS ix,
+                         CAST(floor(fy * 64) AS BIGINT) AS iy,
+                         count(*) AS n_docs
+                  FROM g GROUP BY 1, 2),
+            contrib AS (
+              SELECT c.ix + dx.d AS tx, c.iy + dy.d AS ty,
+                     c.n_docs * (CASE WHEN dx.d = 0 AND dy.d = 0 THEN 4
+                                      WHEN dx.d = 0 OR dy.d = 0 THEN 2
+                                      ELSE 1 END) AS wv
+              FROM c, (VALUES (-1), (0), (1)) dx(d),
+                      (VALUES (-1), (0), (1)) dy(d)
+            ),
+            sm AS (SELECT tx, ty, CAST(sum(wv) AS BIGINT) AS kde16
+                   FROM contrib GROUP BY tx, ty)
+            SELECT c.ix, c.iy, c.n_docs, sm.kde16
+            FROM c JOIN sm ON sm.tx = c.ix AND sm.ty = c.iy
         """,
         "dau_retention": """
             WITH inc AS (

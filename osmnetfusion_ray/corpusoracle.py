@@ -494,3 +494,37 @@ def boilerplate_stats_sql() -> str:
                / (CASE WHEN length(html_s) > 0 THEN length(html_s) ELSE 1 END)::DOUBLE AS text_ratio
       FROM pages
     """
+
+
+def dup_passages_sql(w: int = 32, s: int = 16) -> str:
+    """Mirror of corpus.dup_passages: explode stride-s length-w char
+    windows (ASCII text => substring == codepoint slice), codepoint-FNV
+    each window, df = distinct docs per hash, per-doc rollup."""
+    return f"""
+      WITH wins AS (
+        SELECT doc_id,
+               unnest([substring(text, i*{s} + 1, {w})
+                       for i in range((length(text) - {w}) // {s} + 1)]) AS wt
+        FROM documents WHERE length(text) >= {w}
+      ),
+      wh AS (SELECT DISTINCT doc_id, ({fnv_expr('wt')}) AS h FROM wins),
+      hd AS (SELECT h, count(*) AS nd FROM wh GROUP BY h)
+      SELECT wh.doc_id, count(*) AS n_win,
+             CAST(sum(CASE WHEN hd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM wh JOIN hd USING (h)
+      GROUP BY wh.doc_id
+    """
+
+
+def train_shuffle_sql() -> str:
+    """Mirror of corpus.train_shuffle: global row_number by the
+    mirror-padded 'shuf|'-prefixed codepoint-FNV hash of the doc id."""
+    key = fnv_expr(
+        "'shuf|' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+        " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")
+    return f"""
+      WITH keyed AS (SELECT doc_id, ({key}) AS h FROM documents)
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+      FROM keyed
+    """

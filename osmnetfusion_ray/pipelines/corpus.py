@@ -2389,3 +2389,220 @@ def ann_topk_pq(sf_dir: str, k: int = 10, query_vec_id: int = 0,
            .sort_values(["sim", "vec_id"], ascending=[False, True]).head(k))
     top["sim"] = np.round(top["sim"], 6)
     return pa.Table.from_pandas(top.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# substring-level duplicate-passage detection (Lee et al. 2022-style)
+# ---------------------------------------------------------------------------
+
+DUP_W = 32   # window length (chars)
+DUP_S = 16   # window stride (chars)
+
+
+def _window_hash_rows(texts: np.ndarray, w: int, s: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, fnv1a64) for every length-``w`` stride-``s`` character
+    window of every text — vectorized BY CHARACTER POSITION over the
+    batch's UCS4 codepoint matrix (w masked numpy steps total, never a
+    per-window Python loop). Docs shorter than ``w`` emit no windows."""
+    arr = np.asarray(texts)
+    if arr.dtype.kind != "U":
+        arr = arr.astype("U")
+    n = len(arr)
+    lens = np.char.str_len(arr).astype(np.int64) if n else np.array([], np.int64)
+    nwin = np.where(lens >= w, (lens - w) // s + 1, 0)
+    total = int(nwin.sum())
+    if total == 0:
+        return np.array([], np.int64), np.array([], np.uint64)
+    arr = np.ascontiguousarray(arr)
+    width = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(n, width)
+    row = np.repeat(np.arange(n, dtype=np.int64), nwin)
+    cum = np.concatenate([[0], np.cumsum(nwin)])
+    start = (np.arange(total, dtype=np.int64) - cum[row]) * s
+    h = np.full(total, hashing.FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            h = (h ^ cp[row, start + j].astype(np.uint64)) * hashing.FNV_PRIME
+    return row, h
+
+
+def dup_passages(sf_dir: str, w: int = DUP_W, s: int = DUP_S,
+                 driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.Dataset:
+    """Exact duplicate-PASSAGE detection (substring-level dedup, the Lee
+    et al. "Deduplicating Training Data" shape): every stride-``s``
+    length-``w`` char window is FNV-hashed, a window is *shared* when its
+    hash occurs in >=2 distinct documents, and each document reports its
+    distinct-window total and shared-window count. Two combiner-bounded
+    (doc, hash) exchanges — texts never shuffle: per-batch the window set
+    is deduped per doc, shuffle 1 keys by hash so the doc-frequency is a
+    local group size (attached in place, tfidf-style — no hash->df table
+    ever materializes), shuffle 2 keys by doc for the per-doc rollup.
+    The codepoint-FNV window hash is DuckDB-reproducible, so the oracle
+    is bit-equal, not statistical."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = table_rows(sf_dir, "documents")
+
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        row, h = _window_hash_rows(df["text"].to_numpy(), w, s)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64)[row],
+            "h": h,
+        }).drop_duplicates()
+
+    def attach_nd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # rows are globally distinct (doc, h) pairs, so group size == the
+        # number of distinct docs containing the window
+        df["nd"] = df.groupby("h", sort=False)["doc_id"].transform("size").astype(np.int64)
+        return df
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        shared = (df["nd"].to_numpy() >= 2).astype(np.int64)
+        g = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "shared": shared})
+        out = g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_win=("shared", "size"), n_shared=("shared", "sum"))
+        out["n_win"] = out["n_win"].astype(np.int64)
+        out["n_shared"] = out["n_shared"].astype(np.int64)
+        return out
+
+    wh = docs.map_batches(win_rows, batch_format="pandas")
+    if n_docs is not None and n_docs <= driver_below:
+        out = per_doc(attach_nd(wh.to_pandas()))
+        from ..rayctx import ensure_tuned
+
+        ensure_tuned()
+        return rd.from_pandas(out)
+    return grouped(grouped(wh, ["h"], attach_nd), ["doc_id"], per_doc)
+
+
+# ---------------------------------------------------------------------------
+# 3x3-kernel smoothed tile density (raster-style neighborhood op on cells)
+# ---------------------------------------------------------------------------
+
+def cell_kde(sf_dir: str) -> rd.Dataset:
+    """Neighborhood-smoothed tile density: for every nonempty grid cell,
+    ``kde16`` = sum over its 3x3 neighborhood of count x integer kernel
+    weight (center 4, edge 2, corner 1 — weights sum to 16, so kde16 is
+    16x a normalized KDE and stays EXACT int64). The corpus is reduced to
+    the <=64x64 cell histogram in ONE streamed pass (the same bounded
+    groupby as doc_cell_counts); the 9-offset scatter + re-aggregation run
+    on that bounded table driver-side — at 100 TB the corpus scan
+    dominates and the smoothing cost is fixed at grid-size, independent
+    of row count."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pts = docs.map_batches(doc_geocode_batch, batch_format="pyarrow")
+    counts = groupby_agg(pts, ["ix", "iy"], [AggSpec("n_docs", None, "count")],
+                         small=True).to_pandas()
+    ix = counts["ix"].to_numpy().astype(np.int64)
+    iy = counts["iy"].to_numpy().astype(np.int64)
+    n = counts["n_docs"].to_numpy().astype(np.int64)
+    tx, ty, wsum = [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            wgt = 4 if dx == 0 and dy == 0 else (2 if dx == 0 or dy == 0 else 1)
+            tx.append(ix + dx)
+            ty.append(iy + dy)
+            wsum.append(n * wgt)
+    contrib = pd.DataFrame({
+        "ix": np.concatenate(tx), "iy": np.concatenate(ty),
+        "kde16": np.concatenate(wsum),
+    }).groupby(["ix", "iy"], as_index=False, sort=False).sum()
+    out = counts.merge(contrib, on=["ix", "iy"], how="inner")
+    out["kde16"] = out["kde16"].astype(np.int64)
+    from ..rayctx import ensure_tuned
+
+    ensure_tuned()
+    return rd.from_pandas(out[["ix", "iy", "n_docs", "kde16"]])
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sample (priority sampling, bottom-k by hash/weight)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(sf_dir: str, k: int = 200) -> pa.Table:
+    """Deterministic weight-proportional k-sample: each doc's priority key
+    is ``(fnv & (2^53-1)) / weight`` (weight = n_chars) and the k SMALLEST
+    keys win — heavier docs draw uniformly smaller keys, so inclusion
+    probability scales with weight while staying fully reproducible. The
+    53-bit mask makes the numerator exactly representable in float64, and
+    one IEEE double division is correctly rounded identically in numpy and
+    DuckDB — the oracle (ORDER BY the same expression) is bit-equal
+    including the exported key. Per-block bottom-k (argpartition) bounds
+    the driver reduce at k x blocks rows; no shuffle, no global sort."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    mask = np.uint64((1 << 53) - 1)
+
+    def local_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = hashing.fnv1a64((s + s.str[::-1]).to_numpy())
+        key = (h & mask).astype(np.float64) / df["n_chars"].to_numpy().astype(np.float64)
+        if len(df) > k:
+            idx = np.argpartition(key, k)[:k]
+            df, key = df.iloc[idx], key[idx]
+        out = df[["doc_id", "lang", "n_chars"]].copy()
+        out["wkey"] = key
+        return out
+
+    local = docs.map_batches(local_bottomk, batch_format="pandas").to_pandas()
+    top = local.sort_values(["wkey", "doc_id"], kind="stable").head(k)
+    return pa.table({
+        "doc_id": top["doc_id"].to_numpy().astype(np.int64),
+        "lang": top["lang"].to_numpy().astype(str),
+        "n_chars": top["n_chars"].to_numpy().astype(np.int64),
+        "wkey": top["wkey"].to_numpy(),
+    })
+
+
+# ---------------------------------------------------------------------------
+# deterministic global training shuffle (bucketed rank, no global sort)
+# ---------------------------------------------------------------------------
+
+def train_shuffle(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
+    """Deterministic global shuffle order for training: ``pos`` =
+    row_number by (shuffle_hash, doc_id) — the reproducible random
+    permutation every epoch pipeline needs — computed WITHOUT a global
+    sort. The hash's top bits split rows into ``n_buckets`` contiguous
+    key ranges (hash output, so ranges are load-balanced by
+    construction); a stats-only streamed pass counts per bucket
+    (blocks x buckets partial rows to the driver, no shuffle), the
+    exclusive prefix over <=n_buckets counts is the only driver state,
+    and ONE bucket-keyed exchange lets each block sort its buckets
+    locally and add the broadcast offset. Invariant to n_buckets and to
+    input partitioning; the mirror-padded codepoint-FNV hash makes the
+    DuckDB window oracle bit-equal."""
+    from ..rayctx import grouped
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = hashing.fnv1a64(("shuf|" + s + s.str[::-1]).to_numpy())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "h": h,
+            "bucket": (h >> shift).astype(np.int64),
+        })
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = keyed(df).groupby("bucket", as_index=False, sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    partials = docs.map_batches(bucket_counts, batch_format="pandas").to_pandas()
+    totals = partials.groupby("bucket")["n"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0).to_dict()  # exclusive prefix
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["bucket", "h", "doc_id"], kind="mergesort")
+        within = df.groupby("bucket", sort=False).cumcount().to_numpy()
+        base = df["bucket"].map(offsets).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "pos": base + within,
+        })
+
+    return grouped(docs.map_batches(keyed, batch_format="pandas"),
+                   ["bucket"], assign)

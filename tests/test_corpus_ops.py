@@ -1921,3 +1921,139 @@ class TestAnnTopkPQ:
             assert abs(sim - round(float(x[by_id[vid]] @ q), 6)) < 1e-9
         # sorted by sim descending
         assert (np.diff(out["sim"].to_numpy()) <= 1e-12).all()
+
+
+class TestDupPassages:
+    W, S = 32, 16
+
+    def _brute(self, docs):
+        from collections import Counter
+
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+
+        per_doc = {}
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            wins = ([t[p:p + self.W] for p in range(0, len(t) - self.W + 1, self.S)]
+                    if len(t) >= self.W else [])
+            per_doc[int(did)] = (set(fnv1a64(np.array(wins, dtype=object)).tolist())
+                                 if wins else set())
+        df = Counter(h for hs in per_doc.values() for h in hs)
+        rows = [(d, len(hs), sum(1 for h in hs if df[h] >= 2))
+                for d, hs in per_doc.items() if hs]
+        return pd.DataFrame(rows, columns=["doc_id", "n_win", "n_shared"])
+
+    def test_window_hash_kernel_matches_direct(self):
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import _window_hash_rows
+
+        texts = np.array(["abcdefghij" * 7, "short", "", "abcdefghij" * 4], dtype=object)
+        row, h = _window_hash_rows(texts, self.W, self.S)
+        exp_rows, exp_h = [], []
+        for i, t in enumerate(texts):
+            for p in range(0, len(t) - self.W + 1, self.S):
+                exp_rows.append(i)
+                exp_h.append(fnv1a64(np.array([t[p:p + self.W]], dtype=object))[0])
+        assert row.tolist() == exp_rows
+        assert h.tolist() == [int(x) for x in exp_h]
+
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import dup_passages
+
+        out = (dup_passages(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        ref = self._brute(docs).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+        assert out["n_shared"].sum() > 0  # the shared path actually fires
+
+    def test_distributed_path_matches_driver_path(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import dup_passages
+
+        a = (dup_passages(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (dup_passages(SF, driver_below=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_identical_texts_fully_shared(self):
+        from osmnetfusion_ray.pipelines.corpus import _window_hash_rows
+
+        t = "the quick brown fox jumps over the lazy dog, twice over"
+        row, h = _window_hash_rows(np.array([t, t], dtype=object), self.W, self.S)
+        a = set(h[row == 0].tolist())
+        b = set(h[row == 1].tolist())
+        assert a and a == b
+
+
+class TestCellKde:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import cell_kde, doc_geocode_batch
+
+        out = (cell_kde(SF).to_pandas()
+               .sort_values(["ix", "iy"]).reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+        g = doc_geocode_batch(docs).to_pandas()
+        counts = g.groupby(["ix", "iy"], as_index=False).size().rename(columns={"size": "n"})
+        grid = {(r.ix, r.iy): r.n for r in counts.itertuples()}
+        for r in out.itertuples():
+            exp = 0
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    wgt = 4 if dx == dy == 0 else (2 if dx == 0 or dy == 0 else 1)
+                    exp += wgt * grid.get((r.ix + dx, r.iy + dy), 0)
+            assert r.kde16 == exp
+            assert r.n_docs == grid[(r.ix, r.iy)]
+        assert len(out) == len(counts)
+        # smoothing is load-bearing: some cell's kde16 exceeds 4x its own count
+        assert (out["kde16"] > 4 * out["n_docs"]).any()
+
+
+class TestWeightedSample:
+    def test_matches_brute_force_and_weights_matter(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import weighted_sample
+
+        k = 60
+        out = weighted_sample(SF, k=k).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        s = docs["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        key = (h & np.uint64((1 << 53) - 1)).astype(np.float64) / docs["n_chars"].to_numpy()
+        order = np.lexsort((docs["doc_id"].to_numpy(), key))[:k]
+        ref = docs.iloc[order]
+        assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert np.array_equal(out["wkey"].to_numpy(), key[order])
+        # weight-proportional: sampled docs skew longer than the corpus mean
+        assert out["n_chars"].mean() > docs["n_chars"].mean()
+
+
+class TestTrainShuffle:
+    def test_permutation_and_bucket_invariance(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import train_shuffle
+
+        out = (train_shuffle(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+        assert len(out) == len(docs)
+        assert sorted(out["pos"].tolist()) == list(range(len(docs)))
+        # matches the global row_number by (hash, doc_id)
+        s = docs["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64(("shuf|" + s + s.str[::-1]).to_numpy())
+        order = np.lexsort((docs["doc_id"].to_numpy(), h))
+        ref = pd.DataFrame({"doc_id": docs["doc_id"].to_numpy()[order],
+                            "pos": np.arange(len(docs), dtype=np.int64)})
+        ref = ref.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+        # invariant to the bucket count
+        out8 = (train_shuffle(SF, n_buckets=8).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out, out8, check_dtype=False)
