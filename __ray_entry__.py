@@ -130,6 +130,18 @@ def _q_sample_bottomk(sf_dir: str):
     return sample_bottomk(sf_dir)
 
 
+def _q_user_trajectories(sf_dir: str):
+    from osmnetfusion_ray.pipelines.pagejoin import user_trajectories
+
+    return user_trajectories(sf_dir)
+
+
+def _q_coverage_gaps(sf_dir: str):
+    from osmnetfusion_ray.pipelines.pagejoin import coverage_gaps
+
+    return coverage_gaps(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import dup_passages
 
@@ -643,6 +655,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_page_per_site": _q_latest_page_per_site,
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
+        "user_trajectories": _q_user_trajectories,
+        "coverage_gaps": _q_coverage_gaps,
         "cell_kde": _q_cell_kde,
         "weighted_sample": _q_weighted_sample,
         "train_shuffle": _q_train_shuffle,
@@ -701,6 +715,10 @@ def oracle_sql() -> dict[str, str]:
     net["page_network_join"] = netoracle.page_join_oracle(
         f"{d}/edge_segs.parquet", f"{d}/nodes.parquet", seg_ref, node_ref)
     net["page_network_join_tiled"] = net["page_network_join"]
+    net["user_trajectories"] = netoracle.trajectory_oracle(
+        f"{d}/edge_segs.parquet", seg_ref)
+    net["coverage_gaps"] = netoracle.coverage_gaps_oracle(
+        f"{d}/edge_segs.parquet", f"{d}/nodes.parquet", seg_ref, node_ref)
     simp = netfixture.write_simplified_fixture(*_simplified_tables())
     net["page_join_simplified"] = netoracle.page_join_oracle(
         f"{simp['dir']}/edge_segs.parquet", f"{simp['dir']}/nodes.parquet",

@@ -552,3 +552,68 @@ def page_join_oracle(segs_path: str, nodes_path: str, seg_ref_lat: float,
                coalesce(nb.node_buffer_id, -1) AS node_buffer_id
         FROM snap s LEFT JOIN nb ON nb.doc_id = s.doc_id
     """
+
+
+_EVENT_GEO_CTE = """
+    ev AS (
+        SELECT event_id, user_id, ts,
+               CAST(11.54 AS DOUBLE) + (CAST((event_id * 2654435761) % 4294967296 % 65536 AS DOUBLE) / 65536.0)
+                 * (CAST(11.62 AS DOUBLE) - CAST(11.54 AS DOUBLE)) AS lon,
+               CAST(48.12 AS DOUBLE) + (CAST(((event_id * 2654435761) % 4294967296) // 65536 AS DOUBLE) / 65536.0)
+                 * (CAST(48.18 AS DOUBLE) - CAST(48.12 AS DOUBLE)) AS lat
+        FROM events
+    )"""
+
+
+def trajectory_oracle(segs_path: str, seg_ref_lat: float,
+                      max_snap_m: float = 500.0) -> str:
+    """Mirror of pagejoin.user_trajectories: events geocoded by the Knuth
+    hash of event_id, nearest-segment snap with the same point-segment
+    distance arithmetic as page_join_oracle, then a per-user window over
+    (ts, event_id) collapses the edge sequence into path stats."""
+    mxs = float(geom.M_PER_DEG_LAT * np.cos(np.radians(seg_ref_lat)))
+    return f"""
+        WITH {_EVENT_GEO_CTE},
+        pts AS (SELECT event_id, lon, lat FROM ev),
+        segs AS (SELECT edge_row, ax, ay, bx, by FROM read_parquet('{segs_path}')),
+        {_dist_cte("p.event_id", "segs", mxs, elem="edge_row")},
+        pe AS (SELECT event_id, edge_row, min(dist) AS dist FROM dd GROUP BY event_id, edge_row),
+        best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                              ORDER BY dist, edge_row) AS rn FROM pe),
+        snap AS (SELECT event_id,
+                        CASE WHEN dist <= {_r(max_snap_m)} THEN edge_row ELSE -1 END AS edge_id
+                 FROM best WHERE rn = 1),
+        seq AS (
+            SELECT e.user_id, s.edge_id,
+                   lag(s.edge_id) OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts, e.event_id) AS prev_edge,
+                   row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts, e.event_id) AS rn,
+                   count(*) OVER (PARTITION BY e.user_id) AS np
+            FROM ev e JOIN snap s USING (event_id)
+        )
+        SELECT user_id, count(*) AS n_points,
+               CAST(sum(CASE WHEN prev_edge IS NOT NULL AND edge_id <> prev_edge
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_moves,
+               max(CASE WHEN rn = 1 THEN edge_id END) AS first_edge,
+               max(CASE WHEN rn = np THEN edge_id END) AS last_edge
+        FROM seq GROUP BY user_id
+    """
+
+
+def coverage_gaps_oracle(segs_path: str, nodes_path: str, seg_ref_lat: float,
+                         node_ref_lat: float) -> str:
+    """Mirror of pagejoin.coverage_gaps: the page_join oracle as a
+    subquery, re-keyed to 64x64 tiles and aggregated into gap counts."""
+    pj = page_join_oracle(segs_path, nodes_path, seg_ref_lat, node_ref_lat)
+    return f"""
+        WITH pj AS (SELECT * FROM ({pj}) t),
+        {_GEO_CTE}
+        SELECT CAST(floor(((CAST((g.doc_id * 2654435761) % 4294967296 % 65536 AS DOUBLE) / 65536.0)) * 64) AS BIGINT) AS ix,
+               CAST(floor(((CAST(((g.doc_id * 2654435761) % 4294967296) // 65536 AS DOUBLE) / 65536.0)) * 64) AS BIGINT) AS iy,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN pj.node_buffer_id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nobuffer,
+               CAST(sum(CASE WHEN pj.edge_id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nosnap
+        FROM g JOIN pj ON pj.doc_id = g.doc_id
+        GROUP BY 1, 2
+    """

@@ -30,6 +30,7 @@ import ray
 import ray.data as rd
 
 from .. import cells, geom
+from ..functions import hashing
 from ..stages import pages as pages_stages
 from ..state.index import SegmentGridIndex
 
@@ -442,3 +443,110 @@ def simplified_to_network_tables(simplified: dict) -> tuple[pa.Table, pa.Table]:
         "geometry": pa.array(edges_pd["g_geo_rea"].tolist(), type=pa.binary()),
     })
     return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# trajectory snapping (map-matching-shaped composite) + coverage gaps
+# ---------------------------------------------------------------------------
+
+def _event_geocode_batch(batch: pa.Table) -> pa.Table:
+    """event_id → (lon, lat) with the same SQL-exact Knuth-hash arithmetic
+    as corpus.doc_geocode_batch (integer ops + IEEE doubles)."""
+    eid = batch["event_id"].to_numpy().astype(np.int64)
+    h = (eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+    fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+    lon0, lat0, lon1, lat1 = hashing.DEFAULT_BBOX
+    return (batch.append_column("lon", pa.array(lon0 + fx * (lon1 - lon0)))
+            .append_column("lat", pa.array(lat0 + fy * (lat1 - lat0))))
+
+
+def user_trajectories(sf_dir: str, max_snap_m: float = 500.0) -> rd.Dataset:
+    """Map-matching-shaped composite over the events stream: every event is
+    geocoded by the SQL-exact Knuth hash of its event_id, kNN-snapped to
+    the fixture city's edge segments through the SAME broadcast-index stage
+    as the flagship page join (the stream never shuffles for the spatial
+    part), then ONE user-keyed exchange orders each user's snaps by
+    (ts, event_id) and collapses the edge sequence into path stats:
+    ``n_points``, ``n_moves`` (consecutive edge changes), ``first_edge``,
+    ``last_edge``. At 100 TB the event stream is the big side — it flows
+    through stateless snap tasks (index broadcast once per worker) and the
+    only exchange carries (user_id, ts, edge_id) triples. DuckDB-oracled
+    bit-equal via the same point-segment distance arithmetic + a window
+    mirror (netoracle.trajectory_oracle)."""
+    from .. import netfixture
+    from ..rayctx import grouped
+    from ..sources import read_table
+
+    netfixture.ensure_city_fixture()
+    nodes, edges, _ = netfixture.city_tables()
+    state_ref = ray.put(build_network_state(nodes, edges, max_snap_m=max_snap_m))
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    pts = ev.map_batches(_event_geocode_batch, batch_format="pyarrow")
+
+    def _snap(batch: pa.Table) -> pa.Table:
+        joiner = _cached_join(state_ref)
+        out = joiner(batch)
+        return out.select(["event_id", "user_id", "ts", "edge_id"])
+
+    snapped = pts.map_batches(_snap, batch_format="pyarrow", batch_size=8192)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        edge = df["edge_id"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        moved = np.empty(len(df), dtype=bool)
+        moved[0:1] = False
+        moved[1:] = edge[1:] != edge[:-1]
+        moved &= ~new_user
+        g = pd.DataFrame({"user_id": uid, "moved": moved.astype(np.int64),
+                          "edge_id": edge})
+        out = g.groupby("user_id", sort=False, as_index=False).agg(
+            n_points=("edge_id", "size"), n_moves=("moved", "sum"),
+            first_edge=("edge_id", "first"), last_edge=("edge_id", "last"))
+        for c in ("n_points", "n_moves", "first_edge", "last_edge"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return grouped(snapped, ["user_id"], per_user)
+
+
+def coverage_gaps(sf_dir: str) -> rd.Dataset:
+    """Spatial coverage analysis of the flagship join: per 64x64 grid tile,
+    how many pages landed there, how many failed the node-buffer PIP
+    (``n_nobuffer``) and how many failed the kNN snap (``n_nosnap``) — the
+    anti-join view of page_network_join, reusing its exact oracle as a CTE.
+    One streamed pass (geocode + broadcast-index join + per-batch flags),
+    one bounded (<=4096-key) exchange."""
+    from .. import netfixture
+    from ..sources import pages_from_documents
+    from ..stages.agg import AggSpec, groupby_agg
+
+    netfixture.ensure_city_fixture()
+    nodes, edges, _ = netfixture.city_tables()
+    joined = join_pages_to_network(pages_from_documents(sf_dir), nodes, edges,
+                                   geocode_mode="doc_id")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        ix = np.floor(fx * 64).astype(np.int64)
+        iy = np.floor(fy * 64).astype(np.int64)
+        return pa.table({
+            "ix": pa.array(ix), "iy": pa.array(iy),
+            "nobuf": pa.array((batch["node_buffer_id"].to_numpy() == -1).astype(np.int64)),
+            "nosnap": pa.array((batch["edge_id"].to_numpy() == -1).astype(np.int64)),
+        })
+
+    per_tile = joined.map_batches(flags, batch_format="pyarrow")
+    return groupby_agg(per_tile, ["ix", "iy"], [
+        AggSpec("n_docs", None, "count"),
+        AggSpec("n_nobuffer", "nobuf", "sum"),
+        AggSpec("n_nosnap", "nosnap", "sum"),
+    ], small=True)
