@@ -501,10 +501,10 @@ def _simplify_local(nodes_pd: pd.DataFrame, edges_pd: pd.DataFrame,
     edges_pd = S.reassign_edges_arrays(edges_pd, ids_sorted, mb, ids_sorted, mxa,
                                        ids_sorted, mya)
     # 10. merge nodes
-    nodes_out = _per_group(["merged_by"], S.merge_nodes_group)(
+    nodes_out = S.merge_nodes_block(
         S.prepare_nodes_for_merge(nodes_all.merge(mm2, on="osmid", how="inner")))
     # 11-13. merge edges by canonical uv key, orient
-    edges_out = _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(
+    edges_out = S.merge_edges_block(
         S.prepare_edges_for_merge(S.add_uv_keys(edges_pd)))
     return nodes_out, S.orient_edges(edges_out)
 
@@ -694,7 +694,7 @@ def simplify_network(
                                  on=("osmid",))
 
     def _node_merge_block(df: pd.DataFrame) -> pd.DataFrame:
-        return _per_group(["merged_by"], S.merge_nodes_group)(S.prepare_nodes_for_merge(df))
+        return S.merge_nodes_block(S.prepare_nodes_for_merge(df))
 
     nodes_out = grouped(nodes_merge, ["merged_by"], _node_merge_block, small=merge_small,
                         rows=n_nodes)
@@ -703,7 +703,7 @@ def simplify_network(
     edges_keyed = edges_ds.map_batches(S.add_uv_keys, batch_format="pandas")
 
     def _edge_merge_block(df: pd.DataFrame) -> pd.DataFrame:
-        return _per_group(["uv_lo", "uv_hi"], S.merge_edges_group)(S.prepare_edges_for_merge(df))
+        return S.merge_edges_block(S.prepare_edges_for_merge(df))
 
     edges_out = grouped(edges_keyed, ["uv_lo", "uv_hi"], _edge_merge_block, small=merge_small,
                         rows=n_edges)

@@ -666,30 +666,59 @@ def prepare_nodes_for_merge(nodes: pd.DataFrame) -> pd.DataFrame:
     return nodes
 
 
-def merge_nodes_group(group: pd.DataFrame) -> pd.DataFrame:
-    """One merged ``Node`` record per merged_by group. The representative
-    (osmid == merged_by) supplies position; tags union over members."""
-    if len(group) == 0:
-        return pd.DataFrame(columns=["g_id", "g_x", "g_y", "g_infra", "g_crossing",
-                                     "g_signals", "l_id", "l_osmid", "l_hw_conn", "l_hw_rank"])
-    rep = group.iloc[0]  # mx/my/merged_by identical across the group
-    infra = sorted(set(listify(group.get("highway", pd.Series(dtype=object)))
-                       + listify(group.get("crossing", pd.Series(dtype=object)))))
-    rec = {
-        "g_id": int(rep["merged_by"]),
-        "g_x": float(rep["mx"]),
-        "g_y": float(rep["my"]),
+_NODE_OUT_COLS = ["g_id", "g_x", "g_y", "g_infra", "g_crossing",
+                  "g_signals", "l_id", "l_osmid", "l_hw_conn", "l_hw_rank"]
+
+
+def merge_nodes_rows(g) -> dict:
+    """One merged ``Node`` dict per merged_by group (_Rows, non-empty). The
+    representative (osmid == merged_by) supplies position; tags union over
+    members — listify drops ''/NaN, so the NaN fill for absent columns is
+    equivalent to the empty-Series default it replaces."""
+    infra = sorted(set(listify(g.col("highway")) + listify(g.col("crossing"))))
+    old = g.cols.get("old_osmid")
+    has_old = old is not None and any(
+        _notna_cell(v) or isinstance(v, (list, np.ndarray)) for v in old)
+    return {
+        "g_id": int(g.cols["merged_by"][0]),
+        "g_x": float(g.cols["mx"][0]),
+        "g_y": float(g.cols["my"][0]),
         "g_infra": infra,
         "g_crossing": "crossing" in infra,
         "g_signals": "traffic_signals" in infra,
-        "l_id": listify(group["osmid"], as_int=True),
-        "l_osmid": (listify(group["old_osmid"], as_int=True)
-                    if "old_osmid" in group.columns and group["old_osmid"].notna().any() else None),
-        "l_hw_conn": listify(group.get("highway_conn", pd.Series(dtype=object))),
-        "l_hw_rank": listify(group.get("highway_rank", pd.Series(dtype=float)), as_int=True)
-        if group.get("highway_rank") is not None else [],
+        "l_id": listify(g.cols["osmid"], as_int=True),
+        "l_osmid": listify(old, as_int=True) if has_old else None,
+        "l_hw_conn": listify(g.col("highway_conn")),
+        "l_hw_rank": (listify(g.cols["highway_rank"], as_int=True)
+                      if "highway_rank" in g.cols else []),
     }
-    return pd.DataFrame([rec])
+
+
+def merge_nodes_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-group public kernel (tests / local path); the block path
+    :func:`merge_nodes_block` amortizes conversion across a block."""
+    if len(group) == 0:
+        return pd.DataFrame(columns=_NODE_OUT_COLS)
+    return pd.DataFrame([merge_nodes_rows(_Rows.from_df(group, blank_to_nan=False))],
+                        columns=_NODE_OUT_COLS)
+
+
+def merge_nodes_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Every merged_by group of a hash-partitioned block in one pass
+    (stable sort keeps within-group input order; the record only reads
+    group-invariant fields from the first row, so order is cosmetic)."""
+    if len(df) == 0:
+        return pd.DataFrame(columns=_NODE_OUT_COLS)
+    mb = df["merged_by"].to_numpy()
+    order = np.argsort(mb, kind="stable")
+    df = df.iloc[order]
+    mb = mb[order]
+    rows = _Rows.from_df(df, blank_to_nan=False)
+    bnd = np.flatnonzero(mb[1:] != mb[:-1]) + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [len(df)]])
+    recs = [merge_nodes_rows(rows.take(range(s, e))) for s, e in zip(starts, ends)]
+    return pd.DataFrame(recs, columns=_NODE_OUT_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -770,7 +799,7 @@ def _weighted_mean(vals: pd.Series, lens: pd.Series):
     skip ''/NaN, lists → their mean, weight by length; 0/1 survivors short-
     circuit."""
     out_v, out_w = [], []
-    lens_arr = lens.to_numpy()
+    lens_arr = lens.to_numpy() if hasattr(lens, "to_numpy") else lens
     for i, a in enumerate(vals):
         if isinstance(a, list):
             out_v.append(float(np.mean([float(b) for b in a])))
@@ -807,31 +836,111 @@ _NONMOTORIZED_HW = ["path", "footway", "pedestrian", "steps", "bridleway", "cycl
 _PARKING_EXCL = {"no", "no_stopping", "fire_lane", ""}
 
 
-def _col(df: pd.DataFrame, name: str) -> pd.Series:
-    return df[name] if name in df.columns else pd.Series([np.nan] * len(df), index=df.index)
+class _Rows:
+    """Minimal column-store used by the merge kernels instead of per-group
+    pandas frames: a dict of plain Python lists + a row count. The groups
+    here are 1-5 rows, so the work per group is trivial — what dominated
+    the p3 chain was pandas' FIXED cost per operation on tiny frames
+    (boolean ``__getitem__`` ~1 ms, Series boxing ~40 µs x 80 accesses per
+    record, one DataFrame construction per group): ~15 ms of overhead per
+    output edge, 95% of the stage's CPU at n=75. Public kernel entry
+    points still accept DataFrames (tests / callers) and convert once."""
+
+    __slots__ = ("cols", "n")
+
+    def __init__(self, cols: dict, n: int):
+        self.cols = cols
+        self.n = n
+
+    @classmethod
+    def from_df(cls, df: pd.DataFrame, blank_to_nan: bool = True) -> "_Rows":
+        # '' → NaN once at conversion — the reference's link.replace('',nan)
+        # hoisted out of the per-link loop; nothing upstream of the original
+        # replace reads ''-valued cells (rank/length/bearing/u/v are numeric).
+        # The node kernel passes blank_to_nan=False (it never did a replace).
+        cols = {}
+        for c in df.columns:
+            vals = df[c].tolist()
+            if blank_to_nan:
+                vals = [np.nan if (isinstance(v, str) and v == "") else v
+                        for v in vals]
+            cols[c] = vals
+        return cls(cols, len(df))
+
+    def __len__(self) -> int:
+        return self.n
+
+    def take(self, idx) -> "_Rows":
+        idx = list(idx)
+        return _Rows({c: [v[i] for i in idx] for c, v in self.cols.items()}, len(idx))
+
+    def col(self, name: str) -> list:
+        c = self.cols.get(name)
+        return c if c is not None else [np.nan] * self.n
 
 
-def _check_mode_access(subset: pd.DataFrame, mode: str) -> bool:
-    """AnEdge.checkModeAccess truth tables (p3_functions.py:1627-1690)."""
-    hw = _explode_vals(_col(subset, "highway"))
+def _as_rows(obj) -> "_Rows":
+    return obj if isinstance(obj, _Rows) else _Rows.from_df(obj)
+
+
+def _notna_cell(v) -> bool:
+    return v is not None and not (isinstance(v, float) and v != v)
+
+
+def _to_float(v) -> float:
+    """One-cell pd.to_numeric(errors='coerce')."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return np.nan
+
+
+def _scalar_in(v, targets) -> bool:
+    """Hash-free elementwise ``isin``: list/array cells never match, like
+    pandas ``isin`` on object columns."""
+    return (not isinstance(v, (list, np.ndarray))) and v in targets
+
+
+def _any_eq(vals, target) -> bool:
+    """Elementwise ``(col == target).any()`` (list cells compare unequal)."""
+    return any((not isinstance(v, (list, np.ndarray))) and v == target for v in vals)
+
+
+def _flatten_vals(vals) -> list:
+    """Series.explode().tolist() equivalent: list cells flattened, EMPTY
+    list cells become one NaN (pandas explode semantics)."""
+    flat: list = []
+    for v in vals:
+        if isinstance(v, (list, np.ndarray)):
+            flat.extend(list(v) if len(v) else [np.nan])
+        else:
+            flat.append(v)
+    return flat
+
+
+def _check_mode_access(subset, mode: str) -> bool:
+    """AnEdge.checkModeAccess truth tables (p3_functions.py:1627-1690).
+    Accepts a DataFrame (tests) or _Rows (hot path)."""
+    subset = _as_rows(subset)
+    hw = _explode_vals(subset.col("highway"))
     if mode == "walk":
         cond0 = any(x in _WALK_HW_EXT for x in hw)
-        cond1 = any(x in ("designated", "yes") for x in _explode_vals(_col(subset, "foot")))
-        cond2 = any(x <= 50 for x in _explode_vals(_col(subset, "maxspeed"))
+        cond1 = any(x in ("designated", "yes") for x in _explode_vals(subset.col("foot")))
+        cond2 = any(x <= 50 for x in _explode_vals(subset.col("maxspeed"))
                     if x is not None and x == x)
-        cond3 = any(x not in ("no", "") for x in _notnull(_explode_vals(_col(subset, "sidewalk"))))
+        cond3 = any(x not in ("no", "") for x in _notnull(_explode_vals(subset.col("sidewalk"))))
         return cond0 | cond1 | cond2 | cond3
     if mode == "bike":
         bike_hw = ["cycleway", "residential", "tertiary", "secondary", "agricultural",
                    "service", "tertiary_link", "secondary_link"]
         cond0 = any(x in bike_hw for x in hw)
-        bic = _explode_vals(_col(subset, "bicycle"))
+        bic = _explode_vals(subset.col("bicycle"))
         cond1a = any(x in ("yes", "designated") for x in bic)
         cond1b = all(x == "no" for x in bic) and len(bic) > 0
         cond2 = any(
             str(x) not in ("no", "") for c in _BIKE_COND_COLS
-            for x in _notnull(set(_col(subset, c).explode().tolist())))
-        cond3 = any(str(x) != "" for x in _notnull(_explode_vals(_col(subset, "cycleway"))))
+            for x in _notnull(set(_flatten_vals(subset.col(c)))))
+        cond3 = any(str(x) != "" for x in _notnull(_explode_vals(subset.col("cycleway"))))
         access = cond0 | cond1a | cond2
         if cond1b:
             access = False
@@ -840,78 +949,97 @@ def _check_mode_access(subset: pd.DataFrame, mode: str) -> bool:
         return access
     if mode == "motorized":
         access = any(x not in _NONMOTORIZED_HW for x in hw)
-        ow = _col(subset, "oneway")
-        if ow.isin(["True", True]).any():
-            if (_col(subset, "bike_access") == "bike_only").any():
+        if any(_scalar_in(x, ("True", True)) for x in subset.col("oneway")):
+            if _any_eq(subset.col("bike_access"), "bike_only"):
                 access = False
         return access
     raise ValueError(mode)
 
 
-def _get_param(df: pd.DataFrame, col: str):
-    if col not in df.columns:
+def _get_param(df, col: str):
+    df = _as_rows(df)
+    if col not in df.cols:
         return None
-    a = [v for v in _explode_vals(df[col].dropna()) if not (isinstance(v, float) and v != v)]
+    kept = [v for v in df.cols[col] if _notna_cell(v) or isinstance(v, (list, np.ndarray))]
+    a = [v for v in _explode_vals(kept) if not (isinstance(v, float) and v != v)]
     if "" in a:
         a.remove("")
     return a or None
 
 
-def _is_lit(df: pd.DataFrame) -> bool:
-    vals = listify(_col(df, "lit"))
+def _is_lit(df) -> bool:
+    vals = listify(_as_rows(df).col("lit"))
     return bool(vals) and (("yes" in vals) or ("247" in vals) or ("24/7" in vals))
 
 
-def _parking(subset: pd.DataFrame) -> tuple[list, list]:
+def _parking(subset) -> tuple[list, list]:
+    subset = _as_rows(subset)
     left, right = [], []
     for c, dests in (("parking:lane:left", (left,)), ("parking:lane:right", (right,)),
                      ("parking:lane:both", (left, right))):
-        vals = [a for a in _notnull(_explode_vals(_col(subset, c))) if a not in _PARKING_EXCL]
+        vals = [a for a in _notnull(_explode_vals(subset.col(c))) if a not in _PARKING_EXCL]
         for d in dests:
             d.extend(vals)
     return sorted(set(left)), sorted(set(right))
 
 
-def _walk_subset(df: pd.DataFrame) -> pd.DataFrame:
-    hw = _explode_vals(_col(df, "highway"))
+def _walk_subset(df) -> "_Rows":
+    df = _as_rows(df)
+    hw_cells = df.col("highway")
+    hw = _explode_vals(hw_cells)
     if any(x in _WALK_HW_CORE for x in hw):
-        return df[df["highway"].isin(_WALK_HW_CORE)]
-    if any(x == "designated" for x in _explode_vals(_col(df, "foot"))):
-        return df[_col(df, "foot").isin(["designated", "yes"])]
+        return df.take(i for i, v in enumerate(hw_cells) if _scalar_in(v, _WALK_HW_CORE))
+    if any(x == "designated" for x in _explode_vals(df.col("foot"))):
+        foot = df.col("foot")
+        return df.take(i for i, v in enumerate(foot) if _scalar_in(v, ("designated", "yes")))
     if any(x in _WALK_HW_EXT for x in hw):
-        return df[df["highway"].isin(_WALK_HW_EXT)]
-    ms = pd.to_numeric(_col(df, "maxspeed"), errors="coerce")
-    return df[(ms <= 30) | ~_col(df, "sidewalk").isin(["no", ""])]
+        return df.take(i for i, v in enumerate(hw_cells) if _scalar_in(v, _WALK_HW_EXT))
+    ms = [_to_float(v) for v in df.col("maxspeed")]
+    sw = df.col("sidewalk")
+    return df.take(i for i in range(len(df))
+                   if (ms[i] <= 30) or not _scalar_in(sw[i], ("no", "")))
 
 
-def _bike_subset(df: pd.DataFrame) -> pd.DataFrame:
-    hw = _explode_vals(_col(df, "highway"))
-    bic = _explode_vals(_col(df, "bicycle"))
+def _bike_subset(df) -> "_Rows":
+    df = _as_rows(df)
+    hw_cells = df.col("highway")
+    hw = _explode_vals(hw_cells)
+    bic_cells = df.col("bicycle")
+    bic = _explode_vals(bic_cells)
     if any(x == "cycleway" for x in hw) or any(x in ("yes", "designated") for x in bic):
-        return df[(df["highway"] == "cycleway") | _col(df, "bicycle").isin(["yes", "designated"])]
+        return df.take(i for i in range(len(df))
+                       if _scalar_in(hw_cells[i], ("cycleway",))
+                       or _scalar_in(bic_cells[i], ("yes", "designated")))
     bike_hw = ["cycleway", "residential", "tertiary", "secondary", "agricultural",
                "service", "tertiary_link", "secondary_link"]
-    return df[df["highway"].isin(bike_hw) | (_col(df, "cycleway").notna() & (_col(df, "cycleway") != ""))]
+    cw = df.col("cycleway")
+    return df.take(i for i in range(len(df))
+                   if _scalar_in(hw_cells[i], bike_hw)
+                   or (_notna_cell(cw[i]) and not (isinstance(cw[i], str) and cw[i] == ""))
+                   or isinstance(cw[i], (list, np.ndarray)))
 
 
-def _motorized_subset(df: pd.DataFrame) -> pd.DataFrame:
-    hw = _explode_vals(_col(df, "highway"))
+def _motorized_subset(df) -> "_Rows":
+    df = _as_rows(df)
+    hw_cells = df.col("highway")
+    hw = _explode_vals(hw_cells)
     if any(x not in _NONMOTORIZED_HW for x in hw):
-        return df[~df["highway"].isin(_NONMOTORIZED_HW)]
+        return df.take(i for i, v in enumerate(hw_cells) if not _scalar_in(v, _NONMOTORIZED_HW))
     return df
 
 
 _BIKE_ATTR_RANK = ["no", "track", "lane", "advisory", "exclusive.", "exclusive"]
 
 
-def _bike_attrs(bike: pd.DataFrame) -> list:
+def _bike_attrs(bike) -> list:
     """BicycleEdge cycleway-attribute precedence cascade
     (p3_functions.py:1985-2023)."""
+    bike = _as_rows(bike)
 
     def get_attr(tag: str, prefix: str) -> list:
-        if tag not in bike.columns:
+        if tag not in bike.cols:
             return []
-        attr = [x for x in bike[tag] if (x not in ("", "pictogram")) and x is not None and x == x]
+        attr = [x for x in bike.cols[tag] if (x not in ("", "pictogram")) and x is not None and x == x]
         if "no" in attr and len(attr) > 1:
             attr.remove("no")
         for i, a in enumerate(attr):
@@ -958,39 +1086,47 @@ _EDGE_KEY_DEFAULTS: dict = {
 }
 
 
-def _an_edge_record(df: pd.DataFrame, main: pd.Series, uv: bool, rev_class: bool) -> dict:
+def _max_notna(vals) -> float:
+    """Series.max() semantics: NaN-skipping; NaN when nothing survives."""
+    kept = [float(x) for x in vals if x is not None and x == x]
+    return max(kept) if kept else np.nan
+
+
+def _an_edge_record(df, main, uv: bool, rev_class: bool) -> dict:
     """One output row = one AnEdge (p3_functions.py:1542-1848).
 
     ``g_id`` is ``main_osmid*2 + (0 if uv else 1)`` — unique and stable under
     any partitioning (deviation: the reference renumbers by output row index,
-    p3_simplification.py:370).
-    """
-    subset = df[df["direction"] == rev_class]
+    p3_simplification.py:370). ``df`` is the link (_Rows or DataFrame);
+    ``main`` the main edge's fields (dict or Series-like)."""
+    df = _as_rows(df)
+    direction = df.col("direction")
+    subset = df.take(i for i, d in enumerate(direction) if d == rev_class)
     rec = {
         "g_u": int(main["new_u"]),
         "g_v": int(main["new_v"]),
         "g_id": int(main["osmid"]) * 2 + (0 if uv else 1),
         "g_lit": _is_lit(df),
-        "g_incline": [str(a) for a in _col(subset, "incline") if str(a) in ("up", "down")],
-        "g_gradient": _mean_numeric(_col(subset, "gradient")),
-        "g_height_d": _mean_numeric(_col(subset, "height_difference")),
-        "g_severity": _mean_numeric(_col(subset, "severity")),
+        "g_incline": [str(a) for a in subset.col("incline") if str(a) in ("up", "down")],
+        "g_gradient": _mean_numeric(subset.col("gradient")),
+        "g_height_d": _mean_numeric(subset.col("height_difference")),
+        "g_severity": _mean_numeric(subset.col("severity")),
         "g_reversed": not uv,
         "g_crossing": _get_param(df, "crossing"),
-        "g_greenR": _mean_numeric(_col(df, "green_ratio")),
-        "g_retailR": _mean_numeric(_col(df, "retail_ratio")),
-        "g_buildR": _mean_numeric(_col(df, "building_ratio")),
+        "g_greenR": _mean_numeric(df.col("green_ratio")),
+        "g_retailR": _mean_numeric(df.col("retail_ratio")),
+        "g_buildR": _mean_numeric(df.col("building_ratio")),
         "g_geometry": main["geometry"],
         "g_geo_lin": main["geom_linear"],
         "g_geo_rea": main["geom_reassigned"],
         "g_parkingL": _parking(subset)[0],
         "g_parkingR": _parking(subset)[1],
-        "l_id": listify(subset["osmid"], as_int=True),
-        "l_osmid": listify(subset["old_osmid"], as_int=True) if "old_osmid" in subset.columns else [],
-        "l_old_u": listify(subset["u"], as_int=True),
-        "l_old_v": listify(subset["v"], as_int=True),
-        "l_highway": listify(_col(subset, "highway")),
-        "l_hw_rank": listify(_col(subset, "highway_rank")),
+        "l_id": listify(subset.col("osmid"), as_int=True),
+        "l_osmid": listify(subset.col("old_osmid"), as_int=True) if "old_osmid" in subset.cols else [],
+        "l_old_u": listify(subset.col("u"), as_int=True),
+        "l_old_v": listify(subset.col("v"), as_int=True),
+        "l_highway": listify(subset.col("highway")),
+        "l_hw_rank": listify(subset.col("highway_rank")),
     }
     access_w = _check_mode_access(subset, "walk")
     access_b = _check_mode_access(subset, "bike")
@@ -1000,99 +1136,143 @@ def _an_edge_record(df: pd.DataFrame, main: pd.Series, uv: bool, rev_class: bool
     if access_w:
         walk = _walk_subset(df)
         rec.update({
-            "w_length": float(walk["length"].max()) if len(walk) else np.nan,
-            "w_surface": listify(_col(walk, "surface")),
-            "w_smoothne": listify(_col(walk, "smoothness")),
-            "w_width": _weighted_mean(_col(walk, "width"), walk["length"]) if len(walk) else None,
-            "w_segregat": listify(_col(walk, "segregated")),
+            "w_length": _max_notna(walk.col("length")) if len(walk) else np.nan,
+            "w_surface": listify(walk.col("surface")),
+            "w_smoothne": listify(walk.col("smoothness")),
+            "w_width": _weighted_mean(walk.col("width"), walk.col("length")) if len(walk) else None,
+            "w_segregat": listify(walk.col("segregated")),
         })
     if access_b:
         bike = _bike_subset(df)
-        if bike is None or len(bike) == 0:
-            bike = df.iloc[0:0]
-        cw_surf = _explode_vals(_col(bike, "cycleway:surface"))
-        surface = (listify(_col(bike, "cycleway:surface")) if len(cw_surf) > 1
-                   else listify(_col(bike, "surface")))
-        width = (_weighted_mean(_col(bike, "width_cycle_path"), bike["length"])
-                 if "width_cycle_path" in bike.columns else listify(_col(bike, "cycleway:width")))
-        cat_rows = bike[_col(bike, "cycleway_category").astype(str) != _col(bike, "highway").astype(str)]
+        cw_surf = _explode_vals(bike.col("cycleway:surface"))
+        surface = (listify(bike.col("cycleway:surface")) if len(cw_surf) > 1
+                   else listify(bike.col("surface")))
+        width = (_weighted_mean(bike.col("width_cycle_path"), bike.col("length"))
+                 if "width_cycle_path" in bike.cols else listify(bike.col("cycleway:width")))
+        cat = bike.col("cycleway_category")
+        bhw = bike.col("highway")
+        cat_rows = bike.take(i for i in range(len(bike)) if str(cat[i]) != str(bhw[i]))
         rec.update({
-            "b_length": float(bike["length"].max()) if len(bike) else np.nan,
+            "b_length": _max_notna(bike.col("length")) if len(bike) else np.nan,
             "b_surface": surface,
-            "b_smoothne": listify(_col(bike, "smoothness")),
+            "b_smoothne": listify(bike.col("smoothness")),
             "b_width": width,
-            "b_bikeRoad": bool((_col(bike, "bicycle_road") == "yes").any()),
-            "b_oneway": bool((_col(bike, "oneway:bicycle") == "yes").any()),
-            "b_category": listify(_col(cat_rows, "cycleway_category")),
+            "b_bikeRoad": _any_eq(bike.col("bicycle_road"), "yes"),
+            "b_oneway": _any_eq(bike.col("oneway:bicycle"), "yes"),
+            "b_category": listify(cat_rows.col("cycleway_category")),
             "b_attribut": _bike_attrs(bike),
-            "b_segregat": listify(_col(bike, "segregated")),
-            "b_amntyOn": listify(_col(bike, "amenity_on")),
-            "b_amntyNea": listify(_col(bike, "amenity_nearby")),
+            "b_segregat": listify(bike.col("segregated")),
+            "b_amntyOn": listify(bike.col("amenity_on")),
+            "b_amntyNea": listify(bike.col("amenity_nearby")),
         })
         rec["b_bikerack"] = any("bicycle_parking" in str(a) for a in rec["b_amntyOn"])
     if access_m:
         mot = _motorized_subset(df)
+        mlen = mot.col("length")
+        pts = [_to_float(v) for v in mot.col("pt_stop_on")]
+        has_pt = any(p == p for p in pts)
         rec.update({
-            "m_length": float(mot["length"].max()) if len(mot) else np.nan,
-            "m_width": _weighted_mean(_col(mot, "width"), mot["length"]),
-            "m_lanes": _weighted_mean(_col(mot, "lanes"), mot["length"]),
-            "m_oneway": bool(_col(mot, "oneway").isin([True, "True"]).any()),
-            "m_maxspeed": _weighted_mean(_col(mot, "maxspeed"), mot["length"]),
-            "m_ptStop": int(pd.to_numeric(_col(mot, "pt_stop_on"), errors="coerce").max())
-            if len(mot) and pd.to_numeric(_col(mot, "pt_stop_on"), errors="coerce").notna().any() else 0,
-            "m_ptRoutes": listify(_col(mot, "pt_stop_routes")),
+            "m_length": _max_notna(mlen) if len(mot) else np.nan,
+            "m_width": _weighted_mean(mot.col("width"), mlen),
+            "m_lanes": _weighted_mean(mot.col("lanes"), mlen),
+            "m_oneway": any(_scalar_in(v, (True, "True")) for v in mot.col("oneway")),
+            "m_maxspeed": _weighted_mean(mot.col("maxspeed"), mlen),
+            "m_ptStop": int(max(p for p in pts if p == p)) if len(mot) and has_pt else 0,
+            "m_ptRoutes": listify(mot.col("pt_stop_routes")),
         })
     full = dict(_EDGE_KEY_DEFAULTS)
     full.update(rec)
     return full
 
 
-def merge_edges_group(group: pd.DataFrame) -> pd.DataFrame:
-    """All final edge rows of one canonical-uv group: greedy rank-ordered
-    Link formation (mergeEdgesWithSameNodes, p3_functions.py:700-790) +
-    per-direction AnEdge records."""
-    rank = np.nan_to_num(pd.to_numeric(group["highway_rank"], errors="coerce").to_numpy(), nan=-1.0)
-    order = np.lexsort((group["osmid"].to_numpy(), -rank))
-    g = group.iloc[order].reset_index(drop=True)
+def merge_edges_rows(g: "_Rows") -> list[dict]:
+    """AnEdge dict rows for ONE canonical-uv group whose rows are ALREADY
+    ordered (rank desc, osmid asc): greedy rank-ordered Link formation
+    (mergeEdgesWithSameNodes, p3_functions.py:700-790) + per-direction
+    records."""
     # drop collapsed self-loops (new_u==new_v created by merging, u!=v);
     # keep true OSM self-loops (u==v, e.g. roundabouts)
-    collapsed = (g["new_u"] == g["new_v"]) & (g["u"] != g["v"])
-    g = g[~collapsed].reset_index(drop=True)
-
+    nu, nv, u, v = g.col("new_u"), g.col("new_v"), g.col("u"), g.col("v")
+    keep = [i for i in range(len(g)) if not (nu[i] == nv[i] and u[i] != v[i])]
+    if len(keep) != len(g):
+        g = g.take(keep)
+    if len(g) == 0:
+        return []
+    lengths = [float(x) for x in g.col("length")]
+    bearings = [float(x) for x in g.col("bearing")]
     out_rows: list[dict] = []
     remaining = np.ones(len(g), dtype=bool)
     while remaining.any():
         main_pos = int(np.flatnonzero(remaining)[0])
         remaining[main_pos] = False
-        main = g.iloc[main_pos]
-        l1 = float(main["length"])
+        l1 = lengths[main_pos]
         peers = []
         for p in np.flatnonzero(remaining):
-            l2 = float(g.iloc[p]["length"])
+            l2 = lengths[p]
             if l1 < 1e-7 or l2 < 1e-7 or max(l1 / l2, l2 / l1) < 1.5:
-                peers.append(p)
+                peers.append(int(p))
         for p in peers:
             remaining[p] = False
-        link = g.iloc[[*peers, main_pos]].copy()
+        sel = [*peers, main_pos]
+        link = g.take(sel)
         # direction split (Link.__init__, p3_functions.py:1517-1535)
-        link["direction"] = False
-        bear = link["bearing"].to_numpy(dtype=np.float64)
-        angle_l1 = float(main["bearing"])
-        if not ((bear.max() - bear.min()) < 90):
+        bear = [bearings[i] for i in sel]
+        angle_l1 = bearings[main_pos]
+        if (max(bear) - min(bear)) < 90:
+            direction = [False] * len(sel)
+        else:
             a = angle_l1 - 90 if (angle_l1 - 90) > -180 else angle_l1 + 270
             b = angle_l1 + 90 if (angle_l1 + 90) < 180 else angle_l1 - 270
             lower, upper = min(a, b), max(a, b)
-            link.loc[(link["bearing"] < upper) & (link["bearing"] > lower), "direction"] = True
-        link = link.replace("", np.nan)
-        dir_main = bool(link["direction"].iloc[-1])
-        main_row = link.iloc[-1]
-        if (link["direction"] == dir_main).any():
-            out_rows.append(_an_edge_record(link, main_row, True, dir_main))
-        if (link["direction"] == (not dir_main)).any():
-            out_rows.append(_an_edge_record(link, main_row, False, not dir_main))
-    if not out_rows:
+            direction = [(x < upper) and (x > lower) for x in bear]
+        link.cols["direction"] = direction
+        dir_main = bool(direction[-1])
+        main = {k: link.cols[k][-1] for k in ("new_u", "new_v", "osmid", "geometry",
+                                              "geom_linear", "geom_reassigned")}
+        if any(d == dir_main for d in direction):
+            out_rows.append(_an_edge_record(link, main, True, dir_main))
+        if any(d == (not dir_main) for d in direction):
+            out_rows.append(_an_edge_record(link, main, False, not dir_main))
+    return out_rows
+
+
+def merge_edges_group(group: pd.DataFrame) -> pd.DataFrame:
+    """All final edge rows of one canonical-uv group (per-group public
+    kernel; the block path :func:`merge_edges_block` amortizes conversion
+    and output construction across a whole hash-partitioned block)."""
+    rank = np.nan_to_num(pd.to_numeric(group["highway_rank"], errors="coerce").to_numpy(), nan=-1.0)
+    order = np.lexsort((group["osmid"].to_numpy(), -rank))
+    rows = merge_edges_rows(_Rows.from_df(group.iloc[order]))
+    if not rows:
         return pd.DataFrame(columns=list(_EDGE_KEY_DEFAULTS))
-    return pd.DataFrame(out_rows, columns=list(_EDGE_KEY_DEFAULTS))
+    return pd.DataFrame(rows, columns=list(_EDGE_KEY_DEFAULTS))
+
+
+def merge_edges_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Every canonical-uv group of a hash-partitioned block in ONE pass:
+    a block-level lexsort by (uv_lo, uv_hi, rank desc, osmid asc) makes
+    each group a contiguous pre-ordered range, the block converts to the
+    plain-list column store ONCE, and one output DataFrame is built per
+    block instead of per group."""
+    if len(df) == 0:
+        return pd.DataFrame(columns=list(_EDGE_KEY_DEFAULTS))
+    rank = np.nan_to_num(pd.to_numeric(df["highway_rank"], errors="coerce").to_numpy(), nan=-1.0)
+    lo = df["uv_lo"].to_numpy()
+    hi = df["uv_hi"].to_numpy()
+    order = np.lexsort((df["osmid"].to_numpy(), -rank, hi, lo))
+    df = df.iloc[order]
+    lo = lo[order]
+    hi = hi[order]
+    rows = _Rows.from_df(df)
+    bnd = np.flatnonzero((lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])) + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [len(df)]])
+    out: list[dict] = []
+    for s, e in zip(starts, ends):
+        out.extend(merge_edges_rows(rows.take(range(s, e))))
+    if not out:
+        return pd.DataFrame(columns=list(_EDGE_KEY_DEFAULTS))
+    return pd.DataFrame(out, columns=list(_EDGE_KEY_DEFAULTS))
 
 
 # ---------------------------------------------------------------------------
