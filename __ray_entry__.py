@@ -142,6 +142,18 @@ def _q_coverage_gaps(sf_dir: str):
     return coverage_gaps(sf_dir)
 
 
+def _q_bm25_topk(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import bm25_topk
+
+    return bm25_topk(sf_dir)
+
+
+def _q_doc_nn(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_nn
+
+    return doc_nn(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import dup_passages
 
@@ -655,6 +667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_page_per_site": _q_latest_page_per_site,
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
+        "bm25_topk": _q_bm25_topk,
+        "doc_nn": _q_doc_nn,
         "user_trajectories": _q_user_trajectories,
         "coverage_gaps": _q_coverage_gaps,
         "cell_kde": _q_cell_kde,
@@ -688,6 +702,29 @@ _GEO = """
            CAST(((doc_id * 2654435761) % 4294967296) // 65536 AS DOUBLE) / 65536.0 AS fy
     FROM documents
 """
+
+_RADIUS_PAIRS_SQL = f"""
+    WITH g AS ({_GEO}),
+    p AS (
+        SELECT doc_id, fx, fy,
+               CAST(floor(fx / 0.03) AS BIGINT) AS cx,
+               CAST(floor(fy / 0.03) AS BIGINT) AS cy
+        FROM g
+    ),
+    o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(sqrt((a.fx - b.fx) * (a.fx - b.fx)
+                    + (a.fy - b.fy) * (a.fy - b.fy)), 6) AS dist
+    FROM p a
+    CROSS JOIN o
+    JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    WHERE a.doc_id < b.doc_id
+      AND (a.fx - b.fx) * (a.fx - b.fx)
+        + (a.fy - b.fy) * (a.fy - b.fy)
+        < CAST(0.03 AS DOUBLE) * CAST(0.03 AS DOUBLE)
+"""
+
 
 _TEXT_STATS = """
     SELECT doc_id,
@@ -1381,26 +1418,60 @@ def oracle_sql() -> dict[str, str]:
               AND c_custkey NOT IN (SELECT user_id FROM events)
             GROUP BY c_nationkey
         """,
-        "doc_radius_pairs": f"""
-            WITH g AS ({_GEO}),
-            p AS (
-                SELECT doc_id, fx, fy,
-                       CAST(floor(fx / 0.03) AS BIGINT) AS cx,
-                       CAST(floor(fy / 0.03) AS BIGINT) AS cy
-                FROM g
+        "doc_radius_pairs": _RADIUS_PAIRS_SQL,
+        "doc_nn": f"""
+            WITH pr AS ({_RADIUS_PAIRS_SQL}),
+            sym AS (
+                SELECT id_a AS doc_id, id_b AS nn_id, dist FROM pr
+                UNION ALL
+                SELECT id_b AS doc_id, id_a AS nn_id, dist FROM pr
             ),
-            o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
-                                        (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(sqrt((a.fx - b.fx) * (a.fx - b.fx)
-                            + (a.fy - b.fy) * (a.fy - b.fy)), 6) AS dist
-            FROM p a
-            CROSS JOIN o
-            JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
-            WHERE a.doc_id < b.doc_id
-              AND (a.fx - b.fx) * (a.fx - b.fx)
-                + (a.fy - b.fy) * (a.fy - b.fy)
-                < CAST(0.03 AS DOUBLE) * CAST(0.03 AS DOUBLE)
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY dist, nn_id) AS rn
+                   FROM sym)
+            SELECT doc_id, nn_id, dist FROM rk WHERE rn = 1
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS tl FROM documents
+            ),
+            st AS (
+                SELECT count(*) AS n,
+                       CAST(sum(len(tl)) AS BIGINT) AS dl_sum,
+                       CAST(sum(CASE WHEN list_contains(tl, 'table') THEN 1 ELSE 0 END) AS BIGINT) AS dfa,
+                       CAST(sum(CASE WHEN list_contains(tl, 'scan')  THEN 1 ELSE 0 END) AS BIGINT) AS dfb,
+                       CAST(sum(CASE WHEN list_contains(tl, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS dfc
+                FROM toks
+            ),
+            sc AS (
+                SELECT doc_id, len(tl) AS dl,
+                       len(list_filter(tl, x -> x = 'table')) AS tfa,
+                       len(list_filter(tl, x -> x = 'scan'))  AS tfb,
+                       len(list_filter(tl, x -> x = 'merge')) AS tfc
+                FROM toks
+            ),
+            scored AS (
+                SELECT doc_id,
+                    (CASE WHEN tfa > 0 THEN
+                        ((CAST(st.n - st.dfa AS DOUBLE) + 0.5) / (CAST(st.dfa AS DOUBLE) + 0.5))
+                        * (tfa * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                        / (tfa + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(st.dl_sum AS DOUBLE) / st.n)))
+                     ELSE 0.0 END)
+                  + (CASE WHEN tfb > 0 THEN
+                        ((CAST(st.n - st.dfb AS DOUBLE) + 0.5) / (CAST(st.dfb AS DOUBLE) + 0.5))
+                        * (tfb * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                        / (tfb + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(st.dl_sum AS DOUBLE) / st.n)))
+                     ELSE 0.0 END)
+                  + (CASE WHEN tfc > 0 THEN
+                        ((CAST(st.n - st.dfc AS DOUBLE) + 0.5) / (CAST(st.dfc AS DOUBLE) + 0.5))
+                        * (tfc * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                        / (tfc + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(st.dl_sum AS DOUBLE) / st.n)))
+                     ELSE 0.0 END) AS score
+                FROM sc CROSS JOIN st
+            )
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

@@ -2606,3 +2606,92 @@ def train_shuffle(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
 
     return grouped(docs.map_batches(keyed, batch_format="pandas"),
                    ["bucket"], assign)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (fixed query, two streamed passes, zero row-scale shuffle)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("table", "scan", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """Top-k documents for a fixed query under BM25 with the raw
+    (log-free) idf ``(N - df + 0.5)/(df + 0.5)`` — monotone in the
+    classic idf but free of libm: every arithmetic step is one IEEE
+    double op evaluated in the same order as the SQL oracle, so scores
+    are bit-equal, not approximately equal. Aggregate-then-rescan shape
+    (like the Q17 correlated avg): pass 1 reduces the corpus to
+    |query|+1 scalars (per-term doc frequency + total token count) via
+    per-block partials summed on the driver; pass 2 streams scores with
+    those scalars in the closure and keeps a per-block top-k, so the
+    terminal reduce sees k x blocks rows and nothing row-scale ever
+    shuffles."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = table_rows(sf_dir, "documents")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in df["text"]]
+        row = {f"df_{i}": sum(1 for tl in toks if term in tl)
+               for i, term in enumerate(BM25_QUERY)}
+        row["dl_sum"] = sum(len(tl) for tl in toks)
+        return pd.DataFrame([row])
+
+    part = docs.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    avgdl = float(part["dl_sum"]) / n_docs
+    idf = [(float(n_docs - int(part[f"df_{i}"])) + 0.5) / (float(int(part[f"df_{i}"])) + 0.5)
+           for i in range(len(BM25_QUERY))]
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        scores = np.zeros(len(df))
+        for r_i, text in enumerate(df["text"]):
+            tl = text.split()
+            dl = len(tl)
+            den_norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            s = 0.0
+            for t_i, term in enumerate(BM25_QUERY):
+                tf = tl.count(term)
+                if tf:
+                    s = s + idf[t_i] * (tf * (BM25_K1 + 1.0)) / (tf + den_norm)
+            scores[r_i] = s
+        out = pd.DataFrame({"doc_id": ids, "score": scores})
+        return out.sort_values(["score", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    local = docs.map_batches(score_block, batch_format="pandas").to_pandas()
+    top = local.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# per-doc nearest neighbor (argmin over the cell-partitioned radius pairs)
+# ---------------------------------------------------------------------------
+
+def doc_nn(sf_dir: str, r: float = 0.03) -> rd.Dataset:
+    """Each document's nearest OTHER document within radius ``r``: the
+    radius self-join (doc_radius_pairs — cell+halo layout, one shuffle)
+    symmetrized into directed candidate rows, then ONE src-keyed exchange
+    takes the per-doc argmin by (rounded dist asc, neighbor id asc) —
+    deterministic under rounding ties and partitioning. Docs with no
+    neighbor inside ``r`` are absent, exactly like the SQL window
+    mirror."""
+    from ..rayctx import grouped
+
+    pairs = doc_radius_pairs(sf_dir, r)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()]),
+            "nn_id": np.concatenate([df["id_b"].to_numpy(), df["id_a"].to_numpy()]),
+            "dist": np.concatenate([df["dist"].to_numpy(), df["dist"].to_numpy()]),
+        })
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "dist", "nn_id"], kind="mergesort")
+        return df.groupby("doc_id", sort=False, as_index=False).head(1).reset_index(drop=True)
+
+    return grouped(pairs.map_batches(sym, batch_format="pandas"), ["doc_id"], argmin)

@@ -2057,3 +2057,65 @@ class TestTrainShuffle:
         out8 = (train_shuffle(SF, n_buckets=8).to_pandas()
                 .sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(out, out8, check_dtype=False)
+
+
+class TestBm25TopK:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (BM25_B, BM25_K1,
+                                                       BM25_QUERY, bm25_topk)
+
+        out = bm25_topk(SF, k=20).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        toks = [t.split() for t in docs["text"]]
+        n = len(docs)
+        avgdl = float(sum(len(t) for t in toks)) / n
+        dfc = {q: sum(1 for t in toks if q in t) for q in BM25_QUERY}
+        scores = []
+        for tl in toks:
+            dl = len(tl)
+            den = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            s = 0.0
+            for q in BM25_QUERY:
+                tf = tl.count(q)
+                if tf:
+                    idf = (float(n - dfc[q]) + 0.5) / (float(dfc[q]) + 0.5)
+                    s = s + idf * (tf * (BM25_K1 + 1.0)) / (tf + den)
+            scores.append(s)
+        ref = pd.DataFrame({"doc_id": docs["doc_id"], "score": scores})
+        ref = ref.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(20).reset_index(drop=True)
+        assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert np.array_equal(out["score"].to_numpy(), ref["score"].to_numpy())
+        assert (out["score"] > 0).all()
+
+
+class TestDocNN:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import doc_nn
+
+        out = (doc_nn(SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+        ids = docs["doc_id"].to_numpy().astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        d2 = (fx[:, None] - fx[None, :]) ** 2 + (fy[:, None] - fy[None, :]) ** 2
+        np.fill_diagonal(d2, np.inf)
+        dist = np.round(np.sqrt(d2), 6)
+        exp = {}
+        for i in range(len(ids)):
+            in_r = np.flatnonzero(d2[i] < 0.03 * 0.03)
+            if not len(in_r):
+                continue
+            # argmin on (rounded dist, neighbor id) — the op's tie-break
+            best = min((dist[i][j], ids[j]) for j in in_r)
+            exp[int(ids[i])] = best
+        assert len(out) == len(exp)
+        for r in out.itertuples():
+            bd, bn = exp[int(r.doc_id)]
+            assert (r.dist, r.nn_id) == (bd, bn)
