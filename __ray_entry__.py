@@ -142,6 +142,12 @@ def _q_coverage_gaps(sf_dir: str):
     return coverage_gaps(sf_dir)
 
 
+def _q_cell_lang_diversity(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import cell_lang_diversity
+
+    return cell_lang_diversity(sf_dir)
+
+
 def _q_bm25_topk(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import bm25_topk
 
@@ -668,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
         "bm25_topk": _q_bm25_topk,
+        "cell_lang_diversity": _q_cell_lang_diversity,
         "doc_nn": _q_doc_nn,
         "user_trajectories": _q_user_trajectories,
         "coverage_gaps": _q_coverage_gaps,
@@ -1430,6 +1437,22 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY dist, nn_id) AS rn
                    FROM sym)
             SELECT doc_id, nn_id, dist FROM rk WHERE rn = 1
+        """,
+        "cell_lang_diversity": f"""
+            WITH g AS ({_GEO}),
+            d AS (
+                SELECT CAST(floor(g.fx * 64) AS BIGINT) AS ix,
+                       CAST(floor(g.fy * 64) AS BIGINT) AS iy,
+                       doc.lang
+                FROM g JOIN documents doc ON doc.doc_id = g.doc_id
+            ),
+            cl AS (SELECT ix, iy, lang, count(*) AS n FROM d GROUP BY 1, 2, 3)
+            SELECT ix, iy,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(sum(n) * sum(n) - sum(n * n) AS BIGINT) AS gini_num,
+                   CAST(sum(n) * sum(n) AS BIGINT) AS gini_den
+            FROM cl GROUP BY ix, iy
         """,
         "bm25_topk": """
             WITH toks AS (

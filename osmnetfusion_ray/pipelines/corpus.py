@@ -2695,3 +2695,40 @@ def doc_nn(sf_dir: str, r: float = 0.03) -> rd.Dataset:
         return df.groupby("doc_id", sort=False, as_index=False).head(1).reset_index(drop=True)
 
     return grouped(pairs.map_batches(sym, batch_format="pandas"), ["doc_id"], argmin)
+
+
+# ---------------------------------------------------------------------------
+# per-tile language diversity (exact-integer Gini impurity)
+# ---------------------------------------------------------------------------
+
+def cell_lang_diversity(sf_dir: str) -> rd.Dataset:
+    """Language diversity per 64x64 tile as Gini impurity kept EXACT in
+    integers: gini = 1 - sum((n_lang/n)^2) is reported as the fraction
+    ``gini_num / n^2`` with gini_num = n^2 - sum(n_lang^2) — no float ever
+    enters, so the oracle equality is integer equality, and the number of
+    shuffled rows is bounded by tiles x languages (the per-block combiner
+    emits distinct (tile, lang) partial counts, never document rows)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = doc_geocode_batch(batch.select(["doc_id"]))
+        return pa.table({
+            "ix": t["ix"], "iy": t["iy"], "lang": batch["lang"],
+        })
+
+    per_cell_lang = groupby_agg(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        ["ix", "iy", "lang"], [AggSpec("n", None, "count")], small=True)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby(["ix", "iy"], sort=False)["n"].transform("sum")
+        df = df.assign(total=n, sq=df["n"].to_numpy() ** 2)
+        g = df.groupby(["ix", "iy"], sort=False, as_index=False).agg(
+            n_docs=("total", "first"), n_langs=("n", "size"), sumsq=("sq", "sum"))
+        g["gini_num"] = g["n_docs"].to_numpy() ** 2 - g["sumsq"].to_numpy()
+        g["gini_den"] = g["n_docs"].to_numpy() ** 2
+        return g[["ix", "iy", "n_docs", "n_langs", "gini_num", "gini_den"]].astype(np.int64)
+
+    from ..rayctx import grouped
+
+    return grouped(per_cell_lang, ["ix", "iy"], fold, small=True)

@@ -2119,3 +2119,27 @@ class TestDocNN:
         for r in out.itertuples():
             bd, bn = exp[int(r.doc_id)]
             assert (r.dist, r.nn_id) == (bd, bn)
+
+
+class TestCellLangDiversity:
+    def test_exact_gini_and_partition_counts(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (cell_lang_diversity,
+                                                       doc_geocode_batch)
+
+        out = (cell_lang_diversity(SF).to_pandas()
+               .sort_values(["ix", "iy"]).reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        g = doc_geocode_batch(docs.select(["doc_id"])).to_pandas()
+        g["lang"] = docs["lang"].to_pylist()
+        ref = {}
+        for (ix, iy), grp in g.groupby(["ix", "iy"]):
+            counts = grp["lang"].value_counts()
+            n = int(counts.sum())
+            ref[(ix, iy)] = (n, len(counts), n * n - int((counts ** 2).sum()), n * n)
+        assert len(out) == len(ref)
+        for r in out.itertuples():
+            assert (r.n_docs, r.n_langs, r.gini_num, r.gini_den) == ref[(r.ix, r.iy)]
+        # diversity actually varies: some single-lang cells, some mixed
+        assert (out["gini_num"] == 0).any() and (out["gini_num"] > 0).any()
