@@ -2141,5 +2141,14 @@ class TestCellLangDiversity:
         assert len(out) == len(ref)
         for r in out.itertuples():
             assert (r.n_docs, r.n_langs, r.gini_num, r.gini_den) == ref[(r.ix, r.iy)]
-        # diversity actually varies: some single-lang cells, some mixed
+        # at sf0.001 every cell holds one doc (500 docs over 4096 tiles) —
+        # pure cells, gini 0; the mixed-cell case needs the denser sf0.1
+        assert (out["gini_num"] == 0).all()
+
+    def test_mixed_cells_at_denser_scale(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import cell_lang_diversity
+
+        out = cell_lang_diversity("/root/testdata/sf0.1").to_pandas()
         assert (out["gini_num"] == 0).any() and (out["gini_num"] > 0).any()
+        assert (out["gini_num"] <= out["gini_den"]).all()
+        assert (out.loc[out["n_langs"] == 1, "gini_num"] == 0).all()
