@@ -217,12 +217,16 @@ class PolygonGridIndex:
         else:
             self._ex0 = self._ey0 = self._ex1 = self._ey1 = np.zeros(0)
 
-        # bbox per polygon → covering cells (polygons are buffer-sized, tiny)
+        # bbox per polygon → covering cells (polygons are buffer-sized, tiny);
+        # bboxes also kept for the per-pair prefilter in contains()
         cell_list, poly_list = [], []
+        bb = np.zeros((len(rings), 4))
         for i, r in enumerate(rings):
-            cc = cells.covering_cells_bbox(r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max(), res)
+            bb[i] = (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
+            cc = cells.covering_cells_bbox(bb[i, 0], bb[i, 1], bb[i, 2], bb[i, 3], res)
             cell_list.append(cc)
             poly_list.append(np.full(len(cc), i, dtype=np.int64))
+        self._bb = bb
         cell_ids = np.concatenate(cell_list) if cell_list else np.zeros(0, dtype=np.uint64)
         poly_idx = np.concatenate(poly_list) if poly_list else np.zeros(0, dtype=np.int64)
         order = np.argsort(cell_ids, kind="stable")
@@ -243,16 +247,44 @@ class PolygonGridIndex:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         cand = self._poly_sorted[take]
 
-        # expand each (point, polygon) pair over that polygon's edges
-        e_rows, e_pos = _multi_range_gather(self._edge_off[cand], self._edge_off[cand + 1])
-        qx = px[pt[e_rows]]
-        qy = py[pt[e_rows]]
-        x0, y0 = self._ex0[e_pos], self._ey0[e_pos]
-        x1, y1 = self._ex1[e_pos], self._ey1[e_pos]
-        cond = (y0 <= qy) != (y1 <= qy)
-        dy = np.where(y1 != y0, y1 - y0, 1.0)
-        xint = x0 + (qy - y0) * (x1 - x0) / dy
-        crossing = (cond & (qx < xint)).astype(np.int64)
-        n_cross = np.bincount(e_rows, weights=crossing, minlength=len(cand)).astype(np.int64)
-        inside = (n_cross % 2) == 1
-        return pt[inside], self.ids[cand[inside]]
+        # exact-bbox prefilter: a covering cell overlaps many points whose
+        # coordinates lie outside the polygon's bbox; dropping those pairs
+        # BEFORE the per-edge expansion cuts the (pair x polygon-edge)
+        # temporaries severalfold in dense tiles
+        bb = self._bb
+        ok = ((px[pt] >= bb[cand, 0]) & (px[pt] <= bb[cand, 2])
+              & (py[pt] >= bb[cand, 1]) & (py[pt] <= bb[cand, 3]))
+        pt, cand = pt[ok], cand[ok]
+        if len(cand) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+
+        # expand each surviving pair over that polygon's edges — CHUNKED so
+        # the expansion temporaries stay inside a reusable allocator arena
+        # (one unbounded expansion in a dense tile is GBs of fresh pages;
+        # first-touch faults are globally serialized on some hosts)
+        n_edges_per = self._edge_off[cand + 1] - self._edge_off[cand]
+        total_exp = int(n_edges_per.sum())
+        budget = 2_000_000
+        out_pt, out_poly = [], []
+        n_chunks = max(1, (total_exp + budget - 1) // budget)
+        cuts = np.linspace(0, len(cand), n_chunks + 1).astype(np.int64)
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            if a == b:
+                continue
+            c_pt, c_cand = pt[a:b], cand[a:b]
+            e_rows, e_pos = _multi_range_gather(self._edge_off[c_cand],
+                                                self._edge_off[c_cand + 1])
+            qx = px[c_pt[e_rows]]
+            qy = py[c_pt[e_rows]]
+            x0, y0 = self._ex0[e_pos], self._ey0[e_pos]
+            x1, y1 = self._ex1[e_pos], self._ey1[e_pos]
+            cond = (y0 <= qy) != (y1 <= qy)
+            dy = np.where(y1 != y0, y1 - y0, 1.0)
+            xint = x0 + (qy - y0) * (x1 - x0) / dy
+            crossing = (cond & (qx < xint)).astype(np.int64)
+            n_cross = np.bincount(e_rows, weights=crossing,
+                                  minlength=len(c_cand)).astype(np.int64)
+            inside = (n_cross % 2) == 1
+            out_pt.append(c_pt[inside])
+            out_poly.append(self.ids[c_cand[inside]])
+        return np.concatenate(out_pt), np.concatenate(out_poly)

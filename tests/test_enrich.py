@@ -253,3 +253,38 @@ class TestLandusePolygonPipeline:
         s_full = full.to_pandas()["green_ratio"].sum()
         s_base = base.to_pandas()["green_ratio"].sum()
         assert s_full > s_base
+
+
+class TestLanduseMultiParity:
+    def test_multi_matches_three_single_calls(self, ray_session):
+        import numpy as np
+
+        from osmnetfusion_ray import synth
+        from osmnetfusion_ray.pipelines.enrich import _dim_geoms
+        from osmnetfusion_ray.stages import enrich as E
+        from osmnetfusion_ray.state.index import PolygonGridIndex
+
+        nodes_t, edges_t = synth.synth_city(n=12, seed=7, satellites=30)
+        dims = synth.synth_dim_tables(nodes_t, seed=7)
+        edges = edges_t.to_pandas()
+        kinds = [("green", "landuse_green"), ("retail", "landuse_retail"),
+                 ("building", "buildings")]
+        bundles = []
+        singles = edges
+        for kind, tab in kinds:
+            t = dims.get(tab)
+            lon, lat, rings = (_dim_geoms(t) if t is not None and t.num_rows
+                               else (np.zeros(0), np.zeros(0), []))
+            pidx = (PolygonGridIndex(rings, np.arange(len(rings), dtype=np.int64),
+                                     max_radius_m=200.0) if rings else None)
+            bundles.append((kind, lon, lat, pidx))
+            singles = E.landuse_ratio(singles, lon, lat, kind, poly_rings=[],
+                                      poly_index=pidx)
+            singles = singles.drop(columns=[f"{kind}_ratio_point", f"{kind}_ratio_poly"])
+        multi = E.landuse_ratio_multi(edges, bundles)
+        for kind, _ in kinds:
+            assert np.array_equal(singles[f"{kind}_points"].to_numpy(),
+                                  multi[f"{kind}_points"].to_numpy())
+            assert np.array_equal(singles[f"{kind}_ratio"].to_numpy(),
+                                  multi[f"{kind}_ratio"].to_numpy())
+        assert (multi["green_ratio"] > 0).any()
