@@ -1988,6 +1988,7 @@ def doc_radius_pairs(sf_dir: str, r: float = 0.03) -> rd.Dataset:
     from ..rayctx import grouped
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = table_rows(sf_dir, "documents")
     r2 = r * r
 
     def halo_pts(batch: pa.Table) -> pa.Table:
@@ -2036,7 +2037,8 @@ def doc_radius_pairs(sf_dir: str, r: float = 0.03) -> rd.Dataset:
                                  "dist": np.zeros(0)})
         return pd.concat(outs, ignore_index=True)
 
-    return grouped(pts, ["cell"], pair_block)
+    return grouped(pts, ["cell"], pair_block,
+                   rows=9 * n_docs if n_docs else None)
 
 
 def contamination_flags_bloom(sf_dir: str, test_max_doc_id: int = 10,
@@ -2605,7 +2607,7 @@ def train_shuffle(sf_dir: str, n_buckets: int = 64) -> rd.Dataset:
         })
 
     return grouped(docs.map_batches(keyed, batch_format="pandas"),
-                   ["bucket"], assign)
+                   ["bucket"], assign, rows=table_rows(sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -2694,7 +2696,9 @@ def doc_nn(sf_dir: str, r: float = 0.03) -> rd.Dataset:
         df = df.sort_values(["doc_id", "dist", "nn_id"], kind="mergesort")
         return df.groupby("doc_id", sort=False, as_index=False).head(1).reset_index(drop=True)
 
-    return grouped(pairs.map_batches(sym, batch_format="pandas"), ["doc_id"], argmin)
+    n_docs = table_rows(sf_dir, "documents")
+    return grouped(pairs.map_batches(sym, batch_format="pandas"), ["doc_id"],
+                   argmin, rows=4 * n_docs if n_docs else None)
 
 
 # ---------------------------------------------------------------------------

@@ -476,7 +476,7 @@ def user_trajectories(sf_dir: str, max_snap_m: float = 500.0) -> rd.Dataset:
     mirror (netoracle.trajectory_oracle)."""
     from .. import netfixture
     from ..rayctx import grouped
-    from ..sources import read_table
+    from ..sources import read_table, table_rows
 
     netfixture.ensure_city_fixture()
     nodes, edges, _ = netfixture.city_tables()
@@ -512,7 +512,8 @@ def user_trajectories(sf_dir: str, max_snap_m: float = 500.0) -> rd.Dataset:
             out[c] = out[c].astype(np.int64)
         return out
 
-    return grouped(snapped, ["user_id"], per_user)
+    return grouped(snapped, ["user_id"], per_user,
+                   rows=table_rows(sf_dir, "events"))
 
 
 def coverage_gaps(sf_dir: str) -> rd.Dataset:
