@@ -148,6 +148,12 @@ def _q_cell_lang_diversity(sf_dir: str):
     return cell_lang_diversity(sf_dir)
 
 
+def _q_vocab_by_lang(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import vocab_by_lang
+
+    return vocab_by_lang(sf_dir)
+
+
 def _q_bm25_topk(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import bm25_topk
 
@@ -674,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
         "bm25_topk": _q_bm25_topk,
+        "vocab_by_lang": _q_vocab_by_lang,
         "cell_lang_diversity": _q_cell_lang_diversity,
         "doc_nn": _q_doc_nn,
         "user_trajectories": _q_user_trajectories,
@@ -1453,6 +1460,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) * sum(n) - sum(n * n) AS BIGINT) AS gini_num,
                    CAST(sum(n) * sum(n) AS BIGINT) AS gini_den
             FROM cl GROUP BY ix, iy
+        """,
+        "vocab_by_lang": """
+            WITH toks AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM toks GROUP BY lang
         """,
         "bm25_topk": """
             WITH toks AS (

@@ -214,7 +214,7 @@ def scaling():
     out = {}
     for ncpu in (n_small, n_big):
         best = None
-        for _ in range(2):
+        for _ in range(3):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PAGES_N=pages,
                        GRAFT_SCALING_CHILD="1")
             r = subprocess.run(
@@ -233,7 +233,7 @@ def scaling():
         f"sec_{n_big}": out[n_big]["value"],
         "scaling_efficiency": round(eff, 3),
         "pages_n": int(pages),
-        "protocol": f"fresh ray.init(num_cpus={n_small}) vs {n_big}, best of 2 each",
+        "protocol": f"fresh ray.init(num_cpus={n_small}) vs {n_big}, best of 3 each",
     }))
 
 

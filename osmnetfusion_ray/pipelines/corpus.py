@@ -2736,3 +2736,46 @@ def cell_lang_diversity(sf_dir: str) -> rd.Dataset:
     from ..rayctx import grouped
 
     return grouped(per_cell_lang, ["ix", "iy"], fold, small=True)
+
+
+# ---------------------------------------------------------------------------
+# per-language vocabulary size (exact distinct count, dedup before exchange)
+# ---------------------------------------------------------------------------
+
+def vocab_by_lang(sf_dir: str) -> rd.Dataset:
+    """Exact vocabulary size (distinct tokens) and token totals per
+    language. The Q16 shape applied to text: raw token occurrences never
+    ride an exchange — each block emits its DISTINCT (lang, token) pairs
+    (plus a counted total), one hash shuffle on (lang, token)-range keys
+    co-locates duplicates, cross-block dedup happens in the block, and the
+    terminal per-lang rollup is |langs| rows."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in df["text"]]
+        counts = np.asarray([len(t) for t in toks], dtype=np.int64)
+        flat = np.empty(int(counts.sum()), dtype=object)
+        pos = 0
+        for tl in toks:
+            flat[pos: pos + len(tl)] = tl
+            pos += len(tl)
+        g = pd.DataFrame({
+            "lang": np.repeat(df["lang"].to_numpy(), counts),
+            "token": flat,
+        }).groupby(["lang", "token"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n_occ"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "token"], sort=False, as_index=False)["n_occ"].sum()
+        out = g.groupby("lang", sort=False, as_index=False).agg(
+            n_vocab=("token", "size"), n_tokens=("n_occ", "sum"))
+        out["n_vocab"] = out["n_vocab"].astype(np.int64)
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out
+
+    pairs = docs.map_batches(block_pairs, batch_format="pandas")
+    per_block = grouped(pairs, ["lang", "token"], lambda df: df.groupby(
+        ["lang", "token"], sort=False, as_index=False)["n_occ"].sum())
+    return grouped(per_block, ["lang"], fold, small=True)

@@ -2152,3 +2152,21 @@ class TestCellLangDiversity:
         assert (out["gini_num"] == 0).any() and (out["gini_num"] > 0).any()
         assert (out["gini_num"] <= out["gini_den"]).all()
         assert (out.loc[out["n_langs"] == 1, "gini_num"] == 0).all()
+
+
+class TestVocabByLang:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import vocab_by_lang
+
+        out = (vocab_by_lang(SF).to_pandas()
+               .sort_values("lang").reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        ref = {}
+        for lang, grp in docs.groupby("lang"):
+            toks = [t for txt in grp["text"] for t in txt.split()]
+            ref[lang] = (len(set(toks)), len(toks))
+        assert len(out) == len(ref)
+        for r in out.itertuples():
+            assert (r.n_vocab, r.n_tokens) == ref[r.lang]
