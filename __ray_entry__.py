@@ -154,6 +154,12 @@ def _q_vocab_by_lang(sf_dir: str):
     return vocab_by_lang(sf_dir)
 
 
+def _q_link_triangles(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_triangles
+
+    return link_triangles(sf_dir)
+
+
 def _q_bm25_topk(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import bm25_topk
 
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
         "bm25_topk": _q_bm25_topk,
+        "link_triangles": _q_link_triangles,
         "vocab_by_lang": _q_vocab_by_lang,
         "cell_lang_diversity": _q_cell_lang_diversity,
         "doc_nn": _q_doc_nn,
@@ -1460,6 +1467,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) * sum(n) - sum(n * n) AS BIGINT) AS gini_num,
                    CAST(sum(n) * sum(n) AS BIGINT) AS gini_den
             FROM cl GROUP BY ix, iy
+        """,
+        "link_triangles": """
+            WITH lg AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + t.j) % (SELECT count(*) FROM documents) AS dst
+                FROM documents d CROSS JOIN range(1, 9) t(j)
+            ),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM lg WHERE src <> dst),
+            adj AS (SELECT a AS x, b AS y FROM e
+                    UNION ALL SELECT b AS x, a AS y FROM e),
+            wedge AS (
+                SELECT a1.x AS c, a1.y AS p, a2.y AS q
+                FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+            )
+            SELECT w.c AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+            FROM wedge w JOIN e ON e.a = w.p AND e.b = w.q
+            GROUP BY w.c
         """,
         "vocab_by_lang": """
             WITH toks AS (

@@ -148,3 +148,93 @@ def pagerank_sql(iters: int = 5) -> str:
         )
     sql.append(f"fin AS (SELECT doc_id, pr FROM r{iters}) SELECT * FROM fin")
     return "\n".join(sql)
+
+
+def _pairs_within_groups(x: np.ndarray, y: np.ndarray):
+    """All unordered within-group pairs, fully vectorized: rows (x, y)
+    lexsorted, each element pairs with every LATER element of its group,
+    generated by one repeat/offset expansion (no per-group Python loop).
+    Returns (center, p, q) with p < q (y is sorted within each group)."""
+    order = np.lexsort((y, x))
+    x, y = x[order], y[order]
+    if len(x) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    new = np.concatenate([[True], x[1:] != x[:-1]])
+    gid = np.cumsum(new) - 1
+    sizes = np.bincount(gid)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    loc = np.arange(len(x)) - starts[gid]
+    k = sizes[gid] - loc - 1
+    total = int(k.sum())
+    first = np.repeat(np.arange(len(x)), k)
+    cnt = np.concatenate([[0], np.cumsum(k)])
+    off = np.arange(total) - cnt[first] + 1
+    second = first + off
+    return x[first], y[first], y[second]
+
+
+def link_triangles(sf_dir: str) -> rd.Dataset:
+    """Per-node triangle counts on the undirected link graph — the
+    wedge-check shape of distributed triangle counting: (1) the directed
+    derived edges collapse to canonical distinct undirected edges (one
+    keyed dedup exchange); (2) adjacency co-located per CENTER generates
+    each node's neighbor pairs (wedges) with a vectorized repeat/offset
+    expansion; (3) ONE (p, q)-keyed exchange joins wedges against the edge
+    set — edge rows ride the same shuffle as wedge-probe rows (co-location
+    join, no broadcast) — and (4) a center-keyed rollup counts closed
+    wedges. Exchange sizes: edges O(N·K), wedges O(N·deg²) with deg
+    bounded by the derived graph's constant out-degree. Nodes on no
+    triangle are absent (the SQL mirror groups the same way)."""
+    n = table_rows(sf_dir, "documents")
+    edges = link_graph(sf_dir)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pd.DataFrame({"a": np.minimum(src, dst),
+                             "b": np.maximum(src, dst)}).drop_duplicates()
+
+    ce = grouped(edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
+                 lambda df: df.drop_duplicates(), rows=n * K_OUT if n else None)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        return pd.DataFrame({"x": np.concatenate([a, b]),
+                             "y": np.concatenate([b, a])})
+
+    adj = ce.map_batches(sym, batch_format="pandas")
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        c, p, q = _pairs_within_groups(df["x"].to_numpy(np.int64),
+                                       df["y"].to_numpy(np.int64))
+        return pd.DataFrame({"p": p, "q": q, "c": c, "is_edge": np.zeros(len(c), np.int8)})
+
+    wd = grouped(adj, ["x"], wedges, rows=2 * n * K_OUT if n else None)
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p": df["a"].to_numpy(np.int64),
+                             "q": df["b"].to_numpy(np.int64),
+                             "c": np.full(len(df), -1, np.int64),
+                             "is_edge": np.ones(len(df), np.int8)})
+
+    probe = wd.union(ce.map_batches(tag_edges, batch_format="pandas"))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        has = df.groupby(["p", "q"], sort=False)["is_edge"].transform("max") == 1
+        out = df[has & (df["is_edge"] == 0)]
+        return out[["c"]].rename(columns={"c": "doc_id"})
+
+    closed = grouped(probe, ["p", "q"], close,
+                     rows=n * K_OUT * (2 * K_OUT) if n else None)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False, as_index=False).size()
+        g = g.rename(columns={"size": "n_tri"})
+        g["n_tri"] = g["n_tri"].astype(np.int64)
+        return g
+
+    return grouped(closed, ["doc_id"], count, rows=n)

@@ -108,3 +108,48 @@ class TestPagerank:
 
         total = int(pagerank(SF).to_pandas()["pr"].sum())
         assert 0 < total <= SCALE
+
+
+class TestLinkTriangles:
+    def test_pairs_within_groups_kernel(self):
+        import numpy as np
+
+        from osmnetfusion_ray.pipelines.graph import _pairs_within_groups
+
+        x = np.array([1, 1, 1, 2, 2, 3], dtype=np.int64)
+        y = np.array([10, 20, 30, 5, 7, 9], dtype=np.int64)
+        c, p, q = _pairs_within_groups(x, y)
+        got = sorted(zip(c.tolist(), p.tolist(), q.tolist()))
+        assert got == [(1, 10, 20), (1, 10, 30), (1, 20, 30), (2, 5, 7)]
+
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.graph import K_OUT, MULT, link_triangles
+
+        sf = "/root/testdata/sf0.001"
+        out = (link_triangles(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        edges = set()
+        for s in range(n):
+            for j in range(1, K_OUT + 1):
+                d = (s * MULT + j) % n
+                if d != s:
+                    edges.add((min(s, d), max(s, d)))
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        ref = {}
+        for c, ns in nbr.items():
+            t = sum(1 for i, pp in enumerate(sorted(ns)) for qq in sorted(ns)[i + 1:]
+                    if (pp, qq) in edges)
+            if t:
+                ref[c] = t
+        assert len(out) == len(ref)
+        for r in out.itertuples():
+            assert ref[r.doc_id] == r.n_tri
+        # every triangle is seen from its three corners: total divisible by 3
+        assert out["n_tri"].sum() % 3 == 0
