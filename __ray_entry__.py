@@ -154,6 +154,12 @@ def _q_vocab_by_lang(sf_dir: str):
     return vocab_by_lang(sf_dir)
 
 
+def _q_link_bfs(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_bfs
+
+    return link_bfs(sf_dir)
+
+
 def _q_link_triangles(sf_dir: str):
     from osmnetfusion_ray.pipelines.graph import link_triangles
 
@@ -687,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": _q_dup_passages,
         "bm25_topk": _q_bm25_topk,
         "link_triangles": _q_link_triangles,
+        "link_bfs": _q_link_bfs,
         "vocab_by_lang": _q_vocab_by_lang,
         "cell_lang_diversity": _q_cell_lang_diversity,
         "doc_nn": _q_doc_nn,
@@ -1467,6 +1474,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) * sum(n) - sum(n * n) AS BIGINT) AS gini_num,
                    CAST(sum(n) * sum(n) AS BIGINT) AS gini_den
             FROM cl GROUP BY ix, iy
+        """,
+        "link_bfs": """
+            WITH RECURSIVE r(doc_id, hop) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT (r.doc_id * 31 + t.j) % (SELECT count(*) FROM documents),
+                       r.hop + 1
+                FROM r CROSS JOIN range(1, 9) t(j)
+                WHERE r.hop < 4
+            )
+            SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
+            FROM r GROUP BY doc_id
         """,
         "link_triangles": """
             WITH lg AS (

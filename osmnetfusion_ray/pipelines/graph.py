@@ -238,3 +238,41 @@ def link_triangles(sf_dir: str) -> rd.Dataset:
         return g
 
     return grouped(closed, ["doc_id"], count, rows=n)
+
+
+def link_bfs(sf_dir: str, source: int = 0, max_hops: int = 4) -> rd.Dataset:
+    """Single-source BFS hop distances over the derived link graph — the
+    iterative frontier-expansion shape: each round derives the current
+    frontier's out-neighbors inside ``map_batches`` (block-local dedup
+    bounds the exchange), unions them into the visited table, and ONE
+    doc-keyed min-hop reduce both dedups across rounds and yields the next
+    frontier (rows whose min hop equals the new round). State per round is
+    the O(V) hop table — at web scale the union would switch to a
+    delta-only anti-join, the per-round exchange key and kernel are
+    unchanged. Output: (doc_id, hop <= max_hops) for reached nodes, exact
+    min-hop (DuckDB recursive-CTE oracle, bit-equal)."""
+    n = table_rows(sf_dir, "documents")
+
+    best = rd.from_pandas(pd.DataFrame({"doc_id": [int(source) % n],
+                                        "hop": np.array([0], np.int64)}))
+    frontier = best
+
+    def min_hop(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False, as_index=False)["hop"].min()
+        g["hop"] = g["hop"].astype(np.int64)
+        return g
+
+    for h in range(1, max_hops + 1):
+
+        def expand(df: pd.DataFrame, h=h) -> pd.DataFrame:
+            src = df["doc_id"].to_numpy(np.int64)
+            j = np.arange(1, K_OUT + 1, dtype=np.int64)
+            dst = np.unique(((src[:, None] * MULT + j[None, :]) % n).ravel())
+            return pd.DataFrame({"doc_id": dst,
+                                 "hop": np.full(len(dst), h, np.int64)})
+
+        cand = frontier.map_batches(expand, batch_format="pandas")
+        best = grouped(best.union(cand), ["doc_id"], min_hop, rows=n).materialize()
+        frontier = best.filter(lambda r, h=h: r["hop"] == h)
+
+    return best

@@ -153,3 +153,31 @@ class TestLinkTriangles:
             assert ref[r.doc_id] == r.n_tri
         # every triangle is seen from its three corners: total divisible by 3
         assert out["n_tri"].sum() % 3 == 0
+
+
+class TestLinkBfs:
+    def test_matches_python_bfs(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.graph import K_OUT, MULT, link_bfs
+
+        sf = "/root/testdata/sf0.001"
+        out = (link_bfs(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        from collections import deque
+        hop = {0: 0}
+        dq = deque([0])
+        while dq:
+            s = dq.popleft()
+            if hop[s] >= 4:
+                continue
+            for j in range(1, K_OUT + 1):
+                d = (s * MULT + j) % n
+                if d not in hop:
+                    hop[d] = hop[s] + 1
+                    dq.append(d)
+        assert len(out) == len(hop)
+        for r in out.itertuples():
+            assert hop[r.doc_id] == r.hop
+        assert (out["hop"] == 0).sum() == 1 and out["hop"].max() <= 4
