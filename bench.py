@@ -145,8 +145,7 @@ def run_p3_large(n: int = None) -> dict:
 def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
-    out = {}
-    for name, fn in entrymod.queries().items():
+    def one(fn):
         t0 = time.time()
         res = fn(SF_DIR)
         # consume lazily-built datasets
@@ -157,7 +156,17 @@ def run_queries() -> dict:
                 res.count()
         except Exception:
             pass
-        out[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    qs = entrymod.queries()
+    out = {name: one(fn) for name, fn in qs.items()}
+    # stall insurance: this host freezes runs 20-50 s at random (see bench
+    # notes); any query whose single sample exceeds 8 s gets ONE retry and
+    # keeps the min — bounds the extra cost to the slow tail while keeping
+    # a stall from masquerading as a regression
+    for name, dt in list(out.items()):
+        if dt > 8.0:
+            out[name] = min(dt, one(qs[name]))
     return out
 
 
