@@ -189,46 +189,48 @@ def link_triangles(sf_dir: str) -> rd.Dataset:
     n = table_rows(sf_dir, "documents")
     edges = link_graph(sf_dir)
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NO global edge-dedup exchange: duplicate undirected edges are
+    # harmless everywhere downstream — the wedge stage dedups each
+    # center's neighbor LIST block-locally (the center co-location it
+    # needs anyway), and the closing test is an ANY over edge-tagged rows,
+    # which duplicate probes cannot change. One exchange saved.
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
         src = df["src"].to_numpy(np.int64)
         dst = df["dst"].to_numpy(np.int64)
         keep = src != dst
         src, dst = src[keep], dst[keep]
-        return pd.DataFrame({"a": np.minimum(src, dst),
-                             "b": np.maximum(src, dst)}).drop_duplicates()
+        return pd.DataFrame({"x": np.concatenate([src, dst]),
+                             "y": np.concatenate([dst, src])})
 
-    ce = grouped(edges.map_batches(canon, batch_format="pandas"), ["a", "b"],
-                 lambda df: df.drop_duplicates(), rows=n * K_OUT if n else None)
-
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy(np.int64)
-        b = df["b"].to_numpy(np.int64)
-        return pd.DataFrame({"x": np.concatenate([a, b]),
-                             "y": np.concatenate([b, a])})
-
-    adj = ce.map_batches(sym, batch_format="pandas")
+    adj = edges.map_batches(sym, batch_format="pandas")
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # per-center neighbor-set dedup (local)
         c, p, q = _pairs_within_groups(df["x"].to_numpy(np.int64),
                                        df["y"].to_numpy(np.int64))
         return pd.DataFrame({"p": p, "q": q, "c": c, "is_edge": np.zeros(len(c), np.int8)})
 
-    wd = grouped(adj, ["x"], wedges, rows=2 * n * K_OUT if n else None)
+    wd = grouped(adj, ["x"], wedges, small=True,
+                 rows=2 * n * K_OUT if n else None)
 
     def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"p": df["a"].to_numpy(np.int64),
-                             "q": df["b"].to_numpy(np.int64),
-                             "c": np.full(len(df), -1, np.int64),
-                             "is_edge": np.ones(len(df), np.int8)})
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pd.DataFrame({"p": np.minimum(src, dst),
+                             "q": np.maximum(src, dst),
+                             "c": np.full(keep.sum(), -1, np.int64),
+                             "is_edge": np.ones(keep.sum(), np.int8)})
 
-    probe = wd.union(ce.map_batches(tag_edges, batch_format="pandas"))
+    probe = wd.union(edges.map_batches(tag_edges, batch_format="pandas"))
 
     def close(df: pd.DataFrame) -> pd.DataFrame:
         has = df.groupby(["p", "q"], sort=False)["is_edge"].transform("max") == 1
         out = df[has & (df["is_edge"] == 0)]
         return out[["c"]].rename(columns={"c": "doc_id"})
 
-    closed = grouped(probe, ["p", "q"], close,
+    closed = grouped(probe, ["p", "q"], close, small=True,
                      rows=n * K_OUT * (2 * K_OUT) if n else None)
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
@@ -237,7 +239,7 @@ def link_triangles(sf_dir: str) -> rd.Dataset:
         g["n_tri"] = g["n_tri"].astype(np.int64)
         return g
 
-    return grouped(closed, ["doc_id"], count, rows=n)
+    return grouped(closed, ["doc_id"], count, small=True, rows=n)
 
 
 def link_bfs(sf_dir: str, source: int = 0, max_hops: int = 4) -> rd.Dataset:
