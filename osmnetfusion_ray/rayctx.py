@@ -53,7 +53,7 @@ def n_shuffle_blocks(small: bool = False, rows: int | None = None) -> int:
         cpus = 8
     cap = max(2, min(8, cpus // 4)) if small else max(4, min(64, cpus))
     if rows is not None:
-        return max(2, min(cap, rows // 2_000 + 2))
+        return max(2, min(cap, rows // 8_000 + 2))
     return cap
 
 
