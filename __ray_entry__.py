@@ -178,6 +178,12 @@ def _q_doc_nn(sf_dir: str):
     return doc_nn(sf_dir)
 
 
+def _q_doc_chunks(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_chunks
+
+    return doc_chunks(sf_dir)
+
+
 def _q_dup_passages(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import dup_passages
 
@@ -691,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_page_per_site": _q_latest_page_per_site,
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
+        "doc_chunks": _q_doc_chunks,
         "bm25_topk": _q_bm25_topk,
         "link_triangles": _q_link_triangles,
         "link_bfs": _q_link_bfs,
@@ -1110,6 +1117,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 200
         """,
         "dup_passages": corpusoracle.dup_passages_sql(),
+        "doc_chunks": f"""
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS L,
+                       (CASE WHEN length(text) > 200
+                             THEN (length(text) - 200 + 150 - 1) // 150
+                             ELSE 0 END) + 1 AS nc
+                FROM documents
+            ),
+            ch AS (
+                SELECT doc_id, nc, L, unnest(range(nc)) AS ci,
+                       unnest([substring(text, i * 150 + 1, 200)
+                               for i in range(nc)]) AS ct
+                FROM base
+            )
+            SELECT doc_id, ci AS chunk_idx, nc AS n_chunks,
+                   length(ct) AS chunk_len,
+                   CAST(({corpusoracle.fnv_expr('ct')}) AS UBIGINT) AS chunk_hash
+            FROM ch
+        """,
         "train_shuffle": corpusoracle.train_shuffle_sql(),
         "weighted_sample": f"""
             SELECT doc_id, lang, n_chars,

@@ -2779,3 +2779,62 @@ def vocab_by_lang(sf_dir: str) -> rd.Dataset:
     per_block = grouped(pairs, ["lang", "token"], lambda df: df.groupby(
         ["lang", "token"], sort=False, as_index=False)["n_occ"].sum())
     return grouped(per_block, ["lang"], fold, small=True)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-data prep: overlapping fixed-char chunks)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 200   # chunk length (chars)
+CHUNK_S = 150   # chunk stride (chars; overlap = W - S)
+
+
+def doc_chunks(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> rd.Dataset:
+    """Overlapping fixed-size chunking for embedding/pretraining prep: doc
+    ``d`` of length L yields chunks at starts 0, s, 2s, … (last chunk may
+    be short; L <= w yields one whole-text chunk). Pure flat-map — zero
+    shuffle, embarrassingly parallel, output rows ≈ corpus_chars/s. Chunk
+    content is carried as the SQL-reproducible codepoint-FNV hash (+
+    length), hashed by character position over the batch's UCS4 matrix —
+    no per-chunk Python strings are ever built."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].to_numpy()
+        arr = np.asarray(texts)
+        if arr.dtype.kind != "U":
+            arr = arr.astype("U")
+        n = len(arr)
+        lens = np.char.str_len(arr).astype(np.int64) if n else np.array([], np.int64)
+        nch = np.where(lens > w, (lens - w + s - 1) // s + 1, 1)
+        total = int(nch.sum())
+        if total == 0:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "chunk_idx": np.array([], np.int64),
+                                 "n_chunks": np.array([], np.int64),
+                                 "chunk_len": np.array([], np.int64),
+                                 "chunk_hash": np.array([], np.uint64)})
+        arr = np.ascontiguousarray(arr)
+        width = arr.dtype.itemsize // 4
+        cp = arr.view(np.uint32).reshape(n, width)
+        row = np.repeat(np.arange(n, dtype=np.int64), nch)
+        cum = np.concatenate([[0], np.cumsum(nch)])
+        ci = np.arange(total, dtype=np.int64) - cum[row]
+        start = ci * s
+        clen = np.minimum(lens[row] - start, w)
+        h = np.full(total, hashing.FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(w):
+                m = clen > j
+                if not m.any():
+                    break
+                h[m] = (h[m] ^ cp[row[m], start[m] + j].astype(np.uint64)) * hashing.FNV_PRIME
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[row],
+            "chunk_idx": ci,
+            "n_chunks": nch[row],
+            "chunk_len": clen,
+            "chunk_hash": h,
+        })
+
+    return docs.map_batches(chunks, batch_format="pandas")

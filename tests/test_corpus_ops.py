@@ -2170,3 +2170,32 @@ class TestVocabByLang:
         assert len(out) == len(ref)
         for r in out.itertuples():
             assert (r.n_vocab, r.n_tokens) == ref[r.lang]
+
+
+class TestDocChunks:
+    def test_matches_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import CHUNK_S, CHUNK_W, doc_chunks
+
+        out = (doc_chunks(SF).to_pandas()
+               .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        rows = []
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            L = len(t)
+            nc = ((L - CHUNK_W + CHUNK_S - 1) // CHUNK_S + 1) if L > CHUNK_W else 1
+            for i in range(nc):
+                ct = t[i * CHUNK_S: i * CHUNK_S + CHUNK_W]
+                rows.append((int(did), i, nc, len(ct),
+                             int(fnv1a64(np.array([ct], dtype=object))[0])))
+        ref = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "n_chunks",
+                                          "chunk_len", "chunk_hash"])
+        ref = ref.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        assert len(out) == len(ref)
+        for c in ref.columns:
+            assert np.array_equal(out[c].to_numpy().astype(np.uint64),
+                                  ref[c].to_numpy().astype(np.uint64)), c
+        # overlap property: consecutive chunks share W-S chars (same doc)
+        assert (out.groupby("doc_id")["n_chunks"].first() >= 1).all()
