@@ -178,6 +178,12 @@ def _q_doc_nn(sf_dir: str):
     return doc_nn(sf_dir)
 
 
+def _q_corpus_prep(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import corpus_prep
+
+    return corpus_prep(sf_dir)
+
+
 def _q_doc_chunks(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import doc_chunks
 
@@ -698,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
         "doc_chunks": _q_doc_chunks,
+        "corpus_prep": _q_corpus_prep,
         "bm25_topk": _q_bm25_topk,
         "link_triangles": _q_link_triangles,
         "link_bfs": _q_link_bfs,
@@ -1115,6 +1122,43 @@ def oracle_sql() -> dict[str, str]:
                 "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
                 " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}), doc_id
             LIMIT 200
+        """,
+        "corpus_prep": f"""
+            WITH t AS ({_TEXT_STATS}),
+            q AS (
+                SELECT d.doc_id, d.text, d.lang
+                FROM documents d JOIN t ON t.doc_id = d.doc_id
+                WHERE 0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * least(stopword_ratio * 5.0, 1.0)
+                    + 0.2 * (1.0 - least(punct_ratio * 10.0, 1.0)) >= 0.5
+            ),
+            dd AS (
+                SELECT doc_id, text, lang FROM q
+                WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text)
+            ),
+            mx AS (
+                SELECT doc_id, text FROM dd
+                WHERE ({corpusoracle.fnv_expr(
+                    "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+                    " || reverse(lpad(CAST(doc_id AS VARCHAR), 12, '0'))")}) % 4096
+                      < CASE lang WHEN 'en' THEN 2048
+                                  WHEN 'de' THEN 1024 ELSE 410 END
+            ),
+            tok AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS t
+                FROM mx
+            ),
+            c AS (
+                SELECT t,
+                       sum(t) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - t AS excl
+                FROM tok
+            )
+            SELECT excl // 2048 AS pack_id, count(*) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS total_tokens
+            FROM c GROUP BY 1
         """,
         "dup_passages": corpusoracle.dup_passages_sql(),
         "doc_chunks": f"""

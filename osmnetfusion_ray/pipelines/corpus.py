@@ -2838,3 +2838,111 @@ def doc_chunks(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> rd.Dataset:
         })
 
     return docs.map_batches(chunks, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# flagship LLM-data-prep composite: quality -> dedup -> mixture -> packing
+# ---------------------------------------------------------------------------
+
+def corpus_prep(sf_dir: str, q_min: float = 0.5,
+                rates_4096: dict[str, int] | None = None,
+                default_4096: int = 410,
+                budget: int = 2048, n_ranges: int = 64) -> rd.Dataset:
+    """The end-to-end training-data-prep pipeline as ONE lazy chain:
+    C4-style quality filter → exact dedup → language mixture sample →
+    sequence packing, returning the final per-pack table. The scale story
+    composes each stage's own: text leaves the scan ONCE — the streamed
+    combiner scores quality, counts BPE-ish tokens and hashes text in the
+    same pass, so the dedup exchange carries only (doc_id, lang, text_h,
+    n_bpe) skinny rows; winners are emitted from the hash shuffle (no
+    keep-set), the mixture filter is a stateless hash threshold, and the
+    packing prefix-sum runs its two-phase distributed scan over survivor
+    token counts (per-range totals → driver prefix → range-co-located
+    assignment, only range-boundary packs ride the last exchange). Every
+    stage is individually oracled; the composite has its own chained
+    DuckDB oracle, bit-equal."""
+    from ..functions.hashing import fnv1a64
+    from ..rayctx import grouped
+    from ..sources import column_max
+
+    rates = rates_4096 or {"en": 2048, "de": 1024}
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False)
+        score = quality_score_batch(t)["quality_score"].to_numpy()
+        nbpe = pc.count_substring_regex(t["text"], BPE_TOKEN_RE).to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].to_numpy(),
+            "text_h": hashing.hash64(df["text"].to_numpy()),
+            "n_bpe": nbpe,
+        })[score >= q_min]
+        keep = out.groupby("text_h", sort=False)["doc_id"].idxmin()
+        return out.loc[keep.to_numpy()]
+
+    def dedup_and_mix(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.groupby("text_h", sort=False)["doc_id"].idxmin()
+        df = df.loc[keep.to_numpy()]
+        s = df["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        thr = (df["lang"].map(rates).fillna(default_4096)
+               .to_numpy().astype(np.uint64))
+        return df[(h & np.uint64(4095)) < thr][["doc_id", "n_bpe"]]
+
+    n_docs = table_rows(sf_dir, "documents")
+    survivors = grouped(docs.map_batches(combiner, batch_format="pandas"),
+                        ["text_h"], dedup_and_mix, rows=n_docs)
+
+    max_id = int(column_max(sf_dir, "documents", "doc_id"))
+    width = max(1, max_id // n_ranges + 1)
+
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rng"] = df["doc_id"].to_numpy(np.int64) // width
+        return df
+
+    ranged = survivors.map_batches(add_range, batch_format="pandas").materialize()
+
+    per_range = groupby_agg(ranged, ["rng"], [AggSpec("t", "n_bpe", "sum")],
+                            small=True).to_pandas().sort_values("rng")
+    if len(per_range) == 0:
+        return rd.from_pandas(pd.DataFrame({"pack_id": np.zeros(0, np.int64),
+                                            "n_docs": np.zeros(0, np.int64),
+                                            "total_tokens": np.zeros(0, np.int64)}))
+    offs = np.zeros(int(per_range["rng"].max()) + 1, dtype=np.int64)
+    offs[per_range["rng"].to_numpy()] = per_range["t"].to_numpy()
+    offs = np.concatenate([[0], np.cumsum(offs)[:-1]])
+    offs_ref = ray.put(offs)
+
+    def pack_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"pack_id": np.zeros(0, np.int64), "n_docs": np.zeros(0, np.int64),
+                "total_tokens": np.zeros(0, np.int64), "edge": np.zeros(0, bool)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        offsets = ray.get(offs_ref)
+        out = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            t = g["n_bpe"].to_numpy().astype(np.int64)
+            excl = offsets[int(rng)] + np.cumsum(t) - t
+            pack = excl // budget
+            agg = (pd.DataFrame({"pack_id": pack, "t": t})
+                   .groupby("pack_id", sort=False)["t"]
+                   .agg(n_docs="size", total_tokens="sum").reset_index())
+            agg["edge"] = ((agg["pack_id"] == pack[0])
+                           | (agg["pack_id"] == pack[-1]))
+            out.append(agg)
+        return pd.concat(out, ignore_index=True)
+
+    partials = grouped(ranged, ["rng"], pack_block, small=True)
+    keep_cols = ["pack_id", "n_docs", "total_tokens"]
+    interior = partials.map_batches(
+        lambda df: df.loc[~df["edge"], keep_cols], batch_format="pandas")
+    edge_rows = partials.map_batches(
+        lambda df: df.loc[df["edge"], keep_cols], batch_format="pandas")
+    edges = groupby_agg(edge_rows, ["pack_id"],
+                        [AggSpec("n_docs", "n_docs", "sum"),
+                         AggSpec("total_tokens", "total_tokens", "sum")],
+                        small=True)
+    return interior.union(edges)

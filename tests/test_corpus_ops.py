@@ -2199,3 +2199,47 @@ class TestDocChunks:
                                   ref[c].to_numpy().astype(np.uint64)), c
         # overlap property: consecutive chunks share W-S chars (same doc)
         assert (out.groupby("doc_id")["n_chunks"].first() >= 1).all()
+
+
+class TestCorpusPrep:
+    def test_matches_staged_brute_force(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import corpus_prep
+
+        out = (corpus_prep(SF).to_pandas()
+               .sort_values("pack_id").reset_index(drop=True))
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        # stage 1: quality (same formula as quality_scores)
+        import re
+        rows = []
+        for r in docs.itertuples():
+            nt = len(re.findall(r"\S+", r.text))
+            nc = len(r.text)
+            punct = len(re.findall(r"[.,;:!?]", r.text)) / max(nc, 1)
+            stop = len(re.findall(r"\b(the|a|an|and|of|to|in|is|it|that)\b", r.text)) / max(nt, 1)
+            score = (0.5 * min(nt / 100.0, 1.0) + 0.3 * min(stop * 5.0, 1.0)
+                     + 0.2 * (1.0 - min(punct * 10.0, 1.0)))
+            if score >= 0.5:
+                rows.append((r.doc_id, r.text, r.lang))
+        q = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+        # stage 2: exact dedup keep min doc_id per text
+        q = q.loc[q.groupby("text")["doc_id"].idxmin().to_numpy()]
+        # stage 3: mixture
+        s = q["doc_id"].astype(np.int64).astype(str).str.zfill(12)
+        h = fnv1a64((s + s.str[::-1]).to_numpy())
+        thr = q["lang"].map({"en": 2048, "de": 1024}).fillna(410).to_numpy().astype(np.uint64)
+        q = q[(h & np.uint64(4095)) < thr].sort_values("doc_id")
+        # stage 4: packing
+        t = np.array([len(re.findall(r"\w+|[^\w\s]+", x)) for x in q["text"]], np.int64)
+        excl = np.cumsum(t) - t
+        pack = excl // 2048
+        ref = (pd.DataFrame({"pack_id": pack, "t": t})
+               .groupby("pack_id")["t"].agg(n_docs="size", total_tokens="sum")
+               .reset_index())
+        assert out["pack_id"].tolist() == ref["pack_id"].tolist()
+        assert out["n_docs"].tolist() == ref["n_docs"].tolist()
+        assert out["total_tokens"].tolist() == ref["total_tokens"].tolist()
+        # the filters actually fire: fewer docs packed than the corpus
+        assert ref["n_docs"].sum() < len(docs)
