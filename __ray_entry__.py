@@ -820,15 +820,25 @@ def oracle_sql() -> dict[str, str]:
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
         "q1_pricing_summary": """
+            -- exact int64 cents until one terminal double division: bit-equal
+            -- to the engine under any reduction order (see q1_pricing_summary)
+            WITH u AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS qty_i,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_tt
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
+                   CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
+                   CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(disc_tt) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(sum(qty_i) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(cents) AS DOUBLE) / (count(*) * 100) AS avg_price,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            FROM u
             GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
@@ -1784,8 +1794,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    count(*) AS n_events,
                    count(gap_us) AS n_gaps,
-                   coalesce(round(avg(gap_us / 1000000.0), 4), 0.0) AS avg_gap_s,
-                   coalesce(round(max(gap_us / 1000000.0), 4), 0.0) AS max_gap_s
+                   -- exact int64 µs until one terminal double division
+                   -- (mirrors the engine; round(4) sat on .xxxx5 boundaries)
+                   coalesce(CAST(sum(gap_us) AS DOUBLE)
+                            / (count(gap_us) * 1000000), 0.0) AS avg_gap_s,
+                   coalesce(max(gap_us) / 1000000.0, 0.0) AS max_gap_s
             FROM g GROUP BY user_id
         """,
         "customers_without_events": """

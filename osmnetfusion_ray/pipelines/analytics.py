@@ -19,40 +19,63 @@ from ..stages.join import broadcast_join, broadcast_semi_filter
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
-    """TPC-H Q1 shape: filtered lineitem → grouped sums/means (partial-agg)."""
+    """TPC-H Q1 shape: filtered lineitem → grouped sums/means (partial-agg).
+
+    All money stays in exact int64 cents (prices in the corpus are exact
+    cents, discounts exact hundredths) until ONE terminal double division,
+    so the result is bit-equal to the SQL mirror regardless of the order
+    blocks reduce in — float sums of 6e5+ addends drift by ulps between
+    partitionings, and round(4) can't hide a .xxxx5 boundary (numpy
+    banker's vs DuckDB half-away)."""
     ds = read_table(
         sf_dir,
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("2001-09-02"))))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+    def exact_units(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("2001-09-02")]
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc_h = np.rint(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "qty_i": df["l_quantity"].to_numpy().astype(np.int64),
+            "cents": cents,
+            "disc_tt": cents * (100 - disc_h),  # ten-thousandths
+        })
 
-    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    ds = ds.map_batches(exact_units, batch_format="pandas")
     out = groupby_agg(
         ds,
         ["l_returnflag", "l_linestatus"],
         [
-            AggSpec("sum_qty", "l_quantity", "sum"),
-            AggSpec("sum_base_price", "l_extendedprice", "sum"),
-            AggSpec("sum_disc_price", "disc_price", "sum"),
-            AggSpec("avg_qty", "l_quantity", "mean"),
-            AggSpec("avg_price", "l_extendedprice", "mean"),
+            AggSpec("qty_sum", "qty_i", "sum"),
+            AggSpec("cents_sum", "cents", "sum"),
+            AggSpec("tt_sum", "disc_tt", "sum"),
             AggSpec("count_order", None, "count"),
         ],
         small=True,  # 6 (returnflag, linestatus) groups — a full-size
         # hash-shuffle pool would cost more in actor startup than the agg
     )
 
-    def rounded(df: pd.DataFrame) -> pd.DataFrame:
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price"):
-            df[c] = df[c].round(4)
-        return df
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"].to_numpy().astype(np.int64)
+        qty = df["qty_sum"].to_numpy().astype(np.int64)
+        cents = df["cents_sum"].to_numpy().astype(np.int64)
+        tt = df["tt_sum"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": qty.astype(np.float64),
+            "sum_base_price": cents / 100.0,
+            "sum_disc_price": tt / 10000.0,
+            "avg_qty": qty / n,
+            "avg_price": cents / (n * 100),
+            "count_order": n,
+        })
 
-    return out.map_batches(rounded, batch_format="pandas")
+    return out.map_batches(finalize, batch_format="pandas")
 
 
 def revenue_by_nation(sf_dir: str) -> rd.Dataset:
@@ -433,14 +456,22 @@ def event_gaps(sf_dir: str) -> rd.Dataset:
         us = df["ts"].astype("int64").to_numpy()
         same = uid[1:] == uid[:-1]
         gap_s = (us[1:] - us[:-1]).astype(np.float64) / 1e6
-        g = pd.DataFrame({"user_id": uid[1:][same], "gap": gap_s[same]})
+        # gaps stay exact int64 microseconds until ONE terminal double
+        # division (round(4) sat on .xxxx5 boundaries where numpy banker's
+        # and DuckDB half-away disagree)
+        g = pd.DataFrame({"user_id": uid[1:][same], "gap_us": (us[1:] - us[:-1])[same]})
         stats = g.groupby("user_id", sort=False).agg(
-            n_gaps=("gap", "size"), avg_gap_s=("gap", "mean"), max_gap_s=("gap", "max"))
+            n_gaps=("gap_us", "size"), sum_us=("gap_us", "sum"), max_us=("gap_us", "max"))
         counts = pd.Series(uid).value_counts().rename("n_events")
         out = counts.to_frame().join(stats, how="left").reset_index(names="user_id")
         out["n_gaps"] = out["n_gaps"].fillna(0).astype("int64")
-        out["avg_gap_s"] = out["avg_gap_s"].fillna(0.0).round(4)
-        out["max_gap_s"] = out["max_gap_s"].fillna(0.0).round(4)
+        n_gaps = out["n_gaps"].to_numpy()
+        sum_us = out["sum_us"].fillna(0).to_numpy().astype(np.int64)
+        max_us = out["max_us"].fillna(0).to_numpy().astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = sum_us.astype(np.float64) / (n_gaps * 1_000_000)
+        out["avg_gap_s"] = np.where(n_gaps > 0, avg, 0.0)
+        out["max_gap_s"] = max_us / 1_000_000.0
         out["n_events"] = out["n_events"].astype("int64")
         return out[cols]
 
