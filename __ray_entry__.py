@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_parts_supplier_counts": analytics.q16_parts_supplier_counts,
         "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
         "salted_enrich_events": analytics.salted_enrich_events,
+        "table_profile": analytics.table_profile,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
         "doc_cell_pyramid": _q_doc_cell_pyramid,
@@ -1456,6 +1457,34 @@ def oracle_sql() -> dict[str, str]:
         "salted_enrich_events": """
             SELECT event_id, user_id, event_type, c_mktsegment, value
             FROM events JOIN customer ON user_id = c_custkey
+        """,
+        "table_profile": f"""
+            WITH th AS (SELECT ({corpusoracle.fnv_expr('text')}) AS h, text
+                        FROM documents)
+            SELECT * FROM (
+                SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+                       count(doc_id) AS n_nonnull,
+                       count(DISTINCT doc_id) AS n_distinct,
+                       CAST(min(doc_id) AS VARCHAR) AS min_v,
+                       CAST(max(doc_id) AS VARCHAR) AS max_v
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+                       min(lang), max(lang) FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*), count(n_chars),
+                       count(DISTINCT n_chars),
+                       CAST(min(n_chars) AS VARCHAR),
+                       CAST(max(n_chars) AS VARCHAR) FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(source),
+                       count(DISTINCT source), min(source), max(source)
+                FROM documents
+                UNION ALL
+                SELECT 'text', count(*), count(text), count(DISTINCT h),
+                       CAST(min(h) AS VARCHAR), CAST(max(h) AS VARCHAR)
+                FROM th
+            ) ORDER BY column_name
         """,
         "q20_promotion_suppliers": """
             WITH q AS (

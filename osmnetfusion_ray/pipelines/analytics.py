@@ -2386,3 +2386,96 @@ def salted_enrich_events(sf_dir: str,
         })
 
     return out.map_batches(project, batch_format="pandas")
+
+
+def table_profile(sf_dir: str) -> pd.DataFrame:
+    """Warehouse ANALYZE shape: exact per-column statistics — row count,
+    non-null count, exact NDV, min/max — for the documents table.
+
+    Pass A reduces each block to its DISTINCT (column, value) pairs before
+    the one hash exchange, so the exchange carries Σ per-column block-NDV
+    rows — the exact-NDV lower bound — never raw occurrences; ``text`` is
+    represented by its codepoint-FNV hash (texts never shuffle). min/max
+    ride the same exchange for free because extrema over distinct values
+    equal extrema over all values. Pass B is a per-block (n, n_nonnull)
+    combiner — O(columns) rows per block. The driver only ever sees
+    O(columns × partitions) rollup rows. At 10^12 rows the exact-NDV
+    exchange for a unique-key column is inherently row-scale (that IS the
+    lower bound); the approximate path is the HLL twin
+    (daily_active_users_hll).
+    """
+    from ..functions.hashing import fnv1a64
+    from ..rayctx import grouped
+
+    _STR_COLS = ("lang", "source")
+    _NUM_COLS = ("doc_id", "n_chars")  # + text-as-hash
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in _NUM_COLS + ("text",):
+            if col == "text":
+                vnum = fnv1a64(df["text"].tolist())
+            else:
+                vnum = df[col].to_numpy().astype(np.uint64)
+            vnum = pd.unique(vnum)
+            frames.append(pd.DataFrame({
+                "column_name": col,
+                "v_str": vnum.astype("U20"),     # decimal digits, vectorized
+                "v_num": vnum.astype(np.uint64),
+                "is_num": True,
+            }))
+        for col in _STR_COLS:
+            vals = pd.unique(df[col].to_numpy(object))
+            frames.append(pd.DataFrame({
+                "column_name": col,
+                "v_str": vals,
+                "v_num": np.zeros(len(vals), np.uint64),
+                "is_num": False,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = docs.map_batches(pairs_block, batch_format="pandas")
+
+    def ndv_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        # global dedup: every (column, v_str) pair is fully in this block
+        df = df.drop_duplicates(["column_name", "v_str"])
+        rows = []
+        for col, g in df.groupby("column_name", sort=False):
+            if bool(g["is_num"].iloc[0]):
+                vn = g["v_num"].to_numpy().astype(np.uint64)
+                lo, hi = str(vn.min()), str(vn.max())
+            else:
+                vs = g["v_str"].to_numpy(object)
+                lo, hi = vs.min(), vs.max()
+            rows.append({"column_name": col, "nd": len(g), "lo": lo, "hi": hi})
+        return pd.DataFrame(rows, columns=["column_name", "nd", "lo", "hi"])
+
+    nd_parts = grouped(pairs, ["column_name", "v_str"], ndv_rollup).to_pandas()
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [{"column_name": c, "n": len(df), "nn": int(df[c].notna().sum())}
+                for c in _NUM_COLS + ("text",) + _STR_COLS]
+        return pd.DataFrame(rows, columns=["column_name", "n", "nn"])
+
+    cnt_parts = docs.map_batches(count_block, batch_format="pandas").to_pandas()
+
+    # terminal assembly over O(columns × partitions) rollup rows
+    nd = nd_parts.groupby("column_name").agg(
+        n_distinct=("nd", "sum"), min_v=("lo", "min"), max_v=("hi", "max"))
+    # numeric columns carry fixed-width zero-padded?? no — '9' < '10' fails
+    # lexicographically, so numeric extrema must re-compare as integers:
+    for col in _NUM_COLS + ("text",):
+        g = nd_parts[nd_parts["column_name"] == col]
+        vals = g[["lo", "hi"]].to_numpy(object).ravel().astype(np.uint64)
+        nd.loc[col, "min_v"] = str(vals.min())
+        nd.loc[col, "max_v"] = str(vals.max())
+    cnt = cnt_parts.groupby("column_name").agg(n_rows=("n", "sum"), n_nonnull=("nn", "sum"))
+    out = nd.join(cnt).reset_index().sort_values("column_name")
+    out = out[["column_name", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v"]]
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_nonnull"] = out["n_nonnull"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.reset_index(drop=True)

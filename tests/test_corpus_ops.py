@@ -711,8 +711,8 @@ class TestEventGaps:
         ref = ev.assign(gap=gap).groupby("user_id").agg(
             n_events=("ts", "size"), n_gaps=("gap", "count"),
             avg_gap_s=("gap", "mean"), max_gap_s=("gap", "max")).reset_index()
-        ref["avg_gap_s"] = ref["avg_gap_s"].fillna(0.0).round(4)
-        ref["max_gap_s"] = ref["max_gap_s"].fillna(0.0).round(4)
+        ref["avg_gap_s"] = ref["avg_gap_s"].fillna(0.0)
+        ref["max_gap_s"] = ref["max_gap_s"].fillna(0.0)
         assert (out["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
         assert (out["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
         assert (out["n_gaps"].to_numpy() == ref["n_gaps"].to_numpy()).all()
@@ -2243,3 +2243,24 @@ class TestCorpusPrep:
         assert out["total_tokens"].tolist() == ref["total_tokens"].tolist()
         # the filters actually fire: fewer docs packed than the corpus
         assert ref["n_docs"].sum() < len(docs)
+
+
+class TestTableProfile:
+    def test_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.functions.hashing import fnv1a64
+        from osmnetfusion_ray.pipelines.analytics import table_profile
+
+        out = table_profile(SF).set_index("column_name")
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        h = fnv1a64(docs["text"].tolist())
+        for col in ("doc_id", "lang", "source", "n_chars"):
+            r = out.loc[col]
+            assert r["n_rows"] == len(docs)
+            assert r["n_nonnull"] == docs[col].notna().sum()
+            assert r["n_distinct"] == docs[col].nunique()
+            assert r["min_v"] == str(docs[col].min())
+            assert r["max_v"] == str(docs[col].max())
+        r = out.loc["text"]
+        assert r["n_distinct"] == len(np.unique(h))
+        assert r["min_v"] == str(h.min()) and r["max_v"] == str(h.max())
