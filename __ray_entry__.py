@@ -220,6 +220,12 @@ def _q_latest_page_per_site(sf_dir: str):
     return latest_page_per_site(sf_dir)
 
 
+def _q_crawl_delta(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import crawl_delta
+
+    return crawl_delta(sf_dir)
+
+
 def _q_top_tokens(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import top_tokens
 
@@ -702,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_events": _q_customers_without_events,
         "doc_length_ntile": _q_doc_length_ntile,
         "latest_page_per_site": _q_latest_page_per_site,
+        "crawl_delta": _q_crawl_delta,
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
         "doc_chunks": _q_doc_chunks,
@@ -1037,6 +1044,29 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (PARTITION BY site
                                                ORDER BY warc_ts_us DESC) AS rn FROM p)
             SELECT site, doc_id, url, warc_ts_us FROM r WHERE rn = 1
+        """,
+        "crawl_delta": f"""
+            -- CDC snapshot diff: OLD/NEW derived from documents; NEW's
+            -- changed docs continue the FNV hash one step (h ^ 126) * prime
+            WITH h AS (
+                SELECT doc_id, ({corpusoracle.fnv_expr('text')}) AS h0
+                FROM documents
+            ),
+            old AS (SELECT doc_id, h0 AS h FROM h WHERE doc_id % 10 <> 0),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3
+                            THEN (xor(h0, 126::HUGEINT) * 1099511628211)
+                                 % 18446744073709551616::HUGEINT
+                            ELSE h0 END AS h
+                FROM h WHERE doc_id % 10 <> 1
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL OUTER JOIN new n USING (doc_id)
         """,
         "top_tokens": """
             WITH toks AS (

@@ -2946,3 +2946,63 @@ def corpus_prep(sf_dir: str, q_min: float = 0.5,
                          AggSpec("total_tokens", "total_tokens", "sum")],
                         small=True)
     return interior.union(edges)
+
+
+def crawl_delta(sf_dir: str) -> rd.Dataset:
+    """CDC snapshot diff — the recrawl-compaction shape: two crawl
+    snapshots of the same url keyspace diffed into per-doc
+    added / removed / changed / unchanged statuses.
+
+    The snapshots are derived deterministically from ``documents`` (no
+    external data): OLD = docs with ``doc_id % 10 != 0``, NEW = docs with
+    ``doc_id % 10 != 1``, and in NEW every ``doc_id % 7 == 3`` doc's text
+    gained one trailing ``'~'`` (its content hash is CONTINUED one FNV
+    step — h' = (h ^ 126) * prime — so neither side rehashes the text).
+
+    Scale shape: text is hashed ONCE in the scan that derives both tagged
+    sides, the one doc-keyed exchange carries only skinny
+    (doc_id, side, h) rows — never text — and the diff kernel is a
+    vectorized per-block presence/hash compare. At 10^12 urls this is the
+    standard recrawl-delta layout: both snapshots hash-partition by url,
+    statuses emit from the co-location.
+    """
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tagged_sides(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy()
+        h = hashing.fnv1a64(df["text"].tolist())
+        old_m = did % 10 != 0
+        new_m = did % 10 != 1
+        hn = h.copy()
+        chg = did % 7 == 3
+        hn[chg] = (h[chg] ^ np.uint64(126)) * hashing.FNV_PRIME  # wraps mod 2^64
+        return pd.DataFrame({
+            "doc_id": np.concatenate([did[old_m], did[new_m]]),
+            "side": np.concatenate([np.zeros(old_m.sum(), np.int64),
+                                    np.ones(new_m.sum(), np.int64)]),
+            "h": np.concatenate([h[old_m], hn[new_m]]),
+        })
+
+    sides = docs.map_batches(tagged_sides, batch_format="pandas")
+
+    def diff_block(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0].set_index("doc_id")["h"]
+        n = df[df["side"] == 1].set_index("doc_id")["h"]
+        ids = o.index.union(n.index)
+        in_o = ids.isin(o.index)
+        in_n = ids.isin(n.index)
+        status = np.where(~in_o, "added",
+                 np.where(~in_n, "removed", "unchanged")).astype(object)
+        both_pos = np.flatnonzero(in_o & in_n)
+        both_ids = ids[both_pos]
+        # compare hashes ONLY where both sides exist — a reindex-with-NaN
+        # would demote uint64 to float64 and corrupt hashes above 2^53
+        changed = (o.loc[both_ids].to_numpy().astype(np.uint64)
+                   != n.loc[both_ids].to_numpy().astype(np.uint64))
+        status[both_pos[changed]] = "changed"
+        return pd.DataFrame({"doc_id": ids.to_numpy().astype(np.int64),
+                             "status": status.astype(str)})
+
+    return grouped(sides, ["doc_id"], diff_block)

@@ -2264,3 +2264,30 @@ class TestTableProfile:
         r = out.loc["text"]
         assert r["n_distinct"] == len(np.unique(h))
         assert r["min_v"] == str(h.min()) and r["max_v"] == str(h.max())
+
+
+class TestCrawlDelta:
+    def test_statuses(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.functions.hashing import FNV_PRIME, fnv1a64
+        from osmnetfusion_ray.pipelines.corpus import crawl_delta
+
+        out = crawl_delta(SF).to_pandas().set_index("doc_id")["status"]
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        texts = dict(zip(docs["doc_id"], docs["text"]))
+        for did, text in texts.items():
+            in_old, in_new = did % 10 != 0, did % 10 != 1
+            if not in_old:
+                want = "added"
+            elif not in_new:
+                want = "removed"
+            else:
+                want = "changed" if did % 7 == 3 else "unchanged"
+            assert out[did] == want, (did, out[did], want)
+        assert len(out) == len(docs)
+        # the continued hash IS the hash of the appended text
+        did = next(d for d in texts if d % 7 == 3 and d % 10 not in (0, 1))
+        h = fnv1a64([texts[did]])[0]
+        assert ((h ^ np.uint64(126)) * FNV_PRIME) == fnv1a64([texts[did] + "~"])[0]
+        assert {"added", "removed", "changed", "unchanged"} == set(out.unique())
