@@ -226,6 +226,12 @@ def _q_crawl_delta(sf_dir: str):
     return crawl_delta(sf_dir)
 
 
+def _q_jaccard_prefix_pairs(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(sf_dir)
+
+
 def _q_top_tokens(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import top_tokens
 
@@ -709,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_ntile": _q_doc_length_ntile,
         "latest_page_per_site": _q_latest_page_per_site,
         "crawl_delta": _q_crawl_delta,
+        "jaccard_prefix_pairs": _q_jaccard_prefix_pairs,
         "sample_bottomk": _q_sample_bottomk,
         "dup_passages": _q_dup_passages,
         "doc_chunks": _q_doc_chunks,
@@ -825,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": corpusoracle.pii_redact_sql(),
         "contamination_check": corpusoracle.contamination_sql(),
         "near_dup_clusters": corpusoracle.near_dup_clusters_sql(threshold=0.6),
+        "jaccard_prefix_pairs": corpusoracle.jaccard_prefix_sql(t_num=1, t_den=2),
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
         "q1_pricing_summary": """

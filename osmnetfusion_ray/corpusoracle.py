@@ -528,3 +528,51 @@ def train_shuffle_sql() -> str:
              CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
       FROM keyed
     """
+
+
+def jaccard_prefix_sql(t_num: int = 1, t_den: int = 2) -> str:
+    """Mirror of pipelines.corpus.jaccard_prefix_pairs: the same prefix
+    filter (df-asc-then-token order, integer ceil prefix length, integer
+    length filter) bounds the SQL self-join to prefix tokens — a plain
+    all-shared-token self-join would explode on stopword tokens. Prefix
+    filtering is lossless, so both sides produce exactly the pairs with
+    token-set jaccard ≥ t_num/t_den; the jaccard itself is one
+    int→double division on both sides."""
+    return f"""
+        WITH {_shingle_cte()},
+        dt AS (
+            SELECT DISTINCT doc_id, s AS tok FROM shing WHERE s <> ''
+        ),
+        dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+        ranked AS (
+            SELECT d.doc_id, d.tok, f.df,
+                   row_number() OVER (PARTITION BY d.doc_id
+                                      ORDER BY f.df, d.tok) AS rn,
+                   count(*) OVER (PARTITION BY d.doc_id) AS L
+            FROM dt d JOIN dfq f USING (tok)
+        ),
+        pref AS (
+            SELECT * FROM ranked
+            WHERE rn <= L - ((L * {t_num} + {t_den} - 1) // {t_den}) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM pref x JOIN pref y
+              ON x.tok = y.tok AND x.doc_id < y.doc_id
+            WHERE {t_den} * least(x.L, y.L) >= {t_num} * greatest(x.L, y.L)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS L FROM dt GROUP BY doc_id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN dt da ON da.doc_id = c.a
+            JOIN dt db ON db.doc_id = c.b AND db.tok = da.tok
+            GROUP BY c.a, c.b
+        )
+        SELECT i.a, i.b,
+               CAST(i.i AS DOUBLE) / (sa.L + sb.L - i.i) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a
+        JOIN sizes sb ON sb.doc_id = i.b
+        WHERE {t_den} * i.i >= {t_num} * (sa.L + sb.L - i.i)
+    """

@@ -3006,3 +3006,125 @@ def crawl_delta(sf_dir: str) -> rd.Dataset:
                              "status": status.astype(str)})
 
     return grouped(sides, ["doc_id"], diff_block)
+
+
+def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Dataset:
+    """Exact shingle-set-Jaccard self-join via PREFIX FILTERING (the
+    SSJoin/PPJoin candidate generator) — the LOSSLESS counterpart of the
+    MinHash path: every pair with jaccard ≥ t_num/t_den is guaranteed a
+    shared prefix shingle, so the verified output is exactly ALL
+    qualifying pairs, not an LSH-probabilistic subset. Set elements are
+    the near-dup family's 3-token shingles.
+
+    Shape: (1) one streamed pass reduces each block to its distinct
+    (token, partial-df) rows — a vocab-bounded aggregate; (2) the (df
+    asc, token asc) global order is broadcast once (`ray.put`; the
+    10^12-doc swap is a token-keyed co-location attaching df tfidf-style,
+    exactly as `dup_passages` does) and each doc emits only its PREFIX
+    tokens — the |T| - ceil(t·|T|) + 1 RAREST — with prefix-length and
+    length-filter arithmetic kept in integers (ceil(a/b) = (a+b-1)//b) so
+    both engines agree on every boundary; (3) candidate pairs form inside
+    one prefix-token-keyed exchange (rare tokens by construction → small
+    groups), dedup on a second (a, b)-keyed exchange; (4) the exact verify
+    reuses the near-dup family's two-sided payload join — texts only ever
+    travel to their candidate pairs. Threshold compares are integer
+    (t_den·i ≥ t_num·u); the output jaccard is ONE int→double division,
+    bit-equal to the SQL mirror.
+    """
+    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = table_rows(sf_dir, "documents")
+
+    def _doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        # set universe = 3-token shingles (same construction as the whole
+        # near-dup family): the corpus's raw token sets are near-uniform
+        # (90k of 125k possible pairs ≥ 0.5 at 500 docs), so shingles are
+        # what make the similarity — and the prefix filter — discriminative
+        ids, toks = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            ss = _shingle_set(text, 3) - {""}
+            ids.extend([did] * len(ss))
+            toks.extend(ss)
+        return pd.DataFrame({"doc_id": np.asarray(ids, np.int64),
+                             "tok": np.asarray(toks, object)})
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = _doc_tokens(df)
+        out = e.groupby("tok", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"tok": out["tok"].astype(str),
+                             "n": out["n"].astype(np.int64)})
+
+    partials = docs.map_batches(df_partial, batch_format="pandas")
+    dfreq = groupby_agg(partials, ["tok"], [AggSpec("df", "n", "sum")],
+                        small=n_docs <= _SIG_SMALL_INPUT_MAX
+                        ).to_pandas().sort_values("tok")
+    vocab_ref = ray.put((dfreq["tok"].to_numpy().astype("U"),
+                         dfreq["df"].to_numpy().astype(np.int64)))
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks_v, df_v = ray.get(vocab_ref)
+        e = _doc_tokens(df)
+        if len(e) == 0:
+            return pd.DataFrame({"tok": np.zeros(0, "U1"),
+                                 "doc_id": np.zeros(0, np.int64),
+                                 "L": np.zeros(0, np.int64)})
+        pos = np.searchsorted(toks_v, e["tok"].to_numpy().astype("U"))
+        e = e.assign(df=df_v[np.clip(pos, 0, len(df_v) - 1)])
+        e = e.sort_values(["doc_id", "df", "tok"], kind="stable")
+        L = e.groupby("doc_id", sort=False)["tok"].transform("size").to_numpy()
+        rk = e.groupby("doc_id", sort=False).cumcount().to_numpy()
+        p = L - ((L * t_num + t_den - 1) // t_den) + 1
+        keep = rk < p
+        return pd.DataFrame({"tok": e["tok"].to_numpy()[keep],
+                             "doc_id": e["doc_id"].to_numpy()[keep].astype(np.int64),
+                             "L": L[keep].astype(np.int64)})
+
+    pref = docs.map_batches(prefix_rows, batch_format="pandas")
+
+    def tok_pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        if len(df):
+            df = df.sort_values(["tok", "L", "doc_id"])
+            for _, g in df.groupby("tok", sort=False):
+                n = len(g)
+                if n < 2:
+                    continue
+                ids = g["doc_id"].to_numpy()
+                Ls = g["L"].to_numpy()
+                ii, jj = np.triu_indices(n, k=1)
+                # jac ≥ t ⇒ t_den·min_L ≥ t_num·max_L (rows L-sorted: Lii ≤ Ljj)
+                m = t_den * Ls[ii] >= t_num * Ls[jj]
+                out_a.append(ids[ii][m])
+                out_b.append(ids[jj][m])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+
+    cand = grouped(pref, ["tok"], tok_pairs_block, rows=n_docs * 4)
+    cand = grouped(cand, ["a", "b"],
+                   lambda df: df.drop_duplicates(["a", "b"]), small=True)
+    cand = cand.materialize()
+    if cand.count() <= _VERIFY_BROADCAST_MAX:
+        joined = _broadcast_pair_payload(cand, docs, "text")
+    else:
+        joined = _join_pair_payload(cand, docs, "text", _num_partitions())
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64),
+                                 "jaccard": np.zeros(0)})
+        inter = np.zeros(len(df), np.int64)
+        union = np.zeros(len(df), np.int64)
+        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+            sa, sb = _shingle_set(ta, 3) - {""}, _shingle_set(tb, 3) - {""}
+            inter[i] = len(sa & sb)
+            union[i] = len(sa) + len(sb) - inter[i]
+        m = t_den * inter >= t_num * union
+        return pd.DataFrame({"a": df["a"].to_numpy()[m].astype(np.int64),
+                             "b": df["b"].to_numpy()[m].astype(np.int64),
+                             "jaccard": inter[m].astype(np.float64) / union[m]})
+
+    return joined.map_batches(verify, batch_format="pandas")

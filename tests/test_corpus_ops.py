@@ -2291,3 +2291,34 @@ class TestCrawlDelta:
         h = fnv1a64([texts[did]])[0]
         assert ((h ^ np.uint64(126)) * FNV_PRIME) == fnv1a64([texts[did] + "~"])[0]
         assert {"added", "removed", "changed", "unchanged"} == set(out.unique())
+
+
+class TestJaccardPrefixPairs:
+    def test_matches_bruteforce_and_is_lossless(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import (_shingle_set,
+                                                       jaccard_prefix_pairs)
+
+        out = jaccard_prefix_pairs(SF).to_pandas().sort_values(
+            ["a", "b"]).reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        sets = {d: _shingle_set(t, 3) - {""}
+                for d, t in zip(docs["doc_id"], docs["text"])}
+        ids = sorted(sets)
+        want = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sa, sb = sets[a], sets[b]
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if 2 * inter >= union:  # t = 1/2, integer compare
+                    want.append((a, b, inter / union))
+        want = pd.DataFrame(want, columns=["a", "b", "jaccard"])
+        assert len(out) == len(want) and len(want) > 0
+        assert (out["a"].to_numpy() == want["a"].to_numpy()).all()
+        assert (out["b"].to_numpy() == want["b"].to_numpy()).all()
+        # bit-equal: both sides are one int→double division
+        assert (out["jaccard"].to_numpy() == want["jaccard"].to_numpy()).all()
