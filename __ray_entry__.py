@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
         "salted_enrich_events": analytics.salted_enrich_events,
         "table_profile": analytics.table_profile,
+        "event_value_exact_quantiles": analytics.event_value_exact_quantiles,
         "event_type_transitions": analytics.event_type_transitions,
         "event_value_quantiles_hist": analytics.event_value_quantiles_hist,
         "doc_cell_pyramid": _q_doc_cell_pyramid,
@@ -833,6 +834,18 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": corpusoracle.contamination_sql(),
         "near_dup_clusters": corpusoracle.near_dup_clusters_sql(threshold=0.6),
         "jaccard_prefix_pairs": corpusoracle.jaccard_prefix_sql(t_num=1, t_den=2),
+        "event_value_exact_quantiles": """
+            SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25) AS value FROM events
+            UNION ALL
+            SELECT 0.5::DOUBLE, quantile_disc(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.75::DOUBLE, quantile_disc(value, 0.75) FROM events
+            UNION ALL
+            SELECT 0.9::DOUBLE, quantile_disc(value, 0.9) FROM events
+            UNION ALL
+            SELECT 0.99::DOUBLE, quantile_disc(value, 0.99) FROM events
+            ORDER BY q
+        """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
         "q1_pricing_summary": """

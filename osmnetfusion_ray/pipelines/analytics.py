@@ -2479,3 +2479,128 @@ def table_profile(sf_dir: str) -> pd.DataFrame:
     out["n_nonnull"] = out["n_nonnull"].astype("int64")
     out["n_distinct"] = out["n_distinct"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def event_value_exact_quantiles(
+        sf_dir: str,
+        qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+        nbins: int = 1024,
+        terminal_max: int = 2048) -> pd.DataFrame:
+    """EXACT global order statistics without a global sort — the
+    distributed-selection shape: "the exact median of 10^12 rows in a few
+    streamed scans". The mergeable-histogram twin
+    (event_value_quantiles_hist) trades resolution; this op refines until
+    the answer is exact.
+
+    Per round, ONE streamed scan histograms every still-active quantile's
+    candidate range (per-block partials bounded by |qs|·nbins rows — no
+    row-scale exchange, no shuffle at all), the driver's O(|qs|·nbins)
+    reduce narrows each rank to the bin containing it, and recursion ends
+    when a rank's bin holds ≤ ``terminal_max`` values — those are fetched
+    by a filtered scan and the exact k-th is a driver np.partition over a
+    bounded buffer. Uniform data converges in one round
+    (n/nbins per bin); worst case O(log_nbins(range)) scans. The returned
+    value is an actual data element, so the DuckDB ``quantile_disc``
+    oracle (rank = ceil(q·n), 1-based — probed semantics) matches
+    bit-for-bit with no arithmetic mirroring needed.
+    """
+    import math
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+    n = table_rows(sf_dir, "events")
+    ranks = [int(math.ceil(q * n)) for q in qs]  # 1-based, same IEEE product
+
+    def mm_part(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        return pa.table({"lo": [pc.min(v).as_py()], "hi": [pc.max(v).as_py()]})
+
+    mm = ev.map_batches(mm_part, batch_format="pyarrow").to_pandas()
+    glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    # state per rank: (lo, hi_incl, below, done_value)
+    state = [{"lo": glo, "hi": ghi, "below": 0, "val": None} for _ in ranks]
+
+    def _active():
+        return [i for i, s in enumerate(state) if s["val"] is None]
+
+    for _round in range(64):
+        act = _active()
+        if not act:
+            break
+        # terminal fetch for ranges that are single-valued or small enough
+        ranges = [(i, state[i]["lo"], state[i]["hi"]) for i in act]
+
+        def count_in(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["value"].to_numpy()
+            rows = [{"i": i, "n_in": int(((v >= lo) & (v <= hi)).sum())}
+                    for i, lo, hi in ranges]
+            return pd.DataFrame(rows)
+
+        cnt = (ev.map_batches(count_in, batch_format="pandas")
+                 .to_pandas().groupby("i")["n_in"].sum())
+        small = [i for i, lo, hi in ranges
+                 if cnt.get(i, 0) <= terminal_max or lo == hi]
+        if small:
+            sr = [(i, state[i]["lo"], state[i]["hi"]) for i in small]
+
+            def fetch(df: pd.DataFrame) -> pd.DataFrame:
+                v = df["value"].to_numpy()
+                out = []
+                for i, lo, hi in sr:
+                    m = (v >= lo) & (v <= hi)
+                    out.append(pd.DataFrame({"i": i, "value": v[m]}))
+                return pd.concat(out, ignore_index=True)
+
+            vals = ev.map_batches(fetch, batch_format="pandas").to_pandas()
+            for i in small:
+                sub = vals.loc[vals["i"] == i, "value"].to_numpy()
+                kth = ranks[i] - state[i]["below"] - 1  # 0-based within buffer
+                state[i]["val"] = float(np.partition(sub, kth)[kth])
+        act = _active()
+        if not act:
+            break
+        # one shared scan: per-block histogram partials for every active rank
+        hr = [(i, state[i]["lo"], state[i]["hi"]) for i in act]
+
+        def hist_part(df: pd.DataFrame) -> pd.DataFrame:
+            v = df["value"].to_numpy()
+            frames = []
+            for i, lo, hi in hr:
+                edges = np.linspace(lo, hi, nbins + 1)
+                m = (v >= lo) & (v <= hi)
+                b = np.clip(np.searchsorted(edges, v[m], side="right") - 1,
+                            0, nbins - 1)
+                c = np.bincount(b, minlength=nbins)
+                nz = np.flatnonzero(c)
+                frames.append(pd.DataFrame(
+                    {"i": i, "bin": nz, "c": c[nz].astype(np.int64)}))
+            return pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame({"i": [], "bin": [], "c": []})
+
+        hist = (ev.map_batches(hist_part, batch_format="pandas")
+                  .to_pandas().groupby(["i", "bin"])["c"].sum())
+        for i in act:
+            lo, hi = state[i]["lo"], state[i]["hi"]
+            edges = np.linspace(lo, hi, nbins + 1)
+            c = np.zeros(nbins, np.int64)
+            sub = hist.loc[i] if i in hist.index.get_level_values(0) else None
+            if sub is not None:
+                c[sub.index.to_numpy()] = sub.to_numpy()
+            cum = state[i]["below"] + np.cumsum(c)
+            j = int(np.searchsorted(cum, ranks[i]))  # first cum >= rank
+            state[i]["below"] = int(cum[j - 1]) if j > 0 else state[i]["below"]
+            new_lo, new_hi = float(edges[j]), float(edges[j + 1])
+            if new_lo == lo and new_hi == hi:  # no progress → terminal next
+                state[i]["hi"] = new_hi
+            else:
+                state[i]["lo"], state[i]["hi"] = new_lo, new_hi
+            # interior bins are half-open [e_j, e_{j+1}) except the last —
+            # shrink hi just below the edge so the count/fetch filters
+            # (which are <= hi) match the bin membership used above;
+            # degenerate-width bins (new_hi == new_lo) stay closed so the
+            # lo == hi equal-value run terminates via the fetch path
+            if j < nbins - 1 and new_hi > new_lo:
+                state[i]["hi"] = np.nextafter(new_hi, -np.inf)
+    assert not _active(), "quantile refinement did not converge"
+    return pd.DataFrame({"q": np.asarray(qs, np.float64),
+                         "value": [state[i]["val"] for i in range(len(qs))]})

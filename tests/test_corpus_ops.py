@@ -2322,3 +2322,20 @@ class TestJaccardPrefixPairs:
         assert (out["b"].to_numpy() == want["b"].to_numpy()).all()
         # bit-equal: both sides are one int→double division
         assert (out["jaccard"].to_numpy() == want["jaccard"].to_numpy()).all()
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_rank(self, ray_session):
+        import math
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.analytics import event_value_exact_quantiles
+
+        qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+        # terminal_max=8 forces several histogram-refinement rounds even at
+        # sf0.001; nbins=16 deepens the recursion
+        out = event_value_exact_quantiles(SF, qs=qs, nbins=16, terminal_max=8)
+        v = np.sort(pq.read_table(f"{SF}/events.parquet",
+                                  columns=["value"])["value"].to_numpy())
+        for q, got in zip(out["q"], out["value"]):
+            want = v[int(math.ceil(q * len(v))) - 1]
+            assert got == want, (q, got, want)  # exact element, bit-equal
