@@ -3030,12 +3030,49 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
     travel to their candidate pairs. Threshold compares are integer
     (t_den·i ≥ t_num·u); the output jaccard is ONE int→double division,
     bit-equal to the SQL mirror.
+
+    Exact duplicates collapse FIRST (dedup-then-near-dup, the production
+    layout for dup-heavy crawls): identical texts have identical shingle
+    sets, so the prefix machinery only ever sees UNIQUE texts — without
+    this every dup clique re-derives the same candidate once per shared
+    prefix shingle (a 10×-replica probe spent its whole budget there:
+    ~50M raw candidate rows from 250k true pairs). Dup-group members
+    re-enter at the end by pure arithmetic: cross pairs inherit their
+    reps' jaccard verbatim, intra-group pairs are exactly 1.0 (i == u →
+    the division yields 1.0 on both engines). Group member lists ride as
+    packed strings — bounded by dup multiplicity; a pathological
+    million-copy text would need a hierarchical two-level expansion.
     """
     from ..pipelines.simplify import _num_partitions
     from ..rayctx import grouped
 
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    raw_docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = table_rows(sf_dir, "documents")
+
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = hashing.fnv1a64(df["text"].tolist())
+        nsh = np.fromiter((len(_shingle_set(t, 3) - {""}) for t in df["text"]),
+                          np.int64, len(df))
+        return pd.DataFrame({"h": h,
+                             "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                             "n_sh": nsh,
+                             "text": df["text"].to_numpy(object)})
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="stable")
+        g = df.groupby("h", sort=False)
+        rep = g.agg(doc_id=("doc_id", "first"), n_sh=("n_sh", "first"),
+                    text=("text", "first"))
+        members = g["doc_id"].apply(lambda s: ",".join(map(str, s)))
+        out = rep.join(members.rename("members")).reset_index(drop=True)
+        return out[["doc_id", "text", "n_sh", "members"]]
+
+    # texts ride this ONE h-keyed exchange (the exact_dedup layout:
+    # winners emitted from the shuffle, no keep-set broadcast)
+    reps = grouped(raw_docs.map_batches(hash_rows, batch_format="pandas"),
+                   ["h"], collapse).materialize()
+    docs = reps.map_batches(lambda df: df[["doc_id", "text"]],
+                            batch_format="pandas")
 
     def _doc_tokens(df: pd.DataFrame) -> pd.DataFrame:
         # set universe = 3-token shingles (same construction as the whole
@@ -3100,11 +3137,20 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
                 out_b.append(ids[jj][m])
         a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
-        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+        # near-identical docs share MOST of their prefixes, so the same
+        # pair is emitted once per shared prefix shingle — block-local
+        # dedup collapses that fan-out before the (a, b) exchange
+        return pd.DataFrame({"a": np.minimum(a, b),
+                             "b": np.maximum(a, b)}).drop_duplicates()
 
-    cand = grouped(pref, ["tok"], tok_pairs_block, rows=n_docs * 4)
+    # pref carries Σ per-doc prefix lengths rows (≈ half the shingle
+    # occurrences at t=1/2) and the raw candidate fan-out can reach
+    # pairs × shared-prefix-size on dup-heavy corpora — both exchanges
+    # need full cluster width, NOT a small pool (a 10× dup-replica probe
+    # hung exactly there)
+    cand = grouped(pref, ["tok"], tok_pairs_block)
     cand = grouped(cand, ["a", "b"],
-                   lambda df: df.drop_duplicates(["a", "b"]), small=True)
+                   lambda df: df.drop_duplicates(["a", "b"]))
     cand = cand.materialize()
     if cand.count() <= _VERIFY_BROADCAST_MAX:
         joined = _broadcast_pair_payload(cand, docs, "text")
@@ -3127,4 +3173,47 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
                              "b": df["b"].to_numpy()[m].astype(np.int64),
                              "jaccard": inter[m].astype(np.float64) / union[m]})
 
-    return joined.map_batches(verify, batch_format="pandas")
+    rep_pairs = joined.map_batches(verify, batch_format="pandas").materialize()
+
+    # ---- dup-group expansion ----
+    members_ds = reps.map_batches(lambda df: df[["doc_id", "members"]],
+                                  batch_format="pandas")
+    if rep_pairs.count() <= _VERIFY_BROADCAST_MAX:
+        withm = _broadcast_pair_payload(rep_pairs, members_ds, "members")
+    else:
+        withm = _join_pair_payload(rep_pairs, members_ds, "members",
+                                   _num_partitions())
+
+    def expand_cross(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for ja, ma, mb in zip(df["jaccard"], df["members_a"], df["members_b"]):
+            A = np.array(ma.split(","), dtype=np.int64)
+            B = np.array(mb.split(","), dtype=np.int64)
+            aa = np.repeat(A, len(B))
+            bb = np.tile(B, len(A))
+            out_a.append(np.minimum(aa, bb))
+            out_b.append(np.maximum(aa, bb))
+            out_j.append(np.full(len(aa), ja))
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        j = np.concatenate(out_j) if out_j else np.zeros(0)
+        return pd.DataFrame({"a": a, "b": b, "jaccard": j})
+
+    cross = withm.map_batches(expand_cross, batch_format="pandas")
+
+    def expand_intra(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for nsh, ms in zip(df["n_sh"], df["members"]):
+            if nsh <= 0 or "," not in ms:
+                continue  # empty shingle sets never pair; singletons trivial
+            M = np.array(ms.split(","), dtype=np.int64)
+            ii, jj = np.triu_indices(len(M), k=1)
+            out_a.append(M[ii])
+            out_b.append(M[jj])
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b),
+                             "jaccard": np.ones(len(a))})
+
+    intra = reps.map_batches(expand_intra, batch_format="pandas")
+    return cross.union(intra)
