@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "extract_page_text": _q_extract_text,
         "boilerplate_stats": _q_boilerplate,
+        "events_campaign_join": analytics.events_campaign_join,
     }
 
 
@@ -848,6 +849,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "events_campaign_join": """
+            -- same integer epoch-us arithmetic as the engine; value summed
+            -- in exact int64 cents, ONE terminal double division
+            WITH c AS (
+                SELECT o_orderkey AS campaign_id,
+                       1704067200000000 + (o_orderkey % 43200) * 60000000 AS lo_us,
+                       1704067200000000 + (o_orderkey % 43200) * 60000000
+                         + (15 + (o_orderkey % 61)) * 60000000 AS hi_us
+                FROM orders
+            ),
+            e AS (
+                SELECT epoch_us(ts) AS ts_us,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT c.campaign_id,
+                   count(*) AS n_events,
+                   CAST(sum(e.cents) AS DOUBLE) / 100.0 AS total_value
+            FROM c JOIN e ON e.ts_us >= c.lo_us AND e.ts_us < c.hi_us
+            GROUP BY c.campaign_id
+        """,
         "q1_pricing_summary": """
             -- exact int64 cents until one terminal double division: bit-equal
             -- to the engine under any reduction order (see q1_pricing_summary)

@@ -2604,3 +2604,129 @@ def event_value_exact_quantiles(
     assert not _active(), "quantile refinement did not converge"
     return pd.DataFrame({"q": np.asarray(qs, np.float64),
                          "value": [state[i]["val"] for i in range(len(qs))]})
+
+
+# 2024-01-01 00:00:00 UTC in microseconds — the campaign window anchor;
+# the synthetic events table spans January 2024
+_CAMPAIGN_EPOCH_US = 1_704_067_200_000_000
+_CAMPAIGN_BIN_US = 3_600_000_000  # 1-hour co-location bins
+
+
+def events_campaign_join(sf_dir: str, chunk_pairs: int = 4_000_000) -> rd.Dataset:
+    """Big-big TEMPORAL INTERVAL JOIN (no equality key): every event is
+    matched to every campaign whose [start, end) window contains its
+    timestamp, aggregated to per-campaign (n_events, total_value).
+
+    Neither side is broadcastable at scale (10^12 events x 10^8 concurrent
+    campaign windows) and there is no equality key, so neither a hash join
+    nor the as-of kernel applies. The distributed shape is BIN REPLICATION:
+    time is cut into fixed bins (1 h), each event keys to exactly ONE bin
+    (ts // bin), each campaign replicates to every bin its window overlaps
+    (bounded: windows are 15-75 min, so <= 2 bins each — replication factor
+    is 1 + duration/bin, never data-dependent), and one bin-keyed
+    co-location exchange brings every possibly-matching (event, campaign)
+    pair into the same block. Because an event lives in exactly one bin, a
+    pair can only meet once — no cross-bin dedup is needed. Inside the
+    block the candidate expansion is one repeat/offset kernel (events x
+    same-bin campaigns, chunk-budgeted) and matches combiner-reduce to
+    per-(block, campaign) partials, so the second, campaign-keyed exchange
+    carries at most (#bins-touched x #campaigns) partial rows, never pairs.
+
+    Campaign windows are derived deterministically from ``orders`` (no
+    external data): campaign o_orderkey starts at
+    epoch + (key % 43200) minutes and lasts 15 + (key % 61) minutes.
+    Event values stay exact int64 cents until ONE terminal division, so
+    the DuckDB mirror (same integer epoch-us arithmetic, same range
+    predicate) is bit-equal. INNER semantics: campaigns with zero matching
+    events don't emit.
+    """
+    from ..rayctx import grouped
+    from ..sources import table_rows
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    n_orders = table_rows(sf_dir, "orders")
+
+    def campaign_bins(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy().astype(np.int64)
+        start = _CAMPAIGN_EPOCH_US + (k % 43_200) * 60_000_000
+        end = start + (15 + (k % 61)) * 60_000_000
+        b0 = start // _CAMPAIGN_BIN_US
+        reps = ((end - 1) // _CAMPAIGN_BIN_US - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(k)), reps)
+        off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        return pd.DataFrame({
+            "bin": b0[idx] + off, "side": np.int64(0), "cid": k[idx],
+            "lo_us": start[idx], "hi_us": end[idx], "cents": np.int64(0)})
+
+    def event_bins(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64").to_numpy()
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "bin": ts // _CAMPAIGN_BIN_US, "side": np.int64(1),
+            "cid": np.int64(0), "lo_us": ts, "hi_us": np.int64(0),
+            "cents": cents})
+
+    sides = orders.map_batches(campaign_bins, batch_format="pandas").union(
+        ev.map_batches(event_bins, batch_format="pandas"))
+
+    CHUNK_PAIRS = chunk_pairs  # pair-expansion budget per slice
+
+    def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0]
+        e = df[df["side"] == 1]
+        if len(c) == 0 or len(e) == 0:
+            return pd.DataFrame({"cid": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64),
+                                 "cents": np.zeros(0, np.int64)})
+        cb = c["bin"].to_numpy()
+        co = np.argsort(cb, kind="stable")
+        cb = cb[co]
+        clo = c["lo_us"].to_numpy()[co]
+        chi = c["hi_us"].to_numpy()[co]
+        ccid = c["cid"].to_numpy()[co]
+        ets = e["lo_us"].to_numpy()
+        ecents = e["cents"].to_numpy()
+        ebin = e["bin"].to_numpy()
+        lo = np.searchsorted(cb, ebin, side="left")
+        hi = np.searchsorted(cb, ebin, side="right")
+        spans = hi - lo
+        # per-campaign accumulators over the sorted-campaign index space
+        n_acc = np.zeros(len(cb), np.int64)
+        c_acc = np.zeros(len(cb), np.int64)
+        # chunk the (event x same-bin campaign) expansion by event ranges
+        cum = np.concatenate([[0], np.cumsum(spans)])
+        pos = 0
+        while pos < len(ets):
+            nxt = int(np.searchsorted(cum, cum[pos] + CHUNK_PAIRS,
+                                      side="left"))
+            nxt = min(max(nxt, pos + 1), len(ets))
+            sl = slice(pos, nxt)
+            sp = spans[sl]
+            tot = int(sp.sum())
+            if tot:
+                eidx = np.repeat(np.arange(pos, nxt), sp)
+                coff = (np.arange(tot, dtype=np.int64)
+                        - np.repeat(np.cumsum(sp) - sp, sp))
+                cidx = lo[eidx] + coff
+                t = ets[eidx]
+                hit = (t >= clo[cidx]) & (t < chi[cidx])
+                np.add.at(n_acc, cidx[hit], 1)
+                np.add.at(c_acc, cidx[hit], ecents[eidx][hit])
+            pos = nxt
+        nz = np.flatnonzero(n_acc)
+        return pd.DataFrame({"cid": ccid[nz], "n": n_acc[nz],
+                             "cents": c_acc[nz]})
+
+    partials = grouped(sides, ["bin"], join_block)
+
+    def final_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cid", sort=False, as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"))
+        return pd.DataFrame({
+            "campaign_id": g["cid"].to_numpy().astype(np.int64),
+            "n_events": g["n"].to_numpy().astype(np.int64),
+            "total_value": g["cents"].to_numpy().astype(np.int64) / 100.0})
+
+    return grouped(partials, ["cid"], final_block, rows=n_orders)

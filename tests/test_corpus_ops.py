@@ -2339,3 +2339,43 @@ class TestExactQuantiles:
         for q, got in zip(out["q"], out["value"]):
             want = v[int(math.ceil(q * len(v))) - 1]
             assert got == want, (q, got, want)  # exact element, bit-equal
+
+
+class TestEventsCampaignJoin:
+    def _brute(self):
+        import pyarrow.parquet as pq
+
+        ev = pq.read_table(f"{SF}/events.parquet", columns=["ts", "value"]).to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]).to_pandas()
+        k = orders["o_orderkey"].to_numpy().astype(np.int64)
+        lo = 1_704_067_200_000_000 + (k % 43_200) * 60_000_000
+        hi = lo + (15 + (k % 61)) * 60_000_000
+        ts = ev["ts"].astype("int64").to_numpy()
+        cents = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        rows = {}
+        for ki, l, h in zip(k, lo, hi):
+            m = (ts >= l) & (ts < h)
+            if m.any():
+                rows[int(ki)] = (int(m.sum()), int(cents[m].sum()))
+        return rows
+
+    def test_matches_bruteforce(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import events_campaign_join
+
+        mine = events_campaign_join(SF).to_pandas().sort_values("campaign_id")
+        ref = self._brute()
+        assert len(mine) == len(ref)
+        for cid, n, tv in zip(mine["campaign_id"], mine["n_events"], mine["total_value"]):
+            rn, rc = ref[int(cid)]
+            assert int(n) == rn
+            assert float(tv) == rc / 100.0
+
+    def test_chunked_expansion_invariant(self, ray_session):
+        """A tiny pair budget forces many expansion slices per block; the
+        result must be identical to the one-slice path."""
+        from osmnetfusion_ray.pipelines.analytics import events_campaign_join
+
+        a = events_campaign_join(SF).to_pandas().sort_values("campaign_id").reset_index(drop=True)
+        b = events_campaign_join(SF, chunk_pairs=7).to_pandas().sort_values(
+            "campaign_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
