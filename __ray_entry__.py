@@ -604,6 +604,12 @@ def _q_contamination_bloom(sf_dir: str):
     return contamination_flags_bloom(sf_dir)
 
 
+def _q_docs_skyline(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import docs_skyline
+
+    return docs_skyline(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmnetfusion_ray.pipelines import analytics, netqueries
 
@@ -749,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_page_text": _q_extract_text,
         "boilerplate_stats": _q_boilerplate,
         "events_campaign_join": analytics.events_campaign_join,
+        "docs_skyline": _q_docs_skyline,
     }
 
 
@@ -849,6 +856,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "docs_skyline": """
+            -- same per-x min + strict running-min-over-larger-x formulation
+            -- as the engine kernel (O(n log n), integer compares)
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+                FROM documents
+            ),
+            x AS (SELECT n_chars, min(n_ws_tokens) AS ymin
+                  FROM d GROUP BY n_chars),
+            f AS (SELECT n_chars, ymin,
+                         min(ymin) OVER (ORDER BY n_chars DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pm
+                  FROM x)
+            SELECT d.doc_id, d.n_chars, d.n_ws_tokens
+            FROM d JOIN f USING (n_chars)
+            WHERE d.n_ws_tokens = f.ymin AND (f.pm IS NULL OR f.ymin < f.pm)
+        """,
         "events_campaign_join": """
             -- same integer epoch-us arithmetic as the engine; value summed
             -- in exact int64 cents, ONE terminal double division

@@ -3217,3 +3217,63 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
 
     intra = reps.map_batches(expand_intra, batch_format="pandas")
     return cross.union(intra)
+
+
+def _skyline_block(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D skyline of one block: keep rows maximizing ``n_chars``
+    while minimizing ``n_ws_tokens``. Vectorized: sort (x desc, y asc),
+    reduce to per-distinct-x min-y, strict running min over larger x
+    decides which x levels survive, and ties at (x, min-y) ALL survive
+    (dominance requires strictness in at least one dim, so duplicate
+    points never dominate each other)."""
+    x = df["n_chars"].to_numpy().astype(np.int64)
+    y = df["n_ws_tokens"].to_numpy().astype(np.int64)
+    did = df["doc_id"].to_numpy().astype(np.int64)
+    if len(x) == 0:
+        return pd.DataFrame({"doc_id": did, "n_chars": x, "n_ws_tokens": y})
+    order = np.lexsort((y, -x))
+    xs, ys, ds = x[order], y[order], did[order]
+    newx = np.concatenate([[True], xs[1:] != xs[:-1]])
+    minys = ys[newx]                      # y asc within x → first is min
+    prev = np.concatenate([[np.iinfo(np.int64).max],
+                           np.minimum.accumulate(minys)[:-1]])
+    x_ok = minys < prev                   # strictly better than every larger x
+    gid = np.cumsum(newx) - 1
+    keep = (ys == minys[gid]) & x_ok[gid]
+    return pd.DataFrame({"doc_id": ds[keep], "n_chars": xs[keep],
+                         "n_ws_tokens": ys[keep]})
+
+
+def docs_skyline(sf_dir: str) -> pa.Table:
+    """Distributed 2-D SKYLINE (Pareto frontier): the documents not
+    dominated on (n_chars maximize, whitespace-token count minimize) —
+    the long-docs/low-token "density frontier", an operator family
+    (skyline / Pareto queries) none of the other shapes cover.
+
+    Scale shape: a block-local skyline is a CORRECT COMBINER because
+    dominance is transitive — a row dominated inside its block is
+    dominated globally, and every global frontier point survives any
+    local pass — so the corpus reduces to per-block frontiers (bounded
+    by the block's distinct n_chars values, never its rows) before the
+    single tiny terminal reduce. Texts never shuffle: the dims are
+    computed in the scan and only (doc_id, x, y) survivor rows move.
+
+    Oracle: DuckDB mirrors the same per-x min + strict running-min
+    formulation with a window over DISTINCT x (O(n log n), not the naive
+    O(n^2) NOT-EXISTS self-join); all compares are integer, so equality
+    is exact."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()),
+        })
+
+    survivors = (docs.map_batches(dims, batch_format="pyarrow")
+                     .map_batches(_skyline_block, batch_format="pandas")
+                     .to_pandas())
+    out = _skyline_block(survivors).sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

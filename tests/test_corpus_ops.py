@@ -2379,3 +2379,45 @@ class TestEventsCampaignJoin:
         b = events_campaign_join(SF, chunk_pairs=7).to_pandas().sort_values(
             "campaign_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDocsSkyline:
+    def test_kernel_matches_bruteforce_dominance(self):
+        from osmnetfusion_ray.pipelines.corpus import _skyline_block
+
+        rng = np.random.RandomState(7)
+        x = rng.randint(0, 40, 300).astype(np.int64)
+        y = rng.randint(0, 40, 300).astype(np.int64)
+        df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                           "n_chars": x, "n_ws_tokens": y})
+        got = set(_skyline_block(df)["doc_id"])
+        # brute force: i survives iff no j dominates it (x>= , y<=, strict in one)
+        want = set()
+        for i in range(300):
+            dom = ((x >= x[i]) & (y <= y[i]) & ((x > x[i]) | (y < y[i]))).any()
+            if not dom:
+                want.add(i)
+        assert got == want
+
+    def test_duplicate_points_all_survive(self):
+        from osmnetfusion_ray.pipelines.corpus import _skyline_block
+
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "n_chars": [10, 10, 5],
+                           "n_ws_tokens": [3, 3, 9]})
+        out = _skyline_block(df)
+        assert sorted(out["doc_id"]) == [1, 2]  # dupes co-survive; (5,9) dominated
+
+    def test_local_skyline_is_a_correct_combiner(self):
+        """Splitting the input into arbitrary blocks and skylining each
+        before the final pass must equal the single-pass skyline."""
+        from osmnetfusion_ray.pipelines.corpus import _skyline_block
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                           "n_chars": rng.randint(0, 60, 500).astype(np.int64),
+                           "n_ws_tokens": rng.randint(0, 60, 500).astype(np.int64)})
+        single = _skyline_block(df).sort_values("doc_id").reset_index(drop=True)
+        parts = [df.iloc[i::7] for i in range(7)]
+        two_pass = _skyline_block(pd.concat([_skyline_block(p) for p in parts]))
+        two_pass = two_pass.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(single, two_pass)
