@@ -604,6 +604,12 @@ def _q_contamination_bloom(sf_dir: str):
     return contamination_flags_bloom(sf_dir)
 
 
+def _q_incremental_view(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import incremental_view_update
+
+    return incremental_view_update(sf_dir)
+
+
 def _q_docs_skyline(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import docs_skyline
 
@@ -756,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": _q_boilerplate,
         "events_campaign_join": analytics.events_campaign_join,
         "docs_skyline": _q_docs_skyline,
+        "incremental_view_update": _q_incremental_view,
     }
 
 
@@ -856,6 +863,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "incremental_view_update": """
+            -- the ORACLE recomputes the view from the NEW snapshot directly;
+            -- the engine reaches the same state by applying only the delta
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_chars + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                     AS total_chars
+            FROM documents WHERE doc_id % 10 <> 1
+            GROUP BY lang
+        """,
         "docs_skyline": """
             -- same per-x min + strict running-min-over-larger-x formulation
             -- as the engine kernel (O(n log n), integer compares)

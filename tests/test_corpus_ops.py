@@ -2421,3 +2421,25 @@ class TestDocsSkyline:
         two_pass = _skyline_block(pd.concat([_skyline_block(p) for p in parts]))
         two_pass = two_pass.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(single, two_pass)
+
+
+class TestIncrementalViewUpdate:
+    def test_delta_application_equals_recompute(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import incremental_view_update
+
+        mine = incremental_view_update(SF).to_pandas().sort_values(
+            "lang").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "lang", "n_chars"]).to_pandas()
+        new = docs[docs["doc_id"] % 10 != 1].copy()
+        new["nc"] = new["n_chars"] + (new["doc_id"] % 7 == 3).astype(int)
+        ref = new.groupby("lang", as_index=False).agg(
+            n_docs=("nc", "size"), total_chars=("nc", "sum")).sort_values(
+            "lang").reset_index(drop=True)
+        assert list(mine["lang"]) == list(ref["lang"])
+        assert np.array_equal(mine["n_docs"].to_numpy().astype(np.int64),
+                              ref["n_docs"].to_numpy().astype(np.int64))
+        assert np.array_equal(mine["total_chars"].to_numpy().astype(np.int64),
+                              ref["total_chars"].to_numpy().astype(np.int64))
