@@ -604,6 +604,12 @@ def _q_contamination_bloom(sf_dir: str):
     return contamination_flags_bloom(sf_dir)
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import edit_distance_pairs
+
+    return edit_distance_pairs(sf_dir)
+
+
 def _q_incremental_view(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import incremental_view_update
 
@@ -763,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_campaign_join": analytics.events_campaign_join,
         "docs_skyline": _q_docs_skyline,
         "incremental_view_update": _q_incremental_view,
+        "edit_distance_pairs": _q_edit_distance_pairs,
     }
 
 
@@ -863,6 +870,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "edit_distance_pairs": """
+            -- same (lang, n_chars) blocking + truncation; DuckDB's native
+            -- levenshtein is unit-cost like the engine's batched DP
+            WITH d AS (SELECT doc_id, lang, n_chars,
+                              substr(text, 1, 256) AS t
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.n_chars = b.n_chars
+             AND a.doc_id < b.doc_id
+        """,
         "incremental_view_update": """
             -- the ORACLE recomputes the view from the NEW snapshot directly;
             -- the engine reaches the same state by applying only the delta

@@ -3336,3 +3336,102 @@ def incremental_view_update(sf_dir: str) -> rd.Dataset:
 
     return grouped(docs.map_batches(partials, batch_format="pandas"),
                    ["lang"], final_block, small=True)
+
+
+def _lev_batch(a_texts, b_texts) -> np.ndarray:
+    """Exact unit-cost Levenshtein distance for a BATCH of string pairs,
+    vectorized across pairs: one DP row per outer step, with the row's
+    sequential insertion dependency resolved by the running-min identity
+    min_{j'<=j}(v[j'] + (j-j')) = j + cummin(v - j) — so every step is a
+    handful of (pairs x maxlen) numpy ops, never a per-cell Python loop."""
+    P = len(a_texts)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    la = np.fromiter((len(t) for t in a_texts), np.int64, P)
+    lb = np.fromiter((len(t) for t in b_texts), np.int64, P)
+    maxa, maxb = int(la.max()), int(lb.max())
+    res = np.where(la == 0, lb, np.int64(-1))
+    if maxa == 0:
+        return res
+    A = np.full((P, maxa), -1, np.int32)
+    B = np.full((P, maxb if maxb else 1), -2, np.int32)
+    for p, t in enumerate(a_texts):
+        if t:
+            A[p, : len(t)] = np.frombuffer(t.encode("latin-1", "replace"),
+                                           np.uint8)
+    for p, t in enumerate(b_texts):
+        if t:
+            B[p, : len(t)] = np.frombuffer(t.encode("latin-1", "replace"),
+                                           np.uint8)
+    ar = np.arange(maxb + 1, dtype=np.int64)
+    v = np.tile(ar, (P, 1))
+    for i in range(1, maxa + 1):
+        cost = (B != A[:, i - 1 : i]).astype(np.int64)
+        nv = np.empty_like(v)
+        nv[:, 0] = i
+        nv[:, 1:] = np.minimum(v[:, 1:] + 1, v[:, :-1] + cost)
+        t = nv - ar
+        np.minimum.accumulate(t, axis=1, out=t)
+        v = np.minimum(nv, t + ar)
+        hit = la == i
+        if hit.any():
+            res[hit] = v[hit, lb[hit]]
+    return res
+
+
+def edit_distance_pairs(sf_dir: str, trunc: int = 256) -> rd.Dataset:
+    """Record-linkage BLOCKING + exact EDIT-DISTANCE verify: documents are
+    blocked on (lang, n_chars) — the k=0 length band, the classic linkage
+    blocker since edit distance >= |len(a) - len(b)| — and every blocked
+    pair gets its exact unit-cost Levenshtein distance over the first
+    ``trunc`` chars (the standard cost-bounding truncation for web-scale
+    linkage; documented, mirrored by the oracle's substr).
+
+    Scale shape: ONE (lang, n_chars)-keyed exchange where only truncated
+    texts ride (payload bounded at ``trunc`` bytes/doc); block sizes are
+    bounded by the blocker's selectivity, pair expansion is per-group triu
+    inside the block, and the DP kernel is vectorized across the block's
+    whole pair batch (`_lev_batch`) — per-pair cost is numpy row ops, not
+    Python cells. No broadcast, no driver state. The DuckDB oracle is the
+    same blocked self-join with its native `levenshtein`, so the distances
+    (and therefore the whole row set) compare exactly.
+    """
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text", "n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "lang": df["lang"].to_numpy(),
+            "n_chars": df["n_chars"].to_numpy().astype(np.int64),
+            "t": np.fromiter((t[:trunc] for t in df["text"]), object,
+                             len(df)),
+        })
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, ta, tb = [], [], [], []
+        for _, g in df.groupby(["lang", "n_chars"], sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            txt = g["t"].to_numpy(object)
+            o = np.argsort(ids, kind="stable")
+            ids, txt = ids[o], txt[o]
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            ta.extend(txt[ii])
+            tb.extend(txt[jj])
+        if not out_a:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64),
+                                 "dist": np.zeros(0, np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "dist": _lev_batch(ta, tb)})
+
+    return grouped(docs.map_batches(prep, batch_format="pandas"),
+                   ["lang", "n_chars"], pairs_block)

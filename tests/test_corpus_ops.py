@@ -2443,3 +2443,55 @@ class TestIncrementalViewUpdate:
                               ref["n_docs"].to_numpy().astype(np.int64))
         assert np.array_equal(mine["total_chars"].to_numpy().astype(np.int64),
                               ref["total_chars"].to_numpy().astype(np.int64))
+
+
+class TestEditDistancePairs:
+    def test_lev_kernel_matches_scalar_dp(self):
+        import random
+
+        from osmnetfusion_ray.pipelines.corpus import _lev_batch
+
+        def scalar_lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[len(b)]
+
+        rng = random.Random(3)
+        pairs = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+                 ("abc", "abc")]
+        for _ in range(40):
+            a = "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 30)))
+            b = "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 30)))
+            pairs.append((a, b))
+        got = _lev_batch([p[0] for p in pairs], [p[1] for p in pairs])
+        want = [scalar_lev(a, b) for a, b in pairs]
+        assert got.tolist() == want
+
+    def test_pipeline_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import edit_distance_pairs
+
+        mine = edit_distance_pairs(SF).to_pandas().sort_values(
+            ["a", "b"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", pq.read_table(f"{SF}/documents.parquet"))
+        ora = con.execute("""
+            WITH d AS (SELECT doc_id, lang, n_chars, substr(text,1,256) AS t
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.lang = b.lang AND a.n_chars = b.n_chars
+                             AND a.doc_id < b.doc_id
+            ORDER BY a, b
+        """).df()
+        assert len(mine) == len(ora)
+        for c in ("a", "b", "dist"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ora[c].to_numpy().astype(np.int64)), c
