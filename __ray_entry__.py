@@ -770,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_skyline": _q_docs_skyline,
         "incremental_view_update": _q_incremental_view,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "rolling_uniques_7d": analytics.rolling_uniques_7d,
     }
 
 
@@ -870,6 +871,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "rolling_uniques_7d": """
+            -- trailing-7-day distinct users per existing day; same integer
+            -- epoch-day arithmetic as the engine
+            WITH du AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+                FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, count(DISTINCT u.user_id) AS uniques7
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """,
         "edit_distance_pairs": """
             -- same (lang, n_chars) blocking + truncation; DuckDB's native
             -- levenshtein is unit-cost like the engine's batched DP

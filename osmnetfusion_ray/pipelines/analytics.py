@@ -2730,3 +2730,67 @@ def events_campaign_join(sf_dir: str, chunk_pairs: int = 4_000_000) -> rd.Datase
             "total_value": g["cents"].to_numpy().astype(np.int64) / 100.0})
 
     return grouped(partials, ["cid"], final_block, rows=n_orders)
+
+
+def rolling_uniques_7d(sf_dir: str) -> rd.Dataset:
+    """Trailing-7-day ROLLING DISTINCT users per day — windowed COUNT
+    DISTINCT, the ad-tech "rolling uniques" shape that neither the per-day
+    exact distinct (daily_active_users) nor the sliding SUM windows cover:
+    distinctness must hold across OVERLAPPING windows, so a user active on
+    3 days still counts once in every window containing any of them.
+
+    Shape: (1) per-block local distinct (day, user) incidence — the
+    combiner, repeated events never enter a shuffle; (2) one (day, user)
+    exchange finishes the global incidence dedup; (3) each incidence
+    replicates to the <=7 window-anchor days it can serve (constant
+    factor, like the sliding-window expansion); (4) a second
+    (anchor_day, user) exchange dedups the overlap (the step that makes
+    it COUNT DISTINCT rather than SUM) and reduces to per-block partial
+    counts; (5) a final tiny day-keyed exchange sums partials. Anchor
+    days with no event of their own (pure spillover) are dropped via an
+    any(offset == 0) flag carried through the dedup — matching the
+    oracle's "days that exist" semantics. All integer; exchanges bounded
+    by distinct incidences x 7, never event count.
+    """
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        df = pd.DataFrame({
+            "day": (us.to_numpy() // DAY_US),
+            "user_id": t["user_id"].to_numpy()})
+        return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
+
+    incidence = grouped(ev.map_batches(local_pairs, batch_format="pyarrow"),
+                        ["day", "user_id"],
+                        lambda df: df.drop_duplicates(["day", "user_id"]))
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["day"].to_numpy().astype(np.int64)
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        n = len(day)
+        off = np.tile(np.arange(7, dtype=np.int64), n)
+        return pd.DataFrame({"aday": np.repeat(day, 7) + off,
+                             "user_id": np.repeat(uid, 7),
+                             "on_day": (off == 0)})
+
+    rep = incidence.map_batches(replicate, batch_format="pandas")
+
+    def window_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["aday", "user_id"], sort=False)["on_day"].any().reset_index()
+        out = g.groupby("aday", sort=False).agg(
+            n=("user_id", "size"), real=("on_day", "any")).reset_index()
+        return out
+
+    partials = grouped(rep, ["aday", "user_id"], window_partials)
+
+    def final_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("aday", sort=False).agg(
+            n=("n", "sum"), real=("real", "any")).reset_index()
+        g = g[g["real"]]
+        return pd.DataFrame({"day": g["aday"].to_numpy().astype(np.int64),
+                             "uniques7": g["n"].to_numpy().astype(np.int64)})
+
+    return grouped(partials, ["aday"], final_block, small=True)

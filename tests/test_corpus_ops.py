@@ -2495,3 +2495,41 @@ class TestEditDistancePairs:
         for c in ("a", "b", "dist"):
             assert np.array_equal(mine[c].to_numpy().astype(np.int64),
                                   ora[c].to_numpy().astype(np.int64)), c
+
+
+class TestRollingUniques7d:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import rolling_uniques_7d
+
+        mine = rolling_uniques_7d(SF).to_pandas().sort_values(
+            "day").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "user_id"]).to_pandas()
+        day = ev["ts"].astype("int64").to_numpy() // 86_400_000_000
+        uid = ev["user_id"].to_numpy()
+        du = set(zip(day.tolist(), uid.tolist()))
+        days = sorted({d for d, _ in du})
+        ref = {d: len({u for dd, u in du if d - 6 <= dd <= d}) for d in days}
+        assert list(mine["day"]) == days
+        for d, n in zip(mine["day"], mine["uniques7"]):
+            assert int(n) == ref[int(d)]
+
+    def test_multi_day_user_counts_once_per_window(self, ray_session):
+        """A user active on several days inside one window contributes 1."""
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import rolling_uniques_7d
+
+        mine = rolling_uniques_7d(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "user_id"]).to_pandas()
+        # uniques7 can never exceed the total distinct-user count
+        assert (mine["uniques7"] <= ev["user_id"].nunique()).all()
+        # and never below the busiest single day inside the window
+        day = ev["ts"].astype("int64").to_numpy() // 86_400_000_000
+        daily = pd.DataFrame({"day": day, "u": ev["user_id"]}).groupby(
+            "day")["u"].nunique()
+        for d, n in zip(mine["day"], mine["uniques7"]):
+            assert int(n) >= int(daily.loc[int(d)])
