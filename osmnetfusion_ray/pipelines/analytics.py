@@ -1977,21 +1977,29 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         g = out.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False)
         return g["n_r"].sum()
 
-    pairs = groupby_agg(li.map_batches(pair_partial, batch_format="pandas"),
-                        ["l_orderkey", "l_suppkey"],
-                        [AggSpec("n_r", "n_r", "sum")])
+    partials = li.map_batches(pair_partial, batch_format="pandas")
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    okeys = orders.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F")))
-                   .select(["o_orderkey"]),
-        batch_format="pyarrow")
-    n_ord = table_rows(sf_dir, "orders")
-    fpairs = pairs.join(okeys, join_type="inner",
-                        num_partitions=_num_partitions(rows=n_ord),
-                        on=("l_orderkey",), right_on=("o_orderkey",))
+    # F-order markers ride the SAME orderkey exchange as the lineitem pair
+    # partials (co-location join: suppkey = -1 tags a marker row), so the
+    # pair-sum completion, the F semi-filter, and both EXISTS counts all
+    # happen in ONE shuffle instead of groupby + join + groupby
+    def f_markers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["o_orderstatus"] == "F", "o_orderkey"].to_numpy()
+        return pd.DataFrame({"l_orderkey": k.astype(np.int64),
+                             "l_suppkey": np.full(len(k), -1, np.int64),
+                             "n_r": np.zeros(len(k), np.int64)})
+
+    okeys = orders.map_batches(f_markers, batch_format="pandas")
 
     def exists_block(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["l_suppkey"].to_numpy() == -1
+        forder = df.loc[mark, "l_orderkey"].unique()
+        df = df[~mark]
+        # finish the (orderkey, suppkey) pair sums across blocks' partials
+        df = df.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                        as_index=False)["n_r"].sum()
+        df = df[df["l_orderkey"].isin(forder)]
         df = df.assign(is_r=(df["n_r"] > 0).astype(np.int64))
         g = df.groupby("l_orderkey", sort=False)
         n_supp = g["l_suppkey"].transform("size")  # pairs are distinct
@@ -2001,7 +2009,11 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"l_suppkey": df.loc[keep, "l_suppkey"].to_numpy(),
                              "numwait": df.loc[keep, "n_r"].to_numpy()})
 
-    waits = grouped(fpairs, ["l_orderkey"], exists_block)
+    # the per-partition reduce is ~tens of ms on <=100k skinny rows — on
+    # this host 32 fresh aggregator actors cost far more to spawn than the
+    # whole reduce, so the one exchange runs on a small pool
+    waits = grouped(partials.union(okeys), ["l_orderkey"], exists_block,
+                    small=True)
     per_supp = groupby_agg(waits, ["l_suppkey"],
                            [AggSpec("numwait", "numwait", "sum")], small=True)
 
