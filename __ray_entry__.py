@@ -771,6 +771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_view_update": _q_incremental_view,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "rolling_uniques_7d": analytics.rolling_uniques_7d,
+        "users_all_event_types": analytics.users_all_event_types,
+        "campaign_peak_concurrency": analytics.campaign_peak_concurrency,
     }
 
 
@@ -871,6 +873,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "users_all_event_types": """
+            -- relational division: per-user distinct-type count equals the
+            -- corpus-wide distinct-type count
+            SELECT user_id, count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            HAVING count(DISTINCT event_type)
+                   = (SELECT count(DISTINCT event_type) FROM events)
+        """,
+        "campaign_peak_concurrency": """
+            -- sweep-line mirror: -1 before +1 at equal t (half-open
+            -- windows); peak_t is the earliest instant achieving the peak
+            WITH c AS (
+                SELECT 1704067200000000 + (o_orderkey % 43200) * 60000000 AS lo_us,
+                       1704067200000000 + (o_orderkey % 43200) * 60000000
+                         + (15 + (o_orderkey % 61)) * 60000000 AS hi_us
+                FROM orders
+            ),
+            pts AS (
+                SELECT lo_us AS t, 1 AS d FROM c
+                UNION ALL
+                SELECT hi_us AS t, -1 AS d FROM c
+            ),
+            cum AS (
+                SELECT t, sum(d) OVER (ORDER BY t, d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+                FROM pts
+            )
+            SELECT (SELECT max(s) FROM cum) AS peak,
+                   (SELECT min(t) FROM cum
+                     WHERE s = (SELECT max(s) FROM cum)) AS peak_t_us
+        """,
         "rolling_uniques_7d": """
             -- trailing-7-day distinct users per existing day; same integer
             -- epoch-day arithmetic as the engine

@@ -2806,3 +2806,109 @@ def rolling_uniques_7d(sf_dir: str) -> rd.Dataset:
                              "uniques7": g["n"].to_numpy().astype(np.int64)})
 
     return grouped(partials, ["aday"], final_block, small=True)
+
+
+def users_all_event_types(sf_dir: str) -> rd.Dataset:
+    """RELATIONAL DIVISION (the FOR-ALL quantifier): users who emitted
+    every event type present in the corpus — the division shape
+    (fact ÷ dimension) that anti-joins and EXISTS queries don't cover.
+
+    Shape: division decomposes to exact distinct-counting — a user
+    qualifies iff |distinct(own types)| == |distinct(all types)|. Blocks
+    emit DISTINCT (user, type) partials (the combiner; repeated events
+    never shuffle), one user-keyed exchange finishes the dedup and counts,
+    and the divisor |all types| is a vocabulary-bounded scalar computed
+    from tiny per-block type sets and carried in the closure — never a
+    row-scale side. Output: qualifying users with their event count.
+    """
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def type_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"].unique()})
+
+    all_types = ev.map_batches(type_partial, batch_format="pandas").to_pandas()
+    n_types = int(all_types["event_type"].nunique())
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False,
+                       as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def final_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False,
+                       as_index=False)["n"].sum()
+        out = g.groupby("user_id", sort=False).agg(
+            n_types=("event_type", "size"), n_events=("n", "sum")).reset_index()
+        out = out[out["n_types"] == n_types]
+        return pd.DataFrame({"user_id": out["user_id"].to_numpy().astype(np.int64),
+                             "n_events": out["n_events"].to_numpy().astype(np.int64)})
+
+    return grouped(ev.map_batches(local_pairs, batch_format="pandas"),
+                   ["user_id"], final_block, small=True)
+
+
+def campaign_peak_concurrency(sf_dir: str, n_ranges: int = 64) -> pa.Table:
+    """Distributed SWEEP-LINE: the global PEAK number of concurrently
+    active campaign windows (the max-interval-overlap / gantt shape) plus
+    the earliest instant it is reached — an ordered global prefix-sum
+    problem with NO global sort.
+
+    Every interval emits (+1 at lo, -1 at hi); half-open [lo, hi)
+    semantics order a -1 before a +1 at the same instant, so touching
+    windows never count as overlapping. The sweep decomposes exactly like
+    the engine's other two-phase prefix scans (sequence_packing,
+    doc_global_rank): time is cut into ``n_ranges`` fixed buckets, ONE
+    bucket-keyed exchange co-locates each bucket's endpoints, every
+    bucket reduces to the 3-scalar summary (sum of deltas, running max,
+    earliest argmax instant), and the driver folds the O(n_ranges)
+    summaries with the sweep identity max(a ++ b) = max(max_a,
+    total_a + max_b) — so the only row-scale movement is the endpoint
+    shuffle and the driver holds 64 summary rows. Bit-exact: all
+    integers; equal-(t, delta) rows carry identical deltas, so the
+    running max and its earliest instant are invariant to their
+    within-tie order.
+    """
+    from ..rayctx import grouped
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+
+    span_lo = _CAMPAIGN_EPOCH_US
+    span_hi = _CAMPAIGN_EPOCH_US + 43_200 * 60_000_000 + 76 * 60_000_000
+    width = (span_hi - span_lo + n_ranges - 1) // n_ranges
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy().astype(np.int64)
+        lo = _CAMPAIGN_EPOCH_US + (k % 43_200) * 60_000_000
+        hi = lo + (15 + (k % 61)) * 60_000_000
+        t = np.concatenate([lo, hi])
+        d = np.concatenate([np.ones(len(k), np.int64),
+                            np.full(len(k), -1, np.int64)])
+        return pd.DataFrame({"rng": (t - span_lo) // width, "t": t, "d": d})
+
+    def bucket_summary(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for rng, g in df.groupby("rng", sort=False):
+            t = g["t"].to_numpy()
+            d = g["d"].to_numpy()
+            o = np.lexsort((d, t))   # -1 sorts before +1 at equal t
+            cum = np.cumsum(d[o])
+            j = int(np.argmax(cum))  # first index achieving the max
+            out.append({"rng": int(rng), "total": int(cum[-1]),
+                        "mx": int(cum[j]), "mx_t": int(t[o][j])})
+        return pd.DataFrame(out, columns=["rng", "total", "mx", "mx_t"])
+
+    summaries = grouped(orders.map_batches(endpoints, batch_format="pandas"),
+                        ["rng"], bucket_summary, small=True
+                        ).to_pandas().sort_values("rng")
+
+    base = 0
+    peak, peak_t = np.iinfo(np.int64).min, -1
+    for _, r in summaries.iterrows():
+        cand = base + int(r["mx"])
+        if cand > peak:            # strictly greater → EARLIEST instant wins
+            peak, peak_t = cand, int(r["mx_t"])
+        base += int(r["total"])
+    return pa.table({"peak": pa.array([peak], pa.int64()),
+                     "peak_t_us": pa.array([peak_t], pa.int64())})

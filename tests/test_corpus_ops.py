@@ -2533,3 +2533,50 @@ class TestRollingUniques7d:
             "day")["u"].nunique()
         for d, n in zip(mine["day"], mine["uniques7"]):
             assert int(n) >= int(daily.loc[int(d)])
+
+
+class TestDivisionAndSweepline:
+    def test_division_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import users_all_event_types
+
+        mine = users_all_event_types(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type"]).to_pandas()
+        n_types = ev["event_type"].nunique()
+        g = ev.groupby("user_id").agg(nt=("event_type", "nunique"),
+                                      ne=("event_type", "size"))
+        ref = g[g["nt"] == n_types]
+        assert list(mine["user_id"]) == sorted(ref.index.tolist())
+        ref = ref.loc[mine["user_id"]]
+        assert np.array_equal(mine["n_events"].to_numpy(),
+                              ref["ne"].to_numpy().astype(np.int64))
+
+    def test_sweepline_matches_single_pass(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (
+            _CAMPAIGN_EPOCH_US, campaign_peak_concurrency)
+
+        out = campaign_peak_concurrency(SF).to_pandas()
+        k = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]
+                          ).to_pandas()["o_orderkey"].to_numpy().astype(np.int64)
+        lo = _CAMPAIGN_EPOCH_US + (k % 43_200) * 60_000_000
+        hi = lo + (15 + (k % 61)) * 60_000_000
+        t = np.concatenate([lo, hi])
+        d = np.concatenate([np.ones(len(k), np.int64),
+                            np.full(len(k), -1, np.int64)])
+        o = np.lexsort((d, t))
+        cum = np.cumsum(d[o])
+        j = int(np.argmax(cum))
+        assert int(out.loc[0, "peak"]) == int(cum[j])
+        assert int(out.loc[0, "peak_t_us"]) == int(t[o][j])
+
+    def test_sweepline_invariant_to_n_ranges(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import campaign_peak_concurrency
+
+        a = campaign_peak_concurrency(SF, n_ranges=3).to_pandas()
+        b = campaign_peak_concurrency(SF, n_ranges=64).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
