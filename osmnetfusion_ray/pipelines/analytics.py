@@ -1545,36 +1545,67 @@ def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
             "rev": np.round(rev * 10000.0).astype(np.int64),
         })
 
-    per_key = groupby_agg(dec.map_batches(revenue, batch_format="pandas"),
-                          ["l_orderkey", "supp_region", "l_year"],
-                          [AggSpec("rev", "rev", "sum")])
+    # two co-location exchanges replace groupby + native join + native
+    # join (the q21 fusion layout): orders' custkey rides the orderkey
+    # shuffle as marker rows, customer's nationkey rides the custkey
+    # shuffle — each block finishes the partial-revenue sums AND the join
+    # attach in one pass, so no separate aggregator pool per stage
+    from ..rayctx import grouped
+
+    partials = dec.map_batches(revenue, batch_format="pandas")
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    n_ord = table_rows(sf_dir, "orders")
-    w_cust = per_key.join(orders, join_type="inner",
-                          num_partitions=_num_partitions(rows=n_ord),
-                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def order_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+            "supp_region": "", "l_year": np.int64(0), "rev": np.int64(0),
+            "cust": df["o_custkey"].to_numpy().astype(np.int64)})
+
+    li_side = partials.map_batches(
+        lambda df: df.assign(cust=np.int64(-1)), batch_format="pandas")
+
+    def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cust"] >= 0
+        o = df.loc[mark, ["l_orderkey", "cust"]].set_index("l_orderkey")["cust"]
+        d = df[~mark]
+        cust = d["l_orderkey"].map(o)
+        d = d.assign(cust=cust).dropna(subset=["cust"])
+        g = d.groupby(["cust", "supp_region", "l_year"], sort=False,
+                      as_index=False)["rev"].sum()
+        g["cust"] = g["cust"].astype(np.int64)
+        return g
+
+    by_cust = grouped(li_side.union(orders.map_batches(
+        order_markers, batch_format="pandas")), ["l_orderkey"], attach_cust,
+        small=True)
+
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    w_nat = w_cust.join(cust, join_type="inner",
-                        num_partitions=_num_partitions(rows=n_ord),
-                        on=("o_custkey",), right_on=("c_custkey",))
 
-    nref = ray.put(nat_region)
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cust": df["c_custkey"].to_numpy().astype(np.int64),
+            "supp_region": "", "l_year": np.int64(0), "rev": np.int64(0),
+            "natk": df["c_nationkey"].to_numpy().astype(np.int64)})
 
-    class _PairFilter:
-        def __init__(self):
-            self.nr = ray.get(nref)
+    cu_side = by_cust.map_batches(
+        lambda df: df.assign(natk=np.int64(-1)), batch_format="pandas")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            cr = df["c_nationkey"].map(self.nr)
-            sr = df["supp_region"]
-            keep = ((sr == r1) & (cr == r2)) | ((sr == r2) & (cr == r1))
-            out = df.loc[keep, ["supp_region", "l_year", "rev"]].copy()
-            out["cust_region"] = cr[keep].to_numpy()
-            return out
+    def pair_filter(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["natk"] >= 0
+        nk = df.loc[mark, ["cust", "natk"]].set_index("cust")["natk"]
+        d = df[~mark]
+        cr = d["cust"].map(nk).map(nat_region)
+        sr = d["supp_region"]
+        keep = ((sr == r1) & (cr == r2)) | ((sr == r2) & (cr == r1))
+        out = d.loc[keep, ["supp_region", "l_year", "rev"]].copy()
+        out["cust_region"] = cr[keep].to_numpy()
+        return out.groupby(["supp_region", "cust_region", "l_year"],
+                           sort=False, as_index=False)["rev"].sum()
 
-    paired = w_nat.map_batches(_PairFilter, batch_format="pandas",
-                               concurrency=(1, 8))
+    paired = grouped(cu_side.union(cust.map_batches(
+        cust_markers, batch_format="pandas")), ["cust"], pair_filter,
+        small=True)
     out = groupby_agg(paired, ["supp_region", "cust_region", "l_year"],
                       [AggSpec("revenue", "rev", "sum")], small=True)
 
