@@ -773,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_uniques_7d": analytics.rolling_uniques_7d,
         "users_all_event_types": analytics.users_all_event_types,
         "campaign_peak_concurrency": analytics.campaign_peak_concurrency,
+        "user_daily_locf": analytics.user_daily_locf,
     }
 
 
@@ -873,6 +874,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "user_daily_locf": """
+            -- calendar densification + IGNORE-NULLS window carry; same
+            -- integer epoch-day / cents arithmetic as the engine
+            WITH obs AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                     FROM obs GROUP BY 1),
+            grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+                     FROM span)
+            SELECT g.user_id, g.day,
+                   last_value(o.cents IGNORE NULLS) OVER w AS cents,
+                   o.day IS NOT NULL AS observed,
+                   g.day - last_value(o.day IGNORE NULLS) OVER w AS stale_days
+            FROM grid g LEFT JOIN obs o USING (user_id, day)
+            WINDOW w AS (PARTITION BY g.user_id ORDER BY g.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
         "users_all_event_types": """
             -- relational division: per-user distinct-type count equals the
             -- corpus-wide distinct-type count

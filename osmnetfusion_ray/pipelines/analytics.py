@@ -2943,3 +2943,69 @@ def campaign_peak_concurrency(sf_dir: str, n_ranges: int = 64) -> pa.Table:
         base += int(r["total"])
     return pa.table({"peak": pa.array([peak], pa.int64()),
                      "peak_t_us": pa.array([peak_t], pa.int64())})
+
+
+def user_daily_locf(sf_dir: str) -> rd.Dataset:
+    """Time-series GAP FILL + LOCF (last observation carried forward): each
+    user's per-day spend series is DENSIFIED to every calendar day between
+    their first and last observation, with missing days forward-filled
+    from the most recent observed day — the warehouse
+    calendar-densification shape (running stats and windows assume rows
+    exist; this op manufactures the missing ones).
+
+    Shape: per-block (user, day, cents) combiner partials, ONE user-keyed
+    exchange, and a fully-vectorized block kernel — per-user day grids are
+    built with one repeat/offset expansion and each grid day finds its
+    carry-source row by a single searchsorted on the (user, day) composite
+    key (valid because grid days never precede their user's first
+    observation), so no Python touches a user. Output size is bounded by
+    users x span days; all values exact int64 cents. The DuckDB mirror is
+    unnest(range) densification + IGNORE-NULLS window carry.
+    """
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def day_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "day": df["ts"].astype("int64").to_numpy() // DAY_US,
+            "cents": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)})
+        return out.groupby(["user_id", "day"], sort=False,
+                           as_index=False)["cents"].sum()
+
+    def locf_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                                 "day": np.zeros(0, np.int64),
+                                 "cents": np.zeros(0, np.int64),
+                                 "observed": np.zeros(0, bool),
+                                 "stale_days": np.zeros(0, np.int64)})
+        g = df.groupby(["user_id", "day"], sort=False,
+                       as_index=False)["cents"].sum()
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        c = g["cents"].to_numpy()
+        o = np.lexsort((d, u))
+        u, d, c = u[o], d[o], c[o]
+        # per-user [first, last] spans via boundary detection
+        newu = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(newu)
+        ends = np.concatenate([starts[1:], [len(u)]]) - 1
+        span = d[ends] - d[starts] + 1
+        total = int(span.sum())
+        uid = np.repeat(u[starts], span)
+        off = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(span) - span, span)
+        day = np.repeat(d[starts], span) + off
+        # carry source: last observed row at-or-before (uid, day); the
+        # composite key is collision-free because epoch days fit well
+        # inside the 32-bit slot
+        KEY = np.int64(1) << np.int64(32)
+        idx = np.searchsorted(u * KEY + d, uid * KEY + day, side="right") - 1
+        return pd.DataFrame({
+            "user_id": uid, "day": day, "cents": c[idx],
+            "observed": d[idx] == day, "stale_days": day - d[idx]})
+
+    return grouped(ev.map_batches(day_partials, batch_format="pandas"),
+                   ["user_id"], locf_block)

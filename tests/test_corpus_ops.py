@@ -2580,3 +2580,47 @@ class TestDivisionAndSweepline:
         a = campaign_peak_concurrency(SF, n_ranges=3).to_pandas()
         b = campaign_peak_concurrency(SF, n_ranges=64).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestUserDailyLocf:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import user_daily_locf
+
+        mine = user_daily_locf(SF).to_pandas().sort_values(
+            ["user_id", "day"]).reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "value"]).to_pandas()
+        ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        obs = ev.groupby(["user_id", "day"], as_index=False)["cents"].sum()
+        rows = []
+        for uid, g in obs.groupby("user_id"):
+            g = g.sort_values("day")
+            days = dict(zip(g["day"], g["cents"]))
+            last_d = None
+            for d in range(int(g["day"].min()), int(g["day"].max()) + 1):
+                if d in days:
+                    last_d = d
+                rows.append((uid, d, days[last_d], d in days, d - last_d))
+        ref = pd.DataFrame(rows, columns=["user_id", "day", "cents",
+                                          "observed", "stale_days"])
+        assert len(mine) == len(ref)
+        for c in ("user_id", "day", "cents", "stale_days"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ref[c].to_numpy().astype(np.int64)), c
+        assert np.array_equal(mine["observed"].to_numpy().astype(bool),
+                              ref["observed"].to_numpy().astype(bool))
+
+    def test_gaps_are_filled_and_flagged(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import user_daily_locf
+
+        out = user_daily_locf(SF).to_pandas()
+        gaps = out[~out["observed"]]
+        assert len(gaps) > 0                       # fixture has real gaps
+        assert (gaps["stale_days"] > 0).all()
+        assert (out.loc[out["observed"], "stale_days"] == 0).all()
+        # densified: per user the day range is contiguous
+        span = out.groupby("user_id")["day"].agg(["min", "max", "size"])
+        assert (span["size"] == span["max"] - span["min"] + 1).all()
