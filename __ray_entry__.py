@@ -610,6 +610,12 @@ def _q_edit_distance_pairs(sf_dir: str):
     return edit_distance_pairs(sf_dir)
 
 
+def _q_doc_dbscan(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import doc_dbscan
+
+    return doc_dbscan(sf_dir)
+
+
 def _q_incremental_view(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import incremental_view_update
 
@@ -774,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_all_event_types": analytics.users_all_event_types,
         "campaign_peak_concurrency": analytics.campaign_peak_concurrency,
         "user_daily_locf": analytics.user_daily_locf,
+        "doc_dbscan": _q_doc_dbscan,
     }
 
 
@@ -874,6 +881,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "doc_dbscan": """
+            -- full DBSCAN recompute: same hash point field (one IEEE
+            -- expression tree), eps-grid pair join, recursive min-label
+            -- components over the core-core graph, min-core-label borders
+            WITH base AS (
+                SELECT doc_id,
+                       (doc_id * 2654435761) % 4294967296 AS h,
+                       ((doc_id % 97) * 2654435761) % 4294967296 AS hk
+                FROM documents
+            ),
+            pt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 7
+                            THEN CAST(h % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                            ELSE CAST(hk % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                 + (CAST(h % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                    - CAST(0.5 AS DOUBLE)) * CAST(0.02 AS DOUBLE)
+                       END AS x,
+                       CASE WHEN doc_id % 10 = 7
+                            THEN CAST((h // 65536) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                            ELSE CAST((hk // 65536) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                 + (CAST((h // 65536) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                    - CAST(0.5 AS DOUBLE)) * CAST(0.02 AS DOUBLE)
+                       END AS y
+                FROM base
+            ),
+            cells AS (
+                SELECT doc_id, x, y,
+                       CAST(floor((x + CAST(1 AS DOUBLE)) / CAST(0.005 AS DOUBLE)) AS BIGINT) AS cx,
+                       CAST(floor((y + CAST(1 AS DOUBLE)) / CAST(0.005 AS DOUBLE)) AS BIGINT) AS cy
+                FROM pt
+            ),
+            o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                        (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+            pairs AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM cells a CROSS JOIN o
+                JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+                WHERE a.doc_id < b.doc_id
+                  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                      < CAST(0.005 AS DOUBLE) * CAST(0.005 AS DOUBLE)
+            ),
+            sym AS (SELECT ia AS u, ib AS v FROM pairs
+                    UNION ALL SELECT ib, ia FROM pairs),
+            core AS (SELECT u AS doc_id FROM sym GROUP BY u
+                     HAVING count(*) + 1 >= 4),
+            ce AS (SELECT s.u, s.v FROM sym s
+                   JOIN core c1 ON c1.doc_id = s.u
+                   JOIN core c2 ON c2.doc_id = s.v),
+            comp AS (
+                WITH RECURSIVE w(node, lab) AS (
+                    SELECT doc_id, doc_id FROM core
+                    UNION
+                    SELECT e.v, w.lab FROM w JOIN ce e ON e.u = w.node
+                )
+                SELECT node, min(lab) AS label FROM w GROUP BY node
+            ),
+            border AS (
+                SELECT s.u AS doc_id, min(c.label) AS label
+                FROM sym s JOIN comp c ON c.node = s.v
+                WHERE s.u NOT IN (SELECT doc_id FROM core)
+                GROUP BY s.u
+            )
+            SELECT d.doc_id,
+                   coalesce(cm.label, b.label, -1) AS label,
+                   CASE WHEN cm.label IS NOT NULL THEN 'core'
+                        WHEN b.label IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS kind
+            FROM documents d
+            LEFT JOIN comp cm ON cm.node = d.doc_id
+            LEFT JOIN border b ON b.doc_id = d.doc_id
+        """,
         "user_daily_locf": """
             -- calendar densification + IGNORE-NULLS window carry; same
             -- integer epoch-day / cents arithmetic as the engine

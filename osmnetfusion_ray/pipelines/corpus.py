@@ -3435,3 +3435,220 @@ def edit_distance_pairs(sf_dir: str, trunc: int = 256) -> rd.Dataset:
 
     return grouped(docs.map_batches(prep, batch_format="pandas"),
                    ["lang", "n_chars"], pairs_block)
+
+
+_DBSCAN_K = np.uint64(2654435761)
+_DBSCAN_M = np.uint64(1 << 32)
+
+
+def _dbscan_xy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic clustered point field for DBSCAN: 97 hash-placed
+    cluster centers, members box-jittered ±0.01 around their center,
+    every doc_id % 10 == 7 doc scattered over the whole unit square
+    (the noise population). All arithmetic is integer hashes + the same
+    IEEE expression tree the SQL oracle uses, so coordinates are
+    bit-equal across engines."""
+    did = doc_id.astype(np.uint64)
+    h = (did * _DBSCAN_K) % _DBSCAN_M
+    hx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+    hy = ((h // np.uint64(65536)) % np.uint64(65536)).astype(np.float64) / 65536.0
+    k = (did % np.uint64(97)) * _DBSCAN_K % _DBSCAN_M
+    cx = (k % np.uint64(65536)).astype(np.float64) / 65536.0
+    cy = ((k // np.uint64(65536)) % np.uint64(65536)).astype(np.float64) / 65536.0
+    noise = (doc_id % 10) == 7
+    x = np.where(noise, hx, cx + (hx - 0.5) * 0.02)
+    y = np.where(noise, hy, cy + (hy - 0.5) * 0.02)
+    return x, y
+
+
+def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
+    """Distributed DBSCAN over geocoded documents — the density-clustering
+    algorithm of the geospatial tier, in the deterministic min-label
+    parallel formulation: every doc is classified core / border / noise
+    and every non-noise doc gets the MIN core doc_id of its density
+    component as the cluster label (borders take the min over their
+    eps-core neighbors), which is partitioning-invariant by construction.
+
+    Scale decomposition — each step is a bounded keyed exchange:
+    1. eps-pair generation = the cell+halo self-join (doc_radius_pairs'
+       layout: 9-cell replication, pairs emitted only from
+       min(home) cells so no dedup pass);
+    2. degrees + core flags in one node-keyed co-location (a doc is core
+       iff |N_eps| + 1 >= min_pts);
+    3. edge classification in a second co-location that attaches the
+       OTHER endpoint's core flag (core-core edges vs border candidates);
+    4. core components via the engine's size-adaptive min-label
+       machinery (`labels_from_edges_ds` — driver union-find when tiny,
+       distributed label propagation with pointer jumping above);
+    5. border labels = min core-neighbor label via one label-attach
+       co-location + one min reduce;
+    6. final assembly co-locates docs with core/border labels on doc_id.
+    Nothing broadcasts: core flags and labels ride the same hash
+    exchanges as the rows they annotate. The DuckDB oracle recomputes
+    everything from the same hash field with a recursive min-label CTE
+    over the core-core graph — bit-equal because point coordinates share
+    one IEEE expression tree and all compares are strict.
+    """
+    from ..pipelines.simplify import labels_from_edges_ds
+    from ..rayctx import ensure_tuned, grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    e2 = eps * eps
+
+    def halo(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy().astype(np.int64)
+        x, y = _dbscan_xy(did)
+        # +1.0 shift keeps cell coords positive for the packed uint key
+        # (jitter can push a coordinate slightly below 0)
+        cx = np.floor((x + 1.0) / eps).astype(np.int64)
+        cy = np.floor((y + 1.0) / eps).astype(np.int64)
+        home = (cx << np.int64(32)) | cy
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = ((cx + dx) << np.int64(32)) | (cy + dy)
+                outs.append(pa.table({"cell": pa.array(cell),
+                                      "doc_id": pa.array(did),
+                                      "x": pa.array(x), "y": pa.array(y),
+                                      "home": pa.array(home)}))
+        return pa.concat_tables(outs)
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cell, g in df.groupby("cell", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            x = g["x"].to_numpy(); y = g["y"].to_numpy()
+            d2 = (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2
+            home = g["home"].to_numpy()
+            keep = (d2 < e2) & (np.minimum(home[i], home[j]) == cell)
+            if keep.any():
+                ids = g["doc_id"].to_numpy()
+                outs.append(pd.DataFrame({"a": ids[i[keep]],
+                                          "b": ids[j[keep]]}))
+        if not outs:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped(docs.map_batches(halo, batch_format="pyarrow"),
+                    ["cell"], pair_block)
+
+    sym = pairs.map_batches(lambda df: pd.DataFrame({
+        "u": np.concatenate([df["a"].to_numpy(np.int64),
+                             df["b"].to_numpy(np.int64)]),
+        "v": np.concatenate([df["b"].to_numpy(np.int64),
+                             df["a"].to_numpy(np.int64)])}),
+        batch_format="pandas").materialize()
+
+    # step 2: degree per node -> core flag; edges leave tagged with the
+    # SOURCE endpoint's flag, node rows (v = -1) remember every flag
+    def degree_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"k": np.zeros(0, np.int64),
+                                 "u": np.zeros(0, np.int64),
+                                 "u_core": np.zeros(0, bool)})
+        deg = df.groupby("u", sort=False)["v"].transform("size").to_numpy()
+        u_core = (deg + 1) >= min_pts
+        nodes = df.drop_duplicates("u")
+        ncore = (df.groupby("u", sort=False)["v"].size() + 1 >= min_pts)
+        return pd.concat([
+            pd.DataFrame({"k": df["v"].to_numpy(np.int64),
+                          "u": df["u"].to_numpy(np.int64), "u_core": u_core}),
+            pd.DataFrame({"k": nodes["u"].to_numpy(np.int64),
+                          "u": np.int64(-1),
+                          "u_core": ncore.loc[nodes["u"]].to_numpy()}),
+        ], ignore_index=True)
+
+    tagged = grouped(sym, ["u"], degree_block)
+
+    # step 3: attach the other endpoint's core flag (k = that endpoint)
+    def classify_block(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df[df["u"] == -1]
+        vcore = nodes.set_index("k")["u_core"]
+        e = df[df["u"] != -1]
+        vc = e["k"].map(vcore).to_numpy(bool)
+        uc = e["u_core"].to_numpy(bool)
+        cc = uc & vc
+        bc = (~uc) & vc
+        return pd.DataFrame({
+            "u": np.concatenate([e["u"].to_numpy(np.int64)[cc],
+                                 e["u"].to_numpy(np.int64)[bc]]),
+            "v": np.concatenate([e["k"].to_numpy(np.int64)[cc],
+                                 e["k"].to_numpy(np.int64)[bc]]),
+            "kind": np.concatenate([np.zeros(int(cc.sum()), np.int64),
+                                    np.ones(int(bc.sum()), np.int64)])})
+
+    edges = grouped(tagged, ["k"], classify_block).materialize()
+
+    cc_edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df.loc[df["kind"] == 0, "u"].to_numpy(np.int64),
+             "nbr": df.loc[df["kind"] == 0, "v"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    # every core appears exactly once as a tagged node row (one per node,
+    # emitted from its u-keyed block) — including ISOLATED cores with no
+    # core neighbor, which must still label themselves
+    core_ids = tagged.map_batches(
+        lambda df: pd.DataFrame({"osmid": df.loc[
+            (df["u"] == -1) & df["u_core"], "k"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    ensure_tuned()
+    labels = labels_from_edges_ds(core_ids, cc_edges)  # (osmid, label)
+
+    # step 5: border label = min label over eps-core neighbors
+    bcand = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df.loc[df["kind"] == 1, "v"].to_numpy(np.int64),
+             "u": df.loc[df["kind"] == 1, "u"].to_numpy(np.int64),
+             "label": np.full(int((df["kind"] == 1).sum()), -1, np.int64)}),
+        batch_format="pandas")
+    lab_rows = labels.map_batches(
+        lambda df: pd.DataFrame({"k": df["osmid"].to_numpy(np.int64),
+                                 "u": np.int64(-1),
+                                 "label": df["label"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    def attach_label(df: pd.DataFrame) -> pd.DataFrame:
+        lm = df[df["u"] == -1].set_index("k")["label"]
+        e = df[df["u"] != -1]
+        return pd.DataFrame({"u": e["u"].to_numpy(np.int64),
+                             "label": e["k"].map(lm).to_numpy(np.int64)})
+
+    border = grouped(
+        grouped(bcand.union(lab_rows), ["k"], attach_label),
+        ["u"], lambda df: df.groupby("u", sort=False, as_index=False)
+                            ["label"].min(), small=True)
+
+    # step 6: assemble — docs + core labels + border labels on doc_id
+    doc_rows = docs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())})
+                    .append_column("label", pa.array(np.full(
+                        len(t), -1, np.int64)))
+                    .append_column("src", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow")
+    core_rows = labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["osmid"].to_numpy(np.int64),
+                                 "label": df["label"].to_numpy(np.int64),
+                                 "src": np.int64(2)}),
+        batch_format="pandas")
+    border_rows = border.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["u"].to_numpy(np.int64),
+                                 "label": df["label"].to_numpy(np.int64),
+                                 "src": np.int64(1)}),
+        batch_format="pandas")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "src"]).groupby(
+            "doc_id", sort=False).last().reset_index()
+        kind = np.where(g["src"] == 2, "core",
+                np.where(g["src"] == 1, "border", "noise")).astype(object)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "label": g["label"].to_numpy(np.int64),
+                             "kind": kind.astype(str)})
+
+    return grouped(doc_rows.union(core_rows).union(border_rows),
+                   ["doc_id"], assemble)

@@ -2624,3 +2624,62 @@ class TestUserDailyLocf:
         # densified: per user the day range is contiguous
         span = out.groupby("user_id")["day"].agg(["min", "max", "size"])
         assert (span["size"] == span["max"] - span["min"] + 1).all()
+
+
+class TestDocDbscan:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import _dbscan_xy, doc_dbscan
+
+        mine = doc_dbscan(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]
+                            ).to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        x, y = _dbscan_xy(ids)
+        eps, minpts = 0.005, 4
+        n = len(ids)
+        adj = [[] for _ in range(n)]
+        for i in range(n):
+            d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
+            adj[i] = [int(j) for j in np.flatnonzero(d2 < eps * eps) if j != i]
+        core = np.array([len(a) + 1 >= minpts for a in adj])
+        cs = set(np.flatnonzero(core).tolist())
+        lab = {}
+        for c in sorted(cs):
+            if c in lab:
+                continue
+            seen = {c}
+            stack = [c]
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v in cs and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = int(ids[list(seen)].min())
+            for u in seen:
+                lab[u] = m
+        for i in range(n):
+            row = mine.iloc[i]
+            assert row["doc_id"] == ids[i]
+            if core[i]:
+                assert row["kind"] == "core" and row["label"] == lab[i]
+            else:
+                nc = [lab[j] for j in adj[i] if j in cs]
+                if nc:
+                    assert row["kind"] == "border" and row["label"] == min(nc)
+                else:
+                    assert row["kind"] == "noise" and row["label"] == -1
+
+    def test_structure_nontrivial(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_dbscan
+
+        out = doc_dbscan(SF).to_pandas()
+        k = out["kind"].value_counts()
+        assert k.get("core", 0) > 50 and k.get("border", 0) > 20 \
+            and k.get("noise", 0) > 50
+        # multiple distinct clusters, labels are member min ids
+        labs = out.loc[out["kind"] == "core", "label"]
+        assert labs.nunique() > 10
+        for lab, g in out[out["label"] >= 0].groupby("label"):
+            assert (g.loc[g["kind"] == "core", "doc_id"].min() == lab)
