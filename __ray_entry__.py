@@ -781,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_peak_concurrency": analytics.campaign_peak_concurrency,
         "user_daily_locf": analytics.user_daily_locf,
         "doc_dbscan": _q_doc_dbscan,
+        "user_day_streaks": analytics.user_day_streaks,
     }
 
 
@@ -881,6 +882,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_page_text": corpusoracle.extract_text_sql(),
         "boilerplate_stats": corpusoracle.boilerplate_stats_sql(),
+        "user_day_streaks": """
+            -- the day - row_number() island trick, integer epoch days
+            WITH du AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            isl AS (
+                SELECT user_id,
+                       day - row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS grp
+                FROM du
+            ),
+            st AS (SELECT user_id, grp, count(*) AS len
+                   FROM isl GROUP BY 1, 2)
+            SELECT user_id, sum(len) AS n_active_days,
+                   max(len) AS longest_streak, count(*) AS n_streaks
+            FROM st GROUP BY user_id
+        """,
         "doc_dbscan": """
             -- full DBSCAN recompute: same hash point field (one IEEE
             -- expression tree), eps-grid pair join, recursive min-label

@@ -3009,3 +3009,55 @@ def user_daily_locf(sf_dir: str) -> rd.Dataset:
 
     return grouped(ev.map_batches(day_partials, batch_format="pandas"),
                    ["user_id"], locf_block)
+
+
+def user_day_streaks(sf_dir: str) -> rd.Dataset:
+    """GAPS-AND-ISLANDS: per-user consecutive-active-day streak statistics
+    (n_active_days, longest_streak, n_streaks) — the calendar-run shape
+    that sessionization (time-gap over raw events) doesn't cover, because
+    islands are defined on the DEDUPLICATED day grid.
+
+    Shape: per-block distinct (user, day) partials (the combiner), ONE
+    user-keyed exchange, and a vectorized block kernel — days lexsort per
+    user, island boundaries are one diff (new user OR day gap > 1), and
+    per-island lengths reduce via boundary arithmetic, never a per-user
+    loop. Mirrors SQL's day - row_number() island trick, which the DuckDB
+    oracle uses verbatim; all integers.
+    """
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "day": df["ts"].astype("int64").to_numpy() // DAY_US})
+        return out.drop_duplicates()
+
+    def streak_block(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "day"])
+        if len(d) == 0:
+            return pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                                 "n_active_days": np.zeros(0, np.int64),
+                                 "longest_streak": np.zeros(0, np.int64),
+                                 "n_streaks": np.zeros(0, np.int64)})
+        u = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        o = np.lexsort((day, u))
+        u, day = u[o], day[o]
+        n = len(u)
+        new_island = np.concatenate([[True],
+                                     (u[1:] != u[:-1]) | (day[1:] - day[:-1] > 1)])
+        starts = np.flatnonzero(new_island)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        iu = u[starts]
+        isl = pd.DataFrame({"user_id": iu, "len": lens})
+        g = isl.groupby("user_id", sort=False).agg(
+            n_active_days=("len", "sum"), longest_streak=("len", "max"),
+            n_streaks=("len", "size")).reset_index()
+        for c in ("n_active_days", "longest_streak", "n_streaks"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return grouped(ev.map_batches(local_pairs, batch_format="pandas"),
+                   ["user_id"], streak_block, small=True)

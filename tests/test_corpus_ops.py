@@ -2683,3 +2683,28 @@ class TestDocDbscan:
         assert labs.nunique() > 10
         for lab, g in out[out["label"] >= 0].groupby("label"):
             assert (g.loc[g["kind"] == "core", "doc_id"].min() == lab)
+
+
+class TestUserDayStreaks:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import user_day_streaks
+
+        mine = user_day_streaks(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+        du = ev[["user_id", "day"]].drop_duplicates()
+        rows = []
+        for uid, g in du.groupby("user_id"):
+            days = np.sort(g["day"].to_numpy())
+            runs = np.split(days, np.flatnonzero(np.diff(days) > 1) + 1)
+            rows.append((uid, len(days), max(len(r) for r in runs), len(runs)))
+        ref = pd.DataFrame(rows, columns=["user_id", "n_active_days",
+                                          "longest_streak", "n_streaks"])
+        ref = ref.sort_values("user_id").reset_index(drop=True)
+        for c in ref.columns:
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ref[c].to_numpy().astype(np.int64)), c
