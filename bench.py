@@ -99,7 +99,8 @@ def run_tiled(trials: int = 2) -> dict:
 
     def one():
         pages = synth_pages_ds(n_pages, parallelism=blocks, columns=("url", "text"))
-        return pagejoin.join_pages_to_network_tiled(pages, nodes, edges).count()
+        return pagejoin.join_pages_to_network_tiled(
+            pages, nodes, edges, rows_hint=n_pages).count()
 
     one()  # warmup
     best = None

@@ -356,6 +356,7 @@ def join_pages_to_network_tiled(
     max_snap_m: float = 500.0,
     tile_res: int | None = None,
     geocode_mode: str = "url",
+    rows_hint: int | None = None,
 ) -> rd.Dataset:
     """TILED flagship join: pages are hash-partitioned by coarse tile and
     each partition consults only its tiles' network shards. Same results as
@@ -419,8 +420,17 @@ def join_pages_to_network_tiled(
             return df
         return pd.concat(outs, ignore_index=True)
 
-    from ..rayctx import grouped
+    from ..rayctx import grouped, n_shuffle_blocks
 
+    # the per-row join kernel is ~14 µs, so a shuffle partition only earns
+    # its worker-spawn cost at ~50k rows — with a known page count, size
+    # the exchange to the DATA (full cluster width at real scale, a
+    # handful of partitions on bench-sized inputs where 32 fresh workers'
+    # serialized first-touch faults dominated the whole job)
+    if rows_hint is not None:
+        nb = max(2, min(n_shuffle_blocks(), rows_hint // 50_000 + 2))
+        return keyed.repartition(num_blocks=nb, keys=["tile"]).map_batches(
+            _join_block, batch_format="pandas")
     return grouped(keyed, ["tile"], _join_block)
 
 
