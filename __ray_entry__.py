@@ -55,10 +55,13 @@ def _q_page_network_join_tiled(sf_dir: str):
     from osmnetfusion_ray.pipelines import pagejoin
     from osmnetfusion_ray.sources import pages_from_documents
 
+    from osmnetfusion_ray.sources import table_rows
+
     netfixture.ensure_city_fixture()
     nodes, edges, _ = netfixture.city_tables()
     ds = pagejoin.join_pages_to_network_tiled(pages_from_documents(sf_dir), nodes, edges,
-                                              geocode_mode="doc_id")
+                                              geocode_mode="doc_id",
+                                              rows_hint=table_rows(sf_dir, "documents"))
     return ds.select_columns(["doc_id", "edge_id", "snap_dist_m", "node_buffer_id"])
 
 
