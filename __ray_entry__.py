@@ -553,6 +553,12 @@ def _q_top_bigrams(sf_dir: str):
     return top_bigrams(sf_dir, k=50)
 
 
+def _q_lm_perplexity(sf_dir: str):
+    from osmnetfusion_ray.pipelines.corpus import lm_perplexity
+
+    return lm_perplexity(sf_dir)
+
+
 def _q_embedding_centroids(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import embedding_centroids
 
@@ -736,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "length_filter_p90": _q_length_filter_p90,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "lm_perplexity": _q_lm_perplexity,
         "kmeans_embeddings": _q_kmeans_embeddings,   # rows-only (iterative by design)
         "top_docs_per_lang": _q_top_docs_per_lang,
         "inverted_index": _q_inverted_index,
@@ -1415,6 +1422,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, CAST(df AS BIGINT) AS df, tfidf FROM scored
             QUALIFY row_number() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, token) = 1
+        """,
+        "lm_perplexity": """
+            -- bigram-LM NLL; surprisal quantized to integer micro-nats
+            -- (floor of one ln of one int/int division) so the per-doc sum
+            -- is exact-integer and order-free on both engines
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            b AS (
+                SELECT doc_id, unnest(l[1:len(l)-1]) AS lhs,
+                       unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:len(l)]) AS bigram
+                FROM toks WHERE len(l) >= 2
+            ),
+            tf AS (
+                SELECT doc_id, lhs, bigram, count(*) AS tf
+                FROM b GROUP BY doc_id, lhs, bigram
+            ),
+            scored AS (
+                SELECT doc_id, tf,
+                       CAST(floor(ln(
+                           CAST(sum(tf) OVER (PARTITION BY bigram) AS DOUBLE)
+                           / CAST(sum(tf) OVER (PARTITION BY lhs) AS DOUBLE)
+                       ) * 1e6) AS BIGINT) AS q
+                FROM tf
+            )
+            SELECT doc_id,
+                   CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   CAST(-sum(tf * q) AS BIGINT) AS nll_micro,
+                   CAST(CAST(-sum(tf * q) AS BIGINT) AS DOUBLE)
+                       / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) / 1e6 AS avg_nll
+            FROM scored GROUP BY doc_id
         """,
         "q18_large_orders": """
             WITH big AS (

@@ -1227,6 +1227,103 @@ def tfidf_top_terms(sf_dir: str, driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.D
     return grouped(scored, ["doc_id"], top1)
 
 
+def lm_perplexity(sf_dir: str, driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.Dataset:
+    """Per-document bigram-LM negative log-likelihood — the CCNet-style
+    statistical quality filter (score each document by how surprising its
+    token transitions are under a language model trained on the corpus
+    itself). MLE bigram model: P(w2|w1) = cnt(w1 w2) / cnt(w1 ·), so every
+    observed transition has nonzero probability by construction.
+
+    Bit-exactness under any partitioning: per-row surprisal is quantized to
+    integer micro-nats — ``q = floor(ln(cnt_bigram/cnt_lhs) · 1e6)`` is ONE
+    log of ONE division of two exactly-represented int64 counts times one
+    power-of-ten literal, identical IEEE ops on both engines — and the
+    per-document reduction is then an exact int64 sum (order-free), with a
+    single terminal double division for the average. A float sum of per-row
+    ``ln`` values would drift by ulps between block orders and could never
+    hash-match the SQL mirror.
+
+    Distributed shape (the 10^12-doc layout): documents are block-local, so
+    per-block bigram term rows (doc_id, lhs, bigram, tf) are globally
+    distinct; shuffle 1 keys them by the bigram's FIRST token so both model
+    counts — cnt(bigram) and the lhs total cnt(w1 ·) — are local group sums
+    attached in place (one exchange, no vocabulary table or broadcast);
+    shuffle 2 keys the quantized rows by doc_id for the exact integer
+    reduction. Zipf-head lhs tokens ('the') are the hot keys — same skew
+    profile as ``tfidf_top_terms``; salt the lhs key and re-merge the two
+    count kinds if a single lhs group outgrows a worker. Size-adaptive:
+    under ``driver_below`` documents both reduces run driver-side on the
+    SAME kernels (asserted path-equal in tests).
+
+    Documents with <2 tokens have no transitions and are excluded (matching
+    the SQL mirror). Output: (doc_id, n_bigrams, nll_micro, avg_nll) where
+    avg_nll is in nats (perplexity = e^avg_nll)."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
+
+    def bigram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in df["text"]]
+        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "lhs": np.array([], object),
+                                 "bigram": np.array([], object),
+                                 "tf": np.array([], np.int64)})
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos: pos + len(toks)] = toks
+            pos += len(toks)
+        doc_of = np.repeat(df["doc_id"].to_numpy(), counts)
+        same_doc = doc_of[:-1] == doc_of[1:]
+        lhs, rhs = flat[:-1][same_doc], flat[1:][same_doc]
+        g = pd.DataFrame({
+            "doc_id": doc_of[:-1][same_doc],
+            "lhs": lhs,
+            "bigram": np.fromiter((a + " " + b for a, b in zip(lhs, rhs)),
+                                  dtype=object, count=len(lhs)),
+        }).groupby(["doc_id", "lhs", "bigram"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    def attach_model(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of an lhs token are co-located: both model counts are
+        # local group sums
+        cb = df.groupby("bigram", sort=False)["tf"].transform("sum").to_numpy()
+        cl = df.groupby("lhs", sort=False)["tf"].transform("sum").to_numpy()
+        q = np.floor(
+            np.log(cb.astype(np.float64) / cl.astype(np.float64)) * 1e6
+        ).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "tf": df["tf"].to_numpy(), "q": q})
+
+    def doc_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["tf"].to_numpy()
+        g = df.assign(w=tf * df["q"].to_numpy()).groupby(
+            "doc_id", sort=False, as_index=False).agg(
+            n_bigrams=("tf", "sum"), s=("w", "sum"))
+        nll = (-g["s"].to_numpy()).astype(np.int64)
+        n = g["n_bigrams"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_bigrams": n,
+            "nll_micro": nll,
+            "avg_nll": nll.astype(np.float64) / n.astype(np.float64) / 1e6,
+        })
+
+    tf = docs.map_batches(bigram_rows, batch_format="pandas")
+    if n_docs <= driver_below:
+        out = doc_reduce(attach_model(tf.to_pandas()))
+        from ..rayctx import ensure_tuned
+
+        ensure_tuned()
+        return rd.from_pandas(out)
+    scored = grouped(tf, ["lhs"], attach_model)
+    return grouped(scored, ["doc_id"], doc_reduce)
+
+
 def embedding_centroids(sf_dir: str) -> rd.Dataset:
     """Per-label per-dimension centroid of the embedding column, emitted as
     (label, dim, centroid) rows — the grouped vector-mean every clustering /

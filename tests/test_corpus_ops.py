@@ -793,6 +793,50 @@ class TestTfidfTopTerms:
         assert np.allclose(out["tfidf"], ref["tfidf"], atol=1e-9)
 
 
+class TestLmPerplexity:
+    def test_matches_pandas_bigram_lm(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import lm_perplexity
+
+        out = lm_perplexity(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        rows = []
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            toks = text.split()
+            for a, b in zip(toks[:-1], toks[1:]):
+                rows.append((did, a, a + " " + b))
+        t = pd.DataFrame(rows, columns=["doc_id", "lhs", "bigram"])
+        tf = t.groupby(["doc_id", "lhs", "bigram"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        cb = tf.groupby("bigram")["tf"].transform("sum").to_numpy()
+        cl = tf.groupby("lhs")["tf"].transform("sum").to_numpy()
+        q = np.floor(np.log(cb.astype(np.float64) / cl.astype(np.float64)) * 1e6) \
+            .astype(np.int64)
+        tf["w"] = tf["tf"].to_numpy() * q
+        g = tf.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("tf", "sum"), s=("w", "sum"))
+        ref_nll = (-g["s"].to_numpy()).astype(np.int64)
+        ref_n = g["n_bigrams"].to_numpy().astype(np.int64)
+        assert (out["doc_id"].to_numpy() == g["doc_id"].to_numpy()).all()
+        assert (out["n_bigrams"].to_numpy() == ref_n).all()
+        assert (out["nll_micro"].to_numpy() == ref_nll).all()
+        # terminal division is the identical IEEE expression on both sides
+        assert (out["avg_nll"].to_numpy()
+                == ref_nll.astype(np.float64) / ref_n.astype(np.float64) / 1e6).all()
+        # sanity: every doc with >=2 tokens scored, scores positive
+        assert len(out) == (docs["text"].str.split().str.len() >= 2).sum()
+        assert (out["avg_nll"].to_numpy() > 0).all()
+
+    def test_driver_equals_distributed(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import lm_perplexity
+
+        drv = lm_perplexity(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        dist = lm_perplexity(SF, driver_below=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(drv, dist[drv.columns])
+
+
 class TestEventTypePivot:
     def test_matches_pandas_crosstab(self, ray_session):
         import pyarrow.parquet as pq
