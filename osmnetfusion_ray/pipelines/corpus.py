@@ -3590,6 +3590,7 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
     from ..rayctx import ensure_tuned, grouped
 
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
     e2 = eps * eps
 
     def halo(batch: pa.Table) -> pa.Table:
@@ -3630,8 +3631,13 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
                                  "b": np.zeros(0, np.int64)})
         return pd.concat(outs, ignore_index=True)
 
+    # every exchange below carries a data-proportional rows hint — the
+    # stages are tiny relative to the corpus (pairs/edges/labels), and an
+    # unhinted exchange opens at full cluster width whose aggregator-pool
+    # spawn costs more than the reduce on small inputs (at real scale the
+    # hints grow with the data and the pools reach cluster width)
     pairs = grouped(docs.map_batches(halo, batch_format="pyarrow"),
-                    ["cell"], pair_block)
+                    ["cell"], pair_block, rows=9 * n_docs)
 
     sym = pairs.map_batches(lambda df: pd.DataFrame({
         "u": np.concatenate([df["a"].to_numpy(np.int64),
@@ -3659,7 +3665,8 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
                           "u_core": ncore.loc[nodes["u"]].to_numpy()}),
         ], ignore_index=True)
 
-    tagged = grouped(sym, ["u"], degree_block)
+    n_sym = sym.count()  # free: sym is materialized
+    tagged = grouped(sym, ["u"], degree_block, rows=n_sym)
 
     # step 3: attach the other endpoint's core flag (k = that endpoint)
     def classify_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -3678,7 +3685,8 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
             "kind": np.concatenate([np.zeros(int(cc.sum()), np.int64),
                                     np.ones(int(bc.sum()), np.int64)])})
 
-    edges = grouped(tagged, ["k"], classify_block).materialize()
+    edges = grouped(tagged, ["k"], classify_block,
+                    rows=n_sym + n_docs).materialize()
 
     cc_edges = edges.map_batches(
         lambda df: pd.DataFrame(
@@ -3715,10 +3723,12 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
         return pd.DataFrame({"u": e["u"].to_numpy(np.int64),
                              "label": e["k"].map(lm).to_numpy(np.int64)})
 
+    n_edges = edges.count()  # free: edges is materialized
     border = grouped(
-        grouped(bcand.union(lab_rows), ["k"], attach_label),
+        grouped(bcand.union(lab_rows), ["k"], attach_label,
+                rows=n_edges + n_docs),
         ["u"], lambda df: df.groupby("u", sort=False, as_index=False)
-                            ["label"].min(), small=True)
+                            ["label"].min(), small=True, rows=n_edges)
 
     # step 6: assemble — docs + core labels + border labels on doc_id
     doc_rows = docs.map_batches(
@@ -3748,4 +3758,4 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
                              "kind": kind.astype(str)})
 
     return grouped(doc_rows.union(core_rows).union(border_rows),
-                   ["doc_id"], assemble)
+                   ["doc_id"], assemble, rows=3 * n_docs)
