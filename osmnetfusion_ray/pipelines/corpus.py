@@ -3213,7 +3213,8 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
         keep = rk < p
         return pd.DataFrame({"tok": e["tok"].to_numpy()[keep],
                              "doc_id": e["doc_id"].to_numpy()[keep].astype(np.int64),
-                             "L": L[keep].astype(np.int64)})
+                             "L": L[keep].astype(np.int64),
+                             "r": rk[keep].astype(np.int64)})
 
     pref = docs.map_batches(prefix_rows, batch_format="pandas")
 
@@ -3227,9 +3228,19 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
                     continue
                 ids = g["doc_id"].to_numpy()
                 Ls = g["L"].to_numpy()
+                rs = g["r"].to_numpy()
                 ii, jj = np.triu_indices(n, k=1)
                 # jac ≥ t ⇒ t_den·min_L ≥ t_num·max_L (rows L-sorted: Lii ≤ Ljj)
                 m = t_den * Ls[ii] >= t_num * Ls[jj]
+                # PPJoin positional filter (lossless): both docs' shingles
+                # share ONE global (df, tok) order, so intersection beyond
+                # this shared token only comes from ranks > r on each side;
+                # ub = min(L-r) (incl. the token) must reach the required
+                # overlap α = ceil(t·(La+Lb)/(1+t)) — integer form below.
+                # An upper bound ≥ true I, so a truly-qualifying pair passes
+                # on EVERY emission; pruned emissions only drop duplicates.
+                ub = np.minimum(Ls[ii] - rs[ii], Ls[jj] - rs[jj])
+                m &= (t_num + t_den) * ub >= t_num * (Ls[ii] + Ls[jj])
                 out_a.append(ids[ii][m])
                 out_b.append(ids[jj][m])
         a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
@@ -3261,8 +3272,21 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
                                  "jaccard": np.zeros(0)})
         inter = np.zeros(len(df), np.int64)
         union = np.zeros(len(df), np.int64)
-        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
-            sa, sb = _shingle_set(ta, 3) - {""}, _shingle_set(tb, 3) - {""}
+        # a doc appears in many candidate pairs — build its shingle set
+        # once per block (the set construction, not the intersection, is
+        # the expensive half)
+        cache: dict = {}
+
+        def _sset(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = _shingle_set(text, 3) - {""}
+                cache[doc_id] = s
+            return s
+
+        for i, (ida, idb, ta, tb) in enumerate(zip(
+                df["a"], df["b"], df["text_a"], df["text_b"])):
+            sa, sb = _sset(ida, ta), _sset(idb, tb)
             inter[i] = len(sa & sb)
             union[i] = len(sa) + len(sb) - inter[i]
         m = t_den * inter >= t_num * union
