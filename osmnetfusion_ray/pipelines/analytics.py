@@ -2670,10 +2670,13 @@ def events_campaign_join(sf_dir: str, chunk_pairs: int = 4_000_000) -> rd.Datase
     co-location exchange brings every possibly-matching (event, campaign)
     pair into the same block. Because an event lives in exactly one bin, a
     pair can only meet once — no cross-bin dedup is needed. Inside the
-    block the candidate expansion is one repeat/offset kernel (events x
-    same-bin campaigns, chunk-budgeted) and matches combiner-reduce to
-    per-(block, campaign) partials, so the second, campaign-keyed exchange
-    carries at most (#bins-touched x #campaigns) partial rows, never pairs.
+    block no pair ever materializes: each campaign replica's window is
+    clipped to its bin (a contiguous ts range only that bin's events can
+    occupy), so one block-wide ts sort + exact int64 prefix-sum answers
+    every campaign with two binary searches — O((E+C)·log E). Matches
+    reduce to per-(block, campaign) partials, so the second,
+    campaign-keyed exchange carries at most (#bins-touched x #campaigns)
+    partial rows, never pairs.
 
     Campaign windows are derived deterministically from ``orders`` (no
     external data): campaign o_orderkey starts at
@@ -2714,53 +2717,34 @@ def events_campaign_join(sf_dir: str, chunk_pairs: int = 4_000_000) -> rd.Datase
     sides = orders.map_batches(campaign_bins, batch_format="pandas").union(
         ev.map_batches(event_bins, batch_format="pandas"))
 
-    CHUNK_PAIRS = chunk_pairs  # pair-expansion budget per slice
-
     def join_block(df: pd.DataFrame) -> pd.DataFrame:
+        # an event's bin is ts // BIN, so a campaign replica in bin b can
+        # only match events with ts in [max(lo, b·BIN), min(hi, (b+1)·BIN))
+        # — a contiguous ts range that no other bin's events intersect.
+        # One block-wide ts sort + exact int64 prefix-sum answers every
+        # campaign with two binary searches: O((E+C)·log E), never the
+        # event×campaign pair expansion (the former repeat/offset kernel
+        # touched ~E·C/bins candidate pairs through np.add.at).
         c = df[df["side"] == 0]
         e = df[df["side"] == 1]
         if len(c) == 0 or len(e) == 0:
             return pd.DataFrame({"cid": np.zeros(0, np.int64),
                                  "n": np.zeros(0, np.int64),
                                  "cents": np.zeros(0, np.int64)})
-        cb = c["bin"].to_numpy()
-        co = np.argsort(cb, kind="stable")
-        cb = cb[co]
-        clo = c["lo_us"].to_numpy()[co]
-        chi = c["hi_us"].to_numpy()[co]
-        ccid = c["cid"].to_numpy()[co]
         ets = e["lo_us"].to_numpy()
-        ecents = e["cents"].to_numpy()
-        ebin = e["bin"].to_numpy()
-        lo = np.searchsorted(cb, ebin, side="left")
-        hi = np.searchsorted(cb, ebin, side="right")
-        spans = hi - lo
-        # per-campaign accumulators over the sorted-campaign index space
-        n_acc = np.zeros(len(cb), np.int64)
-        c_acc = np.zeros(len(cb), np.int64)
-        # chunk the (event x same-bin campaign) expansion by event ranges
-        cum = np.concatenate([[0], np.cumsum(spans)])
-        pos = 0
-        while pos < len(ets):
-            nxt = int(np.searchsorted(cum, cum[pos] + CHUNK_PAIRS,
-                                      side="left"))
-            nxt = min(max(nxt, pos + 1), len(ets))
-            sl = slice(pos, nxt)
-            sp = spans[sl]
-            tot = int(sp.sum())
-            if tot:
-                eidx = np.repeat(np.arange(pos, nxt), sp)
-                coff = (np.arange(tot, dtype=np.int64)
-                        - np.repeat(np.cumsum(sp) - sp, sp))
-                cidx = lo[eidx] + coff
-                t = ets[eidx]
-                hit = (t >= clo[cidx]) & (t < chi[cidx])
-                np.add.at(n_acc, cidx[hit], 1)
-                np.add.at(c_acc, cidx[hit], ecents[eidx][hit])
-            pos = nxt
-        nz = np.flatnonzero(n_acc)
-        return pd.DataFrame({"cid": ccid[nz], "n": n_acc[nz],
-                             "cents": c_acc[nz]})
+        eo = np.argsort(ets, kind="stable")
+        ets = ets[eo]
+        pcum = np.concatenate([[0], np.cumsum(e["cents"].to_numpy()[eo])])
+        cb = c["bin"].to_numpy()
+        lo_c = np.maximum(c["lo_us"].to_numpy(), cb * _CAMPAIGN_BIN_US)
+        hi_c = np.minimum(c["hi_us"].to_numpy(), (cb + 1) * _CAMPAIGN_BIN_US)
+        i0 = np.searchsorted(ets, lo_c, side="left")
+        i1 = np.searchsorted(ets, hi_c, side="left")
+        n = i1 - i0
+        nz = np.flatnonzero(n)
+        return pd.DataFrame({"cid": c["cid"].to_numpy()[nz],
+                             "n": n[nz],
+                             "cents": pcum[i1[nz]] - pcum[i0[nz]]})
 
     partials = grouped(sides, ["bin"], join_block)
 
