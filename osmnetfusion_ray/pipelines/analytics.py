@@ -2244,8 +2244,11 @@ def q11_important_parts(sf_dir: str, region: str = "EUROPE") -> rd.Dataset:
                             "v": np.round(v * 10000.0).astype(np.int64)})
         return out.groupby("l_partkey", sort=False, as_index=False)["v"].sum()
 
+    # consumed twice (global scalar + HAVING pass): materialize the
+    # dimension-bounded per-part table once or the full fact scan +
+    # exchange re-executes for the second consumer
     per_part = groupby_agg(li.map_batches(value_partial, batch_format="pandas"),
-                           ["l_partkey"], [AggSpec("v", "v", "sum")])
+                           ["l_partkey"], [AggSpec("v", "v", "sum")]).materialize()
 
     # global scalar: one tiny reduce over the per-part aggregate
     def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
