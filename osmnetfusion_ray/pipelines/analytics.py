@@ -2770,17 +2770,17 @@ def rolling_uniques_7d(sf_dir: str) -> rd.Dataset:
     3 days still counts once in every window containing any of them.
 
     Shape: (1) per-block local distinct (day, user) incidence — the
-    combiner, repeated events never enter a shuffle; (2) one (day, user)
-    exchange finishes the global incidence dedup; (3) each incidence
-    replicates to the <=7 window-anchor days it can serve (constant
-    factor, like the sliding-window expansion); (4) a second
-    (anchor_day, user) exchange dedups the overlap (the step that makes
-    it COUNT DISTINCT rather than SUM) and reduces to per-block partial
-    counts; (5) a final tiny day-keyed exchange sums partials. Anchor
-    days with no event of their own (pure spillover) are dropped via an
-    any(offset == 0) flag carried through the dedup — matching the
-    oracle's "days that exist" semantics. All integer; exchanges bounded
-    by distinct incidences x 7, never event count.
+    combiner, repeated events never enter a shuffle; (2) ONE user-keyed
+    exchange co-locates each user's whole day set, so the <=7-anchor
+    window replication AND the overlap dedup (the step that makes it
+    COUNT DISTINCT rather than SUM) both happen block-locally — the
+    replicated rows never enter a shuffle, and the block reduces to
+    per-(block, anchor-day) partial counts; (3) a final tiny day-keyed
+    exchange sums partials. Anchor days with no event of their own (pure
+    spillover) are dropped via marker rows emitted for each real day —
+    matching the oracle's "days that exist" semantics. All integer; the
+    user exchange carries distinct incidences, the day exchange carries
+    days x blocks.
     """
     from ..rayctx import grouped
 
@@ -2793,28 +2793,30 @@ def rolling_uniques_7d(sf_dir: str) -> rd.Dataset:
             "user_id": t["user_id"].to_numpy()})
         return pa.Table.from_pandas(df.drop_duplicates(), preserve_index=False)
 
-    incidence = grouped(ev.map_batches(local_pairs, batch_format="pyarrow"),
-                        ["day", "user_id"],
-                        lambda df: df.drop_duplicates(["day", "user_id"]))
-
-    def replicate(df: pd.DataFrame) -> pd.DataFrame:
-        day = df["day"].to_numpy().astype(np.int64)
-        uid = df["user_id"].to_numpy().astype(np.int64)
-        n = len(day)
-        off = np.tile(np.arange(7, dtype=np.int64), n)
-        return pd.DataFrame({"aday": np.repeat(day, 7) + off,
-                             "user_id": np.repeat(uid, 7),
-                             "on_day": (off == 0)})
-
-    rep = incidence.map_batches(replicate, batch_format="pandas")
-
     def window_partials(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["aday", "user_id"], sort=False)["on_day"].any().reset_index()
-        out = g.groupby("aday", sort=False).agg(
-            n=("user_id", "size"), real=("on_day", "any")).reset_index()
-        return out
+        df = df.drop_duplicates(["day", "user_id"])
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        day = df["day"].to_numpy().astype(np.int64)
+        n = len(uid)
+        # anchor replication stays in this block: dedup (user, anchor)
+        # with one lexsort (a user's overlapping windows collapse here)
+        ukey = np.repeat(uid, 7)
+        aday = np.repeat(day, 7) + np.tile(np.arange(7, dtype=np.int64), n)
+        order = np.lexsort((aday, ukey))
+        uk, ad = ukey[order], aday[order]
+        first = np.ones(len(uk), bool)
+        first[1:] = (uk[1:] != uk[:-1]) | (ad[1:] != ad[:-1])
+        days, cnts = np.unique(ad[first], return_counts=True)
+        real_days = np.unique(day)
+        return pd.DataFrame({
+            "aday": np.concatenate([days, real_days]),
+            "n": np.concatenate([cnts.astype(np.int64),
+                                 np.zeros(len(real_days), np.int64)]),
+            "real": np.concatenate([np.zeros(len(days), bool),
+                                    np.ones(len(real_days), bool)])})
 
-    partials = grouped(rep, ["aday", "user_id"], window_partials)
+    partials = grouped(ev.map_batches(local_pairs, batch_format="pyarrow"),
+                       ["user_id"], window_partials)
 
     def final_block(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("aday", sort=False).agg(
