@@ -425,6 +425,27 @@ def _q_media_features(sf_dir: str):
                           batch_size=256, concurrency=(1, 4))
 
 
+def _q_image_pipeline_ppm(sf_dir: str):
+    """REAL image decode path (no stub): deterministic P6 PPM payloads are
+    actually ENCODED to bytes, an actor-pool decoder actually PARSES them
+    (header + raw RGB buffer, numpy only — no image library needed for
+    PPM), a second actor stage consumes the decoded pixel-buffer column for
+    a nearest-neighbor thumbnail re-encoded as real P6, and the output is
+    exact integer pixel statistics. The oracle recomputes the stats from
+    the generation formula without ever seeing bytes, so a match proves the
+    encode→decode→resize roundtrip lossless (stages/ppm.py docstring)."""
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import ppm as PPM
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        PPM.ppm_payloads_batch, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(PPM.PpmDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    ds = ds.map_batches(PPM.PpmResizer, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    return ds.map_batches(PPM.ppm_stats_batch, batch_format="pyarrow")
+
+
 def _q_media_feature_stats(sf_dir: str):
     """Per-media scalar summary of the FeatureExtractor embedding — the
     oracle-checkable projection of the list<float> feature column. Features
@@ -776,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": _q_media_pipeline,
         "media_features": _q_media_features,         # rows-only (list<float> output; media_feature_stats is the oracled projection)
         "media_feature_stats": _q_media_feature_stats,
+        "image_pipeline_ppm": _q_image_pipeline_ppm,
         "repetition_stats": _q_repetition_stats,
         "pii_counts": _q_pii_counts,
         "contamination_check": _q_contamination,
@@ -871,6 +893,44 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": corpusoracle.ngram_jaccard_sql(threshold=0.5),
         "media_pipeline": corpusoracle.media_pipeline_sql(),
         "media_feature_stats": corpusoracle.media_feature_stats_sql(),
+        "image_pipeline_ppm": """
+            -- expected stats recomputed from the pixel-generation formula
+            -- (never from bytes): a bit-equal match proves the engine's
+            -- real P6 encode -> parse -> nearest-neighbor-resize roundtrip
+            -- lossless. All arithmetic integer.
+            WITH dims AS (
+                SELECT doc_id,
+                       8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                       least(8 + doc_id % 9, 8) AS rw,
+                       least(8 + doc_id % 7, 8) AS rh
+                FROM documents
+            ),
+            ys AS (SELECT doc_id, w, unnest(range(h)) AS y FROM dims),
+            px AS (SELECT doc_id, y, unnest(range(w)) AS x FROM ys),
+            sums AS (
+                SELECT doc_id,
+                       CAST(sum((doc_id*7919 + y*131 + x*31) % 256) AS BIGINT) AS sum_r,
+                       CAST(sum((doc_id*7919 + y*131 + x*31 + 17) % 256) AS BIGINT) AS sum_g,
+                       CAST(sum((doc_id*7919 + y*131 + x*31 + 34) % 256) AS BIGINT) AS sum_b
+                FROM px GROUP BY doc_id
+            ),
+            rys AS (SELECT doc_id, w, h, rw, rh, unnest(range(rh)) AS i FROM dims),
+            rpx AS (SELECT doc_id, w, h, rw, rh, i, unnest(range(rw)) AS j FROM rys),
+            rsums AS (
+                SELECT doc_id,
+                       CAST(sum((
+                           (doc_id*7919 + ((i*h)//rh)*131 + ((j*w)//rw)*31) % 256
+                         + (doc_id*7919 + ((i*h)//rh)*131 + ((j*w)//rw)*31 + 17) % 256
+                         + (doc_id*7919 + ((i*h)//rh)*131 + ((j*w)//rw)*31 + 34) % 256
+                       ) // 3) AS BIGINT) AS rsum_gray
+                FROM rpx GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.w, d.h, s.sum_r, s.sum_g, s.sum_b,
+                   d.rw, d.rh, r.rsum_gray
+            FROM dims d
+            JOIN sums s USING (doc_id)
+            JOIN rsums r USING (doc_id)
+        """,
         "ann_topk_ivf_flat": corpusoracle.ann_topk_ivf_flat_sql(),
         "repetition_stats": corpusoracle.repetition_stats_sql(),
         "pii_counts": corpusoracle.pii_counts_sql(),

@@ -157,6 +157,51 @@ class TestMultimodal:
         assert (feats >= 0).all() and (feats <= 1).all()
 
 
+class TestPpmRealImagePath:
+    def test_encode_decode_roundtrip(self):
+        from osmnetfusion_ray.stages import ppm as P
+
+        for did in (0, 1, 7, 123, 4999):
+            w, h = 8 + did % 9, 8 + did % 7
+            pix = P.ppm_pixels(did, w, h)
+            buf = P.encode_ppm(pix)
+            assert buf[:2] == b"P6"
+            w2, h2, pix2 = P.decode_ppm(buf)
+            assert (w2, h2) == (w, h)
+            assert (pix2 == pix).all()
+
+    def test_decoder_rejects_garbage(self):
+        from osmnetfusion_ray.stages import ppm as P
+
+        with pytest.raises(ValueError):
+            P.decode_ppm(b"GIF89a....")
+        # truncated pixel buffer
+        good = P.encode_ppm(P.ppm_pixels(3, 8, 8))
+        with pytest.raises(ValueError):
+            P.decode_ppm(good[:-10])
+
+    def test_stage_chain_matches_numpy(self):
+        from osmnetfusion_ray.stages import ppm as P
+
+        ids = [0, 1, 5, 10, 16, 62]
+        media = P.ppm_payloads_batch(pa.table({"doc_id": ids}))
+        out = P.PpmResizer()(P.PpmDecoder()(media))
+        for k, did in enumerate(ids):
+            w, h = 8 + did % 9, 8 + did % 7
+            pix = P.ppm_pixels(did, w, h).astype(np.int64)
+            assert out["w"][k].as_py() == w and out["h"][k].as_py() == h
+            assert out["sum_r"][k].as_py() == int(pix[:, :, 0].sum())
+            rw, rh = min(w, 8), min(h, 8)
+            sy = (np.arange(rh) * h) // rh
+            sx = (np.arange(rw) * w) // rw
+            t = pix[sy[:, None], sx[None, :]]
+            assert out["rsum_gray"][k].as_py() == int((t.sum(axis=2) // 3).sum())
+            # the thumbnail is itself a valid, re-decodable P6 payload
+            w3, h3, t3 = P.decode_ppm(out["thumb"][k].as_py())
+            assert (w3, h3) == (rw, rh)
+            assert (t3 == t.astype(np.uint8)).all()
+
+
 class TestEmbeddingLSH:
     def test_lsh_recall_vs_exact(self, ray_session):
         """The sub-quadratic LSH path finds the vast majority of exact
