@@ -659,7 +659,7 @@ def _q_docs_skyline(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from osmnetfusion_ray.pipelines import analytics, netqueries
+    from osmnetfusion_ray.pipelines import analytics, corpus, netqueries
 
     return {
         "network_rank": netqueries.network_rank,
@@ -814,6 +814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_locf": analytics.user_daily_locf,
         "doc_dbscan": _q_doc_dbscan,
         "user_day_streaks": analytics.user_day_streaks,
+        "event_twap": analytics.event_twap,
+        "event_rising_triples": analytics.event_rising_triples,
+        "length_gini_by_lang": analytics.length_gini_by_lang,
+        "fingerprint_clusters": corpus.fingerprint_clusters,
     }
 
 
@@ -969,6 +973,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(len) AS n_active_days,
                    max(len) AS longest_streak, count(*) AS n_streaks
             FROM st GROUP BY user_id
+        """,
+        "event_twap": """
+            -- piecewise-constant time integral: exact cents x exact
+            -- integer-ms intervals, one terminal double division
+            WITH e AS (
+                SELECT user_id,
+                       epoch_us(ts) AS t,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS nt
+                FROM events
+            ),
+            iv AS (
+                SELECT user_id, cents, (nt - t) // 1000 AS dt_ms
+                FROM e WHERE nt IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(sum(dt_ms) AS BIGINT) AS active_ms,
+                   CAST(CAST(sum(cents * dt_ms) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(sum(dt_ms) AS BIGINT) AS DOUBLE) / 100.0
+                     AS twap
+            FROM iv GROUP BY user_id HAVING sum(dt_ms) > 0
+        """,
+        "event_rising_triples": """
+            -- order-3 sequential pattern over (ts, event_id) order;
+            -- comparisons only, every user reported (0 allowed)
+            WITH e AS (
+                SELECT user_id, value,
+                       lead(value, 1) OVER w AS v1,
+                       lead(value, 2) OVER w AS v2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(count(*) FILTER (
+                       WHERE value < v1 AND v1 < v2) AS BIGINT) AS n_triples
+            FROM e GROUP BY user_id
+        """,
+        "length_gini_by_lang": """
+            -- sorted-rank identity sum((2r-n-1)x): tie-group coefficient
+            -- sums are order-invariant, so it equals the engine's
+            -- histogram pairwise form sum_{i<j}|xi-xj|; one division
+            WITH r AS (
+                SELECT lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n,
+                       sum(n_chars) OVER (PARTITION BY lang) AS t
+                FROM documents
+            )
+            SELECT lang,
+                   CAST(max(n) AS BIGINT) AS n_docs,
+                   CAST(max(t) AS BIGINT) AS total_chars,
+                   CAST(CAST(sum((2 * rn - n - 1) * n_chars) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(max(n) AS BIGINT) * CAST(max(t) AS BIGINT) AS DOUBLE)
+                     AS gini
+            FROM r GROUP BY lang
         """,
         "doc_dbscan": """
             -- full DBSCAN recompute: same hash point field (one IEEE
@@ -1859,6 +1921,23 @@ def oracle_sql() -> dict[str, str]:
         "salted_enrich_events": """
             SELECT event_id, user_id, event_type, c_mktsegment, value
             FROM events JOIN customer ON user_id = c_custkey
+        """,
+        "fingerprint_clusters": f"""
+            -- OpenRefine key-collision method: sorted distinct lowercase
+            -- tokens -> canonical string -> same codepoint-FNV
+            WITH f AS (
+                SELECT doc_id,
+                       ({corpusoracle.fnv_expr(
+                           "array_to_string(list_sort(list_distinct("
+                           "string_split(lower(text), ' '))), ' ')")}) AS fp,
+                       ({corpusoracle.fnv_expr('text')}) AS th
+                FROM documents
+            )
+            SELECT CAST(fp AS UBIGINT) AS fp_h,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS rep_doc_id,
+                   CAST(count(DISTINCT th) AS BIGINT) AS n_texts
+            FROM f GROUP BY fp HAVING count(*) >= 2
         """,
         "table_profile": f"""
             WITH th AS (SELECT ({corpusoracle.fnv_expr('text')}) AS h, text

@@ -3050,3 +3050,177 @@ def user_day_streaks(sf_dir: str) -> rd.Dataset:
 
     return grouped(ev.map_batches(local_pairs, batch_format="pandas"),
                    ["user_id"], streak_block, small=True)
+
+
+def event_twap(sf_dir: str) -> rd.Dataset:
+    """TIME-WEIGHTED AVERAGE (the piecewise-constant time integral): per
+    user, the mean of `value` weighted by how long each observation was
+    "current" — the TWAP/telemetry-billing reduction that plain AVG and
+    the LOCF gap-fill both miss (LOCF densifies to a day grid; TWAP
+    integrates the raw irregular series exactly).
+
+    Shape: skinny (user, ts, cents) rows ride ONE user-keyed exchange;
+    the block kernel lexsorts (user, ts, event_id), takes consecutive
+    diffs, and reduces per user via reduceat — no per-user loop. A tie on
+    ts contributes a zero-length interval, so the (ts, event_id) order is
+    pinned only to make "which value spans the next gap" deterministic
+    across engines.
+
+    Exactness: value is exact cents; intervals are exact integer
+    milliseconds (µs diff // 1000, mirrored by the SQL); the per-user
+    sums Σ cents·dt_ms and Σ dt_ms are order-free int64 (bound: span_ms ×
+    max_cents ≈ 2.6e9 × 5e4 ≈ 1.3e14 per user at a 30-day span — at a
+    decades-long 100 TB span the numerator needs a two-limb split, noted
+    here), and ONE terminal double division produces twap. Users whose
+    events all share one timestamp (Σdt = 0) are excluded on both sides.
+    """
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "t": df["ts"].astype("int64").to_numpy(),
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "cents": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
+        })
+
+    def twap_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                                 "active_ms": np.zeros(0, np.int64),
+                                 "twap": np.zeros(0, np.float64)})
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        c = df["cents"].to_numpy()
+        o = np.lexsort((e, t, u))
+        u, t, c = u[o], t[o], c[o]
+        same = u[1:] == u[:-1]
+        dt_ms = (t[1:] - t[:-1]) // 1000
+        dt_ms = np.where(same, dt_ms, 0)
+        w = c[:-1] * dt_ms  # int64-exact (see docstring bound)
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        # per-user sums over the interval arrays (length n-1, aligned to
+        # the LEFT endpoint); the boundary-crossing interval is zeroed by
+        # `same`, and one zero pad covers a start at index n-1 (a user
+        # whose only row is the block's last)
+        seg = np.minimum(starts, len(dt_ms))
+        den = np.add.reduceat(np.concatenate([dt_ms, [0]]), seg)
+        num = np.add.reduceat(np.concatenate([w, [0]]), seg)
+        keep = den > 0
+        uid = u[starts]
+        return pd.DataFrame({
+            "user_id": uid[keep].astype(np.int64),
+            "active_ms": den[keep].astype(np.int64),
+            "twap": (num[keep].astype(np.float64)
+                     / den[keep].astype(np.float64)) / 100.0,
+        })
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id"], twap_block, small=True)
+
+
+def event_rising_triples(sf_dir: str) -> rd.Dataset:
+    """SEQUENTIAL PATTERN DETECTION (MATCH_RECOGNIZE-lite): per user, the
+    count of length-3 strictly-increasing runs over consecutive events in
+    (ts, event_id) order — the order-3 windowed predicate that adjacent-
+    pair shapes (event_type_transitions' Markov counts, event_gaps) don't
+    cover. Comparisons only, no float arithmetic, so exactness is free.
+
+    Shape: skinny (user, ts, eid, value) rows, ONE user-keyed exchange,
+    and a block kernel that evaluates the triple predicate with two
+    shifted vector compares; per-user counts come from np.add.at over the
+    block's unique-user inverse — every user is co-located so zero counts
+    are emitted too (a user with < 3 events reports 0, like the SQL).
+    """
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "t": df["ts"].astype("int64").to_numpy(),
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "v": df["value"].to_numpy(),
+        })
+
+    def triples_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                                 "n_triples": np.zeros(0, np.int64)})
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        v = df["v"].to_numpy()
+        o = np.lexsort((e, t, u))
+        u, v = u[o], v[o]
+        uu, inv = np.unique(u, return_inverse=True)
+        cnt = np.zeros(len(uu), dtype=np.int64)
+        if len(u) >= 3:
+            ok = ((u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+                  & (v[:-2] < v[1:-1]) & (v[1:-1] < v[2:]))
+            np.add.at(cnt, inv[:-2][ok], 1)
+        return pd.DataFrame({"user_id": uu.astype(np.int64), "n_triples": cnt})
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id"], triples_block, small=True)
+
+
+def length_gini_by_lang(sf_dir: str) -> rd.Dataset:
+    """RANK STATISTIC WITHOUT A SORT SHUFFLE: per-language Gini
+    coefficient of document lengths, computed from the VALUE HISTOGRAM —
+    blocks emit (lang, n_chars) → count partials (the combiner), so the
+    one lang-keyed exchange carries at most |langs| × |distinct lengths|
+    rows per block regardless of corpus size, and the block kernel
+    resolves the whole rank structure from cumulative counts over sorted
+    distinct values (ties are handled by construction: the pairwise-
+    difference form Σᵢⱼ|xᵢ−xⱼ| never needs a tie-break). This is the
+    counting-sort dual of doc_global_rank's two-phase ranking — no global
+    sort, no per-row rank materialization.
+
+    Exactness: with distinct values v_k (asc), counts c_k, prefix counts
+    C and prefix sums P, S = Σ_k c_k (v_k·C_{k−1} − P_{k−1}) equals the
+    over-pairs sum Σ_{i<j}|xᵢ−xⱼ|, all int64; G = S / (n·T) in ONE double
+    division (the SQL mirrors via the sorted-rank identity Σ(2r−n−1)x,
+    whose tie-group coefficient sums make it order-independent).
+    """
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def local_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="cnt")
+        g["n_chars"] = g["n_chars"].astype(np.int64)
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def gini_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lang": pd.array([], dtype=object),
+                                 "n_docs": np.zeros(0, np.int64),
+                                 "total_chars": np.zeros(0, np.int64),
+                                 "gini": np.zeros(0, np.float64)})
+        g = df.groupby(["lang", "n_chars"], sort=True)["cnt"].sum().reset_index()
+        langs, n_docs, totals, ginis = [], [], [], []
+        for lang, h in g.groupby("lang", sort=True):
+            v = h["n_chars"].to_numpy()  # sorted asc within lang
+            c = h["cnt"].to_numpy()
+            n = int(c.sum())
+            t = int((c * v).sum())
+            cum_c = np.concatenate([[0], np.cumsum(c)[:-1]])
+            cum_s = np.concatenate([[0], np.cumsum(c * v)[:-1]])
+            s = int((c * (v * cum_c - cum_s)).sum())
+            langs.append(lang)
+            n_docs.append(n)
+            totals.append(t)
+            ginis.append(float(s) / float(n * t))
+        return pd.DataFrame({"lang": langs,
+                             "n_docs": np.asarray(n_docs, np.int64),
+                             "total_chars": np.asarray(totals, np.int64),
+                             "gini": np.asarray(ginis, np.float64)})
+
+    return grouped(docs.map_batches(local_hist, batch_format="pandas"),
+                   ["lang"], gini_block, small=True)

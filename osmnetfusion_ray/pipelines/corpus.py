@@ -3783,3 +3783,50 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
 
     return grouped(doc_rows.union(core_rows).union(border_rows),
                    ["doc_id"], assemble, rows=3 * n_docs)
+
+
+def fingerprint_clusters(sf_dir: str) -> rd.Dataset:
+    """KEY-COLLISION CLUSTERING (the OpenRefine "fingerprint" method /
+    sorted-bag-of-words dedup used for template + boilerplate detection):
+    documents whose lowercased token SETS are identical cluster together
+    even when token order and repetition differ — an equivalence-class
+    canonicalization that hash-exact dedup (raw bytes) and MinHash
+    (probabilistic) both miss.
+
+    Shape: the canonical key is reduced to its codepoint-FNV hash inside
+    the scan, so ONLY skinny (fp_h, doc_id, text_h) rows ride the one
+    fp-keyed exchange — texts never shuffle; the block kernel counts
+    members + distinct raw texts per fingerprint and keeps clusters of
+    ≥ 2 docs. n_texts > 1 marks clusters that are NOT byte-identical
+    (reordered/repeated tokens), i.e. what this operator adds over
+    exact_dedup. The DuckDB oracle rebuilds the same canonical string
+    (list_sort ∘ list_distinct ∘ string_split; ASCII tokens make Python
+    and DuckDB sort orders agree) and the same FNV, bit-equal.
+    """
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        canon = [" ".join(sorted(set(t.lower().split(" ")))) for t in texts]
+        return pd.DataFrame({
+            "fp_h": hashing.fnv1a64(np.asarray(canon, dtype=object)),
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "text_h": hashing.fnv1a64(df["text"]),
+        })
+
+    def clusters(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp_h", sort=False).agg(
+            n_docs=("doc_id", "size"), rep_doc_id=("doc_id", "min"),
+            n_texts=("text_h", "nunique")).reset_index()
+        g = g[g["n_docs"] >= 2]
+        return pd.DataFrame({
+            "fp_h": g["fp_h"].to_numpy().astype(np.uint64),
+            "n_docs": g["n_docs"].to_numpy().astype(np.int64),
+            "rep_doc_id": g["rep_doc_id"].to_numpy().astype(np.int64),
+            "n_texts": g["n_texts"].to_numpy().astype(np.int64),
+        })
+
+    return grouped(docs.map_batches(keys, batch_format="pandas"),
+                   ["fp_h"], clusters, small=True)

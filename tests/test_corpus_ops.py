@@ -2797,3 +2797,121 @@ class TestUserDayStreaks:
         for c in ref.columns:
             assert np.array_equal(mine[c].to_numpy().astype(np.int64),
                                   ref[c].to_numpy().astype(np.int64)), c
+
+
+class TestEventTwap:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import event_twap
+
+        mine = event_twap(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        rows = []
+        for uid, g in ev.sort_values(["t", "event_id"]).groupby("user_id"):
+            t = g["t"].to_numpy()
+            c = g["cents"].to_numpy()
+            dt = (t[1:] - t[:-1]) // 1000
+            den = int(dt.sum())
+            if den > 0:
+                num = int((c[:-1] * dt).sum())
+                rows.append((uid, den, (float(num) / float(den)) / 100.0))
+        ref = pd.DataFrame(rows, columns=["user_id", "active_ms", "twap"])
+        ref = ref.sort_values("user_id").reset_index(drop=True)
+        assert np.array_equal(mine["user_id"].to_numpy(), ref["user_id"].to_numpy())
+        assert np.array_equal(mine["active_ms"].to_numpy(), ref["active_ms"].to_numpy())
+        assert np.array_equal(mine["twap"].to_numpy(), ref["twap"].to_numpy())
+
+    def test_tie_interval_is_zero_weight(self, ray_session):
+        # two events at one instant: the earlier event_id's value spans a
+        # zero-length interval, so only the later one weights the gap
+        from osmnetfusion_ray.pipelines.analytics import event_twap  # noqa: F401 (shape doc)
+        t = np.array([0, 1000_000, 1000_000, 3000_000], dtype=np.int64)
+        c = np.array([100, 900, 200, 500], dtype=np.int64)
+        dt = (t[1:] - t[:-1]) // 1000
+        num = int((c[:-1] * dt).sum())
+        # 100*1000 + 900*0 + 200*2000
+        assert num == 100 * 1000 + 200 * 2000
+
+
+class TestEventRisingTriples:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import event_rising_triples
+
+        mine = event_rising_triples(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        rows = []
+        for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+            v = g["value"].to_numpy()
+            n = int(((v[:-2] < v[1:-1]) & (v[1:-1] < v[2:])).sum()) if len(v) >= 3 else 0
+            rows.append((uid, n))
+        ref = pd.DataFrame(rows, columns=["user_id", "n_triples"])
+        ref = ref.sort_values("user_id").reset_index(drop=True)
+        assert np.array_equal(mine["user_id"].to_numpy(), ref["user_id"].to_numpy())
+        assert np.array_equal(mine["n_triples"].to_numpy(), ref["n_triples"].to_numpy())
+        assert mine["n_triples"].sum() > 0  # nontrivial fixture
+
+
+class TestLengthGini:
+    def test_matches_pairwise_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import length_gini_by_lang
+
+        mine = length_gini_by_lang(SF).to_pandas().sort_values(
+            "lang").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["lang", "n_chars"]).to_pandas()
+        for _, row in mine.iterrows():
+            x = docs.loc[docs["lang"] == row["lang"], "n_chars"].to_numpy()
+            assert row["n_docs"] == len(x)
+            assert row["total_chars"] == int(x.sum())
+            mad = int(np.abs(x[:, None] - x[None, :]).sum())  # = 2S
+            g = float(mad // 2) / float(len(x) * int(x.sum()))
+            assert row["gini"] == g
+            assert 0.0 <= row["gini"] < 1.0
+
+
+class TestFingerprintClusters:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions import hashing
+        from osmnetfusion_ray.pipelines.corpus import fingerprint_clusters
+
+        mine = fingerprint_clusters(SF).to_pandas().sort_values(
+            "fp_h").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        canon = [" ".join(sorted(set(t.lower().split(" "))))
+                 for t in docs["text"]]
+        docs["fp"] = hashing.fnv1a64(np.asarray(canon, dtype=object))
+        docs["th"] = hashing.fnv1a64(docs["text"])
+        ref = docs.groupby("fp").agg(
+            n_docs=("doc_id", "size"), rep_doc_id=("doc_id", "min"),
+            n_texts=("th", "nunique")).reset_index()
+        ref = ref[ref["n_docs"] >= 2].sort_values("fp").reset_index(drop=True)
+        assert len(mine) == len(ref) > 0
+        assert np.array_equal(mine["fp_h"].to_numpy().astype(np.uint64),
+                              ref["fp"].to_numpy().astype(np.uint64))
+        for c in ("n_docs", "rep_doc_id", "n_texts"):
+            assert np.array_equal(mine[c].to_numpy(), ref[c].to_numpy()), c
+
+    def test_broader_than_exact_dedup(self, ray_session):
+        # a cluster groups docs by token SET: token order / repetition
+        # differences collapse, raw-byte hashes don't have to agree
+        from osmnetfusion_ray.pipelines.corpus import fingerprint_clusters
+
+        out = fingerprint_clusters(SF).to_pandas()
+        assert (out["n_docs"] >= 2).all()
+        assert (out["n_texts"] <= out["n_docs"]).all()
