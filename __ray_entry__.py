@@ -1723,15 +1723,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.event_type, mm.lo, mm.hi
         """,
         "q10_returned_items": """
+            -- exact int64 ten-thousandths (2dp price x 2dp discount), so
+            -- sums are order-free; terminal cent rounding is integer
+            -- half-up, the same expression tree as the engine
+            WITH r AS (
+                SELECT o_custkey AS ck,
+                       CAST(sum(CAST(round(l_extendedprice
+                           * (1 - l_discount) * 10000) AS BIGINT))
+                         AS BIGINT) AS tt
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                GROUP BY o_custkey
+            )
             SELECT c_custkey, c_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST((tt + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
                    c_acctbal
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE l_returnflag = 'R'
-            GROUP BY c_custkey, c_name, c_acctbal
-            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+            FROM r JOIN customer ON ck = c_custkey
+            ORDER BY tt DESC, c_custkey
             LIMIT 20
         """,
         "q14_promo_revenue": """
@@ -2148,8 +2156,13 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q5_local_supplier_volume": """
+            -- exact int64 ten-thousandths, integer half-up cent rounding
+            -- (same expression tree as the engine)
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST((CAST(sum(CAST(round(l_extendedprice
+                           * (1 - l_discount) * 10000) AS BIGINT))
+                         AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
+                     AS revenue
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN orders ON l_orderkey = o_orderkey

@@ -1121,41 +1121,83 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
     sup = sup[sup["s_nationkey"].isin(set(nat["n_nationkey"]))]
 
+    # two co-location exchanges replace groupby + native join + native
+    # join (the q7/q21 fusion layout): orders' custkey rides the orderkey
+    # shuffle as tagged marker rows, customer's nationkey rides the
+    # custkey shuffle, and money stays in exact int64 ten-thousandths so
+    # the partial-sum order is free
+    from ..rayctx import grouped
+
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
 
     def revenue(df: pd.DataFrame) -> pd.DataFrame:
-        df["rev"] = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        return df[["l_orderkey", "s_nationkey", "rev"]]
-
-    per_key = groupby_agg(dec.map_batches(revenue, batch_format="pandas"),
-                          ["l_orderkey", "s_nationkey"], [AggSpec("rev", "rev", "sum")])
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
+            "natk": df["s_nationkey"].to_numpy().astype(np.int64),
+            "tt": np.round(rev * 10000.0).astype(np.int64),
+        }).groupby(["l_orderkey", "natk"], sort=False, as_index=False)["tt"].sum()
+        out["cust"] = np.int64(-1)
+        return out
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    n_o = table_rows(sf_dir, "orders")
-    w_cust = per_key.join(orders, join_type="inner",
-                          num_partitions=_num_partitions(rows=n_o),
-                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def order_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+            "natk": np.int64(0), "tt": np.int64(0),
+            "cust": df["o_custkey"].to_numpy().astype(np.int64)})
+
+    def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cust"] >= 0
+        o = df.loc[mark, ["l_orderkey", "cust"]].set_index("l_orderkey")["cust"]
+        d = df[~mark]
+        cust = d["l_orderkey"].map(o)
+        d = d.assign(cust=cust).dropna(subset=["cust"])
+        g = d.groupby(["cust", "natk"], sort=False, as_index=False)["tt"].sum()
+        g["cust"] = g["cust"].astype(np.int64)
+        return g
+
+    by_cust = grouped(
+        dec.map_batches(revenue, batch_format="pandas").union(
+            orders.map_batches(order_markers, batch_format="pandas")),
+        ["l_orderkey"], attach_cust, small=True)
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    w_nat = w_cust.join(cust, join_type="inner",
-                        num_partitions=_num_partitions(rows=n_o),
-                        on=("o_custkey",), right_on=("c_custkey",))
 
-    same = w_nat.map_batches(
-        lambda df: df[df["c_nationkey"] == df["s_nationkey"]][["s_nationkey", "rev"]],
-        batch_format="pandas")
-    total = groupby_agg(same, ["s_nationkey"], [AggSpec("revenue", "rev", "sum")],
-                        small=True)
-    names = nat[["n_nationkey", "n_name"]]
-    out = broadcast_join(total, names, left_on="s_nationkey", right_on="n_nationkey")
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cust": df["c_custkey"].to_numpy().astype(np.int64),
+            "natk": np.int64(0), "tt": np.int64(0),
+            "cnat": df["c_nationkey"].to_numpy().astype(np.int64)})
+
+    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cnat"] >= 0
+        cn = df.loc[mark, ["cust", "cnat"]].set_index("cust")["cnat"]
+        d = df[~mark]
+        cnat = d["cust"].map(cn)
+        d = d.assign(cnat=cnat).dropna(subset=["cnat"])
+        d = d[d["cnat"].astype(np.int64) == d["natk"]]
+        return d.groupby("natk", sort=False, as_index=False)["tt"].sum()
+
+    total = grouped(
+        by_cust.map_batches(lambda df: df.assign(cnat=np.int64(-1)),
+                            batch_format="pandas").union(
+            cust.map_batches(cust_markers, batch_format="pandas")),
+        ["cust"], same_nation, small=True)
+
+    name_of = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n_name": df["n_name"].to_numpy(),
-                             "revenue": np.round(df["revenue"].to_numpy(), 2)})
+        g = df.groupby("natk", sort=False, as_index=False)["tt"].sum()
+        return pd.DataFrame({
+            "n_name": g["natk"].map(name_of).to_numpy(),
+            "revenue": ((g["tt"].to_numpy() + 50) // 100).astype(np.float64) / 100.0,
+        })
 
-    return out.map_batches(finish, batch_format="pandas")
+    return grouped(total, ["natk"], finish, small=True)
 
 
 def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
@@ -1242,60 +1284,82 @@ def event_type_transitions(sf_dir: str) -> rd.Dataset:
 
 def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """TPC-H Q10 shape (returned-item reporting): top-k customers by
-    revenue from returned lineitems. Scale layout: the returnflag
-    predicate is pushed INTO the parquet scan (row groups whose statistics
-    exclude 'R' never leave storage), the pruned fact is combiner-reduced
-    to per-orderkey revenue in one shuffle, a Ray-native hash join attaches
-    o_custkey, a second combiner-bounded shuffle yields per-customer
-    revenue, and the top-k is per-block argpartition + a tiny driver
-    reduce (only k rows per block move); the k winners are decorated from
-    the customer table by a keyed parquet point-read — the customer dim is
-    never broadcast or shuffled."""
+    revenue from returned lineitems. Scale layout (the q7/q21 fusion):
+    the returnflag predicate is pushed INTO the parquet scan (row groups
+    whose statistics exclude 'R' never leave storage), per-row revenue is
+    quantized to exact int64 ten-thousandths in the scan (order-free
+    sums — the float path's partial-sum order was the only thing keeping
+    round(2) honest), and orders' custkey rides the ONE orderkey-keyed
+    exchange as tagged marker rows so the block finishes the per-order
+    reduce AND the join attach in one pass; a second custkey-keyed
+    exchange reduces per customer and emits only its block-local top-k,
+    the driver folds ≤ k·blocks rows, and the k winners are decorated
+    from the customer table by a keyed parquet point-read — the customer
+    dim is never broadcast or shuffled. Terminal cent rounding is
+    integer half-up ((tt+50)//100), mirrored by the SQL."""
     import os
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq_mod
 
-    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"],
                     filter=(pads.field("l_returnflag") == "R"))
 
     def revenue(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].to_numpy(),
-            "rev": df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()),
-        })
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
+            "tt": np.round(rev * 10000.0).astype(np.int64),
+        }).groupby("l_orderkey", sort=False, as_index=False)["tt"].sum()
+        out["cust"] = np.int64(-1)
+        return out
 
-    per_order = groupby_agg(li.map_batches(revenue, batch_format="pandas"),
-                            ["l_orderkey"], [AggSpec("rev", "rev", "sum")])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    n_o = table_rows(sf_dir, "orders")
-    j = per_order.join(orders, join_type="inner",
-                       num_partitions=_num_partitions(rows=n_o),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
-    per_cust = groupby_agg(j, ["o_custkey"], [AggSpec("revenue", "rev", "sum")])
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) <= k:
-            return df
-        idx = np.lexsort((df["o_custkey"].to_numpy(), -df["revenue"].to_numpy()))[:k]
-        return df.iloc[idx]
+    def order_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+            "tt": np.int64(0),
+            "cust": df["o_custkey"].to_numpy().astype(np.int64)})
 
-    cand = per_cust.map_batches(local_topk, batch_format="pandas").to_pandas()
-    cand = cand.sort_values(["revenue", "o_custkey"], ascending=[False, True],
+    def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cust"] >= 0
+        o = df.loc[mark, ["l_orderkey", "cust"]].set_index("l_orderkey")["cust"]
+        d = df[~mark]
+        cust = d["l_orderkey"].map(o)
+        d = d.assign(cust=cust).dropna(subset=["cust"])
+        g = d.groupby("cust", sort=False, as_index=False)["tt"].sum()
+        g["cust"] = g["cust"].astype(np.int64)
+        return g
+
+    by_cust = grouped(
+        li.map_batches(revenue, batch_format="pandas").union(
+            orders.map_batches(order_markers, batch_format="pandas")),
+        ["l_orderkey"], attach_cust, small=True)
+
+    def cust_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cust", sort=False, as_index=False)["tt"].sum()
+        if len(g) > k:
+            idx = np.lexsort((g["cust"].to_numpy(), -g["tt"].to_numpy()))[:k]
+            g = g.iloc[idx]
+        return g
+
+    cand = grouped(by_cust, ["cust"], cust_topk, small=True).to_pandas()
+    cand = cand.sort_values(["tt", "cust"], ascending=[False, True],
                             kind="stable").head(k)
 
     names = pq_mod.read_table(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_acctbal"],
-        filters=[("c_custkey", "in", cand["o_custkey"].tolist())]).to_pandas()
-    out = cand.merge(names, left_on="o_custkey", right_on="c_custkey")
+        filters=[("c_custkey", "in", cand["cust"].tolist())]).to_pandas()
+    out = cand.merge(names, left_on="cust", right_on="c_custkey")
     return pd.DataFrame({
         "c_custkey": out["c_custkey"].to_numpy(),
         "c_name": out["c_name"].to_numpy(),
-        "revenue": np.round(out["revenue"].to_numpy(), 2),
+        "revenue": ((out["tt"].to_numpy() + 50) // 100).astype(np.float64) / 100.0,
         "c_acctbal": out["c_acctbal"].to_numpy(),
     })
 
@@ -1924,45 +1988,84 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
         return out.groupby(["l_orderkey", "supp_nation"], sort=False,
                            as_index=False)["rev"].sum()
 
-    per_key = groupby_agg(dec.map_batches(rev_partial, batch_format="pandas"),
-                          ["l_orderkey", "supp_nation"],
-                          [AggSpec("rev", "rev", "sum")])
+    # two co-location exchanges replace groupby + native join + native
+    # join (the q7/q21 fusion layout): orders' (custkey, year) rides the
+    # orderkey shuffle as tagged marker rows, customer's nationkey rides
+    # the custkey shuffle — each block finishes the partial sums and the
+    # join attach in one pass
+    from ..rayctx import grouped
 
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders.map_batches(
-        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
-                                   pc.less(t["o_orderdate"], pa.scalar(hi)))),
-        batch_format="pyarrow")
-    n_ord = table_rows(sf_dir, "orders")
-    w_ord = per_key.join(orders, join_type="inner",
-                         num_partitions=_num_partitions(rows=n_ord),
-                         on=("l_orderkey",), right_on=("o_orderkey",))
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    w_cust = w_ord.join(cust, join_type="inner",
-                        num_partitions=_num_partitions(rows=n_ord),
-                        on=("o_custkey",), right_on=("c_custkey",))
 
-    # 25-entry decode: plain task closure (an actor pool here reserves a CPU
-    # that can starve the two upstream join aggregator pools on small hosts)
+    def order_markers(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                             pc.less(t["o_orderdate"], pa.scalar(hi))))
+        return pd.DataFrame({
+            "l_orderkey": t["o_orderkey"].to_numpy().astype(np.int64),
+            "supp_nation": "", "rev": np.int64(0),
+            "cust": t["o_custkey"].to_numpy().astype(np.int64),
+            "o_year": t["o_orderdate"].to_pandas().dt.year.to_numpy().astype(np.int64)})
+
+    li_side = dec.map_batches(rev_partial, batch_format="pandas").map_batches(
+        lambda df: df.assign(cust=np.int64(-1), o_year=np.int64(0)),
+        batch_format="pandas")
+
+    def attach_order(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cust"] >= 0
+        o = df.loc[mark].set_index("l_orderkey")
+        d = df[~mark]
+        cust = d["l_orderkey"].map(o["cust"])
+        d = d.assign(cust=cust, o_year=d["l_orderkey"].map(o["o_year"]))
+        d = d.dropna(subset=["cust"])
+        g = d.groupby(["cust", "o_year", "supp_nation"], sort=False,
+                      as_index=False)["rev"].sum()
+        g["cust"] = g["cust"].astype(np.int64)
+        g["o_year"] = g["o_year"].astype(np.int64)
+        return g
+
+    by_cust = grouped(li_side.union(orders.map_batches(
+        order_markers, batch_format="pyarrow")), ["l_orderkey"],
+        attach_order, small=True)
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     region_keys = np.array(sorted(k for k, v in nat_region.items() if v == region),
                            dtype=np.int64)
 
-    def region_filter(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(df["c_nationkey"].to_numpy(np.int64), region_keys)
-        df = df[keep]
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
-            "vol": df["rev"].to_numpy(),
-            "nat_vol": np.where(df["supp_nation"].to_numpy() == nation_name,
-                                df["rev"].to_numpy(), 0),
-        })
+            "cust": df["c_custkey"].to_numpy().astype(np.int64),
+            "o_year": np.int64(0), "supp_nation": "", "rev": np.int64(0),
+            "cnat": df["c_nationkey"].to_numpy().astype(np.int64)})
 
-    dec2 = w_cust.map_batches(region_filter, batch_format="pandas")
-    out = groupby_agg(dec2, ["o_year"],
-                      [AggSpec("nat_vol", "nat_vol", "sum"),
-                       AggSpec("vol", "vol", "sum")], small=True)
+    def region_filter(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cnat"] >= 0
+        cn = df.loc[mark, ["cust", "cnat"]].set_index("cust")["cnat"]
+        d = df[~mark]
+        cnat = d["cust"].map(cn)
+        d = d.assign(cnat=cnat).dropna(subset=["cnat"])
+        d = d[np.isin(d["cnat"].to_numpy(np.int64), region_keys)]
+        part = pd.DataFrame({
+            "o_year": d["o_year"].to_numpy(np.int64),
+            "vol": d["rev"].to_numpy(),
+            "nat_vol": np.where(d["supp_nation"].to_numpy() == nation_name,
+                                d["rev"].to_numpy(), 0),
+        })
+        return part.groupby("o_year", sort=False, as_index=False)[
+            ["nat_vol", "vol"]].sum()
+
+    dec2 = grouped(
+        by_cust.map_batches(lambda df: df.assign(cnat=np.int64(-1)),
+                            batch_format="pandas").union(
+            cust.map_batches(cust_markers, batch_format="pandas")),
+        ["cust"], region_filter, small=True)
+
+    def year_total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_year", sort=False, as_index=False)[
+            ["nat_vol", "vol"]].sum()
+
+    out = grouped(dec2, ["o_year"], year_total, small=True)
 
     def share(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
