@@ -1502,8 +1502,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.9) FROM documents)
         """,
         "q3_shipping_priority": """
+            -- exact int64 ten-thousandths, integer half-up cent rounding
+            -- (same expression tree as the engine)
             SELECT o_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST((CAST(sum(CAST(round(l_extendedprice
+                           * (1 - l_discount) * 10000) AS BIGINT))
+                         AS BIGINT) + 50) // 100 AS DOUBLE) / 100.0
+                     AS revenue,
                    o_orderdate, o_orderpriority
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING'
@@ -1512,7 +1517,8 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-06-01'
               AND l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, o_orderkey LIMIT 10
+            ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount)
+                * 10000) AS BIGINT)) DESC, o_orderkey LIMIT 10
         """,
         "event_zscore_outliers": """
             WITH s AS (

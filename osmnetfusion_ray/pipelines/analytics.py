@@ -104,57 +104,94 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
                          cutoff: str = "1998-06-01") -> pa.Table:
     """TPC-H Q3 shape: customer(segment) ⋈ orders(date<cutoff) ⋈
     lineitem(shipdate>cutoff) → revenue per order → global top-k. The
-    multiway-join layout for 100 TB: the big side (lineitem) is reduced to
-    ≤1 partial-revenue row per (block, orderkey) by a combiner BEFORE any
-    shuffle, both joins are Ray-native hash-shuffle joins keyed on custkey
-    then orderkey (never a broadcast of a non-dim table), and the final
-    top-k is per-block k → (#blocks × k)-row driver reduce."""
-    from ..pipelines.simplify import _num_partitions
+    multiway-join layout fused into TWO co-location exchanges (the
+    q7/q21 layout): the segment-filtered customer keys ride the
+    custkey-keyed exchange as markers semi-filtering orders, the
+    surviving order rows ride the orderkey-keyed exchange as markers
+    over the combiner-reduced lineitem revenue partials, each block
+    emits only its local top-k, and the driver folds ≤ k·blocks rows.
+    Money stays in exact int64 ten-thousandths (order-free sums) with
+    integer half-up cent rounding, mirrored by the SQL."""
     from ..rayctx import grouped
 
     cut = pd.Timestamp(cutoff)
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
-                   .select(["c_custkey"]),
-        batch_format="pyarrow")
     orders = read_table(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
-    orders = orders.map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))),
-        batch_format="pyarrow")
     li = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
+    # exchange A (custkey): date-filtered orders + segment-key markers
+    def cust_markers(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+        n = t.num_rows
+        return pa.table({
+            "o_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "o_orderkey": np.full(n, -1, np.int64),
+            "o_orderdate": pa.array([None] * n, pa.timestamp("us")),
+            "o_orderpriority": pa.array([""] * n, pa.string())})
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"]})
+
+    def semi_orders(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["o_orderkey"] < 0
+        keys = df.loc[mark, "o_custkey"].unique()
+        d = df[~mark]
+        d = d[d["o_custkey"].isin(keys)]
+        return pd.DataFrame({
+            "l_orderkey": d["o_orderkey"].to_numpy(np.int64),
+            "o_orderdate": d["o_orderdate"].to_numpy(),
+            "o_orderpriority": d["o_orderpriority"].to_numpy(),
+            "tt": np.int64(0)})
+
+    sized = grouped(orders.map_batches(order_rows, batch_format="pyarrow").union(
+        cust.map_batches(cust_markers, batch_format="pyarrow")),
+        ["o_custkey"], semi_orders, small=True)
+
+    # exchange B (orderkey): lineitem revenue partials + surviving orders
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] > cut]
-        out = pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].to_numpy(),
-            "rev": df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()),
-        })
-        return out.groupby("l_orderkey", sort=False, as_index=False)["rev"].sum()
-
-    li_part = li.map_batches(li_partial, batch_format="pandas")
-    n_ord = table_rows(sf_dir, "orders")
-    sized = orders.join(cust, join_type="inner",
-                        num_partitions=_num_partitions(rows=n_ord),
-                        on=("o_custkey",), right_on=("c_custkey",))
-    joined = sized.join(li_part, join_type="inner",
-                        num_partitions=_num_partitions(rows=n_ord),
-                        on=("o_orderkey",), right_on=("l_orderkey",))
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        g = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
+            "tt": np.round(rev * 10000.0).astype(np.int64),
+        }).groupby("l_orderkey", sort=False, as_index=False)["tt"].sum()
+        g["o_orderdate"] = pd.NaT
+        g["o_orderpriority"] = ""
+        return g[["l_orderkey", "o_orderdate", "o_orderpriority", "tt"]]
 
     def finalize_topk(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
-                       sort=False, as_index=False)["rev"].sum()
-        g["revenue"] = g["rev"].round(2)
-        g = g[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
-        return g.sort_values(["revenue", "o_orderkey"],
-                             ascending=[False, True]).head(k)
+        mark = df["o_orderpriority"] != ""
+        o = df.loc[mark].set_index("l_orderkey")
+        d = df[~mark]
+        g = d.groupby("l_orderkey", sort=False, as_index=False)["tt"].sum()
+        prio = g["l_orderkey"].map(o["o_orderpriority"])
+        g = g.assign(o_orderpriority=prio,
+                     o_orderdate=g["l_orderkey"].map(o["o_orderdate"]))
+        g = g.dropna(subset=["o_orderpriority"])
+        if len(g) > k:
+            idx = np.lexsort((g["l_orderkey"].to_numpy(), -g["tt"].to_numpy()))[:k]
+            g = g.iloc[idx]
+        return pd.DataFrame({
+            "o_orderkey": g["l_orderkey"].to_numpy(np.int64),
+            "tt": g["tt"].to_numpy(np.int64),
+            "o_orderdate": g["o_orderdate"].to_numpy(),
+            "o_orderpriority": g["o_orderpriority"].to_numpy()})
 
-    per_block = grouped(joined, ["o_orderkey"], finalize_topk, rows=n_ord)
+    per_block = grouped(
+        li.map_batches(li_partial, batch_format="pandas").union(sized),
+        ["l_orderkey"], finalize_topk, small=True)
     pdf = per_block.to_pandas().sort_values(
-        ["revenue", "o_orderkey"], ascending=[False, True]).head(k)
+        ["tt", "o_orderkey"], ascending=[False, True], kind="stable").head(k)
+    pdf["revenue"] = ((pdf["tt"].to_numpy() + 50) // 100).astype(np.float64) / 100.0
+    pdf = pdf[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
@@ -775,26 +812,55 @@ def event_type_cooccurrence(sf_dir: str) -> rd.Dataset:
 def q18_large_orders(sf_dir: str, threshold: float = 250.0) -> rd.Dataset:
     """TPC-H Q18 shape (large-volume customers): orders whose lineitems sum
     to > threshold quantity, decorated with customer name. The
-    groupby-HAVING-then-join-back layout for 100 TB: lineitem is reduced to
-    ≤1 partial row per (block, orderkey) by a combiner, the exact per-order
-    sum comes out of ONE hash shuffle on orderkey, the HAVING filter drops
-    ~99% of orders BEFORE the join, and the surviving keys flow into a
-    Ray-native hash join against orders (never a broadcast of a fact
-    table); customer is a broadcast dim."""
-    from ..pipelines.simplify import _num_partitions
+    groupby-HAVING layout fused into ONE co-location exchange: lineitem
+    reduces to ≤1 qty-partial row per (block, orderkey) by a combiner,
+    orders' (custkey, totalprice, date) rides the SAME orderkey-keyed
+    exchange as tagged marker rows, and the block finishes the per-order
+    sum, the HAVING filter (drops ~99% of orders), and the join attach in
+    one pass; customer is a broadcast dim applied in-stream."""
+    from ..rayctx import grouped
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    sums = groupby_agg(li, ["l_orderkey"], [AggSpec("total_qty", "l_quantity", "sum")])
-    big = sums.map_batches(
-        lambda df: df[df["total_qty"] > threshold], batch_format="pandas")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["l_quantity"].sum()
+        return pd.DataFrame({
+            "l_orderkey": g["l_orderkey"].to_numpy().astype(np.int64),
+            "total_qty": g["l_quantity"].to_numpy(),
+            "o_custkey": np.int64(-1), "o_totalprice": np.float64(0.0),
+            "o_orderdate": pd.Timestamp(0)})
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
-    big = big.materialize()  # tiny post-HAVING survivor set
-    n_big = big.count()
-    joined = orders.join(big, join_type="inner",
-                         num_partitions=_num_partitions(rows=max(n_big, 1)),
-                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def order_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+            "total_qty": np.float64(0.0),
+            "o_custkey": df["o_custkey"].to_numpy().astype(np.int64),
+            "o_totalprice": df["o_totalprice"].to_numpy(),
+            "o_orderdate": df["o_orderdate"].to_numpy()})
+
+    def having_attach(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["o_custkey"] >= 0
+        o = df.loc[mark].set_index("l_orderkey")
+        d = df[~mark]
+        g = d.groupby("l_orderkey", sort=False, as_index=False)["total_qty"].sum()
+        g = g[g["total_qty"] > threshold]
+        k = g["l_orderkey"]
+        out = pd.DataFrame({
+            "o_orderkey": k.to_numpy(np.int64),
+            "total_qty": g["total_qty"].to_numpy(),
+            "o_custkey": k.map(o["o_custkey"]).to_numpy(),
+            "o_totalprice": k.map(o["o_totalprice"]).to_numpy(),
+            "o_orderdate": k.map(o["o_orderdate"]).to_numpy()})
+        out = out.dropna(subset=["o_custkey"])
+        out["o_custkey"] = out["o_custkey"].astype(np.int64)
+        return out
+
+    joined = grouped(li.map_batches(li_partial, batch_format="pandas").union(
+        orders.map_batches(order_markers, batch_format="pandas")),
+        ["l_orderkey"], having_attach, small=True)
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
     out = broadcast_join(joined, cust, left_on="o_custkey", right_on="c_custkey")
@@ -813,11 +879,11 @@ def q18_large_orders(sf_dir: str, threshold: float = 250.0) -> rd.Dataset:
 def q4_order_priority(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:
     """TPC-H Q4 shape (order-priority checking): count orders BY priority
     that have at least one qualifying lineitem — a distributed SEMI-join.
-    Scale layout: the EXISTS side is reduced to DISTINCT orderkeys by a
-    per-block combiner (dedup before the exchange), deduped exactly in one
-    hash shuffle, then inner-joined (already-unique right side ⇒ semi
-    semantics) against orders, finishing in a tiny 5-key aggregate."""
-    from ..pipelines.simplify import _num_partitions
+    Scale layout (co-location semi): the EXISTS side is reduced to
+    DISTINCT orderkeys by a per-block combiner, and orders' priority rows
+    ride the SAME orderkey-keyed exchange as tagged markers — the block
+    resolves membership locally (the key set is fully co-located), so the
+    semi-join costs ONE exchange and the terminal aggregate is 5 keys."""
     from ..rayctx import grouped
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
@@ -825,20 +891,34 @@ def q4_order_priority(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:
     def keys_block(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t["l_quantity"], pa.scalar(min_qty)))
         k = np.unique(t["l_orderkey"].to_numpy())
-        return pa.table({"l_orderkey": k})
-
-    keys = li.map_batches(keys_block, batch_format="pyarrow")
-    keys = grouped(keys, ["l_orderkey"],
-                   lambda df: df.drop_duplicates(ignore_index=True))
+        return pa.table({"l_orderkey": k,
+                         "prio": np.full(len(k), "", dtype=object)})
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    keys = keys.materialize()  # deduped keyset, reduced before here
-    n_k = keys.count()
-    hits = orders.join(keys, join_type="inner",
-                       num_partitions=_num_partitions(rows=max(n_k, 1)),
-                       on=("o_orderkey",), right_on=("l_orderkey",))
-    return groupby_agg(hits, ["o_orderpriority"],
-                       [AggSpec("n_orders", None, "count")], small=True)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "prio": t["o_orderpriority"]})
+
+    def semi_count(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["prio"] != ""
+        keys = df.loc[~mark, "l_orderkey"].unique()
+        d = df[mark]
+        d = d[d["l_orderkey"].isin(keys)]
+        g = d.groupby("prio", sort=False).size().reset_index(name="n_orders")
+        return pd.DataFrame({"o_orderpriority": g["prio"].to_numpy(),
+                             "n_orders": g["n_orders"].to_numpy().astype(np.int64)})
+
+    partial = grouped(li.map_batches(keys_block, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")),
+        ["l_orderkey"], semi_count, small=True)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False, as_index=False)["n_orders"].sum()
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g
+
+    return grouped(partial, ["o_orderpriority"], total, small=True)
 
 
 def embedding_norms_by_lang(sf_dir: str) -> rd.Dataset:
@@ -883,38 +963,61 @@ def embedding_norms_by_lang(sf_dir: str) -> rd.Dataset:
 def q12_priority_lines(sf_dir: str) -> rd.Dataset:
     """TPC-H Q12 shape (shipping-mode priority split, l_returnflag standing
     in for shipmode): per flag, how many lineitems belong to high-priority
-    (1-URGENT/2-HIGH) vs lower-priority orders. Scale layout: lineitem is
-    first reduced to exact per-(orderkey, flag) counts — the combiner bounds
-    that shuffle by distinct keys, never raw lineitems — then the counts
-    hash-join orders (big×big, Ray-native) and a conditional split inside a
-    streamed map feeds a 3-key terminal aggregate, so the CASE never sees
-    more rows than distinct (orderkey, flag) pairs."""
-    from ..pipelines.simplify import _num_partitions
+    (1-URGENT/2-HIGH) vs lower-priority orders. Scale layout (co-location
+    join): lineitem reduces to per-block (orderkey, flag) count partials
+    — the combiner bounds the exchange by distinct keys — and orders'
+    priority rides the SAME orderkey-keyed exchange as tagged marker
+    rows; the block finishes the count sums, the priority attach, and
+    the hi/lo split in one pass, feeding a 3-key terminal aggregate."""
+    from ..rayctx import grouped
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
-    cnt = groupby_agg(li, ["l_orderkey", "l_returnflag"],
-                      [AggSpec("cnt", None, "count")])
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "l_returnflag"], sort=False).size(
+            ).reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["prio"] = ""
+        return g
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    n_o = table_rows(sf_dir, "orders")
-    joined = cnt.join(orders, join_type="inner",
-                      num_partitions=_num_partitions(rows=n_o),
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def order_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+            "l_returnflag": "", "cnt": np.int64(0),
+            "prio": df["o_orderpriority"].to_numpy()})
 
     def split(df: pd.DataFrame) -> pd.DataFrame:
-        hi = df["o_orderpriority"].isin(("1-URGENT", "2-HIGH")).to_numpy()
-        c = df["cnt"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "l_returnflag": df["l_returnflag"].to_numpy(),
+        mark = df["prio"] != ""
+        pr = df.loc[mark, ["l_orderkey", "prio"]].set_index("l_orderkey")["prio"]
+        d = df[~mark]
+        g = d.groupby(["l_orderkey", "l_returnflag"], sort=False,
+                      as_index=False)["cnt"].sum()
+        prio = g["l_orderkey"].map(pr)
+        g = g.assign(prio=prio).dropna(subset=["prio"])
+        hi = g["prio"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+        c = g["cnt"].to_numpy().astype(np.int64)
+        part = pd.DataFrame({
+            "l_returnflag": g["l_returnflag"].to_numpy(),
             "high_line_count": np.where(hi, c, 0),
             "low_line_count": np.where(hi, 0, c),
         })
+        return part.groupby("l_returnflag", sort=False, as_index=False)[
+            ["high_line_count", "low_line_count"]].sum()
 
-    return groupby_agg(joined.map_batches(split, batch_format="pandas"),
-                       ["l_returnflag"],
-                       [AggSpec("high_line_count", "high_line_count", "sum"),
-                        AggSpec("low_line_count", "low_line_count", "sum")],
-                       small=True)
+    partial = grouped(li.map_batches(li_partial, batch_format="pandas").union(
+        orders.map_batches(order_markers, batch_format="pandas")),
+        ["l_orderkey"], split, small=True)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", sort=False, as_index=False)[
+            ["high_line_count", "low_line_count"]].sum()
+        for c in ("high_line_count", "low_line_count"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return grouped(partial, ["l_returnflag"], total, small=True)
 
 
 def lineitem_price_corr(sf_dir: str) -> rd.Dataset:
@@ -2280,26 +2383,41 @@ def q9_product_type_profit(sf_dir: str, name_like: str = "bolt") -> rd.Dataset:
         return out.groupby(["l_orderkey", "nation"], sort=False,
                            as_index=False)["amt"].sum()
 
-    per_key = groupby_agg(dec.map_batches(profit_partial, batch_format="pandas"),
-                          ["l_orderkey", "nation"],
-                          [AggSpec("amt", "amt", "sum")])
+    # co-location fusion (the q7/q21 layout): orders' year rides the one
+    # orderkey-keyed exchange as tagged marker rows; the block finishes
+    # the per-(orderkey, nation) sums, the year attach, and the
+    # (nation, year) partial reduce in one pass
+    from ..rayctx import grouped
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
-    n_ord = table_rows(sf_dir, "orders")
-    w_ord = per_key.join(orders, join_type="inner",
-                         num_partitions=_num_partitions(rows=n_ord),
-                         on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def order_markers(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "nation": df["nation"].to_numpy(),
-            "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64),
-            "amt": df["amt"].to_numpy(),
-        })
+            "l_orderkey": df["o_orderkey"].to_numpy().astype(np.int64),
+            "nation": "", "amt": np.int64(0),
+            "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64)})
 
-    out = groupby_agg(w_ord.map_batches(year_partial, batch_format="pandas"),
-                      ["nation", "o_year"], [AggSpec("amt", "amt", "sum")],
-                      small=True)
+    li_side = dec.map_batches(profit_partial, batch_format="pandas").map_batches(
+        lambda df: df.assign(o_year=np.int64(-1)), batch_format="pandas")
+
+    def attach_year(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["o_year"] >= 0
+        yr = df.loc[mark, ["l_orderkey", "o_year"]].set_index("l_orderkey")["o_year"]
+        d = df[~mark]
+        g = d.groupby(["l_orderkey", "nation"], sort=False, as_index=False)["amt"].sum()
+        y = g["l_orderkey"].map(yr)
+        g = g.assign(o_year=y).dropna(subset=["o_year"])
+        g["o_year"] = g["o_year"].astype(np.int64)
+        return g.groupby(["nation", "o_year"], sort=False, as_index=False)["amt"].sum()
+
+    partial = grouped(li_side.union(orders.map_batches(
+        order_markers, batch_format="pandas")), ["l_orderkey"],
+        attach_year, small=True)
+
+    def nation_year(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["nation", "o_year"], sort=False, as_index=False)["amt"].sum()
+
+    out = grouped(partial, ["nation", "o_year"], nation_year, small=True)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["nation", "o_year"],
