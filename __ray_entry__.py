@@ -2179,7 +2179,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q17_small_quantity_revenue": """
-            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            -- exact int64 cents; /7 average is integer half-up
+            -- floor((2s+7)/14), the same expression tree as the engine
+            SELECT CAST((2 * CAST(sum(CAST(round(l_extendedprice * 100)
+                       AS BIGINT)) AS BIGINT) + 7) // 14 AS DOUBLE) / 100.0
+                     AS avg_yearly
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE p_brand = 'Brand#23'
               AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)

@@ -1307,15 +1307,19 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
     """TPC-H Q17 shape (small-quantity-order revenue): average yearly
     revenue lost if small orders (below 20% of the part's mean quantity)
     were not filled, for one brand. The aggregate-then-rejoin-the-fact
-    layout: the correlated subquery becomes (1) a brand semi-filter pushed
-    into the lineitem scan (broadcast partkey set — bounded by the brand's
-    share of parts, small at any scale), (2) one combiner-bounded shuffle
-    producing exact per-part mean quantity, (3) a SECOND streamed pass over
-    the same pruned lineitems with the per-part thresholds broadcast back,
-    reduced to per-block partial sums and one scalar. The fact table is
-    scanned twice but never shuffled; only per-part scalars move."""
+    layout fused to ONE partkey co-location: the brand semi-filter is
+    pushed into the lineitem scan (broadcast partkey set — bounded by the
+    brand's share of parts), and the surviving (partkey, qty, cents) rows
+    ride ONE partkey-keyed exchange; with every row of a part co-located,
+    the block computes the part's mean-quantity threshold AND the sum of
+    its small-order prices in the same pass — one scan, one exchange,
+    nothing broadcast back. Money stays in exact int64 cents; the /7
+    average is integer half-up (floor((2s+7)/14)) so both engines share
+    one expression tree."""
     import pyarrow.parquet as pq_mod
     import os
+
+    from ..rayctx import grouped
 
     part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
                              columns=["p_partkey", "p_brand"]).to_pandas()
@@ -1325,32 +1329,26 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
                     columns=["l_partkey", "l_quantity", "l_extendedprice"])
     li_b = broadcast_semi_filter(li, keys, "l_partkey")
 
-    stats = groupby_agg(li_b, ["l_partkey"],
-                        [AggSpec("qty_sum", "l_quantity", "sum"),
-                         AggSpec("qty_n", None, "count")], small=True).to_pandas()
-    thr = stats.assign(thr=0.2 * stats["qty_sum"] / stats["qty_n"])[["l_partkey", "thr"]]
-    tkeys = np.sort(thr["l_partkey"].to_numpy())
-    tvals = thr.set_index("l_partkey").loc[tkeys, "thr"].to_numpy()
-    kref = ray.put(tkeys)
-    vref = ray.put(tvals)
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+            "qty": df["l_quantity"].to_numpy(),
+            "cents": np.rint(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64),
+        })
 
-    class _SmallQty:
-        def __init__(self):
-            self.k = ray.get(kref)
-            self.v = ray.get(vref)
+    def small_qty_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": np.zeros(0, np.int64)})
+        g = df.groupby("l_partkey", sort=False)["qty"]
+        # 0.2 * (sum/n), matching the SQL's 0.2 * avg() association
+        thr = (0.2 * (g.transform("sum") / g.transform("size"))).to_numpy()
+        ok = df["qty"].to_numpy() < thr
+        return pd.DataFrame({"s": [np.int64(df["cents"].to_numpy()[ok].sum())]})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            pk = t["l_partkey"].to_numpy()
-            pos = np.searchsorted(self.k, pk)
-            pos = np.clip(pos, 0, max(len(self.k) - 1, 0))
-            ok = (self.k[pos] == pk) if len(self.k) else np.zeros(len(pk), bool)
-            ok &= t["l_quantity"].to_numpy() < self.v[pos] if len(self.k) else False
-            s = float(t["l_extendedprice"].to_numpy()[ok].sum())
-            return pa.table({"s": pa.array([s], type=pa.float64())})
-
-    parts = li_b.map_batches(_SmallQty, batch_format="pyarrow",
-                             concurrency=(1, 8)).to_pandas()
-    return pd.DataFrame({"avg_yearly": [round(float(parts["s"].sum()) / 7.0, 2)]})
+    parts = grouped(li_b.map_batches(skinny, batch_format="pandas"),
+                    ["l_partkey"], small_qty_sum, small=True).to_pandas()
+    s = int(parts["s"].sum())
+    return pd.DataFrame({"avg_yearly": [((2 * s + 7) // 14) / 100.0]})
 
 
 def event_type_transitions(sf_dir: str) -> rd.Dataset:
@@ -2508,12 +2506,15 @@ def q16_parts_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
     counts per (brand, type, size) for qualifying parts, excluding
     complaint suppliers (stand-in: negative account balance).
 
-    Scale layout: COUNT(DISTINCT) never sees raw fact rows — each block
-    first reduces to distinct (partkey, suppkey) pairs, one exchange
-    dedups the pairs globally, the part-attr decode is a broadcast join
-    that doubles as the attribute filter, blocks then re-dedup to
-    (brand, type, size, suppkey) before the second (attr-keyed, tiny)
-    exchange where nunique is a block-local count."""
+    Scale layout: COUNT(DISTINCT) never sees raw fact rows — the
+    part-attr decode is a broadcast join INSIDE the scan (doubling as the
+    attribute filter), each block reduces to distinct (brand, type, size,
+    suppkey) rows (a combiner at least as tight as distinct raw pairs,
+    since many parts share an attr triple), and ONE attr-keyed exchange
+    both finishes the global dedup and counts suppliers block-locally —
+    an attr triple's quads are bounded by its supplier count, so the
+    co-location is skew-safe and a separate quad-dedup exchange would be
+    redundant work."""
     import os
 
     import pyarrow.parquet as pq_mod
@@ -2535,13 +2536,7 @@ def q16_parts_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
     if len(bad):
         li = broadcast_semi_filter(li, bad, "l_suppkey", keep=False)
 
-    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["l_partkey", "l_suppkey"])
-
-    pairs = grouped(li.map_batches(pair_distinct, batch_format="pandas"),
-                    ["l_partkey", "l_suppkey"], pair_distinct)
-    dec = broadcast_join(pairs, part, left_on="l_partkey",
-                         right_on="p_partkey", concurrency=(1, 2))
+    dec = broadcast_join(li, part, left_on="l_partkey", right_on="p_partkey")
 
     def attr_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])[
