@@ -815,6 +815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dbscan": _q_doc_dbscan,
         "user_day_streaks": analytics.user_day_streaks,
         "event_twap": analytics.event_twap,
+        "event_mad_by_type": analytics.event_mad_by_type,
+        "embedding_gram": corpus.embedding_gram,
         "event_rising_triples": analytics.event_rising_triples,
         "length_gini_by_lang": analytics.length_gini_by_lang,
         "fingerprint_clusters": corpus.fingerprint_clusters,
@@ -973,6 +975,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(len) AS n_active_days,
                    max(len) AS longest_streak, count(*) AS n_streaks
             FROM st GROUP BY user_id
+        """,
+        "event_mad_by_type": """
+            -- dependent two-stage robust statistic: median, then median
+            -- of |v - median|; exact cents, quantile_cont interpolation
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, median(cents) AS med,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM c GROUP BY event_type
+            ),
+            d AS (
+                SELECT c.event_type,
+                       abs(CAST(c.cents AS DOUBLE) - m.med) AS dev
+                FROM c JOIN m USING (event_type)
+            ),
+            md AS (SELECT event_type, median(dev) AS mad
+                   FROM d GROUP BY event_type)
+            SELECT m.event_type, m.n_events,
+                   m.med / 100.0 AS median_value,
+                   md.mad / 100.0 AS mad_value
+            FROM m JOIN md USING (event_type)
+        """,
+        "embedding_gram": """
+            -- d x d Gram matrix, upper triangle, exact int64 at 2^20
+            -- half-up quantization (floor(x*2^20 + 0.5) on both engines)
+            WITH x AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1048576.0 + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS s
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
         "event_twap": """
             -- piecewise-constant time integral: exact cents x exact

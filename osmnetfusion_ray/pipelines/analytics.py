@@ -3440,3 +3440,63 @@ def length_gini_by_lang(sf_dir: str) -> rd.Dataset:
 
     return grouped(docs.map_batches(local_hist, batch_format="pandas"),
                    ["lang"], gini_block, small=True)
+
+
+def event_mad_by_type(sf_dir: str) -> rd.Dataset:
+    """DEPENDENT TWO-STAGE ROBUST STATISTIC: per event type, the median
+    AND the median absolute deviation (MAD) — the second median is taken
+    over |v − median|, a statistic that depends on the first pass's
+    result, which the independent-quantile shapes (lang_length_quantiles,
+    exact_quantiles) never exercise.
+
+    Shape: the counting-sort dual again — blocks emit (type, cents) →
+    count partials, so the ONE type-keyed exchange is bounded by
+    |types| × |distinct cents| regardless of event count, and the block
+    kernel resolves BOTH medians from the same histogram (the deviation
+    histogram is derived in-block by folding the value histogram around
+    the first median — no second pass over the data).
+
+    Exactness: values are exact int64 cents; median interpolation for
+    even counts is (lo+hi)/2.0 of exact ints (DuckDB's quantile_cont
+    convention), deviations |cents − med| are exact multiples of 0.5,
+    their interpolated median an exact multiple of 0.25, and the terminal
+    /100.0 is the same IEEE division on both engines."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def local_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "cents": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
+        }).groupby(["event_type", "cents"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def _median_from_hist(v: np.ndarray, c: np.ndarray) -> float:
+        # v sorted asc, c counts; quantile_cont(0.5): pos = 0.5*(n-1)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        lo_r, hi_r = (n - 1) // 2, n // 2
+        lo = v[np.searchsorted(cum, lo_r + 1)]
+        hi = v[np.searchsorted(cum, hi_r + 1)]
+        return (float(lo) + float(hi)) / 2.0
+
+    def mad_block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        g = df.groupby(["event_type", "cents"], sort=True)["cnt"].sum().reset_index()
+        for et, h in g.groupby("event_type", sort=True):
+            v = h["cents"].to_numpy()
+            c = h["cnt"].to_numpy()
+            med = _median_from_hist(v.astype(np.float64), c)
+            dev = np.abs(v.astype(np.float64) - med)
+            o = np.argsort(dev, kind="stable")
+            dmad = _median_from_hist(dev[o], c[o])
+            rows.append((et, int(c.sum()), med / 100.0, dmad / 100.0))
+        out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                          "median_value", "mad_value"])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return grouped(ev.map_batches(local_hist, batch_format="pandas"),
+                   ["event_type"], mad_block, small=True)

@@ -3830,3 +3830,48 @@ def fingerprint_clusters(sf_dir: str) -> rd.Dataset:
 
     return grouped(docs.map_batches(keys, batch_format="pandas"),
                    ["fp_h"], clusters, small=True)
+
+
+def embedding_gram(sf_dir: str, scale_bits: int = 20) -> rd.Dataset:
+    """DENSE LINEAR ALGEBRA AS A SUFFICIENT-STATISTICS REDUCE: the d×d
+    Gram matrix Xᵀ X of the embedding table — the one-pass matrix
+    reduction under PCA / covariance / linear-probe fitting, and a shape
+    no other query covers (the reduce value is a MATRIX, computed by a
+    per-block matmul, not a per-key scalar).
+
+    Shape: each block quantizes its vectors to int64 (half-up at 2^20 —
+    floor(x·2^20 + 0.5), the same IEEE expression DuckDB evaluates) and
+    emits ONE d×d int64 partial via a single ``Q.T @ Q`` matmul, flattened
+    to (i, j, s) rows for the upper triangle; the exchange carries
+    d(d+1)/2 rows per block REGARDLESS of row count, and a tiny (i, j)-
+    keyed reduce sums partials. Exact: |q| < 2^19 ⇒ per-row product
+    < 2^38, so int64 holds ~2^25 rows per entry (two-limb split documented
+    for beyond). The DuckDB oracle recomputes via unnest-with-subscripts
+    self-join — a genuinely different evaluation order that only matches
+    because the sums are integer."""
+    from ..rayctx import grouped
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+    mul = float(1 << scale_bits)
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"i": np.zeros(0, np.int64),
+                                 "j": np.zeros(0, np.int64),
+                                 "s": np.zeros(0, np.int64)})
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * mul + 0.5).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({"i": (iu + 1).astype(np.int64),
+                             "j": (ju + 1).astype(np.int64),
+                             "s": g[iu, ju]})
+
+    def reduce_block(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["i", "j"], sort=False, as_index=False)["s"].sum()
+        g["s"] = g["s"].astype(np.int64)
+        return g
+
+    return grouped(emb.map_batches(gram_partial, batch_format="pandas"),
+                   ["i", "j"], reduce_block, small=True)

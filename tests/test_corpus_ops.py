@@ -2915,3 +2915,68 @@ class TestFingerprintClusters:
         out = fingerprint_clusters(SF).to_pandas()
         assert (out["n_docs"] >= 2).all()
         assert (out["n_texts"] <= out["n_docs"]).all()
+
+
+class TestEmbeddingGram:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import embedding_gram
+
+        mine = embedding_gram(SF).to_pandas().sort_values(
+            ["i", "j"]).reset_index(drop=True)
+        e = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["embedding"]).to_pandas()
+        x = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * float(1 << 20) + 0.5).astype(np.int64)
+        g = q.T @ q
+        d = g.shape[0]
+        assert len(mine) == d * (d + 1) // 2
+        iu, ju = np.triu_indices(d)
+        ref = pd.DataFrame({"i": iu + 1, "j": ju + 1, "s": g[iu, ju]})
+        ref = ref.sort_values(["i", "j"]).reset_index(drop=True)
+        for c in ("i", "j", "s"):
+            assert np.array_equal(mine[c].to_numpy(), ref[c].to_numpy()), c
+
+    def test_partition_invariant(self, ray_session):
+        # the matrix reduce must not depend on block boundaries
+        import ray.data as rd
+
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import embedding_gram
+
+        a = embedding_gram(SF).to_pandas().sort_values(["i", "j"])
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        x = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        q = np.floor(x * float(1 << 20) + 0.5).astype(np.int64)
+        # diagonal of the full-table matmul equals the distributed diagonal
+        diag = a[a["i"] == a["j"]].sort_values("i")["s"].to_numpy()
+        assert np.array_equal(diag, np.einsum("ij,ij->j", q, q))
+
+
+class TestEventMadByType:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import event_mad_by_type
+
+        mine = event_mad_by_type(SF).to_pandas().sort_values(
+            "event_type").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "value"]).to_pandas()
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+
+        def med(x):
+            x = np.sort(x.astype(np.float64))
+            n = len(x)
+            return (x[(n - 1) // 2] + x[n // 2]) / 2.0
+
+        for _, row in mine.iterrows():
+            c = ev.loc[ev["event_type"] == row["event_type"], "cents"].to_numpy()
+            assert row["n_events"] == len(c)
+            m = med(c)
+            assert row["median_value"] == m / 100.0
+            assert row["mad_value"] == med(np.abs(c - m)) / 100.0
+            # MAD is a spread: strictly positive on this fixture
+            assert row["mad_value"] > 0
