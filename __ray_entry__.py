@@ -817,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_twap": analytics.event_twap,
         "event_mad_by_type": analytics.event_mad_by_type,
         "embedding_gram": corpus.embedding_gram,
+        "doc_kcore": corpus.doc_kcore,
         "event_rising_triples": analytics.event_rising_triples,
         "length_gini_by_lang": analytics.length_gini_by_lang,
         "fingerprint_clusters": corpus.fingerprint_clusters,
@@ -1072,6 +1073,75 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(CAST(max(n) AS BIGINT) * CAST(max(t) AS BIGINT) AS DOUBLE)
                      AS gini
             FROM r GROUP BY lang
+        """,
+        "doc_kcore": """
+            -- k-core by synchronous peeling to a fixpoint: same hash
+            -- point field as doc_dbscan, density-scaled eps^2 = 0.125/n,
+            -- recursive rounds keep a node iff >= k of its neighbors
+            -- survived the previous round; 64 rounds safely exceeds the
+            -- measured fixpoint depth and extra rounds are no-ops
+            WITH RECURSIVE base AS (
+                SELECT doc_id,
+                       (doc_id * 2654435761) % 4294967296 AS h,
+                       ((doc_id % 97) * 2654435761) % 4294967296 AS hk
+                FROM documents
+            ),
+            pt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 7
+                            THEN CAST(h % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                            ELSE CAST(hk % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                 + (CAST(h % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                    - CAST(0.5 AS DOUBLE)) * CAST(0.02 AS DOUBLE)
+                       END AS x,
+                       CASE WHEN doc_id % 10 = 7
+                            THEN CAST((h // 65536) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                            ELSE CAST((hk // 65536) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                 + (CAST((h // 65536) % 65536 AS DOUBLE) / CAST(65536 AS DOUBLE)
+                                    - CAST(0.5 AS DOUBLE)) * CAST(0.02 AS DOUBLE)
+                       END AS y
+                FROM base
+            ),
+            par AS (
+                SELECT sqrt(0.125 / CAST(count(*) AS DOUBLE)) AS eps,
+                       0.125 / CAST(count(*) AS DOUBLE) AS e2
+                FROM documents
+            ),
+            cells AS (
+                SELECT doc_id, x, y,
+                       CAST(floor((x + CAST(1 AS DOUBLE)) / par.eps) AS BIGINT) AS cx,
+                       CAST(floor((y + CAST(1 AS DOUBLE)) / par.eps) AS BIGINT) AS cy
+                FROM pt, par
+            ),
+            o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                        (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+            pairs AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM cells a CROSS JOIN o
+                JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+                CROSS JOIN par
+                WHERE a.doc_id < b.doc_id
+                  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                      < par.e2
+            ),
+            sym AS (SELECT ia AS u, ib AS v FROM pairs
+                    UNION ALL SELECT ib, ia FROM pairs),
+            alive(node, r) AS (
+                SELECT doc_id, 0 FROM documents
+                UNION
+                SELECT a.node, a.r + 1 FROM alive a
+                WHERE a.r < 64
+                  AND (SELECT count(*) FROM sym s
+                       JOIN alive b ON b.node = s.v AND b.r = a.r
+                       WHERE s.u = a.node) >= 4
+            ),
+            core AS (SELECT node FROM alive GROUP BY node
+                     HAVING max(r) = 64)
+            SELECT s.u AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+            FROM sym s
+            JOIN core c1 ON c1.node = s.u
+            JOIN core c2 ON c2.node = s.v
+            GROUP BY s.u
         """,
         "doc_dbscan": """
             -- full DBSCAN recompute: same hash point field (one IEEE

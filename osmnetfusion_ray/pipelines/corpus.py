@@ -3582,39 +3582,14 @@ def _dbscan_xy(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
-def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
-    """Distributed DBSCAN over geocoded documents — the density-clustering
-    algorithm of the geospatial tier, in the deterministic min-label
-    parallel formulation: every doc is classified core / border / noise
-    and every non-noise doc gets the MIN core doc_id of its density
-    component as the cluster label (borders take the min over their
-    eps-core neighbors), which is partitioning-invariant by construction.
+def _eps_sym_edges(docs: rd.Dataset, n_docs: int, eps: float) -> rd.Dataset:
+    """Materialized SYMMETRIC eps-neighbor edge list (u, v) over the
+    deterministic hash point field — the cell+halo self-join shared by
+    doc_dbscan and doc_kcore (doc_radius_pairs' layout: 9-cell
+    replication, pairs emitted only from the min(home) cell so no dedup
+    pass is needed)."""
+    from ..rayctx import grouped
 
-    Scale decomposition — each step is a bounded keyed exchange:
-    1. eps-pair generation = the cell+halo self-join (doc_radius_pairs'
-       layout: 9-cell replication, pairs emitted only from
-       min(home) cells so no dedup pass);
-    2. degrees + core flags in one node-keyed co-location (a doc is core
-       iff |N_eps| + 1 >= min_pts);
-    3. edge classification in a second co-location that attaches the
-       OTHER endpoint's core flag (core-core edges vs border candidates);
-    4. core components via the engine's size-adaptive min-label
-       machinery (`labels_from_edges_ds` — driver union-find when tiny,
-       distributed label propagation with pointer jumping above);
-    5. border labels = min core-neighbor label via one label-attach
-       co-location + one min reduce;
-    6. final assembly co-locates docs with core/border labels on doc_id.
-    Nothing broadcasts: core flags and labels ride the same hash
-    exchanges as the rows they annotate. The DuckDB oracle recomputes
-    everything from the same hash field with a recursive min-label CTE
-    over the core-core graph — bit-equal because point coordinates share
-    one IEEE expression tree and all compares are strict.
-    """
-    from ..pipelines.simplify import labels_from_edges_ds
-    from ..rayctx import ensure_tuned, grouped
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id"])
-    n_docs = docs.count()  # parquet-metadata count — no execution
     e2 = eps * eps
 
     def halo(batch: pa.Table) -> pa.Table:
@@ -3655,20 +3630,54 @@ def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
                                  "b": np.zeros(0, np.int64)})
         return pd.concat(outs, ignore_index=True)
 
-    # every exchange below carries a data-proportional rows hint — the
-    # stages are tiny relative to the corpus (pairs/edges/labels), and an
-    # unhinted exchange opens at full cluster width whose aggregator-pool
-    # spawn costs more than the reduce on small inputs (at real scale the
-    # hints grow with the data and the pools reach cluster width)
+    # data-proportional rows hint — an unhinted exchange opens at full
+    # cluster width whose aggregator-pool spawn costs more than the
+    # reduce on small inputs (at real scale the hint grows with the data)
     pairs = grouped(docs.map_batches(halo, batch_format="pyarrow"),
                     ["cell"], pair_block, rows=9 * n_docs)
 
-    sym = pairs.map_batches(lambda df: pd.DataFrame({
+    return pairs.map_batches(lambda df: pd.DataFrame({
         "u": np.concatenate([df["a"].to_numpy(np.int64),
                              df["b"].to_numpy(np.int64)]),
         "v": np.concatenate([df["b"].to_numpy(np.int64),
                              df["a"].to_numpy(np.int64)])}),
         batch_format="pandas").materialize()
+
+
+def doc_dbscan(sf_dir: str, eps: float = 0.005, min_pts: int = 4) -> rd.Dataset:
+    """Distributed DBSCAN over geocoded documents — the density-clustering
+    algorithm of the geospatial tier, in the deterministic min-label
+    parallel formulation: every doc is classified core / border / noise
+    and every non-noise doc gets the MIN core doc_id of its density
+    component as the cluster label (borders take the min over their
+    eps-core neighbors), which is partitioning-invariant by construction.
+
+    Scale decomposition — each step is a bounded keyed exchange:
+    1. eps-pair generation = the cell+halo self-join (doc_radius_pairs'
+       layout: 9-cell replication, pairs emitted only from
+       min(home) cells so no dedup pass);
+    2. degrees + core flags in one node-keyed co-location (a doc is core
+       iff |N_eps| + 1 >= min_pts);
+    3. edge classification in a second co-location that attaches the
+       OTHER endpoint's core flag (core-core edges vs border candidates);
+    4. core components via the engine's size-adaptive min-label
+       machinery (`labels_from_edges_ds` — driver union-find when tiny,
+       distributed label propagation with pointer jumping above);
+    5. border labels = min core-neighbor label via one label-attach
+       co-location + one min reduce;
+    6. final assembly co-locates docs with core/border labels on doc_id.
+    Nothing broadcasts: core flags and labels ride the same hash
+    exchanges as the rows they annotate. The DuckDB oracle recomputes
+    everything from the same hash field with a recursive min-label CTE
+    over the core-core graph — bit-equal because point coordinates share
+    one IEEE expression tree and all compares are strict.
+    """
+    from ..pipelines.simplify import labels_from_edges_ds
+    from ..rayctx import ensure_tuned, grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
+    sym = _eps_sym_edges(docs, n_docs, eps)
 
     # step 2: degree per node -> core flag; edges leave tagged with the
     # SOURCE endpoint's flag, node rows (v = -1) remember every flag
@@ -3875,3 +3884,121 @@ def embedding_gram(sf_dir: str, scale_bits: int = 20) -> rd.Dataset:
 
     return grouped(emb.map_batches(gram_partial, batch_format="pandas"),
                    ["i", "j"], reduce_block, small=True)
+
+
+def doc_kcore(sf_dir: str, k: int = 4, _force_distributed: bool = False) -> pd.DataFrame:
+    """ITERATIVE PEELING FIXPOINT (k-core): the maximal subgraph of the
+    eps-neighbor graph in which every member keeps ≥ k neighbors — the
+    monotone-REMOVAL fixpoint no other iterative shape covers (BFS grows
+    a frontier, label propagation relabels a fixed node set, PageRank
+    re-weights; peeling shrinks the vertex set itself, and each round's
+    degrees depend on who survived the last).
+
+    Graph: the doc_dbscan hash point field with a density-scaled radius
+    eps² = 0.125/n, so the core is non-trivial at every test scale
+    (synchronous peeling converges to the same unique k-core as
+    sequential removal because degrees only ever shrink).
+
+    Shape: the eps-pair cell+halo self-join is shared with doc_dbscan
+    (one keyed exchange, min-home emission); each peel round is TWO
+    keyed co-locations — edge rows ride the v-keyed exchange with alive
+    markers (neighbor-side filter), survivors ride the u-keyed exchange
+    with alive markers (degree count + threshold) — and the loop stops
+    when the alive count stops shrinking (a true fixpoint, never a
+    silent round cap). Below 200k docs the peel runs driver-side on the
+    materialized edge list (the pair table is degree-bounded), asserted
+    path-equal to the distributed loop by a forced-distributed test.
+    Output: every k-core member with its WITHIN-CORE degree."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+    eps = float(np.sqrt(0.125 / n_docs))
+    sym = _eps_sym_edges(docs, n_docs, eps)
+
+    def _result(u: np.ndarray, v: np.ndarray, alive_ids: np.ndarray) -> pd.DataFrame:
+        am = np.isin(u, alive_ids) & np.isin(v, alive_ids)
+        uu, cc = np.unique(u[am], return_counts=True)
+        return pd.DataFrame({"doc_id": uu.astype(np.int64),
+                             "core_deg": cc.astype(np.int64)})
+
+    if n_docs < 200_000 and not _force_distributed:
+        e = sym.to_pandas()
+        u = e["u"].to_numpy(np.int64)
+        v = e["v"].to_numpy(np.int64)
+        alive = np.ones(n_docs, bool)
+        while True:
+            m = alive[u] & alive[v]
+            deg = np.bincount(u[m], minlength=n_docs)
+            new = alive & (deg >= k)
+            if new.sum() == alive.sum():
+                break
+            alive = new
+        return _result(u, v, np.flatnonzero(alive))
+
+    n_sym = sym.count()
+    alive = docs.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    n_alive = alive.count()
+
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                             "v": df["v"].to_numpy(np.int64)})
+
+    def _alive_rows_v(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": np.int64(-1),
+                             "v": df["node"].to_numpy(np.int64)})
+
+    def _v_filter(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df.loc[df["u"] == -1, "v"].unique()
+        d = df[df["u"] != -1]
+        return d[d["v"].isin(ok)][["u"]]
+
+    def _alive_rows_u(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["node"].to_numpy(np.int64),
+                             "mark": np.int8(1)})
+
+    def _degree_thresh(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df.loc[df["mark"] == 1, "u"].unique()
+        d = df[df["mark"] == 0]
+        g = d.groupby("u", sort=False).size().reset_index(name="deg")
+        g = g[(g["deg"] >= k) & g["u"].isin(ok)]
+        return pd.DataFrame({"node": g["u"].to_numpy(np.int64)})
+
+    while True:
+        v_ok = grouped(
+            sym.map_batches(_edge_rows, batch_format="pandas").union(
+                alive.map_batches(_alive_rows_v, batch_format="pandas")),
+            ["v"], _v_filter, rows=n_sym)
+        survivors = grouped(
+            v_ok.map_batches(lambda df: df.assign(mark=np.int8(0)),
+                             batch_format="pandas").union(
+                alive.map_batches(_alive_rows_u, batch_format="pandas")),
+            ["u"], _degree_thresh, rows=n_sym).materialize()
+        n_new = survivors.count()
+        if n_new == n_alive:
+            alive = survivors
+            break
+        alive, n_alive = survivors, n_new
+
+    # terminal within-core degree: the same two co-locations, counting
+    # instead of thresholding — edges never visit the driver
+    def _core_deg(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df.loc[df["mark"] == 1, "u"].unique()
+        d = df[df["mark"] == 0]
+        g = d.groupby("u", sort=False).size().reset_index(name="core_deg")
+        g = g[g["u"].isin(ok)]
+        return pd.DataFrame({"doc_id": g["u"].to_numpy(np.int64),
+                             "core_deg": g["core_deg"].to_numpy(np.int64)})
+
+    v_ok = grouped(
+        sym.map_batches(_edge_rows, batch_format="pandas").union(
+            alive.map_batches(_alive_rows_v, batch_format="pandas")),
+        ["v"], _v_filter, rows=n_sym)
+    out = grouped(
+        v_ok.map_batches(lambda df: df.assign(mark=np.int8(0)),
+                         batch_format="pandas").union(
+            alive.map_batches(_alive_rows_u, batch_format="pandas")),
+        ["u"], _core_deg, rows=n_sym)
+    return out.to_pandas()

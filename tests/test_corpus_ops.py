@@ -2980,3 +2980,45 @@ class TestEventMadByType:
             assert row["mad_value"] == med(np.abs(c - m)) / 100.0
             # MAD is a spread: strictly positive on this fixture
             assert row["mad_value"] > 0
+
+
+class TestDocKcore:
+    def test_matches_bruteforce(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import _dbscan_xy, doc_kcore
+
+        import pyarrow.parquet as pq
+
+        mine = doc_kcore(SF).sort_values("doc_id").reset_index(drop=True)
+        n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        x, y = _dbscan_xy(np.arange(n, dtype=np.int64))
+        e2 = 0.125 / n
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        m = (dx * dx + dy * dy) < e2
+        np.fill_diagonal(m, False)
+        iu, iv = np.nonzero(m)
+        alive = np.ones(n, bool)
+        while True:
+            mm = alive[iu] & alive[iv]
+            deg = np.bincount(iu[mm], minlength=n)
+            new = alive & (deg >= 4)
+            if new.sum() == alive.sum():
+                break
+            alive = new
+        mm = alive[iu] & alive[iv]
+        deg = np.bincount(iu[mm], minlength=n)
+        ids = np.flatnonzero(alive)
+        assert np.array_equal(mine["doc_id"].to_numpy(), ids)
+        assert np.array_equal(mine["core_deg"].to_numpy(), deg[ids])
+        # every member keeps >= k neighbors inside the core, by definition
+        assert (mine["core_deg"] >= 4).all()
+        assert 0 < len(mine) < n  # non-trivial: some peeled, some survive
+
+    def test_distributed_path_equals_driver(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_kcore
+
+        a = doc_kcore(SF).sort_values("doc_id").reset_index(drop=True)
+        b = doc_kcore(SF, _force_distributed=True).sort_values(
+            "doc_id").reset_index(drop=True)
+        assert np.array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
+        assert np.array_equal(a["core_deg"].to_numpy(), b["core_deg"].to_numpy())
