@@ -3167,7 +3167,7 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
     # texts ride this ONE h-keyed exchange (the exact_dedup layout:
     # winners emitted from the shuffle, no keep-set broadcast)
     reps = grouped(raw_docs.map_batches(hash_rows, batch_format="pandas"),
-                   ["h"], collapse).materialize()
+                   ["h"], collapse, rows=n_docs).materialize()
     docs = reps.map_batches(lambda df: df[["doc_id", "text"]],
                             batch_format="pandas")
 
@@ -3254,15 +3254,25 @@ def jaccard_prefix_pairs(sf_dir: str, t_num: int = 1, t_den: int = 2) -> rd.Data
     # pref carries Σ per-doc prefix lengths rows (≈ half the shingle
     # occurrences at t=1/2) and the raw candidate fan-out can reach
     # pairs × shared-prefix-size on dup-heavy corpora — both exchanges
-    # need full cluster width, NOT a small pool (a 10× dup-replica probe
-    # hung exactly there)
-    cand = grouped(pref, ["tok"], tok_pairs_block)
-    cand = grouped(cand, ["a", "b"],
-                   lambda df: df.drop_duplicates(["a", "b"]))
-    cand = cand.materialize()
-    if cand.count() <= _VERIFY_BROADCAST_MAX:
+    # must scale to full cluster width on dup-heavy inputs (a 10×
+    # dup-replica probe hung on a fixed small pool exactly here) — so the
+    # pools are sized by MEASURED row counts, which grow with the data:
+    # prefix rows for the pair generator, raw candidates for the dedup
+    pref = pref.materialize()
+    n_pref = pref.count()
+    cand = grouped(pref, ["tok"], tok_pairs_block, rows=n_pref).materialize()
+    n_cand = cand.count()
+    if n_cand <= _VERIFY_BROADCAST_MAX:
+        # the broadcast verify pulls candidates to the driver anyway, so
+        # the (a, b) dedup rides that pull — one exchange saved
+        cand_pd = cand.to_pandas().drop_duplicates(["a", "b"],
+                                                   ignore_index=True)
+        cand = rd.from_pandas(cand_pd)
         joined = _broadcast_pair_payload(cand, docs, "text")
     else:
+        cand = grouped(cand, ["a", "b"],
+                       lambda df: df.drop_duplicates(["a", "b"]),
+                       rows=n_cand).materialize()
         joined = _join_pair_payload(cand, docs, "text", _num_partitions())
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
