@@ -818,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_mad_by_type": analytics.event_mad_by_type,
         "embedding_gram": corpus.embedding_gram,
         "doc_kcore": corpus.doc_kcore,
+        "embedding_pca": corpus.embedding_pca,
         "event_rising_triples": analytics.event_rising_triples,
         "length_gini_by_lang": analytics.length_gini_by_lang,
         "fingerprint_clusters": corpus.fingerprint_clusters,

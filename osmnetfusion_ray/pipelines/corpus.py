@@ -4012,3 +4012,72 @@ def doc_kcore(sf_dir: str, k: int = 4, _force_distributed: bool = False) -> pd.D
             alive.map_batches(_alive_rows_u, batch_format="pandas")),
         ["u"], _core_deg, rows=n_sym)
     return out.to_pandas()
+
+
+def embedding_pca(sf_dir: str, iters: int = 400) -> pd.DataFrame:
+    """POWER ITERATION over the distributed Gram matrix — the iterative
+    numerical-linear-algebra consumer of `embedding_gram` (its oracled
+    exact twin): the top principal direction of the centered embedding
+    cloud and its explained-variance share.
+
+    Scale story: ALL data-proportional work happens inside embedding_gram
+    (one streamed pass, d(d+1)/2-row-per-block exchange); the driver math
+    is O(iters·d²) on a d×d matrix and independent of corpus size. The
+    mean vector for centering reuses the same pass layout (per-block
+    int64 column sums + count). Deterministic: quantized int64 inputs, a
+    fixed e₁ start vector, and a fixed iteration count (400 covers a
+    λ₂/λ₁ ratio of 0.93 measured on this field to ~1e-12 alignment) — no
+    RNG.
+    rows-only by design (no SQL eigensolver); the gram inputs themselves
+    are the bit-checked part."""
+    from ..rayctx import grouped
+
+    gram = embedding_gram(sf_dir).to_pandas()
+    d = int(gram["j"].max())
+    g = np.zeros((d, d), dtype=np.float64)
+    i = gram["i"].to_numpy() - 1
+    j = gram["j"].to_numpy() - 1
+    g[i, j] = gram["s"].to_numpy().astype(np.float64)
+    g[j, i] = gram["s"].to_numpy().astype(np.float64)
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+    mul = float(1 << 20)
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"i": np.zeros(0, np.int64),
+                                 "s": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64)})
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * mul + 0.5).astype(np.int64)
+        return pd.DataFrame({"i": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+                             "s": q.sum(axis=0), "n": np.int64(len(q))})
+
+    sums = grouped(emb.map_batches(sum_partial, batch_format="pandas"), ["i"],
+                   lambda df: df.groupby("i", as_index=False).agg(
+                       s=("s", "sum"), n=("n", "sum")),
+                   small=True).to_pandas().sort_values("i")
+    n = int(sums["n"].iloc[0])
+    mean = sums["s"].to_numpy().astype(np.float64) / n
+    # centered scatter: S = G - n·μμᵀ  (over quantized coordinates)
+    s_c = g - n * np.outer(mean, mean)
+
+    v = np.zeros(d)
+    v[0] = 1.0
+    for _ in range(iters):
+        w = s_c @ v
+        nw = float(np.linalg.norm(w))
+        if nw == 0.0:
+            break
+        v = w / nw
+    lam = float(v @ s_c @ v)
+    total = float(np.trace(s_c))
+    # sign convention: first nonzero coordinate positive
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return pd.DataFrame({
+        "component": np.arange(1, d + 1, dtype=np.int64),
+        "loading": v,
+        "eigenvalue_share": np.full(d, lam / total if total > 0 else 0.0),
+    })

@@ -3022,3 +3022,35 @@ class TestDocKcore:
             "doc_id").reset_index(drop=True)
         assert np.array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
         assert np.array_equal(a["core_deg"].to_numpy(), b["core_deg"].to_numpy())
+
+
+class TestEmbeddingPca:
+    def test_matches_numpy_eig(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import embedding_pca
+
+        out = embedding_pca(SF)
+        v = out["loading"].to_numpy()
+        share = float(out["eigenvalue_share"].iloc[0])
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+        e = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["embedding"]).to_pandas()
+        x = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * float(1 << 20) + 0.5)
+        c = q - q.mean(axis=0)
+        cov = c.T @ c
+        w, vecs = np.linalg.eigh(cov)
+        top = vecs[:, -1]
+        if top[np.flatnonzero(np.abs(top) > 1e-12)[0]] < 0:
+            top = -top
+        # power iteration converges to the dominant eigvec
+        assert abs(abs(float(v @ top)) - 1.0) < 1e-6
+        assert abs(share - float(w[-1] / w.sum())) < 1e-9
+
+    def test_deterministic(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import embedding_pca
+
+        a = embedding_pca(SF)
+        b = embedding_pca(SF)
+        assert np.array_equal(a["loading"].to_numpy(), b["loading"].to_numpy())
