@@ -446,6 +446,28 @@ def _q_image_pipeline_ppm(sf_dir: str):
     return ds.map_batches(PPM.ppm_stats_batch, batch_format="pyarrow")
 
 
+def _q_audio_pipeline_wav(sf_dir: str):
+    """REAL audio decode path (no stub): deterministic RIFF/WAVE PCM16
+    payloads are actually ENCODED to bytes, an actor-pool decoder actually
+    PARSES them (all header fields validated, numpy only — no audio
+    library needed for canonical WAV), a second actor stage consumes the
+    decoded PCM buffer column for a stride-4 downsample re-encoded as real
+    WAV, and the output is exact integer sample statistics. The oracle
+    recomputes the stats from the generation formula without ever seeing
+    bytes, so a match proves the encode→decode→downsample roundtrip
+    lossless (stages/wav.py docstring)."""
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import wav as WAV
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        WAV.wav_payloads_batch, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(WAV.WavDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    ds = ds.map_batches(WAV.WavDownsampler, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    return ds.map_batches(WAV.wav_stats_batch, batch_format="pyarrow")
+
+
 def _q_media_feature_stats(sf_dir: str):
     """Per-media scalar summary of the FeatureExtractor embedding — the
     oracle-checkable projection of the list<float> feature column. Features
@@ -798,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,         # rows-only (list<float> output; media_feature_stats is the oracled projection)
         "media_feature_stats": _q_media_feature_stats,
         "image_pipeline_ppm": _q_image_pipeline_ppm,
+        "audio_pipeline_wav": _q_audio_pipeline_wav,
         "repetition_stats": _q_repetition_stats,
         "pii_counts": _q_pii_counts,
         "contamination_check": _q_contamination,
@@ -938,6 +961,38 @@ def oracle_sql() -> dict[str, str]:
             FROM dims d
             JOIN sums s USING (doc_id)
             JOIN rsums r USING (doc_id)
+        """,
+        "audio_pipeline_wav": """
+            -- expected stats recomputed from the sample-generation
+            -- formula (never from bytes): a bit-equal match proves the
+            -- engine's real WAV encode -> parse -> downsample roundtrip
+            -- lossless. All arithmetic integer; zero crossings are the
+            -- strict sign product s[t-1]*s[t] < 0.
+            WITH lens AS (
+                SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+            ),
+            ts AS (SELECT doc_id, n, unnest(range(n)) AS t FROM lens),
+            sm AS (
+                SELECT doc_id, n, t,
+                       (doc_id*7919 + t*t*13 + t*101) % 65536 - 32768 AS s
+                FROM ts
+            ),
+            lagged AS (
+                SELECT doc_id, n, t, s,
+                       lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS sp
+                FROM sm
+            )
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(s)) AS BIGINT) AS peak,
+                   CAST(count(*) FILTER (
+                       WHERE sp IS NOT NULL AND sp * s < 0) AS BIGINT)
+                     AS zero_cross,
+                   CAST(count(*) FILTER (WHERE t % 4 = 0) AS BIGINT) AS ds_n,
+                   CAST(sum(abs(s)) FILTER (WHERE t % 4 = 0) AS BIGINT)
+                     AS ds_sum_abs
+            FROM lagged GROUP BY doc_id
         """,
         "ann_topk_ivf_flat": corpusoracle.ann_topk_ivf_flat_sql(),
         "repetition_stats": corpusoracle.repetition_stats_sql(),

@@ -3054,3 +3054,54 @@ class TestEmbeddingPca:
         a = embedding_pca(SF)
         b = embedding_pca(SF)
         assert np.array_equal(a["loading"].to_numpy(), b["loading"].to_numpy())
+
+
+class TestWavRealAudioPath:
+    def test_roundtrip_lossless(self):
+        from osmnetfusion_ray.stages.wav import (RATE, decode_wav,
+                                                 encode_wav, wav_samples)
+
+        s = wav_samples(42, 137)
+        rate, back = decode_wav(encode_wav(s))
+        assert rate == RATE
+        assert np.array_equal(s, back)
+
+    def test_malformed_bytes_raise(self):
+        import pytest
+
+        from osmnetfusion_ray.stages.wav import decode_wav, encode_wav, wav_samples
+
+        good = encode_wav(wav_samples(1, 64))
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFX" + good[4:])
+        with pytest.raises(ValueError):
+            decode_wav(good[:40])  # truncated header
+        with pytest.raises(ValueError):
+            decode_wav(good[:-10])  # truncated PCM data
+        bad = bytearray(good)
+        bad[22] = 2  # stereo claim breaks the mono contract
+        with pytest.raises(ValueError):
+            decode_wav(bytes(bad))
+
+    def test_downsampled_clip_is_real_wav(self, ray_session):
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.wav import (WavDecoder, WavDownsampler,
+                                                 decode_wav, wav_payloads_batch,
+                                                 wav_samples)
+
+        ds = rd.range(8).map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["id"].astype(np.int64)}),
+            batch_format="pandas")
+        out = ds.map_batches(wav_payloads_batch, batch_format="pyarrow") \
+                .map_batches(WavDecoder, batch_format="pyarrow", concurrency=1) \
+                .map_batches(WavDownsampler, batch_format="pyarrow", concurrency=1) \
+                .to_pandas().sort_values("doc_id")
+        for _, row in out.iterrows():
+            rate, clip = decode_wav(row["clip"])
+            assert rate == 2000  # 8000 // stride 4
+            full = wav_samples(int(row["doc_id"]),
+                               64 + int(row["doc_id"]) % 97)
+            assert np.array_equal(clip, full[::4])
+            assert row["ds_n"] == len(clip)
+            assert row["ds_sum_abs"] == int(np.abs(clip.astype(np.int64)).sum())
