@@ -468,6 +468,28 @@ def _q_audio_pipeline_wav(sf_dir: str):
     return ds.map_batches(WAV.wav_stats_batch, batch_format="pyarrow")
 
 
+def _q_video_pipeline_y4m(sf_dir: str):
+    """REAL video decode path (no stub): deterministic YUV4MPEG2 payloads
+    are actually ENCODED to bytes, an actor-pool decoder actually PARSES
+    them (header tokens + per-frame markers validated, numpy only — Y4M
+    needs no video library), a second actor stage consumes the decoded
+    plane buffer column for an every-2nd-frame sample re-encoded as real
+    Y4M, and the output is exact integer plane statistics. The oracle
+    recomputes the stats from the generation formula without ever seeing
+    bytes, so a match proves the encode→decode→frame-sample roundtrip
+    lossless (stages/y4m.py docstring)."""
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import y4m as Y4M
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        Y4M.y4m_payloads_batch, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(Y4M.Y4mDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    ds = ds.map_batches(Y4M.Y4mFrameSampler, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    return ds.map_batches(Y4M.y4m_stats_batch, batch_format="pyarrow")
+
+
 def _q_media_feature_stats(sf_dir: str):
     """Per-media scalar summary of the FeatureExtractor embedding — the
     oracle-checkable projection of the list<float> feature column. Features
@@ -821,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_stats": _q_media_feature_stats,
         "image_pipeline_ppm": _q_image_pipeline_ppm,
         "audio_pipeline_wav": _q_audio_pipeline_wav,
+        "video_pipeline_y4m": _q_video_pipeline_y4m,
         "repetition_stats": _q_repetition_stats,
         "pii_counts": _q_pii_counts,
         "contamination_check": _q_contamination,
@@ -993,6 +1016,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(abs(s)) FILTER (WHERE t % 4 = 0) AS BIGINT)
                      AS ds_sum_abs
             FROM lagged GROUP BY doc_id
+        """,
+        "video_pipeline_y4m": """
+            -- expected stats recomputed from the plane-generation formula
+            -- (never from bytes): a bit-equal match proves the engine's
+            -- real Y4M encode -> parse -> frame-sample roundtrip
+            -- lossless. All arithmetic integer.
+            WITH dims AS (
+                SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                       3 + doc_id % 5 AS nf
+                FROM documents
+            ),
+            fs AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM dims),
+            ys AS (SELECT doc_id, w, nf, f, unnest(range(h)) AS y FROM fs),
+            px AS (SELECT doc_id, nf, f, y, unnest(range(w)) AS x FROM ys),
+            sums AS (
+                SELECT doc_id,
+                       CAST(sum((doc_id*7919 + f*251 + y*131 + x*31) % 256)
+                         AS BIGINT) AS sum_y,
+                       CAST(sum((doc_id*7919 + f*251 + y*131 + x*31 + 85) % 256)
+                         AS BIGINT) AS sum_u,
+                       CAST(sum((doc_id*7919 + f*251 + y*131 + x*31 + 170) % 256)
+                         AS BIGINT) AS sum_v,
+                       CAST(sum(CASE WHEN f % 2 = 0 THEN
+                           (doc_id*7919 + f*251 + y*131 + x*31) % 256
+                           ELSE 0 END) AS BIGINT) AS sampled_luma
+                FROM px GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.w, d.h, d.nf AS n_frames,
+                   s.sum_y, s.sum_u, s.sum_v,
+                   (d.nf + 1) // 2 AS sampled_frames,
+                   s.sampled_luma
+            FROM dims d JOIN sums s USING (doc_id)
         """,
         "ann_topk_ivf_flat": corpusoracle.ann_topk_ivf_flat_sql(),
         "repetition_stats": corpusoracle.repetition_stats_sql(),

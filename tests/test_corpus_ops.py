@@ -3105,3 +3105,56 @@ class TestWavRealAudioPath:
             assert np.array_equal(clip, full[::4])
             assert row["ds_n"] == len(clip)
             assert row["ds_sum_abs"] == int(np.abs(clip.astype(np.int64)).sum())
+
+
+class TestY4mRealVideoPath:
+    def test_roundtrip_lossless(self):
+        from osmnetfusion_ray.stages.y4m import (FPS, decode_y4m,
+                                                 encode_y4m, y4m_planes)
+
+        p = y4m_planes(42, 7, 5, 4)
+        fps, back = decode_y4m(encode_y4m(p))
+        assert fps == FPS
+        assert np.array_equal(p, back)
+
+    def test_malformed_bytes_raise(self):
+        import pytest
+
+        from osmnetfusion_ray.stages.y4m import decode_y4m, encode_y4m, y4m_planes
+
+        good = encode_y4m(y4m_planes(1, 5, 4, 3))
+        with pytest.raises(ValueError):
+            decode_y4m(b"YUV4MPEG3" + good[9:])
+        with pytest.raises(ValueError):
+            decode_y4m(good[:-5])  # truncated last frame
+        with pytest.raises(ValueError):
+            decode_y4m(good.replace(b"C444", b"C420"))  # subsampled claim
+        bad = bytearray(good)
+        i = good.index(b"FRAME\n", 40)
+        bad[i] = ord("G")  # corrupt a frame marker
+        with pytest.raises(ValueError):
+            decode_y4m(bytes(bad))
+
+    def test_sampled_clip_is_real_y4m(self, ray_session):
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.y4m import (Y4mDecoder, Y4mFrameSampler,
+                                                 decode_y4m, y4m_dims,
+                                                 y4m_payloads_batch, y4m_planes)
+
+        ds = rd.range(8).map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["id"].astype(np.int64)}),
+            batch_format="pandas")
+        out = ds.map_batches(y4m_payloads_batch, batch_format="pyarrow") \
+                .map_batches(Y4mDecoder, batch_format="pyarrow", concurrency=1) \
+                .map_batches(Y4mFrameSampler, batch_format="pyarrow", concurrency=1) \
+                .to_pandas().sort_values("doc_id")
+        for _, row in out.iterrows():
+            fps, clip = decode_y4m(row["clip"])
+            assert fps == 12  # 25 // stride 2
+            did = int(row["doc_id"])
+            w, h, nf = (int(a[0]) for a in y4m_dims(np.array([did])))
+            full = y4m_planes(did, w, h, nf)
+            assert np.array_equal(clip, full[::2])
+            assert row["sampled_frames"] == clip.shape[0]
+            assert row["sampled_luma"] == int(clip[:, 0].astype(np.int64).sum())
