@@ -2311,16 +2311,19 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15,
         return out.groupby(["l_partkey", "l_suppkey"], sort=False,
                            as_index=False)["unit_cost"].min()
 
-    pairs = groupby_agg(li.map_batches(cost_partial, batch_format="pandas"),
-                        ["l_partkey", "l_suppkey"],
-                        [AggSpec("unit_cost", "unit_cost", "min")])
-    # inner broadcast join doubles as the region semi-filter
-    dec = broadcast_join(pairs, sup, left_on="l_suppkey", right_on="s_suppkey",
-                         concurrency=(1, 2))
+    # inner broadcast join doubles as the region semi-filter, applied to
+    # the per-block pair partials BEFORE the one exchange; the block then
+    # finishes the (partkey, suppkey) mins AND the correlated per-part
+    # min in the same co-location — no separate pair-min exchange
+    dec = broadcast_join(li.map_batches(cost_partial, batch_format="pandas"),
+                         sup, left_on="l_suppkey", right_on="s_suppkey")
 
     from ..rayctx import grouped
 
     def per_part_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(
+            ["l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name"],
+            sort=False, as_index=False)["unit_cost"].min()
         gmin = df.groupby("l_partkey", sort=False)["unit_cost"].transform("min")
         df = df[df["unit_cost"].to_numpy() == gmin.to_numpy()]
         return df[["s_acctbal", "s_name", "n_name", "l_partkey", "unit_cost"]]
@@ -2569,9 +2572,12 @@ def q20_promotion_suppliers(sf_dir: str, name_like: str = "bolt",
     integral so the majority test is exact).
 
     Scale: partkey semi-filter + year predicate inside the fact's only
-    streamed pass; combiner bounds the single exchange at one row per
-    (partkey, suppkey); winners are a tiny supplier-id set decoded via a
-    dim broadcast, dedup'd and sorted in one terminal block."""
+    streamed pass; the per-block combiner bounds the ONE partkey-keyed
+    exchange at one row per (block, partkey, suppkey), and the block
+    finishes both the exact (partkey, suppkey) sums and the majority test
+    (everything of a part is co-located); winners are a tiny supplier-id
+    set decoded via a dim broadcast, dedup'd and sorted in one terminal
+    block."""
     import os
 
     import pyarrow.parquet as pq_mod
@@ -2598,15 +2604,15 @@ def q20_promotion_suppliers(sf_dir: str, name_like: str = "bolt",
         return out.groupby(["l_partkey", "l_suppkey"], sort=False,
                            as_index=False)["qty"].sum()
 
-    pairs = groupby_agg(li.map_batches(qty_partial, batch_format="pandas"),
-                        ["l_partkey", "l_suppkey"], [AggSpec("qty", "qty", "sum")])
-
     def majority(df: pd.DataFrame) -> pd.DataFrame:
-        tot = df.groupby("l_partkey", sort=False)["qty"].transform("sum")
-        keep = 2 * df["qty"].to_numpy() > tot.to_numpy()
-        return df.loc[keep, ["l_suppkey"]]
+        g = df.groupby(["l_partkey", "l_suppkey"], sort=False,
+                       as_index=False)["qty"].sum()
+        tot = g.groupby("l_partkey", sort=False)["qty"].transform("sum")
+        keep = 2 * g["qty"].to_numpy() > tot.to_numpy()
+        return g.loc[keep, ["l_suppkey"]]
 
-    winners = grouped(pairs, ["l_partkey"], majority, small=True)
+    winners = grouped(li.map_batches(qty_partial, batch_format="pandas"),
+                      ["l_partkey"], majority, small=True)
 
     sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey", "s_name"]).to_pandas()
