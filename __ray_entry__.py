@@ -865,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": corpus.embedding_gram,
         "doc_kcore": corpus.doc_kcore,
         "embedding_pca": corpus.embedding_pca,
+        "doc_nn_mutual": corpus.doc_nn_mutual,
         "event_rising_triples": analytics.event_rising_triples,
         "length_gini_by_lang": analytics.length_gini_by_lang,
         "fingerprint_clusters": corpus.fingerprint_clusters,
@@ -2284,6 +2285,24 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY dist, nn_id) AS rn
                    FROM sym)
             SELECT doc_id, nn_id, dist FROM rk WHERE rn = 1
+        """,
+        "doc_nn_mutual": f"""
+            -- reciprocal NN: the same window argmin as doc_nn, self-
+            -- joined against its transpose (nn(a)=b AND nn(b)=a)
+            WITH pr AS ({_RADIUS_PAIRS_SQL}),
+            sym AS (
+                SELECT id_a AS doc_id, id_b AS nn_id, dist FROM pr
+                UNION ALL
+                SELECT id_b AS doc_id, id_a AS nn_id, dist FROM pr
+            ),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY dist, nn_id) AS rn
+                   FROM sym),
+            nn AS (SELECT doc_id, nn_id, dist FROM rk WHERE rn = 1)
+            SELECT x.doc_id AS a, x.nn_id AS b, x.dist
+            FROM nn x JOIN nn y
+              ON y.doc_id = x.nn_id AND y.nn_id = x.doc_id
+            WHERE x.doc_id < x.nn_id
         """,
         "cell_lang_diversity": f"""
             WITH g AS ({_GEO}),

@@ -4081,3 +4081,39 @@ def embedding_pca(sf_dir: str, iters: int = 400) -> pd.DataFrame:
         "loading": v,
         "eigenvalue_share": np.full(d, lam / total if total > 0 else 0.0),
     })
+
+
+def doc_nn_mutual(sf_dir: str, r: float = 0.03) -> rd.Dataset:
+    """RECIPROCAL NEAREST NEIGHBORS: pairs (a, b) where each is the
+    other's single nearest neighbor — the derived-result TRANSPOSE join
+    (join a per-row ranking against itself in the reverse direction) that
+    plain kNN / radius shapes don't cover; RNN pairs are the classic
+    seed for agglomerative dedup clustering.
+
+    Shape: the per-doc argmin rows from doc_nn's layout canonicalize to
+    (lo, hi) and ride ONE pair-keyed exchange; a pair is mutual iff BOTH
+    directions landed in its block (group size 2). No broadcast, no
+    second radius pass — the transpose check is pure co-location. The
+    SQL mirror computes the same window argmin and self-joins the two
+    directions, bit-equal (same rounded-distance tie order)."""
+    from ..rayctx import grouped
+
+    nn = doc_nn(sf_dir, r)
+    n_docs = table_rows(sf_dir, "documents")
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_id"].to_numpy(np.int64)
+        b = df["nn_id"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(a, b), "hi": np.maximum(a, b),
+                             "dist": df["dist"].to_numpy()})
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lo", "hi"], sort=False).agg(
+            n=("dist", "size"), dist=("dist", "first")).reset_index()
+        g = g[g["n"] == 2]
+        return pd.DataFrame({"a": g["lo"].to_numpy(np.int64),
+                             "b": g["hi"].to_numpy(np.int64),
+                             "dist": g["dist"].to_numpy()})
+
+    return grouped(nn.map_batches(canon, batch_format="pandas"),
+                   ["lo", "hi"], mutual, rows=n_docs if n_docs else None)

@@ -3158,3 +3158,23 @@ class TestY4mRealVideoPath:
             assert np.array_equal(clip, full[::2])
             assert row["sampled_frames"] == clip.shape[0]
             assert row["sampled_luma"] == int(clip[:, 0].astype(np.int64).sum())
+
+
+class TestDocNnMutual:
+    def test_matches_bruteforce(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import doc_nn, doc_nn_mutual
+
+        mine = doc_nn_mutual(SF).to_pandas().sort_values(
+            ["a", "b"]).reset_index(drop=True)
+        nn = doc_nn(SF).to_pandas()
+        fwd = dict(zip(nn["doc_id"], nn["nn_id"]))
+        ref = sorted((min(a, b), max(a, b))
+                     for a, b in fwd.items() if fwd.get(b) == a)
+        ref = sorted(set(ref))
+        assert len(mine) == len(ref) > 0
+        assert np.array_equal(mine["a"].to_numpy(),
+                              np.array([p[0] for p in ref]))
+        assert np.array_equal(mine["b"].to_numpy(),
+                              np.array([p[1] for p in ref]))
+        # mutuality is strictly rarer than one-directional NN
+        assert len(mine) < len(nn)
