@@ -862,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_streaks": analytics.user_day_streaks,
         "event_twap": analytics.event_twap,
         "event_mad_by_type": analytics.event_mad_by_type,
+        "event_throttle": analytics.event_throttle,
         "embedding_gram": corpus.embedding_gram,
         "doc_kcore": corpus.doc_kcore,
         "embedding_pca": corpus.embedding_pca,
@@ -1088,6 +1089,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(len) AS n_active_days,
                    max(len) AS longest_streak, count(*) AS n_streaks
             FROM st GROUP BY user_id
+        """,
+        "event_throttle": """
+            -- state-dependent keep filter t_{i+1} = min{t >= t_i + T}
+            -- as a recursive CTE; distinct times make it tie-free
+            WITH RECURSIVE dt AS (
+                SELECT DISTINCT user_id, event_type, epoch_us(ts) AS t
+                FROM events
+            ),
+            kept(user_id, event_type, t) AS (
+                SELECT user_id, event_type, min(t)
+                FROM dt GROUP BY user_id, event_type
+                UNION ALL
+                SELECT k.user_id, k.event_type,
+                       (SELECT min(d.t) FROM dt d
+                        WHERE d.user_id = k.user_id
+                          AND d.event_type = k.event_type
+                          AND d.t >= k.t + 3600000000)
+                FROM kept k
+                WHERE (SELECT min(d.t) FROM dt d
+                       WHERE d.user_id = k.user_id
+                         AND d.event_type = k.event_type
+                         AND d.t >= k.t + 3600000000) IS NOT NULL
+            ),
+            nt AS (SELECT user_id, event_type,
+                          CAST(count(*) AS BIGINT) AS n_times
+                   FROM dt GROUP BY user_id, event_type),
+            nk AS (SELECT user_id, event_type,
+                          CAST(count(*) AS BIGINT) AS n_kept
+                   FROM kept GROUP BY user_id, event_type)
+            SELECT nt.user_id, nt.event_type, nt.n_times, nk.n_kept
+            FROM nt JOIN nk USING (user_id, event_type)
         """,
         "event_mad_by_type": """
             -- dependent two-stage robust statistic: median, then median

@@ -3506,3 +3506,68 @@ def event_mad_by_type(sf_dir: str) -> rd.Dataset:
 
     return grouped(ev.map_batches(local_hist, batch_format="pandas"),
                    ["event_type"], mad_block, small=True)
+
+
+def event_throttle(sf_dir: str, cooldown_us: int = 3_600_000_000) -> rd.Dataset:
+    """DATA-DEPENDENT SEQUENTIAL RECURRENCE (throttle / debounce-keep):
+    per (user, event_type), an event time is KEPT iff it is ≥ cooldown
+    after the last KEPT time — the state-dependent filter that NO
+    window/lag shape can express (sessionize compares to the previous RAW
+    event; here the predicate depends on the output so far, t_{i+1} =
+    min{t ≥ t_i + T}). Defined on distinct TIMES, which makes the kept
+    set tie-free by construction (same-instant duplicates collapse into
+    one kept slot).
+
+    Shape: per-block distinct (user, type, t) partials (the combiner),
+    ONE (user, type)-keyed exchange, and a block kernel whose inner walk
+    advances ONCE PER KEPT SLOT via searchsorted (total work = output
+    size + one lexsort — never a per-input-row loop). Output per (user,
+    type): total distinct times and kept count, both exact ints.
+
+    The DuckDB oracle runs the recurrence as a recursive CTE whose step
+    is the correlated min DuckDB decorrelates into a join — a genuinely
+    different evaluation strategy, same integer arithmetic."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "event_type": df["event_type"].to_numpy(),
+            "t": df["ts"].astype("int64").to_numpy(),
+        })
+        return out.drop_duplicates()
+
+    def throttle_block(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "event_type", "t"])
+        if len(d) == 0:
+            return pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                                 "event_type": pd.array([], dtype=object),
+                                 "n_times": np.zeros(0, np.int64),
+                                 "n_kept": np.zeros(0, np.int64)})
+        u = d["user_id"].to_numpy()
+        ty = d["event_type"].to_numpy()
+        t = d["t"].to_numpy()
+        o = np.lexsort((t, ty, u))
+        u, ty, t = u[o], ty[o], t[o]
+        new_g = np.concatenate([[True], (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])])
+        starts = np.flatnonzero(new_g)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            ts_g = t[s:e]
+            kept, i = 0, 0
+            while i < len(ts_g):
+                kept += 1
+                # next kept slot: first time >= current + cooldown
+                i = s_next = int(np.searchsorted(ts_g, ts_g[i] + cooldown_us))
+            rows.append((u[s], ty[s], e - s, kept))
+        out = pd.DataFrame(rows, columns=["user_id", "event_type",
+                                          "n_times", "n_kept"])
+        for c in ("user_id", "n_times", "n_kept"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id", "event_type"], throttle_block, small=True)

@@ -3178,3 +3178,37 @@ class TestDocNnMutual:
                               np.array([p[1] for p in ref]))
         # mutuality is strictly rarer than one-directional NN
         assert len(mine) < len(nn)
+
+
+class TestEventThrottle:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import event_throttle
+
+        T = 3_600_000_000
+        mine = event_throttle(SF).to_pandas().sort_values(
+            ["user_id", "event_type"]).reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "event_type", "ts"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        rows = []
+        for (uid, ty), g in ev.groupby(["user_id", "event_type"]):
+            ts = np.unique(g["t"].to_numpy())
+            kept, last = 0, None
+            for t in ts:
+                if last is None or t >= last + T:
+                    kept += 1
+                    last = t
+            rows.append((uid, ty, len(ts), kept))
+        ref = pd.DataFrame(rows, columns=["user_id", "event_type",
+                                          "n_times", "n_kept"])
+        ref = ref.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+        for c in ("user_id", "n_times", "n_kept"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ref[c].to_numpy().astype(np.int64)), c
+        assert np.array_equal(mine["event_type"].to_numpy(),
+                              ref["event_type"].to_numpy())
+        # nontrivial: throttling must actually drop something somewhere
+        assert (mine["n_kept"] < mine["n_times"]).any()
+        assert (mine["n_kept"] >= 1).all()
