@@ -3561,7 +3561,7 @@ def event_throttle(sf_dir: str, cooldown_us: int = 3_600_000_000) -> rd.Dataset:
             while i < len(ts_g):
                 kept += 1
                 # next kept slot: first time >= current + cooldown
-                i = s_next = int(np.searchsorted(ts_g, ts_g[i] + cooldown_us))
+                i = int(np.searchsorted(ts_g, ts_g[i] + cooldown_us))
             rows.append((u[s], ty[s], e - s, kept))
         out = pd.DataFrame(rows, columns=["user_id", "event_type",
                                           "n_times", "n_kept"])
