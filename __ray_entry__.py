@@ -870,6 +870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rising_triples": analytics.event_rising_triples,
         "length_gini_by_lang": analytics.length_gini_by_lang,
         "fingerprint_clusters": corpus.fingerprint_clusters,
+        "props_key_stats": analytics.props_key_stats,
+        "user_value_kendall": analytics.user_value_kendall,
+        "token_entropy_by_lang": corpus.token_entropy_by_lang,
+        "pmi_bigrams": corpus.pmi_bigrams,
     }
 
 
@@ -2207,6 +2211,109 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS rep_doc_id,
                    CAST(count(DISTINCT th) AS BIGINT) AS n_texts
             FROM f GROUP BY fp HAVING count(*) >= 2
+        """,
+        "props_key_stats": """
+            -- engine extracts with an anchored RE2; the oracle uses the
+            -- real JSON parser — two different parsers must agree
+            WITH e AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   count(DISTINCT k) AS n_distinct_k
+            FROM e GROUP BY event_type
+        """,
+        "user_value_kendall": """
+            -- all ordered pairs i<j in (ts, event_id) order per user:
+            -- concordant / discordant / tied, tau_a one terminal division
+            WITH e AS (
+                SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            p AS (
+                SELECT a.user_id,
+                       CAST(sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END)
+                            AS BIGINT) AS concordant,
+                       CAST(sum(CASE WHEN b.c < a.c THEN 1 ELSE 0 END)
+                            AS BIGINT) AS discordant,
+                       CAST(sum(CASE WHEN b.c = a.c THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ties
+                FROM e a JOIN e b
+                  ON a.user_id = b.user_id AND a.rn < b.rn
+                GROUP BY a.user_id
+            ),
+            n AS (SELECT user_id, count(*) AS n FROM e GROUP BY user_id)
+            SELECT n.user_id, n.n, p.concordant, p.discordant, p.ties,
+                   CAST(p.concordant - p.discordant AS DOUBLE)
+                     / CAST(n.n * (n.n - 1) // 2 AS DOUBLE) AS tau_a
+            FROM n JOIN p USING (user_id)
+        """,
+        "token_entropy_by_lang": """
+            -- H = ln N - (S/1e6)/N with S = sum of integer micro-nat
+            -- terms floor(1e6*(c*ln c)) — same IEEE tree as the engine
+            WITH toks AS (
+                SELECT lang,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            c AS (SELECT lang, t, count(*) AS n FROM toks GROUP BY 1, 2),
+            u AS (
+                SELECT lang, n,
+                       CAST(floor(1000000.0 * (CAST(n AS DOUBLE)
+                            * ln(CAST(n AS DOUBLE)))) AS BIGINT) AS un
+                FROM c
+            )
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_vocab,
+                   CAST(CAST(floor(1000000.0 * (CAST(sum(n) AS DOUBLE)
+                          * ln(CAST(sum(n) AS DOUBLE)))) AS BIGINT)
+                        - CAST(sum(un) AS BIGINT) AS DOUBLE)
+                     / (1000000.0 * CAST(sum(n) AS DOUBLE)) AS entropy
+            FROM u GROUP BY lang
+        """,
+        "pmi_bigrams": """
+            -- micro-nat PMI with the engine's exact expression tree:
+            -- floor(1e6*(((((ln n + ln T) + ln T) - ln B) - ln cx) - ln cy))
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS l
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            uni AS (SELECT unnest(l) AS t FROM toks),
+            uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+            scal AS (
+                SELECT (SELECT count(*) FROM uni) AS tot_t,
+                       (SELECT count(*) FROM uni)
+                         - (SELECT count(*) FROM toks) AS tot_b
+            ),
+            b AS (
+                SELECT unnest(l[1:len(l)-1]) AS t1, unnest(l[2:len(l)]) AS t2
+                FROM toks WHERE len(l) >= 2
+            ),
+            bc AS (SELECT t1, t2, count(*) AS n FROM b GROUP BY t1, t2),
+            scored AS (
+                SELECT t1 || ' ' || t2 AS bigram, n, u1.c AS cx, u2.c AS cy,
+                       CAST(floor(1000000.0 * (((((ln(CAST(n AS DOUBLE))
+                            + ln(CAST(tot_t AS DOUBLE)))
+                            + ln(CAST(tot_t AS DOUBLE)))
+                            - ln(CAST(tot_b AS DOUBLE)))
+                            - ln(CAST(u1.c AS DOUBLE)))
+                            - ln(CAST(u2.c AS DOUBLE)))) AS BIGINT)
+                         AS pmi_unats
+                FROM bc
+                JOIN uc u1 ON bc.t1 = u1.t
+                JOIN uc u2 ON bc.t2 = u2.t, scal
+                WHERE n >= 5
+            )
+            SELECT bigram, n, cx, cy, pmi_unats,
+                   CAST(pmi_unats AS DOUBLE) / 1000000.0 AS pmi
+            FROM scored ORDER BY pmi_unats DESC, bigram LIMIT 50
         """,
         "table_profile": f"""
             WITH th AS (SELECT ({corpusoracle.fnv_expr('text')}) AS h, text

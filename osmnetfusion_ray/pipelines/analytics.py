@@ -3571,3 +3571,146 @@ def event_throttle(sf_dir: str, cooldown_us: int = 3_600_000_000) -> rd.Dataset:
 
     return grouped(ev.map_batches(skinny, batch_format="pandas"),
                    ["user_id", "event_type"], throttle_block, small=True)
+
+
+def props_key_stats(sf_dir: str) -> rd.Dataset:
+    """SEMI-STRUCTURED EXTRACTION: parse the JSON `props` payload column
+    (the Common-Crawl-style metadata blob, reference analog: the raw OSM
+    tag dicts p1_getOSMNetwork.py:32-76 parses per element) and aggregate
+    the extracted integer field per event type — the schema-on-read shape
+    none of the typed-column queries exercise.
+
+    Shape: extraction happens IN THE SCAN (one vectorized regex over the
+    batch — the payload string never rides an exchange), the per-block
+    combiner collapses to (event_type, k) pair counts bounded by
+    |types| x |k-domain|, and ONE type-keyed exchange finishes n / sum /
+    min / max / distinct-k, all exact int64.
+
+    The DuckDB oracle extracts with its real JSON parser
+    (json_extract_string) while the engine uses an anchored RE2 pattern —
+    two genuinely different parsers agreeing bit-for-bit."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "k": k.to_numpy().astype(np.int64),
+        })
+        g = out.groupby(["event_type", "k"], sort=False, as_index=False).size()
+        g["cnt"] = g.pop("size").astype(np.int64)
+        return g
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "k"], sort=False, as_index=False)["cnt"].sum()
+        out = g.groupby("event_type", sort=False).apply(
+            lambda s: pd.Series({
+                "n_events": np.int64(s["cnt"].sum()),
+                "sum_k": np.int64((s["k"].to_numpy() * s["cnt"].to_numpy()).sum()),
+                "min_k": np.int64(s["k"].min()),
+                "max_k": np.int64(s["k"].max()),
+                "n_distinct_k": np.int64(len(s)),
+            }), include_groups=False).reset_index()
+        for c in ("n_events", "sum_k", "min_k", "max_k", "n_distinct_k"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return grouped(ev.map_batches(pair_counts, batch_format="pandas"),
+                   ["event_type"], finish, small=True)
+
+
+def user_value_kendall(sf_dir: str) -> rd.Dataset:
+    """RANK CORRELATION / DISCORDANT-PAIR COUNTING (Kendall tau-a between
+    time order and value order, per user): over each user's events in
+    (ts, event_id) order, count ordered pairs i<j that are concordant
+    (later value strictly larger), discordant (strictly smaller), or tied
+    — the ORDER-STATISTIC PAIR shape (trend detection / monotonicity
+    audit) that neither the adjacent-pair queries (transitions, gaps,
+    rising triples — order 2/3 windows) nor the moment statistics cover:
+    every one of the n(n-1)/2 pairs contributes, not just neighbours.
+
+    Shape: skinny (user, t, eid, cents) rows ride ONE user-keyed
+    exchange; the block kernel lexsorts once and expands all same-user
+    (i<j) pairs with the repeat/offset kernel (the edit_distance_pairs
+    layout) under a chunk budget, reducing per user via np.add.at — work
+    is Σ n_u², bounded by the per-user event count (document cadence,
+    not corpus size); the O(n log n) merge-count kernel is the swap-in
+    for pathological single-user fan-in. Counts are exact int64; tau_a =
+    (C - D) / (n(n-1)/2) is ONE terminal double division mirrored by the
+    SQL. Users with a single event are excluded on both sides."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "t": df["ts"].astype("int64").to_numpy(),
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "cents": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
+        })
+
+    def kendall_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": np.zeros(0, np.int64), "n": np.zeros(0, np.int64),
+            "concordant": np.zeros(0, np.int64),
+            "discordant": np.zeros(0, np.int64),
+            "ties": np.zeros(0, np.int64), "tau_a": np.zeros(0, np.float64)})
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        c = df["cents"].to_numpy()
+        o = np.lexsort((e, t, u))
+        u, c = u[o], c[o]
+        new_g = np.concatenate([[True], u[1:] != u[:-1]])
+        gid = np.cumsum(new_g) - 1            # dense group index per row
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.concatenate([starts, [len(u)]]))
+        keep = sizes >= 2
+        if not keep.any():
+            return empty
+        # following-pair fanout per row: rows after me in my group
+        ends = np.concatenate([starts[1:], [len(u)]])
+        lens = ends[gid] - np.arange(len(u)) - 1
+        ngroups = len(starts)
+        conc = np.zeros(ngroups, np.int64)
+        disc = np.zeros(ngroups, np.int64)
+        ties = np.zeros(ngroups, np.int64)
+        # chunked repeat/offset triu expansion (budget ~4M pairs a pass)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        total = int(offs[-1])
+        budget = 4_000_000
+        row_chunks = np.searchsorted(offs, np.arange(0, total + budget, budget), side="left")
+        row_chunks = np.unique(np.concatenate(
+            [np.minimum(row_chunks, len(u)), [len(u)]]))
+        for a, b in zip(row_chunks[:-1], row_chunks[1:]):
+            ln = lens[a:b]
+            if ln.sum() == 0:
+                continue
+            i_idx = np.repeat(np.arange(a, b), ln)
+            local = np.arange(len(i_idx)) - np.repeat(
+                np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
+            j_idx = i_idx + 1 + local
+            d = c[j_idx] - c[i_idx]
+            g = gid[i_idx]
+            np.add.at(conc, g, (d > 0).astype(np.int64))
+            np.add.at(disc, g, (d < 0).astype(np.int64))
+            np.add.at(ties, g, (d == 0).astype(np.int64))
+        n = sizes[keep].astype(np.int64)
+        npairs = n * (n - 1) // 2
+        return pd.DataFrame({
+            "user_id": u[starts[keep]].astype(np.int64),
+            "n": n,
+            "concordant": conc[keep],
+            "discordant": disc[keep],
+            "ties": ties[keep],
+            "tau_a": ((conc[keep] - disc[keep]).astype(np.float64)
+                      / npairs.astype(np.float64)),
+        })
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id"], kendall_block, small=True)

@@ -4117,3 +4117,169 @@ def doc_nn_mutual(sf_dir: str, r: float = 0.03) -> rd.Dataset:
 
     return grouped(nn.map_batches(canon, batch_format="pandas"),
                    ["lo", "hi"], mutual, rows=n_docs if n_docs else None)
+
+
+def token_entropy_by_lang(sf_dir: str) -> rd.Dataset:
+    """PLUG-IN SHANNON ENTROPY of each language's token distribution —
+    the corpus-diversity statistic (H = ln N − (1/N) Σ_t c_t·ln c_t) used
+    to audit training mixtures for degenerate/boilerplate languages; the
+    holistic log-moment over the count histogram that vocab_by_lang's
+    plain distinct/total counts don't capture.
+
+    Shape: per-block (lang, token) count partials (the combiner — raw
+    occurrences never ride an exchange), ONE (lang, token)-keyed exchange
+    finishes the global counts, each final count maps to an integer
+    micro-nat term u = floor(1e6·(c·ln c)) (one ln of one int64 — the
+    lm_perplexity exactness trick, so the per-lang reduction is an
+    order-free exact int64 sum), and a |langs|-row terminal exchange
+    applies H = (uN − S)/(1e6·N) with uN = floor(1e6·N·lnN) — ln N
+    quantized the same way as the terms, leaving ONE terminal double
+    division as the only unquantized float op (SQL mirrors verbatim)."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode()
+        ok = toks.notna() & (toks != "")
+        g = pd.DataFrame({
+            "lang": df["lang"].reindex(toks.index[ok]).to_numpy(),
+            "token": toks[ok].to_numpy(),
+        }).groupby(["lang", "token"], sort=False, as_index=False).size()
+        g["n"] = g.pop("size").astype(np.int64)
+        return g
+
+    def unat_terms(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "token"], sort=False, as_index=False)["n"].sum()
+        c = g["n"].to_numpy().astype(np.float64)
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "u": np.floor(1000000.0 * (c * np.log(c))).astype(np.int64),
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False, as_index=False).agg(
+            n_tokens=("n", "sum"), n_vocab=("n", "size"), s=("u", "sum"))
+        nf = g["n_tokens"].to_numpy().astype(np.float64)
+        # ln N enters through the SAME floor quantization as the per-token
+        # terms (H = (uN - S)/(1e6·N) with uN = floor(1e6·N·lnN)) so the
+        # only unquantized float op is ONE terminal division — a raw
+        # terminal ln would be 1-ulp libm-sensitive across engines
+        u_n = np.floor(1000000.0 * (nf * np.log(nf))).astype(np.int64)
+        g["entropy"] = ((u_n - g["s"].to_numpy().astype(np.int64))
+                        .astype(np.float64) / (1000000.0 * nf))
+        for c in ("n_tokens", "n_vocab"):
+            g[c] = g[c].astype(np.int64)
+        return g[["lang", "n_tokens", "n_vocab", "entropy"]]
+
+    pairs = docs.map_batches(pair_counts, batch_format="pandas")
+    terms = grouped(pairs, ["lang", "token"], unat_terms)
+    return grouped(terms, ["lang"], finish, small=True)
+
+
+def pmi_bigrams(sf_dir: str, k: int = 50, min_n: int = 5) -> pa.Table:
+    """COLLOCATION MINING — top-k adjacent-token bigrams by pointwise
+    mutual information PMI(x,y) = ln(p(x,y)/(p(x)p(y))), the
+    GRAIN-CROSSING score (a bigram-level aggregate joined against BOTH of
+    its unigram-level marginals plus two corpus scalars) that raw
+    frequency ranking (top_bigrams) inverts: 'the the' scores low, rare
+    always-together pairs score high.
+
+    Shape: bigram counts ride ONE bigram-keyed exchange (per-block
+    combiner absorbs the Zipf head); the unigram marginals are
+    VOCAB-BOUNDED and broadcast into the scoring block as two sorted
+    arrays (searchsorted attach — the jaccard_prefix_pairs df-order
+    layout; the 10^12-token swap is a token-keyed attach join as in
+    tfidf_top_terms), where the scalars T (token total) and B = T − D
+    (bigram total, D = docs with ≥1 token) fold in; per-block top-k then
+    a tiny driver reduce.
+
+    Exactness: the score is quantized to integer micro-nats with one
+    FIXED IEEE expression tree over int64-cast counts —
+    floor(1e6·(((((ln n + ln T) + ln T) − ln B) − ln cx) − ln cy)) —
+    mirrored token-for-token by the SQL, so ordering and the reported
+    pmi = unats/1e6 are bit-equal. Ties break (pmi_unats desc, bigram
+    asc); min_n filters the unstable log-of-small-count tail."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def uni_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split().explode()
+        toks = toks[toks.notna() & (toks != "")]
+        c = toks.value_counts()
+        # D partial (docs with >=1 token) rides the same exchange as a
+        # sentinel row — '\x00' sorts before any real token and can never
+        # be produced by a whitespace split
+        nonempty = int((df["text"].str.strip() != "").sum())
+        return pd.DataFrame({
+            "token": np.concatenate([c.index.to_numpy(object), ["\x00D"]]),
+            "n": np.concatenate([c.to_numpy().astype(np.int64), [nonempty]]),
+        })
+
+    uni = grouped(docs.map_batches(uni_counts, batch_format="pandas"),
+                  ["token"], lambda df: df.groupby(
+                      "token", sort=False, as_index=False)["n"].sum(),
+                  small=True).to_pandas()          # vocab-bounded pull
+    d_mask = uni["token"] == "\x00D"
+    D = int(uni.loc[d_mask, "n"].sum())
+    uni = uni[~d_mask]
+    T = int(uni["n"].sum())
+    B = T - D
+    tok_sorted = np.sort(uni["token"].to_numpy(object))
+    cnt_sorted = uni.set_index("token")["n"].loc[tok_sorted].to_numpy(np.int64)
+    lT = np.log(np.float64(T))
+    lB = np.log(np.float64(B))
+
+    def bi_counts(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.split() for t in df["text"]]
+        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame({"bigram": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos: pos + len(toks)] = toks
+            pos += len(toks)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        same_doc = doc_of[:-1] == doc_of[1:]
+        lhs, rhs = flat[:-1][same_doc], flat[1:][same_doc]
+        c = pd.Series(np.fromiter((a + " " + b for a, b in zip(lhs, rhs)),
+                                  dtype=object, count=len(lhs))).value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False, as_index=False)["n"].sum()
+        g = g[g["n"] >= min_n]
+        if len(g) == 0:
+            return pd.DataFrame({"bigram": np.array([], object),
+                                 "n": np.array([], np.int64),
+                                 "cx": np.array([], np.int64),
+                                 "cy": np.array([], np.int64),
+                                 "pmi_unats": np.array([], np.int64),
+                                 "pmi": np.array([], np.float64)})
+        parts = g["bigram"].str.split(" ", n=1, expand=True)
+        cx = cnt_sorted[np.searchsorted(tok_sorted, parts[0].to_numpy(object))]
+        cy = cnt_sorted[np.searchsorted(tok_sorted, parts[1].to_numpy(object))]
+        n = g["n"].to_numpy().astype(np.float64)
+        pmi = ((((np.log(n) + lT) + lT) - lB)
+               - np.log(cx.astype(np.float64))) - np.log(cy.astype(np.float64))
+        unats = np.floor(1000000.0 * pmi).astype(np.int64)
+        out = pd.DataFrame({
+            "bigram": g["bigram"].to_numpy(), "n": g["n"].to_numpy(np.int64),
+            "cx": cx.astype(np.int64), "cy": cy.astype(np.int64),
+            "pmi_unats": unats,
+            "pmi": unats.astype(np.float64) / 1000000.0,
+        })
+        return out.sort_values(["pmi_unats", "bigram"],
+                               ascending=[False, True]).head(k)
+
+    per_block = grouped(docs.map_batches(bi_counts, batch_format="pandas"),
+                        ["bigram"], score_topk, small=True)
+    top = per_block.to_pandas().sort_values(
+        ["pmi_unats", "bigram"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

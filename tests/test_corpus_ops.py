@@ -3212,3 +3212,191 @@ class TestEventThrottle:
         # nontrivial: throttling must actually drop something somewhere
         assert (mine["n_kept"] < mine["n_times"]).any()
         assert (mine["n_kept"] >= 1).all()
+
+
+class TestPropsKeyStats:
+    def test_matches_json_module(self, ray_session):
+        import json
+
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import props_key_stats
+
+        mine = props_key_stats(SF).to_pandas().sort_values(
+            "event_type").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "props"]).to_pandas()
+        # the real JSON parser, row by row — the third independent parser
+        # after the engine's RE2 and the oracle's json_extract
+        ev["k"] = [json.loads(p)["k"] for p in ev["props"]]
+        ref = ev.groupby("event_type")["k"].agg(
+            n_events="size", sum_k="sum", min_k="min", max_k="max",
+            n_distinct_k="nunique").reset_index()
+        assert len(mine) == len(ref) > 0
+        for c in ("n_events", "sum_k", "min_k", "max_k", "n_distinct_k"):
+            assert np.array_equal(mine[c].to_numpy(),
+                                  ref[c].to_numpy().astype(np.int64)), c
+
+
+class TestUserValueKendall:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import user_value_kendall
+
+        mine = user_value_kendall(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ev["c"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            c = g.sort_values(["t", "event_id"])["c"].to_numpy()
+            n = len(c)
+            if n < 2:
+                continue
+            conc = disc = ties = 0
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if c[j] > c[i]:
+                        conc += 1
+                    elif c[j] < c[i]:
+                        disc += 1
+                    else:
+                        ties += 1
+            rows.append((uid, n, conc, disc, ties,
+                         (conc - disc) / (n * (n - 1) // 2)))
+        ref = pd.DataFrame(rows, columns=["user_id", "n", "concordant",
+                                          "discordant", "ties", "tau_a"])
+        assert len(mine) == len(ref) > 0
+        for c in ("user_id", "n", "concordant", "discordant", "ties"):
+            assert np.array_equal(mine[c].to_numpy(),
+                                  ref[c].to_numpy().astype(np.int64)), c
+        assert np.array_equal(mine["tau_a"].to_numpy(),
+                              ref["tau_a"].to_numpy())
+        # every pair is classified exactly once
+        tot = (mine["concordant"] + mine["discordant"] + mine["ties"]).to_numpy()
+        assert np.array_equal(tot, (mine["n"] * (mine["n"] - 1) // 2).to_numpy())
+
+    def test_chunk_budget_invariant(self, ray_session):
+        # forcing many tiny pair chunks must not change any count
+        from osmnetfusion_ray.pipelines import analytics
+
+        base = analytics.user_value_kendall(SF).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        # recompute with a pathologically small pair budget (7) through the
+        # same chunking arithmetic the kernel uses — counts must not move
+        import pyarrow.parquet as pq
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        df = pd.DataFrame({
+            "user_id": ev["user_id"].to_numpy().astype(np.int64),
+            "t": ev["ts"].astype("int64").to_numpy(),
+            "eid": ev["event_id"].to_numpy().astype(np.int64),
+            "cents": np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64),
+        })
+        u = df["user_id"].to_numpy(); t = df["t"].to_numpy()
+        e = df["eid"].to_numpy(); c = df["cents"].to_numpy()
+        o = np.lexsort((e, t, u)); u, c = u[o], c[o]
+        new_g = np.concatenate([[True], u[1:] != u[:-1]])
+        gid = np.cumsum(new_g) - 1
+        starts = np.flatnonzero(new_g)
+        ends = np.concatenate([starts[1:], [len(u)]])
+        lens = ends[gid] - np.arange(len(u)) - 1
+        conc = np.zeros(len(starts), np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        budget = 7  # pathologically small
+        row_chunks = np.searchsorted(
+            offs, np.arange(0, int(offs[-1]) + budget, budget), side="left")
+        row_chunks = np.unique(np.concatenate(
+            [np.minimum(row_chunks, len(u)), [len(u)]]))
+        for a, b in zip(row_chunks[:-1], row_chunks[1:]):
+            ln = lens[a:b]
+            if ln.sum() == 0:
+                continue
+            i_idx = np.repeat(np.arange(a, b), ln)
+            local = np.arange(len(i_idx)) - np.repeat(
+                np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
+            j_idx = i_idx + 1 + local
+            np.add.at(conc, gid[i_idx],
+                      (c[j_idx] - c[i_idx] > 0).astype(np.int64))
+        sizes = np.diff(np.concatenate([starts, [len(u)]]))
+        got = conc[sizes >= 2]
+        assert np.array_equal(np.sort(got), np.sort(
+            base["concordant"].to_numpy()))
+
+
+class TestTokenEntropyByLang:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import token_entropy_by_lang
+
+        mine = token_entropy_by_lang(SF).to_pandas().sort_values(
+            "lang").reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["lang", "text"]).to_pandas()
+        rows = []
+        for lang, g in docs.groupby("lang"):
+            from collections import Counter
+            cnt = Counter(tok for t in g["text"] for tok in t.split())
+            n = sum(cnt.values())
+            s = sum(int(np.floor(1e6 * (float(c) * np.log(float(c)))))
+                    for c in cnt.values())
+            u_n = int(np.floor(1e6 * (float(n) * np.log(float(n)))))
+            rows.append((lang, n, len(cnt), (u_n - s) / (1e6 * n)))
+        ref = pd.DataFrame(rows, columns=["lang", "n_tokens", "n_vocab",
+                                          "entropy"])
+        assert len(mine) == len(ref) > 0
+        assert np.array_equal(mine["n_tokens"].to_numpy(), ref["n_tokens"])
+        assert np.array_equal(mine["n_vocab"].to_numpy(), ref["n_vocab"])
+        assert np.array_equal(mine["entropy"].to_numpy(), ref["entropy"])
+        # plug-in entropy is bounded by ln(vocab)
+        assert (mine["entropy"].to_numpy()
+                <= np.log(mine["n_vocab"].to_numpy()) + 1e-9).all()
+        assert (mine["entropy"].to_numpy() > 0).all()
+
+
+class TestPmiBigrams:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import pmi_bigrams
+
+        mine = pmi_bigrams(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        from collections import Counter
+        uni, bi = Counter(), Counter()
+        d = 0
+        for t in docs["text"]:
+            toks = t.split()
+            if toks:
+                d += 1
+            uni.update(toks)
+            bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        T = sum(uni.values())
+        B = T - d
+        assert B == sum(bi.values())
+        lT, lB = np.log(np.float64(T)), np.log(np.float64(B))
+        scored = []
+        for bg, n in bi.items():
+            if n < 5:
+                continue
+            x, y = bg.split(" ", 1)
+            pmi = ((((np.log(np.float64(n)) + lT) + lT) - lB)
+                   - np.log(np.float64(uni[x]))) - np.log(np.float64(uni[y]))
+            scored.append((bg, n, uni[x], uni[y],
+                           int(np.floor(1e6 * pmi))))
+        scored.sort(key=lambda r: (-r[4], r[0]))
+        top = scored[:50]
+        assert len(mine) == len(top) > 0
+        assert mine["bigram"].tolist() == [r[0] for r in top]
+        for i, c in enumerate(("n", "cx", "cy", "pmi_unats"), start=1):
+            assert np.array_equal(mine[c].to_numpy(),
+                                  np.array([r[i] for r in top])), c
+        assert np.array_equal(mine["pmi"].to_numpy(),
+                              mine["pmi_unats"].to_numpy() / 1e6)
