@@ -874,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_kendall": analytics.user_value_kendall,
         "token_entropy_by_lang": corpus.token_entropy_by_lang,
         "pmi_bigrams": corpus.pmi_bigrams,
+        "event_chain_scan": analytics.event_chain_scan,
     }
 
 
@@ -2211,6 +2212,40 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS rep_doc_id,
                    CAST(count(DISTINCT th) AS BIGINT) AS n_texts
             FROM f GROUP BY fp HAVING count(*) >= 2
+        """,
+        "event_chain_scan": f"""
+            -- closed-form evaluation of the chain recurrence
+            -- h_i = (a·h_(i-1) + x_i) mod 2^64: h_i = a^i · (Σ_(j<=i)
+            -- x_j·a^(-j)) mod 2^64, per-row powmods expanded by
+            -- bit-decomposition into UHUGEINT mulmod chains — a genuinely
+            -- different strategy than the engine's two-phase scan
+            WITH e AS (
+                SELECT event_id,
+                       CAST(CAST(round(value * 100) AS BIGINT) AS UHUGEINT)
+                         AS x,
+                       row_number() OVER (ORDER BY ts, event_id) AS i
+                FROM events
+            ),
+            t AS (
+                SELECT event_id, i,
+                       CAST({corpusoracle.mulmod_expr(
+                           'x', corpusoracle.powmod_expr(13877824140714322085, 'i'))}
+                            AS HUGEINT) AS term
+                FROM e
+            ),
+            s AS (
+                SELECT event_id, i,
+                       sum(term) OVER (ORDER BY i
+                                       ROWS UNBOUNDED PRECEDING) AS cs
+                FROM t
+            )
+            SELECT i AS idx, event_id,
+                   CAST({corpusoracle.mulmod_expr(
+                       corpusoracle.powmod_expr(6364136223846793005, 'i'),
+                       'CAST(cs AS UHUGEINT) % ' + "CAST('18446744073709551616' AS UHUGEINT)")}
+                        AS UBIGINT) AS h
+            FROM s
+            WHERE i % 500 = 0 OR i = (SELECT count(*) FROM events)
         """,
         "props_key_stats": """
             -- engine extracts with an anchored RE2; the oracle uses the

@@ -576,3 +576,34 @@ def jaccard_prefix_sql(t_num: int = 1, t_den: int = 2) -> str:
         JOIN sizes sb ON sb.doc_id = i.b
         WHERE {t_den} * i.i >= {t_num} * (sa.L + sb.L - i.i)
     """
+
+
+# ---------------------------------------------------------------------------
+# modular-affine chain-scan oracle helpers (event_chain_scan)
+# ---------------------------------------------------------------------------
+
+_M64 = 1 << 64
+_M64_SQL = "CAST('18446744073709551616' AS UHUGEINT)"
+
+
+def mulmod_expr(a: str, b: str) -> str:
+    """(a * b) mod 2^64 over UHUGEINT — the 128-bit intermediate of two
+    uint64 factors fits uint128 exactly ((2^64-1)^2 < 2^128-1)."""
+    return f"((({a}) * ({b})) % {_M64_SQL})"
+
+
+def powmod_expr(base: int, iexpr: str, bits: int = 24) -> str:
+    """base^(iexpr) mod 2^64 as a pure-SQL expression: bit-decomposition
+    of the integer exponent column into a chain of ``bits`` conditional
+    mulmods over the precomputed squarings base^(2^k) (Python-computed
+    literals — both engines share the same constants). Supports exponents
+    up to 2^bits - 1; every step reduces mod 2^64 so no intermediate
+    exceeds uint128."""
+    p = base % _M64
+    e = "CAST(1 AS UHUGEINT)"
+    for k in range(bits):
+        term = (f"(CASE WHEN ((({iexpr}) >> {k}) & 1) = 1 "
+                f"THEN CAST('{p}' AS UHUGEINT) ELSE CAST(1 AS UHUGEINT) END)")
+        e = mulmod_expr(e, term)
+        p = (p * p) % _M64
+    return e

@@ -3714,3 +3714,145 @@ def user_value_kendall(sf_dir: str) -> rd.Dataset:
 
     return grouped(ev.map_batches(skinny, batch_format="pandas"),
                    ["user_id"], kendall_block, small=True)
+
+
+# modular-affine chain-scan constants: a Knuth LCG multiplier (odd, hence
+# invertible mod 2^64) and its modular inverse; both engines embed the
+# same literals
+CHAIN_A = 6364136223846793005
+CHAIN_AINV = 13877824140714322085          # pow(CHAIN_A, -1, 2**64)
+CHAIN_CKPT = 500
+
+
+def event_chain_scan(sf_dir: str, ckpt: int = CHAIN_CKPT) -> rd.Dataset:
+    """EXACT DISTRIBUTED ASSOCIATIVE SCAN (prefix recurrence): the running
+    chain hash h_i = (a·h_{i-1} + x_i) mod 2^64 over ALL events in global
+    (ts, event_id) order — the audit-log / ledger-checkpoint shape where
+    every prefix state depends on every earlier element, which no keyed
+    co-location covers (throttle/LOCF/streaks are per-key; this is ONE
+    global sequential recurrence). It parallelizes because the step is an
+    ASSOCIATIVE affine map (Blelloch scan): a block folds to (A, B) with
+    h_out = A·h_in + B, the driver composes the per-bucket summaries in
+    time order (scalars — never rows), and a second pass materializes
+    per-element states; modular arithmetic makes the decomposition
+    BIT-exact, not approximately-reassociated.
+
+    Shape: skinny (bucket, t, eid, x) rows hash-partition ONCE by
+    time-bucket (hour bins — buckets are order-contiguous by
+    construction) and the bucketed table is materialized so both passes
+    reuse the same blocks: pass 1 reduces each bucket to (n, B) — A =
+    a^n needs only n, computed driver-side via pow(a, n, M) — and pass 2
+    applies the composed offsets. The per-element kernel is fully
+    vectorized via the inverse-power identity a^{i-j} = a^i·a^{-j}:
+    wrapping uint64 cumprod/cumsum (C semantics ARE mod-2^64), h_i =
+    apow_i·h_in + apow_i·Σ_{j≤i} x_j·ainv^j — no Python touches an
+    element. Output: every ckpt-th global position plus the final state.
+
+    The DuckDB oracle evaluates the same closed form h_i = a^i·(Σ_{j≤i}
+    x_j·a^{-j} mod M) directly — per-row powmods expanded by
+    bit-decomposition into UHUGEINT mulmod chains (corpusoracle.
+    powmod_expr), the window sum kept exact in uint128 — a genuinely
+    different evaluation strategy (closed form vs two-phase scan)."""
+    from ..rayctx import ensure_tuned, n_shuffle_blocks
+
+    M = 1 << 64
+    ev = read_table(sf_dir, "events", columns=["ts", "event_id", "value"])
+    n_total = table_rows(sf_dir, "events")
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "bucket": (t // 3_600_000_000).astype(np.int64),
+            "t": t,
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "x": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+                   .astype(np.uint64),
+        })
+
+    ensure_tuned()
+    nb = n_shuffle_blocks(rows=n_total)
+    part = (ev.map_batches(skinny, batch_format="pandas")
+              .repartition(num_blocks=nb, keys=["bucket"])
+              .materialize())
+
+    a_u = np.uint64(CHAIN_A)
+    ainv_u = np.uint64(CHAIN_AINV)
+
+    def _bucket_chains(df: pd.DataFrame):
+        """Sorted arrays + per-bucket segmentation + local chain values
+        (h with h_in = 0), shared by both passes."""
+        b = df["bucket"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        x = df["x"].to_numpy().astype(np.uint64)
+        o = np.lexsort((e, t, b))
+        b, e, x = b[o], e[o], x[o]
+        new_g = np.concatenate([[True], b[1:] != b[:-1]])
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.concatenate([starts, [len(b)]]))
+        # global power chains a^(i+1), ainv^(i+1) (wrapping uint64 cumprod
+        # IS mod-2^64), rebased per bucket segment: for an element at
+        # global i in a segment starting at st, a^li = a^(i+1)·ainv^st and
+        # ainv^li = ainv^(i+1)·a^st — one multiply instead of restarting
+        # the cumprod per segment
+        gA = np.cumprod(np.full(len(b), a_u, np.uint64))
+        gI = np.cumprod(np.full(len(b), ainv_u, np.uint64))
+        base_a = np.ones(len(starts), np.uint64)
+        base_i = np.ones(len(starts), np.uint64)
+        nz = starts > 0
+        base_a[nz] = gI[starts[nz] - 1]
+        base_i[nz] = gA[starts[nz] - 1]
+        apow = gA * np.repeat(base_a, sizes)
+        ainvpow = gI * np.repeat(base_i, sizes)
+        cs = np.cumsum(x * ainvpow)
+        pre = np.zeros(len(starts), np.uint64)
+        pre[1:] = cs[starts[1:] - 1]
+        s = cs - np.repeat(pre, sizes)
+        h_local = apow * s
+        li = (np.arange(len(b)) - np.repeat(starts, sizes) + 1).astype(np.int64)
+        return b, e, li, starts, sizes, apow, h_local
+
+    def fold_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64),
+                                 "bsum": np.zeros(0, np.uint64)})
+        b, e, li, starts, sizes, apow, h_local = _bucket_chains(df)
+        ends = np.concatenate([starts[1:], [len(b)]]) - 1
+        return pd.DataFrame({
+            "bucket": b[starts].astype(np.int64),
+            "n": sizes.astype(np.int64),
+            "bsum": h_local[ends],
+        })
+
+    ph1 = part.map_batches(fold_block, batch_format="pandas").to_pandas()
+    ph1 = ph1.sort_values("bucket").reset_index(drop=True)
+    # driver composition over ordered bucket summaries — scalar work only
+    offsets = {}
+    h = 0
+    idx0 = 0
+    for r in ph1.itertuples(index=False):
+        offsets[int(r.bucket)] = (np.uint64(h), int(idx0))
+        h = (pow(CHAIN_A, int(r.n), M) * h + int(r.bsum)) % M
+        idx0 += int(r.n)
+    final_h, final_n = h, idx0
+
+    def emit_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"idx": np.zeros(0, np.int64),
+                                 "event_id": np.zeros(0, np.int64),
+                                 "h": np.zeros(0, np.uint64)})
+        b, e, li, starts, sizes, apow, h_local = _bucket_chains(df)
+        h_in = np.empty(len(starts), np.uint64)
+        i_off = np.empty(len(starts), np.int64)
+        for k, sidx in enumerate(starts):
+            hin, io = offsets[int(b[sidx])]
+            h_in[k], i_off[k] = hin, io
+        h_all = apow * np.repeat(h_in, sizes) + h_local
+        gidx = np.repeat(i_off, sizes) + li.astype(np.int64)
+        keep = (gidx % ckpt == 0) | (gidx == final_n)
+        return pd.DataFrame({"idx": gidx[keep],
+                             "event_id": e[keep],
+                             "h": h_all[keep]})
+
+    return part.map_batches(emit_block, batch_format="pandas")

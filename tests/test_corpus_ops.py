@@ -3400,3 +3400,44 @@ class TestPmiBigrams:
                                   np.array([r[i] for r in top])), c
         assert np.array_equal(mine["pmi"].to_numpy(),
                               mine["pmi_unats"].to_numpy() / 1e6)
+
+
+class TestEventChainScan:
+    def test_matches_sequential_fold(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (CHAIN_A,
+                                                          event_chain_scan)
+
+        mine = event_chain_scan(SF).to_pandas().sort_values(
+            "idx").reset_index(drop=True)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ev["x"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        ev = ev.sort_values(["t", "event_id"]).reset_index(drop=True)
+        M = 1 << 64
+        h, rows = 0, []
+        for i, (eid, x) in enumerate(zip(ev["event_id"], ev["x"]), start=1):
+            h = (CHAIN_A * h + int(x)) % M
+            if i % 500 == 0 or i == len(ev):
+                rows.append((i, eid, h))
+        ref = pd.DataFrame(rows, columns=["idx", "event_id", "h"])
+        assert len(mine) == len(ref) > 0
+        assert np.array_equal(mine["idx"].to_numpy().astype(np.int64),
+                              ref["idx"].to_numpy())
+        assert np.array_equal(mine["event_id"].to_numpy().astype(np.int64),
+                              ref["event_id"].to_numpy())
+        # the decomposed two-phase scan is BIT-equal to the sequential
+        # recurrence — modular arithmetic, not approximate reassociation
+        assert all(int(a) == int(b) for a, b in zip(mine["h"], ref["h"]))
+
+    def test_checkpoint_cadence(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import event_chain_scan
+
+        out = event_chain_scan(SF, ckpt=100).to_pandas().sort_values(
+            "idx").reset_index(drop=True)
+        idx = out["idx"].to_numpy()
+        n = idx.max()
+        want = sorted(set(range(100, int(n) + 1, 100)) | {int(n)})
+        assert idx.tolist() == want
