@@ -875,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_by_lang": corpus.token_entropy_by_lang,
         "pmi_bigrams": corpus.pmi_bigrams,
         "event_chain_scan": analytics.event_chain_scan,
+        "network_landuse_raster": netqueries.network_landuse_raster,
     }
 
 

@@ -502,6 +502,48 @@ def network_oracles() -> dict[str, str]:
         JOIN gsz g USING (label) JOIN rep r USING (label) JOIN cent c USING (label)
     """
 
+    # vector→raster burn: 64×64 grid over the node bbox, per-cell count of
+    # green polygons containing the cell center (crossing-number parity —
+    # the J2 predicate term-for-term, over cell centers instead of arc
+    # samples)
+    out["network_landuse_raster"] = f"""
+        WITH bb AS (SELECT min(x) AS x0, max(x) AS x1,
+                           min(y) AS y0, max(y) AS y1 FROM {nodes}),
+        cells AS (SELECT g.i AS cid, g.i % 64 AS ix, g.i // 64 AS iy
+                  FROM generate_series(0, 64 * 64 - 1) AS g(i)),
+        cc AS (SELECT cid, ix, iy,
+                      x0 + (CAST(ix AS DOUBLE) + 0.5) * (x1 - x0) / 64 AS cx,
+                      y0 + (CAST(iy AS DOUBLE) + 0.5) * (y1 - y0) / 64 AS cy
+               FROM cells, bb),
+        re AS (
+            SELECT r1.poly_row, r1.x AS x0e, r1.y AS y0e,
+                   r2.x AS x1e, r2.y AS y1e
+            FROM read_parquet('{d}/landuse_polys.parquet') r1
+            JOIN read_parquet('{d}/landuse_polys.parquet') r2
+              ON r2.poly_row = r1.poly_row AND r2.v_idx = r1.v_idx + 1
+             AND r2.kind = 'green'
+            WHERE r1.kind = 'green'
+        ),
+        cr AS (
+            SELECT c.cid, e.poly_row,
+                   sum(CASE WHEN ((e.y0e <= c.cy) <> (e.y1e <= c.cy))
+                             AND (c.cx < e.x0e + (c.cy - e.y0e)
+                                  * (e.x1e - e.x0e)
+                                  / (CASE WHEN e.y1e <> e.y0e
+                                     THEN e.y1e - e.y0e ELSE 1.0 END))
+                            THEN 1 ELSE 0 END) AS nc
+            FROM cc c CROSS JOIN re e GROUP BY c.cid, e.poly_row
+        ),
+        ins AS (SELECT cid,
+                       CAST(sum(CASE WHEN nc % 2 = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_polys
+                FROM cr GROUP BY cid)
+        SELECT c.ix, c.iy, coalesce(i.n_polys, 0) AS n_polys,
+               CAST(CASE WHEN coalesce(i.n_polys, 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS covered
+        FROM cc c LEFT JOIN ins i USING (cid)
+    """
+
     return out
 
 

@@ -189,3 +189,74 @@ def network_cluster(sf_dir: str) -> rd.Dataset:
         })
 
     return mm.map_batches(_shape, batch_format="pandas")
+
+
+def network_landuse_raster(sf_dir: str, nx: int = 64, ny: int = 64) -> rd.Dataset:
+    """VECTOR→RASTER burn — the raster leg of the raster↔vector pair (the
+    DEM sampler `stages/elevation.py` is raster→vector): rasterize the
+    green landuse polygons onto a fixed nx×ny grid over the city bbox,
+    each cell carrying how many polygons contain its center
+    (crossing-number parity, the same predicate as the J2 sampled clip,
+    p2_enrichData.py:119-151) — the coverage-grid product a tiling engine
+    feeds to downstream ML rasters.
+
+    Shape: the GRID is the big side and is enumerated as a range dataset
+    (at real scale: 10^8+ cells, embarrassingly parallel blocks); the
+    polygon set is the broadcast small side (`ray.put` once). Zero
+    shuffle — each block burns its own cells against the shared edge
+    table, vectorized as one (cells × ring-edges) crossing matrix.
+
+    Exactness: cell centers come from one fixed IEEE tree
+    (x0 + (i+0.5)·(x1−x0)/nx, bbox = node coord min/max) mirrored by the
+    SQL, and the crossing predicate matches the J2 oracle's expression
+    term-for-term, so the per-cell counts are bit-checkable."""
+    import ray
+
+    nodes_t, _, dims = _city()
+    lon, lat, rings = PE._dim_geoms(dims["landuse_green"])
+    x = nodes_t["x"].to_numpy()
+    y = nodes_t["y"].to_numpy()
+    x0, x1 = float(np.min(x)), float(np.max(x))
+    y0, y1 = float(np.min(y)), float(np.max(y))
+    # flat ring-edge table (few polys × few edges — the broadcast side)
+    ex0, ey0, ex1, ey1, epoly = [], [], [], [], []
+    for p, r in enumerate(rings):
+        ex0.append(r[:-1, 0]); ey0.append(r[:-1, 1])
+        ex1.append(r[1:, 0]);  ey1.append(r[1:, 1])
+        epoly.append(np.full(len(r) - 1, p, np.int64))
+    edges = (np.concatenate(ex0), np.concatenate(ey0),
+             np.concatenate(ex1), np.concatenate(ey1),
+             np.concatenate(epoly), len(rings))
+    ref = ray.put(edges)
+
+    def burn(df: pd.DataFrame) -> pd.DataFrame:
+        gx0, gy0, gx1, gy1, gp, npoly = ray.get(ref)
+        cid = df["id"].to_numpy().astype(np.int64)
+        ix = cid % nx
+        iy = cid // nx
+        cx = x0 + (ix.astype(np.float64) + 0.5) * (x1 - x0) / nx
+        cy = y0 + (iy.astype(np.float64) + 0.5) * (y1 - y0) / ny
+        # (cells × ring-edges) crossing-number matrix, same expression as
+        # the J2 oracle: half-open y straddle + x-intercept compare (the
+        # horizontal-edge 1.0 guard is inert — the straddle is False)
+        Y0, Y1 = gy0[None, :], gy1[None, :]
+        X0, X1 = gx0[None, :], gx1[None, :]
+        CY, CX = cy[:, None], cx[:, None]
+        den = np.where(gy1 != gy0, gy1 - gy0, 1.0)[None, :]
+        hit = (((Y0 <= CY) != (Y1 <= CY))
+               & (CX < X0 + (CY - Y0) * (X1 - X0) / den))
+        # per-(cell, poly) crossing parity -> per-cell covering-poly count
+        # (loop over the BROADCAST side only — #polys, never #cells)
+        cross = np.zeros((len(cid), npoly), np.int64)
+        for p in range(npoly):
+            cross[:, p] = hit[:, gp == p].sum(axis=1)
+        inside = (cross % 2 == 1)
+        return pd.DataFrame({
+            "ix": ix, "iy": iy,
+            "n_polys": inside.sum(axis=1).astype(np.int64),
+            "covered": inside.any(axis=1).astype(np.int64),
+        })
+
+    ensure_tuned()
+    grid = rd.range(nx * ny).repartition(8)
+    return grid.map_batches(burn, batch_format="pandas")

@@ -132,3 +132,34 @@ class TestSimplifyPipeline:
         assert e1["g_u"].tolist() == e2["g_u"].tolist()
         assert e1["g_v"].tolist() == e2["g_v"].tolist()
         pd.testing.assert_series_equal(e1["m_maxspeed"], e2["m_maxspeed"])
+
+
+class TestLanduseRaster:
+    def test_burn_matches_geom_pip(self, ray_session):
+        """The distributed vector→raster burn agrees with the library PIP
+        kernel cell-for-cell, and the raster is non-trivial."""
+        from osmnetfusion_ray import netfixture
+        from osmnetfusion_ray.pipelines import enrich as PE
+        from osmnetfusion_ray.pipelines.netqueries import (
+            network_landuse_raster)
+
+        out = network_landuse_raster("x").to_pandas().sort_values(
+            ["iy", "ix"]).reset_index(drop=True)
+        assert len(out) == 64 * 64
+        assert out["covered"].sum() > 0
+        assert (out["n_polys"] >= out["covered"]).all()
+
+        netfixture.ensure_city_fixture()
+        nodes_t, _, dims = netfixture.city_tables()
+        _, _, rings = PE._dim_geoms(dims["landuse_green"])
+        x = nodes_t["x"].to_numpy(); y = nodes_t["y"].to_numpy()
+        x0, x1 = float(np.min(x)), float(np.max(x))
+        y0, y1 = float(np.min(y)), float(np.max(y))
+        ix = out["ix"].to_numpy(); iy = out["iy"].to_numpy()
+        cx = x0 + (ix.astype(np.float64) + 0.5) * (x1 - x0) / 64
+        cy = y0 + (iy.astype(np.float64) + 0.5) * (y1 - y0) / 64
+        ref = geom.points_in_polygons_grid(cx, cy, rings)
+        assert np.array_equal(out["n_polys"].to_numpy(),
+                              ref.sum(axis=1).astype(np.int64))
+        assert np.array_equal(out["covered"].to_numpy(),
+                              ref.any(axis=1).astype(np.int64))
