@@ -169,6 +169,12 @@ def _q_link_triangles(sf_dir: str):
     return link_triangles(sf_dir)
 
 
+def _q_link_greedy_walks(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_greedy_walks
+
+    return link_greedy_walks(sf_dir)
+
+
 def _q_bm25_topk(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import bm25_topk
 
@@ -876,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": corpus.pmi_bigrams,
         "event_chain_scan": analytics.event_chain_scan,
         "network_landuse_raster": netqueries.network_landuse_raster,
+        "link_greedy_walks": _q_link_greedy_walks,
     }
 
 
@@ -2817,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d CROSS JOIN range(1, 9) t(j)
         """,
         "pagerank": graphmod.pagerank_sql(iters=5),
+        "link_greedy_walks": graphmod.link_greedy_walks_sql(),
         "sequence_packing": """
             WITH tok AS (
                 SELECT doc_id,

@@ -278,3 +278,118 @@ def link_bfs(sf_dir: str, source: int = 0, max_hops: int = 4) -> rd.Dataset:
         frontier = best.filter(lambda r, h=h: r["hop"] == h)
 
     return best
+
+
+WALK_HOPS = 6
+WALK_STRIDE = 50
+WALK_MOD = 1_000_003
+
+
+def link_greedy_walks(sf_dir: str, hops: int = WALK_HOPS,
+                      stride: int = WALK_STRIDE) -> rd.Dataset:
+    """ATTRIBUTE-DEPENDENT GRAPH WALKS over SHARDED ACTOR STATE (the
+    node2vec-style sampling prep): every stride-th page starts a walker;
+    at each hop the walker scores its 8 arithmetic out-neighbours by a
+    deterministic integer mix of (current node, step, candidate,
+    candidate's n_chars) and moves to the argmax (ties → smallest j).
+    The candidate ATTRIBUTE is what makes this a distributed shape BFS
+    doesn't cover: the choice needs data that lives with the
+    *destination*, so a keyed-exchange layout would re-ship the attr
+    table once per hop. Here the (doc_id → n_chars) map lives in a
+    ``ShardedAttrStore`` actor pool (state/shards.py — partitioned ONCE,
+    never reshipped), walkers stay put in their blocks, and each hop is
+    one map_batches whose kernel batches its probes per shard (one actor
+    round-trip per (batch, shard), never per row).
+
+    Exactness: scores are pure int64 arithmetic ((v·2654435761 +
+    step·40503 + c·97 + nc·131) mod 1000003 — overflow-free for
+    v, c < 3.4e9; the 10^12-doc swap is the uint64 wrap of
+    event_chain_scan), so trajectories are bit-equal to the DuckDB
+    recursive-CTE oracle, which re-runs the whole walk with window-rank
+    argmax per step — a genuinely different evaluation strategy.
+    Output: the full (walker, step, node) trajectories."""
+    import ray
+
+    from ..rayctx import pool_width
+    from ..state.shards import ShardedAttrStore
+
+    n = table_rows(sf_dir, "documents")
+    n_shards = max(2, min(8, pool_width()))
+    path = f"{sf_dir}/documents.parquet"
+    stores = [ShardedAttrStore.remote(path, "doc_id", "n_chars", p, n_shards)
+              for p in range(n_shards)]
+
+    starts = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["doc_id"].to_numpy().astype(np.int64)
+        w = w[w % stride == 0]
+        return pd.DataFrame({"walker": w,
+                             "step": np.zeros(len(w), np.int64),
+                             "node": w})
+
+    cur = starts.map_batches(seed, batch_format="pandas")
+    outs = [cur]
+    J = np.arange(1, 9, dtype=np.int64)
+
+    def make_hop(s: int):
+        def hop(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            w = df["walker"].to_numpy()
+            v = df["node"].to_numpy()
+            cand = (v[:, None] * 31 + J[None, :]) % n        # (B, 8)
+            flat = cand.ravel()
+            shard = flat % n_shards
+            nc = np.empty(len(flat), np.int64)
+            futs = [(shard == p, stores[p].get.remote(flat[shard == p]))
+                    for p in range(n_shards)]
+            for m, f in futs:
+                nc[m] = ray.get(f)
+            score = ((np.repeat(v, 8) * 2654435761
+                      + (s + 1) * 40503 + flat * 97 + nc * 131)
+                     % WALK_MOD).reshape(-1, 8)
+            # argmax takes the FIRST maximum — j ascending == smallest j
+            pick = score.argmax(axis=1)
+            return pd.DataFrame({
+                "walker": w,
+                "step": np.full(len(w), s + 1, np.int64),
+                "node": cand[np.arange(len(w)), pick],
+            })
+        return hop
+
+    for s in range(hops):
+        cur = cur.map_batches(make_hop(s), batch_format="pandas")
+        outs.append(cur)
+    return outs[0].union(*outs[1:])
+
+
+def link_greedy_walks_sql(hops: int = WALK_HOPS,
+                          stride: int = WALK_STRIDE) -> str:
+    """Recursive-CTE oracle for :func:`link_greedy_walks`: re-runs the
+    whole walk with a window-rank argmax per step — same integer score
+    arithmetic, different evaluation strategy."""
+    return f"""
+        WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        walks(walker, step, node) AS (
+            SELECT doc_id, 0, doc_id FROM documents
+            WHERE doc_id % {stride} = 0
+            UNION ALL
+            SELECT walker, step + 1, c FROM (
+                SELECT w.walker, w.step, (w.node * 31 + j.j) % nn.n AS c,
+                       row_number() OVER (
+                           PARTITION BY w.walker, w.step
+                           ORDER BY (w.node * 2654435761
+                                     + (w.step + 1) * 40503
+                                     + ((w.node * 31 + j.j) % nn.n) * 97
+                                     + d.n_chars * 131) % {WALK_MOD} DESC,
+                                    j.j) AS rn
+                FROM walks w
+                CROSS JOIN (SELECT unnest(range(1, 9)) AS j) j
+                CROSS JOIN nn
+                JOIN documents d ON d.doc_id = (w.node * 31 + j.j) % nn.n
+                WHERE w.step < {hops}
+            ) WHERE rn = 1
+        )
+        SELECT walker, step, node FROM walks
+    """

@@ -181,3 +181,56 @@ class TestLinkBfs:
         for r in out.itertuples():
             assert hop[r.doc_id] == r.hop
         assert (out["hop"] == 0).sum() == 1 and out["hop"].max() <= 4
+
+
+class TestLinkGreedyWalks:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.graph import (WALK_MOD,
+                                                      link_greedy_walks)
+
+        SF = "/root/testdata/sf0.001"
+        mine = link_greedy_walks(SF).to_pandas().sort_values(
+            ["walker", "step"]).reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"]).to_pandas()
+        nc = dict(zip(docs["doc_id"], docs["n_chars"]))
+        n = len(docs)
+        rows = []
+        for w in sorted(d for d in docs["doc_id"] if d % 50 == 0):
+            v = w
+            rows.append((w, 0, v))
+            for s in range(1, 7):
+                best, best_score = None, -1
+                for j in range(1, 9):
+                    c = (v * 31 + j) % n
+                    score = (v * 2654435761 + s * 40503
+                             + c * 97 + nc[c] * 131) % WALK_MOD
+                    if score > best_score:
+                        best, best_score = c, score
+                v = best
+                rows.append((w, s, v))
+        ref = pd.DataFrame(rows, columns=["walker", "step", "node"])
+        assert len(mine) == len(ref) > 0
+        for c in ("walker", "step", "node"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ref[c].to_numpy()), c
+
+    def test_shard_store_routes_and_raises(self, ray_session):
+        import ray as _ray
+
+        from osmnetfusion_ray.state.shards import ShardedAttrStore
+
+        path = "/root/testdata/sf0.001/documents.parquet"
+        stores = [ShardedAttrStore.remote(path, "doc_id", "n_chars", p, 4)
+                  for p in range(4)]
+        sizes = _ray.get([s.size.remote() for s in stores])
+        assert sum(sizes) == 500 and all(sz > 0 for sz in sizes)
+        got = _ray.get(stores[1].get.remote(np.array([1, 5, 9])))
+        import pyarrow.parquet as pq
+        docs = pq.read_table(path, columns=["doc_id", "n_chars"]).to_pandas()
+        nc = dict(zip(docs["doc_id"], docs["n_chars"]))
+        assert got.tolist() == [nc[1], nc[5], nc[9]]
+        with pytest.raises(Exception):
+            _ray.get(stores[0].get.remote(np.array([1])))  # wrong shard
