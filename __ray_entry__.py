@@ -883,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_chain_scan": analytics.event_chain_scan,
         "network_landuse_raster": netqueries.network_landuse_raster,
         "link_greedy_walks": _q_link_greedy_walks,
+        "lang_length_ks": corpus.lang_length_ks,
     }
 
 
@@ -2254,6 +2255,44 @@ def oracle_sql() -> dict[str, str]:
                         AS UBIGINT) AS h
             FROM s
             WHERE i % 500 = 0 OR i = (SELECT count(*) FROM events)
+        """,
+        "lang_length_ks": """
+            -- exact KS via the integer-numerator identity:
+            -- D = max_v |cum_a*n_b - cum_b*n_a| / (n_a*n_b)
+            WITH h AS (SELECT lang, n_chars AS v, count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            pairs AS (SELECT a.lang AS la, b.lang AS lb
+                      FROM n a JOIN n b ON a.lang < b.lang),
+            j AS (SELECT p.la, p.lb, h.v,
+                         CASE WHEN h.lang = p.la THEN h.c ELSE 0 END AS ca,
+                         CASE WHEN h.lang = p.lb THEN h.c ELSE 0 END AS cb
+                  FROM pairs p JOIN h ON h.lang = p.la OR h.lang = p.lb),
+            g AS (SELECT la, lb, v, sum(ca) AS ca, sum(cb) AS cb
+                  FROM j GROUP BY 1, 2, 3),
+            w AS (SELECT la, lb, v,
+                         sum(ca) OVER (PARTITION BY la, lb ORDER BY v)
+                           AS cum_a,
+                         sum(cb) OVER (PARTITION BY la, lb ORDER BY v)
+                           AS cum_b
+                  FROM g),
+            d AS (SELECT w.la, w.lb, v,
+                         abs(cum_a * nb.n - cum_b * na.n) AS dn
+                  FROM w JOIN n na ON na.lang = w.la
+                         JOIN n nb ON nb.lang = w.lb),
+            mx AS (SELECT la, lb, max(dn) AS d_num FROM d GROUP BY 1, 2),
+            am AS (SELECT d.la, d.lb, min(v) AS v_at
+                   FROM d JOIN mx ON mx.la = d.la AND mx.lb = d.lb
+                                 AND d.dn = mx.d_num
+                   GROUP BY 1, 2)
+            SELECT mx.la, mx.lb, na.n AS n_a, nb.n AS n_b,
+                   CAST(mx.d_num AS BIGINT) AS d_num, am.v_at,
+                   CAST(mx.d_num AS DOUBLE)
+                     / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS ks
+            FROM mx
+            JOIN am ON am.la = mx.la AND am.lb = mx.lb
+            JOIN n na ON na.lang = mx.la
+            JOIN n nb ON nb.lang = mx.lb
         """,
         "props_key_stats": """
             -- engine extracts with an anchored RE2; the oracle uses the

@@ -4283,3 +4283,91 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_n: int = 5) -> pa.Table:
     top = per_block.to_pandas().sort_values(
         ["pmi_unats", "bigram"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def lang_length_ks(sf_dir: str) -> rd.Dataset:
+    """EXACT two-sample KOLMOGOROV–SMIRNOV distance between every pair of
+    languages' document-length distributions — the DATA-DRIFT /
+    distribution-distance statistic a training-mixture pipeline runs
+    between crawl snapshots or strata, and a DISTRIBUTION-COMPARISON
+    shape (two full CDFs meet) that the per-group quantile/gini/MAD
+    family never exercises.
+
+    Exactness via the integer-numerator identity: D = max_v |F_a(v) −
+    F_b(v)| = max_v |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b), so the
+    max is taken over exact int64 numerators and the ONE terminal double
+    division is the only float op. Ties report the smallest v attaining
+    the max.
+
+    Shape: per-block (lang, v) count partials (the combiner — documents
+    never ride an exchange), ONE (lang, v)-keyed exchange finishes the
+    global histograms (bounded by |langs| × |distinct lengths|, the
+    value-histogram counting-sort dual as in length_gini_by_lang), each
+    histogram row replicates to its ≤|langs|−1 pairs (dimension-bounded
+    fan-out), and a pair-keyed exchange co-locates both CDFs where one
+    lexsort + two segment cumsums resolve every pair's max at once."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], sort=False, as_index=False).size()
+        g["c"] = g.pop("size").astype(np.int64)
+        return g.rename(columns={"n_chars": "v"})
+
+    hist = grouped(docs.map_batches(partial, batch_format="pandas"),
+                   ["lang", "v"], lambda df: df.groupby(
+                       ["lang", "v"], sort=False, as_index=False)["c"].sum(),
+                   small=True)
+
+    # langs are dimension-bounded: pull the distinct set once (|langs|
+    # rows) to drive the pair fan-out deterministically inside the map
+    langs = sorted(set(hist.select_columns(["lang"]).to_pandas()["lang"]))
+    lidx = {l: i for i, l in enumerate(langs)}
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        la, lb, lg, v, c = [], [], [], [], []
+        ls = df["lang"].to_numpy()
+        vs = df["v"].to_numpy()
+        cs = df["c"].to_numpy()
+        for other in langs:
+            m = ls != other
+            a = np.minimum(ls[m], other)
+            b = np.maximum(ls[m], other)
+            la.append(a); lb.append(b); lg.append(ls[m])
+            v.append(vs[m]); c.append(cs[m])
+        return pd.DataFrame({
+            "la": np.concatenate(la), "lb": np.concatenate(lb),
+            "lang": np.concatenate(lg),
+            "v": np.concatenate(v), "c": np.concatenate(c)})
+
+    def ks_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"la": [], "lb": [], "n_a": [], "n_b": [],
+               "d_num": [], "v_at": [], "ks": []}
+        for (a, b), g in df.groupby(["la", "lb"], sort=False):
+            v = g["v"].to_numpy()
+            ca = np.where(g["lang"].to_numpy() == a, g["c"].to_numpy(), 0)
+            cb = np.where(g["lang"].to_numpy() == b, g["c"].to_numpy(), 0)
+            o = np.argsort(v, kind="mergesort")
+            v, ca, cb = v[o], ca[o], cb[o]
+            uv, inv = np.unique(v, return_inverse=True)
+            sa = np.zeros(len(uv), np.int64)
+            sb = np.zeros(len(uv), np.int64)
+            np.add.at(sa, inv, ca)
+            np.add.at(sb, inv, cb)
+            cum_a, cum_b = np.cumsum(sa), np.cumsum(sb)
+            n_a, n_b = int(cum_a[-1]), int(cum_b[-1])
+            dn = np.abs(cum_a * n_b - cum_b * n_a)
+            k = int(dn.argmax())            # first max == smallest v
+            out["la"].append(a); out["lb"].append(b)
+            out["n_a"].append(n_a); out["n_b"].append(n_b)
+            out["d_num"].append(int(dn[k])); out["v_at"].append(int(uv[k]))
+            out["ks"].append(float(dn[k])
+                             / (np.float64(n_a) * np.float64(n_b)))
+        o = pd.DataFrame(out)
+        for c in ("n_a", "n_b", "d_num", "v_at"):
+            o[c] = o[c].astype(np.int64)
+        return o
+
+    pairs = hist.map_batches(to_pairs, batch_format="pandas")
+    return grouped(pairs, ["la", "lb"], ks_block, small=True)

@@ -3441,3 +3441,44 @@ class TestEventChainScan:
         n = idx.max()
         want = sorted(set(range(100, int(n) + 1, 100)) | {int(n)})
         assert idx.tolist() == want
+
+
+class TestLangLengthKs:
+    def test_matches_bruteforce(self, ray_session):
+        import itertools
+
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import lang_length_ks
+
+        mine = lang_length_ks(SF).to_pandas().sort_values(
+            ["la", "lb"]).reset_index(drop=True)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["lang", "n_chars"]).to_pandas()
+        langs = sorted(docs["lang"].unique())
+        rows = []
+        for a, b in itertools.combinations(langs, 2):
+            xa = np.sort(docs.loc[docs["lang"] == a, "n_chars"].to_numpy())
+            xb = np.sort(docs.loc[docs["lang"] == b, "n_chars"].to_numpy())
+            vs = np.unique(np.concatenate([xa, xb]))
+            ca = np.searchsorted(xa, vs, side="right")
+            cb = np.searchsorted(xb, vs, side="right")
+            dn = np.abs(ca * len(xb) - cb * len(xa))
+            k = int(dn.argmax())
+            rows.append((a, b, len(xa), len(xb), int(dn[k]), int(vs[k]),
+                         float(dn[k]) / (np.float64(len(xa))
+                                         * np.float64(len(xb)))))
+        ref = pd.DataFrame(rows, columns=["la", "lb", "n_a", "n_b",
+                                          "d_num", "v_at", "ks"])
+        assert len(mine) == len(ref) > 0
+        for c in ("la", "lb"):
+            assert mine[c].tolist() == ref[c].tolist(), c
+        for c in ("n_a", "n_b", "d_num", "v_at"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ref[c].to_numpy()), c
+        assert np.array_equal(mine["ks"].to_numpy(), ref["ks"].to_numpy())
+        # KS of a distribution against itself would be 0; across distinct
+        # synthetic langs it must detect SOME separation or the statistic
+        # is vacuous
+        assert (mine["ks"] > 0).any()
+        assert ((mine["ks"] >= 0) & (mine["ks"] <= 1)).all()
