@@ -175,6 +175,12 @@ def _q_link_greedy_walks(sf_dir: str):
     return link_greedy_walks(sf_dir)
 
 
+def _q_link_adamic_adar(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_adamic_adar
+
+    return link_adamic_adar(sf_dir)
+
+
 def _q_bm25_topk(sf_dir: str):
     from osmnetfusion_ray.pipelines.corpus import bm25_topk
 
@@ -884,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_landuse_raster": netqueries.network_landuse_raster,
         "link_greedy_walks": _q_link_greedy_walks,
         "lang_length_ks": corpus.lang_length_ks,
+        "link_adamic_adar": _q_link_adamic_adar,
     }
 
 
@@ -2864,6 +2871,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": graphmod.pagerank_sql(iters=5),
         "link_greedy_walks": graphmod.link_greedy_walks_sql(),
+        "link_adamic_adar": """
+            -- symmetric derived adjacency, wedge self-join, NOT-EXISTS
+            -- anti-join, floor-quantized micro-nat 1/ln(deg) weights
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (SELECT d.doc_id AS u, (d.doc_id * 31 + t.j) % nn.n AS v
+                   FROM documents d CROSS JOIN range(1, 9) t(j)
+                   CROSS JOIN nn
+                   WHERE d.doc_id <> (d.doc_id * 31 + t.j) % nn.n),
+            adj AS (SELECT u AS w, v AS x FROM e0
+                    UNION SELECT v, u FROM e0),
+            deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+            wt AS (SELECT w, CAST(floor(1000000.0
+                       * (1.0 / ln(CAST(d AS DOUBLE)))) AS BIGINT) AS wq
+                   FROM deg),
+            wed AS (SELECT a.w, a.x AS lo, b.x AS hi
+                    FROM adj a JOIN adj b ON a.w = b.w AND a.x < b.x),
+            sc AS (SELECT lo, hi, CAST(sum(wt.wq) AS BIGINT) AS aa_unats,
+                          count(*) AS common_n
+                   FROM wed JOIN wt ON wt.w = wed.w GROUP BY lo, hi),
+            fin AS (SELECT * FROM sc WHERE NOT EXISTS (
+                        SELECT 1 FROM adj
+                        WHERE adj.w = sc.lo AND adj.x = sc.hi))
+            SELECT lo, hi, aa_unats, common_n FROM fin
+            ORDER BY aa_unats DESC, lo, hi LIMIT 100
+        """,
         "sequence_packing": """
             WITH tok AS (
                 SELECT doc_id,

@@ -393,3 +393,90 @@ def link_greedy_walks_sql(hops: int = WALK_HOPS,
         )
         SELECT walker, step, node FROM walks
     """
+
+
+def link_adamic_adar(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """LINK PREDICTION — top-k NON-adjacent page pairs by Adamic–Adar
+    score AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w): the negative-space
+    join (score pairs that DON'T exist yet, generated through shared
+    structure) that triangle counting (closed wedges) and BFS never
+    produce, and the classic recommender/citation-inference primitive.
+
+    Shape: in-neighbours co-locate at their endpoint via ONE dst-keyed
+    exchange (out-neighbours are re-derived arithmetically in the block
+    — the pagerank trick, so the edge list is never materialized
+    twice); each node's ≤16-neighbour set expands to its wedge pairs
+    (fan-out bounded by deg² ≤ 256, never corpus size) carrying the
+    micro-nat weight floor(1e6·(1/ln deg)); a pair-keyed exchange sums
+    scores, and the EXISTING-edge test is pure arithmetic membership
+    ((u·31+j) mod N, 16 candidates) — the anti-join costs zero shuffle.
+    Per-block top-k then a tiny driver reduce; ties (aa_unats desc, lo,
+    hi) ascending.
+
+    The DuckDB oracle materializes the symmetric adjacency, self-joins
+    wedges, anti-joins with NOT EXISTS and mirrors the floor-quantized
+    weight — same integers, different plan shape."""
+    from ..rayctx import grouped
+
+    n = table_rows(sf_dir, "documents")
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    J = np.arange(1, K_OUT + 1, dtype=np.int64)
+
+    def in_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["doc_id"].to_numpy(np.int64)
+        dst = ((src[:, None] * MULT + J[None, :]) % n).ravel()
+        srcr = np.repeat(src, K_OUT)
+        m = srcr != dst
+        return pd.DataFrame({"w": dst[m], "x": srcr[m]})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # block holds ALL in-edges of its w keys; out-neighbours are
+        # re-derived arithmetically, then per-w dedup + wedge expansion
+        w_in = df["w"].to_numpy(np.int64)
+        x_in = df["x"].to_numpy(np.int64)
+        uw = np.unique(w_in)
+        out_w = np.repeat(uw, K_OUT)
+        out_x = ((uw[:, None] * MULT + J[None, :]) % n).ravel()
+        m = out_w != out_x
+        aw = np.concatenate([w_in, out_w[m]])
+        ax = np.concatenate([x_in, out_x[m]])
+        # dedup (w, x)
+        key = aw * n + ax
+        _, first = np.unique(key, return_index=True)
+        aw, ax = aw[first], ax[first]
+        ww, p, q = _pairs_within_groups(aw, ax)
+        if len(ww) == 0:
+            return pd.DataFrame({"lo": np.zeros(0, np.int64),
+                                 "hi": np.zeros(0, np.int64),
+                                 "wq": np.zeros(0, np.int64)})
+        deg = np.bincount(np.searchsorted(np.unique(aw), aw))
+        degmap_ids = np.unique(aw)
+        wq_all = np.floor(1000000.0 * (1.0 / np.log(
+            deg.astype(np.float64)))).astype(np.int64)
+        wq = wq_all[np.searchsorted(degmap_ids, ww)]
+        return pd.DataFrame({"lo": p, "hi": q, "wq": wq})
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lo", "hi"], sort=False, as_index=False).agg(
+            aa_unats=("wq", "sum"), common_n=("wq", "size"))
+        lo = g["lo"].to_numpy(np.int64)
+        hi = g["hi"].to_numpy(np.int64)
+        # arithmetic adjacency test — the zero-shuffle anti-join
+        lo_out = (lo[:, None] * MULT + J[None, :]) % n
+        hi_out = (hi[:, None] * MULT + J[None, :]) % n
+        is_edge = ((lo_out == hi[:, None]).any(axis=1)
+                   | (hi_out == lo[:, None]).any(axis=1))
+        g = g[~is_edge]
+        g["aa_unats"] = g["aa_unats"].astype(np.int64)
+        g["common_n"] = g["common_n"].astype(np.int64)
+        return g.sort_values(["aa_unats", "lo", "hi"],
+                             ascending=[False, True, True]).head(k)
+
+    inn = docs.map_batches(in_edges, batch_format="pandas")
+    wed = grouped(inn, ["w"], wedges, rows=n)
+    per_block = grouped(wed, ["lo", "hi"], score_topk, rows=n * 16)
+    top = per_block.to_pandas().sort_values(
+        ["aa_unats", "lo", "hi"], ascending=[False, True, True]).head(k)
+    import pyarrow as pa
+    return rd.from_arrow(pa.Table.from_pandas(top.reset_index(drop=True),
+                                              preserve_index=False))
