@@ -58,7 +58,12 @@ def run_headline(trials: int = 3) -> dict:
     from osmnetfusion_ray.sources.pagegen import synth_pages_ds
 
     nodes, edges = synth.synth_city(n=CITY_N, seed=42)
-    blocks = max(64, PAGES_N // 7812)
+    # source blocks scale with the CLUSTER, not the row count: ~2 tasks
+    # per CPU packs the map waves tightly, while row-scaled splitting
+    # (256+ blocks) spent more on this host's task dispatch than it bought
+    # in balance (measured: 64 blocks 2.1s vs 256 blocks 3.2s at 2M rows,
+    # 32 CPUs). At real scale block counts come from the parquet layout.
+    blocks = max(8, min(2 * NUM_CPUS, PAGES_N // 8192))
 
     def one(n_pages):
         # pruned source: the join reads url (geocode) + text (invariant) —
@@ -95,7 +100,7 @@ def run_tiled(trials: int = 2) -> dict:
 
     nodes, edges = synth.synth_city(n=CITY_N, seed=42)
     n_pages = max(200_000, PAGES_N // 4)
-    blocks = max(64, n_pages // 7812)
+    blocks = max(8, min(2 * NUM_CPUS, n_pages // 8192))
 
     def one():
         pages = synth_pages_ds(n_pages, parallelism=blocks, columns=("url", "text"))
@@ -326,7 +331,9 @@ def stats_mode():
     from osmnetfusion_ray.sources.pagegen import synth_pages_ds
 
     nodes, edges = synth.synth_city(n=CITY_N, seed=42)
-    pages = synth_pages_ds(PAGES_N, parallelism=max(64, PAGES_N // 7812),
+    pages = synth_pages_ds(PAGES_N,
+                           parallelism=max(8, min(2 * NUM_CPUS,
+                                                  PAGES_N // 8192)),
                            columns=("url", "text"))
     ds = pagejoin.join_pages_summary(pages, nodes, edges, batch_size=8192)
     n = sum(r["n_rows"] for r in ds.take_all())
