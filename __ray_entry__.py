@@ -891,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_greedy_walks": _q_link_greedy_walks,
         "lang_length_ks": corpus.lang_length_ks,
         "link_adamic_adar": _q_link_adamic_adar,
+        "daily_balance_total": analytics.daily_balance_total,
     }
 
 
@@ -2262,6 +2263,40 @@ def oracle_sql() -> dict[str, str]:
                         AS UBIGINT) AS h
             FROM s
             WHERE i % 500 = 0 OR i = (SELECT count(*) FROM events)
+        """,
+        "daily_balance_total": """
+            -- semi-additive: carry each user's last reading to the GLOBAL
+            -- horizon, sum across users per day
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                       epoch_us(ts) AS t, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            lastr AS (
+                SELECT user_id, day, cents FROM (
+                    SELECT user_id, day, cents, row_number() OVER (
+                        PARTITION BY user_id, day
+                        ORDER BY t DESC, event_id DESC) AS rn
+                    FROM e)
+                WHERE rn = 1
+            ),
+            us AS (SELECT user_id, min(day) AS ud0 FROM e GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(range(ud0,
+                                (SELECT max(day) FROM e) + 1)) AS day
+                     FROM us),
+            c AS (SELECT g.user_id, g.day,
+                         last_value(l.cents IGNORE NULLS) OVER (
+                             PARTITION BY g.user_id ORDER BY g.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS bal
+                  FROM grid g LEFT JOIN lastr l USING (user_id, day))
+            SELECT day, CAST(sum(bal) AS BIGINT) AS total_cents,
+                   count(*) AS n_users,
+                   (CAST(sum(bal) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                     / 100.0 AS avg_balance
+            FROM c GROUP BY day
         """,
         "lang_length_ks": """
             -- exact KS via the integer-numerator identity:

@@ -225,7 +225,13 @@ def scaling():
     level, best-of (the host stalls runs 20-50 s at random; see bench notes).
     """
     n_small, n_big = 6, 24
-    pages = os.environ.get("GRAFT_PAGES_N", "4000000")  # amortize fixed floor
+    # 16M pages: after the CPU-scaled source-block fix the 24-CPU leg at
+    # 4M ran ~4.4s, shallow enough that the fixed session floor (~2.5s of
+    # dataset launch + iterator init, CPU-count-independent) dominated the
+    # ratio (measured eff 0.635 at 4M). The scaling claim is about the
+    # JOIN, so the protocol sizes the job to amortize the floor, not the
+    # join to hide under it.
+    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
     out = {}
     for ncpu in (n_small, n_big):
         best = None

@@ -3856,3 +3856,95 @@ def event_chain_scan(sf_dir: str, ckpt: int = CHAIN_CKPT) -> rd.Dataset:
                              "h": h_all[keep]})
 
     return part.map_batches(emit_block, batch_format="pandas")
+
+
+def daily_balance_total(sf_dir: str) -> rd.Dataset:
+    """SEMI-ADDITIVE MEASURE (the OLAP balance/inventory shape): per
+    calendar day, the corpus-wide SUM over users of each user's LAST-SEEN
+    value carried forward to the GLOBAL horizon — additive across users,
+    NON-additive across time (you carry, never sum, along the time axis),
+    which is why plain groupby-day and per-user LOCF (user-local horizon)
+    both get it wrong.
+
+    Shape: a two-scalar day-span pre-pass (per-block 1-row min/max
+    partials), per-block last-reading-per-(user, day) combiner partials
+    (latest (ts, event_id) wins — max-combinable across blocks), ONE
+    user-keyed exchange whose block kernel finishes the per-(user, day)
+    argmax, carries each user to the global end day via one searchsorted
+    per block, and PRE-SUMS per day (bounded by days × blocks), then a
+    tiny day-keyed exchange finishes totals. Exact int64 cents; avg is
+    ONE terminal division mirrored by the SQL."""
+    from ..rayctx import grouped
+
+    mm = read_table(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda df: pd.DataFrame({
+            "lo": [df["ts"].astype("int64").min() // DAY_US],
+            "hi": [df["ts"].astype("int64").max() // DAY_US]}),
+        batch_format="pandas").to_pandas()
+    d_end = int(mm["hi"].max())
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+
+    def last_partials(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "day": t // DAY_US,
+            "t": t,
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "cents": np.rint(df["value"].to_numpy() * 100.0).astype(np.int64),
+        })
+        out = out.sort_values(["user_id", "day", "t", "eid"],
+                              kind="mergesort")
+        return out.groupby(["user_id", "day"], sort=False,
+                           as_index=False).last()
+
+    def carry_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day": np.zeros(0, np.int64),
+                                 "cents": np.zeros(0, np.int64),
+                                 "n_users": np.zeros(0, np.int64)})
+        d = df.sort_values(["user_id", "day", "t", "eid"], kind="mergesort")
+        d = d.groupby(["user_id", "day"], sort=False, as_index=False).last()
+        u = d["user_id"].to_numpy()
+        day = d["day"].to_numpy()
+        cents = d["cents"].to_numpy()
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(new_u)
+        first_day = day[starts]
+        spans = (d_end - first_day + 1).astype(np.int64)
+        # per-user day grid first_obs..global end (repeat/offset expansion)
+        offs = np.concatenate([[0], np.cumsum(spans)])
+        gi = np.arange(int(offs[-1]), dtype=np.int64)
+        urow = np.searchsorted(offs, gi, side="right") - 1
+        gday = first_day[urow] + (gi - offs[urow])
+        # carry source: last reading <= grid day, via the (user, day)
+        # composite key (valid: grid never precedes the user's first day)
+        ukey = u * np.int64(1 << 20) + (day - day.min())
+        gkey = (u[starts][urow] * np.int64(1 << 20)
+                + (gday - day.min()))
+        src = np.searchsorted(ukey, gkey, side="right") - 1
+        bal = cents[src]
+        lo = int(gday.min())
+        tot = np.zeros(d_end - lo + 1, np.int64)
+        cnt = np.zeros(d_end - lo + 1, np.int64)
+        np.add.at(tot, gday - lo, bal)
+        np.add.at(cnt, gday - lo, 1)
+        nz = cnt > 0
+        return pd.DataFrame({"day": (lo + np.flatnonzero(nz)).astype(np.int64),
+                             "cents": tot[nz], "n_users": cnt[nz]})
+
+    def day_total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", sort=False, as_index=False).agg(
+            total_cents=("cents", "sum"), n_users=("n_users", "sum"))
+        g["total_cents"] = g["total_cents"].astype(np.int64)
+        g["n_users"] = g["n_users"].astype(np.int64)
+        g["avg_balance"] = (g["total_cents"].to_numpy().astype(np.float64)
+                            / g["n_users"].to_numpy().astype(np.float64)
+                            ) / 100.0
+        return g
+
+    partial = ev.map_batches(last_partials, batch_format="pandas")
+    per_user = grouped(partial, ["user_id"], carry_block, small=True)
+    return grouped(per_user, ["day"], day_total, small=True)

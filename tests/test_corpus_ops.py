@@ -3482,3 +3482,45 @@ class TestLangLengthKs:
         # is vacuous
         assert (mine["ks"] > 0).any()
         assert ((mine["ks"] >= 0) & (mine["ks"] <= 1)).all()
+
+
+class TestDailyBalanceTotal:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (DAY_US,
+                                                          daily_balance_total)
+
+        mine = daily_balance_total(SF).to_pandas().sort_values(
+            "day").reset_index(drop=True)
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ev["day"] = ev["t"] // DAY_US
+        ev["cents"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        d_end = int(ev["day"].max())
+        per_day = {}
+        for uid, g in ev.groupby("user_id"):
+            g = g.sort_values(["day", "t", "event_id"])
+            last = g.groupby("day")["cents"].last()
+            days = last.index.to_numpy()
+            bal = None
+            for d in range(int(days.min()), d_end + 1):
+                if d in last.index:
+                    bal = int(last.loc[d])
+                tot, cnt = per_day.get(d, (0, 0))
+                per_day[d] = (tot + bal, cnt + 1)
+        ref = pd.DataFrame(
+            [(d, t, c, (np.float64(t) / np.float64(c)) / 100.0)
+             for d, (t, c) in sorted(per_day.items())],
+            columns=["day", "total_cents", "n_users", "avg_balance"])
+        assert len(mine) == len(ref) > 0
+        for c in ("day", "total_cents", "n_users"):
+            assert np.array_equal(mine[c].to_numpy().astype(np.int64),
+                                  ref[c].to_numpy()), c
+        assert np.array_equal(mine["avg_balance"].to_numpy(),
+                              ref["avg_balance"].to_numpy())
+        # user coverage is monotone: once a user starts they never leave
+        assert (np.diff(mine.sort_values("day")["n_users"].to_numpy())
+                >= 0).all()
