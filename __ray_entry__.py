@@ -175,6 +175,12 @@ def _q_link_greedy_walks(sf_dir: str):
     return link_greedy_walks(sf_dir)
 
 
+def _q_link_sssp(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_sssp
+
+    return link_sssp(sf_dir)
+
+
 def _q_link_adamic_adar(sf_dir: str):
     from osmnetfusion_ray.pipelines.graph import link_adamic_adar
 
@@ -892,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_ks": corpus.lang_length_ks,
         "link_adamic_adar": _q_link_adamic_adar,
         "daily_balance_total": analytics.daily_balance_total,
+        "link_sssp": _q_link_sssp,
     }
 
 
@@ -2906,6 +2913,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": graphmod.pagerank_sql(iters=5),
         "link_greedy_walks": graphmod.link_greedy_walks_sql(),
+        "link_sssp": graphmod.link_sssp_sql(),
         "link_adamic_adar": """
             -- symmetric derived adjacency, wedge self-join, NOT-EXISTS
             -- anti-join, floor-quantized micro-nat 1/ln(deg) weights

