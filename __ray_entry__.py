@@ -899,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_adamic_adar": _q_link_adamic_adar,
         "daily_balance_total": analytics.daily_balance_total,
         "link_sssp": _q_link_sssp,
+        "user_session_coverage": analytics.user_session_coverage,
     }
 
 
@@ -2914,6 +2915,33 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": graphmod.pagerank_sql(iters=5),
         "link_greedy_walks": graphmod.link_greedy_walks_sql(),
         "link_sssp": graphmod.link_sssp_sql(),
+        "user_session_coverage": """
+            -- interval union per user: window-cummax island method
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                         + (1800 + (event_id % 7200)) * 1000000 AS e
+                FROM events
+            ),
+            m AS (SELECT user_id, s, e,
+                         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS pm
+                  FROM iv),
+            g AS (SELECT *, CASE WHEN pm IS NULL OR s > pm
+                                 THEN 1 ELSE 0 END AS st
+                  FROM m),
+            h AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+                                          ORDER BY s, e
+                                          ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM g),
+            i AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
+                  FROM h GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_islands,
+                   CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+                   CAST(max(e1 - s0) AS BIGINT) AS max_island_us
+            FROM i GROUP BY user_id
+        """,
         "link_adamic_adar": """
             -- symmetric derived adjacency, wedge self-join, NOT-EXISTS
             -- anti-join, floor-quantized micro-nat 1/ln(deg) weights

@@ -3948,3 +3948,77 @@ def daily_balance_total(sf_dir: str) -> rd.Dataset:
     partial = ev.map_batches(last_partials, batch_format="pandas")
     per_user = grouped(partial, ["user_id"], carry_block, small=True)
     return grouped(per_user, ["day"], day_total, small=True)
+
+
+def user_session_coverage(sf_dir: str) -> rd.Dataset:
+    """INTERVAL UNION (merge-overlapping-intervals) per user — the
+    set-measure reduction the sweep-line (campaign_peak_concurrency: MAX
+    overlap) and TWAP (piecewise integral of a VALUE) shapes don't cover:
+    each event opens a deterministic session interval
+    ``[ts, ts + (1800 + event_id mod 7200) s)`` and the answer is the
+    measure of the per-user UNION — overlaps must collapse, so no plain
+    sum/groupby expresses it.
+
+    Shape: skinny (user, s, e) int64-µs rows ride ONE user-keyed
+    exchange; the block kernel lexsorts (user, s, e), takes the per-user
+    running max of interval ends (pandas C-level groupby cummax — no
+    Python loop), detects island starts where ``s > prev running max``
+    (exact int64 compare; the previous user's garbage at group heads is
+    masked by the new-user flag), and reduces islands per user via
+    reduceat. A tie on start is order-safe: a tied row's start can never
+    exceed the other's end (e > s always), so both orders land in one
+    island — the union is a set measure and stays partitioning-invariant.
+
+    Exactness: everything is int64 µs until the terminal output (still
+    integers), so the result is bit-equal to the DuckDB window-cummax
+    island oracle at every scale. Output per user: island count, covered
+    µs, longest island µs."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "s": t,
+            "e": t + (1800 + (eid % 7200)) * 1_000_000,
+        })
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.zeros(0, np.int64),
+                "n_islands": np.zeros(0, np.int64),
+                "covered_us": np.zeros(0, np.int64),
+                "max_island_us": np.zeros(0, np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        o = np.lexsort((e, s, u))
+        u, s, e = u[o], s[o], e[o]
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        uidx = np.cumsum(new_u) - 1
+        cm = pd.Series(e).groupby(uidx).cummax().to_numpy()  # int64, C-level
+        prev = np.concatenate([[np.int64(0)], cm[:-1]])
+        start = new_u | (s > prev)
+        st = np.flatnonzero(start)
+        last = np.concatenate([st[1:] - 1, [len(u) - 1]])
+        # island end = user-so-far cummax at the island's last row: every
+        # earlier island's end is < this island's first start, so the
+        # running max equals the island-local max
+        lens = cm[last] - s[st]
+        iu = u[st]
+        iu_new = np.concatenate([[True], iu[1:] != iu[:-1]])
+        seg = np.flatnonzero(iu_new)
+        n_isl = np.diff(np.concatenate([seg, [len(iu)]]))
+        return pd.DataFrame({
+            "user_id": iu[seg].astype(np.int64),
+            "n_islands": n_isl.astype(np.int64),
+            "covered_us": np.add.reduceat(lens, seg).astype(np.int64),
+            "max_island_us": np.maximum.reduceat(lens, seg).astype(np.int64),
+        })
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id"], islands, small=True)

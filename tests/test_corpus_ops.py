@@ -3524,3 +3524,47 @@ class TestDailyBalanceTotal:
         # user coverage is monotone: once a user starts they never leave
         assert (np.diff(mine.sort_values("day")["n_users"].to_numpy())
                 >= 0).all()
+
+
+class TestUserSessionCoverage:
+    def test_matches_bruteforce_union(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import user_session_coverage
+
+        mine = (user_session_coverage(SF).to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "event_id"]).to_pandas()
+        t = ev["ts"].astype("int64").to_numpy()
+        e = t + (1800 + (ev["event_id"].to_numpy().astype(np.int64)
+                         % 7200)) * 1_000_000
+        ref = {}
+        for uid, s0, e0 in zip(ev["user_id"].to_numpy(), t, e):
+            ref.setdefault(int(uid), []).append((int(s0), int(e0)))
+        rows = []
+        for uid in sorted(ref):
+            iv = sorted(ref[uid])
+            islands = []
+            cs, ce = iv[0]
+            for s0, e0 in iv[1:]:
+                if s0 > ce:
+                    islands.append((cs, ce))
+                    cs, ce = s0, e0
+                else:
+                    ce = max(ce, e0)
+            islands.append((cs, ce))
+            lens = [b - a for a, b in islands]
+            rows.append((uid, len(islands), sum(lens), max(lens)))
+        want = pd.DataFrame(rows, columns=["user_id", "n_islands",
+                                           "covered_us", "max_island_us"])
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # union measure is bounded by the sum of raw interval lengths and
+        # at least the longest single interval
+        raw = (e - t)
+        assert (mine["covered_us"] <= pd.Series(raw)
+                .groupby(ev["user_id"].to_numpy()).sum()
+                .loc[mine["user_id"]].to_numpy()).all()
