@@ -900,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_balance_total": analytics.daily_balance_total,
         "link_sssp": _q_link_sssp,
         "user_session_coverage": analytics.user_session_coverage,
+        "user_retention_cohorts": analytics.user_retention_cohorts,
+        "scd2_history": analytics.scd2_history,
     }
 
 
@@ -2941,6 +2943,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
                    CAST(max(e1 - s0) AS BIGINT) AS max_island_us
             FROM i GROUP BY user_id
+        """,
+        "user_retention_cohorts": """
+            -- cohort triangle: distinct (user, day) incidence, per-user
+            -- min-day cohort, counts per (cohort, offset), share vs the
+            -- cohort's own offset-0 size
+            WITH inc AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            c AS (SELECT user_id, min(day) AS cohort FROM inc GROUP BY 1),
+            j AS (SELECT c.cohort, i.day - c.cohort AS offset_days,
+                         count(*) AS n
+                  FROM inc i JOIN c USING (user_id) GROUP BY 1, 2)
+            SELECT j.cohort AS cohort_day, j.offset_days,
+                   CAST(j.n AS BIGINT) AS n_users,
+                   CAST(j.n AS DOUBLE) / CAST(b.n AS DOUBLE) AS retention
+            FROM j JOIN j b ON b.cohort = j.cohort AND b.offset_days = 0
+        """,
+        "scd2_history": """
+            -- SCD2: lag-detected change points -> segment ids -> one row
+            -- per run; valid_to = next run's valid_from (lead over the
+            -- segment id, which is unique-ordered even when ts ties)
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, event_id,
+                       CAST(round(value * 100) AS BIGINT) // 5000 AS tier
+                FROM events
+            ),
+            m AS (SELECT *, lag(tier) OVER (PARTITION BY user_id
+                                            ORDER BY t, event_id) AS pt
+                  FROM e),
+            g AS (SELECT *, CASE WHEN pt IS NULL OR tier <> pt
+                                 THEN 1 ELSE 0 END AS chg
+                  FROM m),
+            h AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                                           ORDER BY t, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS seg
+                  FROM g),
+            i AS (SELECT user_id, seg, min(tier) AS tier,
+                         min(t) AS valid_from_us, count(*) AS n_obs
+                  FROM h GROUP BY 1, 2)
+            SELECT user_id, tier, valid_from_us,
+                   COALESCE(lead(valid_from_us) OVER (
+                       PARTITION BY user_id ORDER BY seg), -1)
+                       AS valid_to_us,
+                   CAST(n_obs AS BIGINT) AS n_obs
+            FROM i
         """,
         "link_adamic_adar": """
             -- symmetric derived adjacency, wedge self-join, NOT-EXISTS

@@ -4022,3 +4022,128 @@ def user_session_coverage(sf_dir: str) -> rd.Dataset:
 
     return grouped(ev.map_batches(skinny, batch_format="pandas"),
                    ["user_id"], islands, small=True)
+
+
+def user_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """COHORT RETENTION TRIANGLE — the self-join-against-a-derived-
+    per-entity-attribute shape (each activity row must meet its user's
+    FIRST-day cohort) that dau_retention's fixed day-over-day lag never
+    produces: output is (cohort_day, offset_days) → distinct active
+    users, plus the retention share against the cohort's own size.
+
+    Shape: the scan emits block-deduped (user, day) incidence partials
+    (the distinct-combiner, so the first exchange carries at most
+    users × days rows); ONE user-keyed exchange finds each user's min
+    day AND pre-aggregates (cohort, offset) counts inside the block;
+    ONE cohort-keyed exchange (bounded by days² pairs, corpus-size-
+    independent) finishes the counts and divides by the cohort's
+    offset-0 size — offset 0 always exists because the min day is
+    itself active. Counts are exact int64; the single terminal division
+    is the same IEEE op DuckDB runs, so the oracle matches bit-for-bit."""
+    from ..rayctx import grouped
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def inc(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "day": df["ts"].astype("int64").to_numpy() // DAY,
+        })
+        return out.drop_duplicates()
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()  # finish the cross-block incidence dedup
+        cohort = df.groupby("user_id", sort=False)["day"].transform("min")
+        pairs = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
+                              "offset_days": df["day"].to_numpy(np.int64)
+                              - cohort.to_numpy(np.int64)})
+        g = pairs.groupby(["cohort", "offset_days"], sort=False,
+                          as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort", "offset_days"], sort=False,
+                       as_index=False)["n"].sum()
+        base = g[g["offset_days"] == 0][["cohort", "n"]].rename(
+            columns={"n": "n0"})
+        g = g.merge(base, on="cohort", how="left")
+        return pd.DataFrame({
+            "cohort_day": g["cohort"].to_numpy(np.int64),
+            "offset_days": g["offset_days"].to_numpy(np.int64),
+            "n_users": g["n"].to_numpy(np.int64),
+            "retention": g["n"].to_numpy(np.float64)
+            / g["n0"].to_numpy(np.float64),
+        })
+
+    partial = ev.map_batches(inc, batch_format="pandas")
+    per_u = grouped(partial, ["user_id"], per_user, small=True)
+    return grouped(per_u, ["cohort"], finish, small=True)
+
+
+def scd2_history(sf_dir: str) -> rd.Dataset:
+    """SCD TYPE-2 HISTORY BUILD (change-point compression) — the
+    warehouse dimension-versioning shape: each user's event stream
+    carries a derived attribute (tier = cents // 5000), and the output
+    is one row per ATTRIBUTE RUN with its validity interval
+    ``[valid_from_us, valid_to_us)`` — ``valid_to`` comes from the NEXT
+    change, the last run is open (sentinel -1). Neither the transition
+    counts (event_type_transitions) nor the throttle recurrence produce
+    interval RECORDS; this is the compress-consecutive-equal-values
+    run-length shape every CDC/dimension pipeline needs.
+
+    Shape: skinny (user, t, eid, tier) rows ride ONE user-keyed
+    exchange; the block kernel lexsorts (user, t, eid), detects change
+    points with one shifted compare, and emits per-run records via
+    index arithmetic (valid_to = next run's valid_from while the next
+    run is the same user — a vector shift, no per-user loop). Ties on
+    ts are pinned by event_id on both engines. All int64; bit-equal to
+    the DuckDB lag/segment-sum/lead window oracle."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "t": df["ts"].astype("int64").to_numpy(),
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "tier": cents // 5000,
+        })
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.zeros(0, np.int64),
+                "tier": np.zeros(0, np.int64),
+                "valid_from_us": np.zeros(0, np.int64),
+                "valid_to_us": np.zeros(0, np.int64),
+                "n_obs": np.zeros(0, np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        tier = df["tier"].to_numpy()
+        o = np.lexsort((e, t, u))
+        u, t, tier = u[o], t[o], tier[o]
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        chg = new_u | np.concatenate([[True], tier[1:] != tier[:-1]])
+        st = np.flatnonzero(chg)
+        iu = u[st]
+        vf = t[st]
+        nxt_same = np.concatenate([iu[1:] == iu[:-1], [False]])
+        vt = np.where(nxt_same,
+                      np.concatenate([vf[1:], [np.int64(-1)]]),
+                      np.int64(-1))
+        n_obs = np.diff(np.concatenate([st, [len(u)]]))
+        return pd.DataFrame({
+            "user_id": iu.astype(np.int64),
+            "tier": tier[st].astype(np.int64),
+            "valid_from_us": vf.astype(np.int64),
+            "valid_to_us": vt.astype(np.int64),
+            "n_obs": n_obs.astype(np.int64),
+        })
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id"], runs, small=True)

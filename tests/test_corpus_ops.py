@@ -3568,3 +3568,84 @@ class TestUserSessionCoverage:
         assert (mine["covered_us"] <= pd.Series(raw)
                 .groupby(ev["user_id"].to_numpy()).sum()
                 .loc[mine["user_id"]].to_numpy()).all()
+
+
+class TestUserRetentionCohorts:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import user_retention_cohorts
+
+        mine = (user_retention_cohorts(SF).to_pandas()
+                .sort_values(["cohort_day", "offset_days"])
+                .reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        day = ev["ts"].astype("int64").to_numpy() // 86_400_000_000
+        inc = set(zip(ev["user_id"].to_numpy().tolist(), day.tolist()))
+        cohort = {}
+        for u, d in inc:
+            cohort[u] = min(cohort.get(u, d), d)
+        from collections import Counter
+        cnt = Counter((cohort[u], d - cohort[u]) for u, d in inc)
+        rows = sorted(cnt.items())
+        want = pd.DataFrame(
+            [(c, o, n, n / cnt[(c, 0)]) for (c, o), n in rows],
+            columns=["cohort_day", "offset_days", "n_users", "retention"])
+        assert len(mine) == len(want) > 0
+        for c in ("cohort_day", "offset_days", "n_users"):
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        assert np.array_equal(mine["retention"].to_numpy(),
+                              want["retention"].to_numpy())
+        # offset-0 rows are the cohort sizes: retention exactly 1.0 there,
+        # and no offset row can exceed its cohort size
+        z = mine[mine["offset_days"] == 0]
+        assert (z["retention"] == 1.0).all()
+        assert (mine["retention"] <= 1.0).all()
+
+
+class TestScd2History:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import scd2_history
+
+        mine = (scd2_history(SF).to_pandas()
+                .sort_values(["user_id", "valid_from_us"])
+                .reset_index(drop=True))
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        ev["tier"] = (np.rint(ev["value"].to_numpy() * 100.0)
+                      .astype(np.int64) // 5000)
+        rows = []
+        for uid, g in ev.sort_values(["t", "event_id"]).groupby("user_id"):
+            runs = []
+            for t, tier in zip(g["t"], g["tier"]):
+                if not runs or runs[-1][0] != tier:
+                    runs.append([tier, t, 1])
+                else:
+                    runs[-1][2] += 1
+            for i, (tier, vf, n) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else -1
+                rows.append((int(uid), tier, vf, vt, n))
+        want = pd.DataFrame(rows, columns=["user_id", "tier",
+                                           "valid_from_us", "valid_to_us",
+                                           "n_obs"])
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # SCD2 invariants: per-user intervals tile the stream — each run's
+        # valid_to equals the next run's valid_from; obs counts sum to the
+        # event count; consecutive runs never share a tier
+        assert mine["n_obs"].sum() == len(ev)
+        same_u = mine["user_id"].shift(-1) == mine["user_id"]
+        nxt_vf = mine["valid_from_us"].shift(-1)
+        assert (mine.loc[same_u, "valid_to_us"]
+                == nxt_vf[same_u]).all()
+        assert (mine.loc[same_u, "tier"].to_numpy()
+                != mine["tier"].shift(-1)[same_u].to_numpy()).all()
+        assert (mine.loc[~same_u, "valid_to_us"] == -1).all()
