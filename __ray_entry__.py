@@ -902,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_coverage": analytics.user_session_coverage,
         "user_retention_cohorts": analytics.user_retention_cohorts,
         "scd2_history": analytics.scd2_history,
+        "user_covisitation": analytics.user_covisitation,
     }
 
 
@@ -2990,6 +2991,30 @@ def oracle_sql() -> dict[str, str]:
                        AS valid_to_us,
                    CAST(n_obs AS BIGINT) AS n_obs
             FROM i
+        """,
+        "user_covisitation": """
+            -- capped co-visitation: integer Knuth-hash tile, per-cell
+            -- 16-smallest-users cap, pair self-join, n_shared >= 2
+            WITH b AS (
+                SELECT user_id,
+                       CAST((CAST(event_id AS HUGEINT) * 2654435761)
+                            % 4294967296 AS BIGINT) AS hh
+                FROM events
+            ),
+            inc AS (SELECT DISTINCT user_id,
+                           (hh % 65536) // 1024 AS ix,
+                           (hh // 65536) // 1024 AS iy
+                    FROM b),
+            capped AS (SELECT * FROM (
+                    SELECT ix, iy, user_id,
+                           row_number() OVER (PARTITION BY ix, iy
+                                              ORDER BY user_id) AS rn
+                    FROM inc) WHERE rn <= 16),
+            p AS (SELECT a.user_id AS u1, c.user_id AS u2
+                  FROM capped a JOIN capped c
+                    ON a.ix = c.ix AND a.iy = c.iy AND a.user_id < c.user_id)
+            SELECT u1, u2, count(*) AS n_shared
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "link_adamic_adar": """
             -- symmetric derived adjacency, wedge self-join, NOT-EXISTS

@@ -4147,3 +4147,80 @@ def scd2_history(sf_dir: str) -> rd.Dataset:
 
     return grouped(ev.map_batches(skinny, batch_format="pandas"),
                    ["user_id"], runs, small=True)
+
+
+COVISIT_CAP = 16  # deterministic per-cell contributor cap (smallest user ids)
+
+
+def user_covisitation(sf_dir: str) -> rd.Dataset:
+    """CO-VISITATION PAIR MINING (users sharing >= 2 grid cells) — the
+    UNBOUNDED-pair-space self-join: unlike event_type_cooccurrence
+    (vocabulary × vocabulary) the user × user pair space grows with the
+    corpus, so the operator's scale contract is an EXPLICIT per-cell
+    contributor cap (the ``COVISIT_CAP`` smallest user ids per cell —
+    the hub-capping every production co-visitation/FoF job applies,
+    here a deterministic SEMANTIC both engines state, not a silent
+    truncation). Events geocode by the SQL-exact Knuth hash of
+    event_id, reduced to the 64×64 tile in PURE INTEGER arithmetic
+    (h%65536)//1024 — no float anywhere.
+
+    Shape: the scan emits block-deduped (cell, user) incidence; ONE
+    cell-keyed exchange finishes the dedup, ranks users within the cell
+    (lexsort + in-group position — vectorized), keeps the cap, expands
+    the ≤ cap·(cap−1)/2 pairs per cell (repeat/offset, no Python loop)
+    and pre-counts pairs in-block; ONE pair-keyed exchange sums and
+    filters n_shared >= 2. uint64 wrap-multiply == the oracle's HUGEINT
+    mod-2^32, so results are bit-equal at all scales."""
+    from ..rayctx import grouped
+    from .graph import _pairs_within_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def inc(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy().astype(np.uint64)
+        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ix = ((h % np.uint64(65536)) // np.uint64(1024)).astype(np.int64)
+        iy = ((h // np.uint64(65536)) // np.uint64(1024)).astype(np.int64)
+        out = pd.DataFrame({
+            "cell": ix * 64 + iy,
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+        })
+        return out.drop_duplicates()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        c = df["cell"].to_numpy(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        o = np.lexsort((u, c))
+        c, u = c[o], u[o]
+        new_c = np.concatenate([[True], c[1:] != c[:-1]])
+        gid = np.cumsum(new_c) - 1
+        starts = np.concatenate([[0], np.cumsum(np.bincount(gid))])
+        loc = np.arange(len(c)) - starts[gid]
+        keep = loc < COVISIT_CAP  # smallest user ids win (u sorted in-cell)
+        _, p, q = _pairs_within_groups(c[keep], u[keep])
+        g = (pd.DataFrame({"u1": p, "u2": q})
+             .groupby(["u1", "u2"], sort=False, as_index=False).size())
+        return g.rename(columns={"size": "n"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u1", "u2"], sort=False, as_index=False)["n"].sum()
+        g = g[g["n"] >= 2]
+        return pd.DataFrame({"u1": g["u1"].to_numpy(np.int64),
+                             "u2": g["u2"].to_numpy(np.int64),
+                             "n_shared": g["n"].to_numpy(np.int64)})
+
+    partial = ev.map_batches(inc, batch_format="pandas")
+    per_cell = grouped(partial, ["cell"], pairs, small=True)
+    out = grouped(per_cell, ["u1", "u2"], finish, small=True)
+    # the HAVING filter can legitimately empty the result at tiny scale,
+    # and Ray Data drops empty blocks (schema None); the output is bounded
+    # by cap²·cells/2 rows regardless of corpus size, so pin the schema
+    # with a driver-side typed table
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"u1": np.zeros(0, np.int64),
+                           "u2": np.zeros(0, np.int64),
+                           "n_shared": np.zeros(0, np.int64)})
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)

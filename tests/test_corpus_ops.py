@@ -3649,3 +3649,49 @@ class TestScd2History:
         assert (mine.loc[same_u, "tier"].to_numpy()
                 != mine["tier"].shift(-1)[same_u].to_numpy()).all()
         assert (mine.loc[~same_u, "valid_to_us"] == -1).all()
+
+
+class TestUserCovisitation:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (COVISIT_CAP,
+                                                          user_covisitation)
+
+        # sf0.01 — sf0.001's pair set is legitimately empty under the
+        # n_shared >= 2 filter
+        sf = "/root/testdata/sf0.01"
+        mine = (user_covisitation(sf).to_pandas()
+                .sort_values(["u1", "u2"]).reset_index(drop=True))
+        ev = pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_id", "user_id"]).to_pandas()
+        eid = ev["event_id"].to_numpy().astype(np.uint64)
+        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ix = ((h % np.uint64(65536)) // np.uint64(1024)).astype(np.int64)
+        iy = ((h // np.uint64(65536)) // np.uint64(1024)).astype(np.int64)
+        cell = ix * 64 + iy
+        users_by_cell = {}
+        for c, u in sorted(set(zip(cell.tolist(),
+                                   ev["user_id"].to_numpy().tolist()))):
+            users_by_cell.setdefault(c, []).append(u)
+        from collections import Counter
+        cnt = Counter()
+        for c, us in users_by_cell.items():
+            us = us[:COVISIT_CAP]  # already ascending
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    cnt[(us[i], us[j])] += 1
+        rows = sorted((u1, u2, n) for (u1, u2), n in cnt.items() if n >= 2)
+        want = pd.DataFrame(rows, columns=["u1", "u2", "n_shared"])
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+
+    def test_empty_result_keeps_schema(self, ray_session):
+        from osmnetfusion_ray.pipelines.analytics import user_covisitation
+
+        t = user_covisitation("/root/testdata/sf0.001")
+        df = t.to_pandas() if hasattr(t, "to_pandas") else t
+        assert list(df.columns if hasattr(df, "columns")
+                    else df.column_names) == ["u1", "u2", "n_shared"]
