@@ -903,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": analytics.user_retention_cohorts,
         "scd2_history": analytics.scd2_history,
         "user_covisitation": analytics.user_covisitation,
+        "events_watermark_late": analytics.events_watermark_late,
     }
 
 
@@ -3015,6 +3016,31 @@ def oracle_sql() -> dict[str, str]:
                     ON a.ix = c.ix AND a.iy = c.iy AND a.user_id < c.user_id)
             SELECT u1, u2, count(*) AS n_shared
             FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "events_watermark_late": """
+            -- watermark = exclusive running max event-time over ARRIVAL
+            -- (event_id) order, minus 10 min lateness; per 1-h window,
+            -- on-time vs late counts
+            WITH a AS (SELECT event_id, epoch_us(ts) AS t,
+                              epoch_us(ts)
+                                + CAST((CAST(event_id AS HUGEINT)
+                                        * 2654435761) % 4294967296
+                                       AS BIGINT) % 3600000000
+                                - 1800000000 AS arr
+                       FROM events),
+            m AS (SELECT t, max(t) OVER (ORDER BY arr, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING) AS wm
+                  FROM a),
+            f AS (SELECT t // 3600000000 AS win,
+                         CASE WHEN wm IS NOT NULL
+                                   AND t + 600000000 < wm
+                              THEN 1 ELSE 0 END AS late
+                  FROM m)
+            SELECT win * 3600000000 AS window_start_us,
+                   CAST(sum(1 - late) AS BIGINT) AS n_ontime,
+                   CAST(sum(late) AS BIGINT) AS n_late
+            FROM f GROUP BY win
         """,
         "link_adamic_adar": """
             -- symmetric derived adjacency, wedge self-join, NOT-EXISTS

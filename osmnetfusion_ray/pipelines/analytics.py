@@ -4224,3 +4224,114 @@ def user_covisitation(sf_dir: str) -> rd.Dataset:
                            "n_shared": np.zeros(0, np.int64)})
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
+
+
+WM_LATENESS_US = 600_000_000      # 10-minute allowed lateness
+WM_WINDOW_US = 3_600_000_000      # 1-hour tumbling windows
+WM_JITTER_US = 1_800_000_000      # ±30-minute arrival disorder
+WM_BUCKET_US = 6 * 3_600_000_000  # 6-hour arrival-time bucket ranges
+
+
+def events_watermark_late(sf_dir: str) -> rd.Dataset:
+    """STREAMING WATERMARK / LATE-DATA routing — the one streaming-only
+    semantic the reference has none of (SURVEY §2.9) and no batch window
+    shape expresses: events ARRIVE in a bounded-disorder order (arrival
+    time = event time + a deterministic Knuth-hash jitter in ±30 min —
+    the realistic out-of-order stream; event_id order alone is already
+    time-sorted in this corpus, which would make lateness trivially
+    zero), the watermark after each arrival is the running max EVENT
+    time seen so far minus a 10-minute allowed lateness, and an event is
+    LATE iff its own event time is below the watermark at its arrival
+    (exclusive prefix, so the first arrival is never late). Output: per
+    1-hour tumbling window, on-time and late counts — a beam/flink
+    pipeline's main vs side output.
+
+    The running exclusive prefix-max over the GLOBAL arrival order is
+    the sequential dependency; it distributes as a two-phase associative
+    scan (the max-monoid sibling of event_chain_scan's affine fold):
+    buckets are CONTIGUOUS arrival-time ranges (``arr // 6 h`` —
+    monotone in arrival order, ~120 buckets per month of data), pass 1
+    reduces each bucket to one max-event-time scalar, the driver folds
+    the sorted bucket summaries into exclusive carries, and pass 2 is
+    ONE bucket-keyed exchange whose kernel sorts its buckets by
+    (arr, event_id), runs the carry-seeded exclusive cummax, flags
+    lateness, and pre-aggregates per (window, flag) so the terminal
+    window-keyed exchange is bounded by windows × blocks. All int64 µs;
+    bit-equal to the DuckDB window-max oracle."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        t = df["ts"].astype("int64").to_numpy()
+        h = ((eid.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.int64)
+        arr = t + h % (2 * WM_JITTER_US) - WM_JITTER_US
+        return pd.DataFrame({
+            "bucket": arr // WM_BUCKET_US,
+            "arr": arr,
+            "eid": eid,
+            "t": t,
+        })
+
+    sk = ev.map_batches(skinny, batch_format="pandas").materialize()
+
+    # pass 1: one max scalar per bucket (tiny; driver fold is O(#buckets))
+    part = sk.map_batches(
+        lambda df: df.groupby("bucket", sort=False, as_index=False)["t"].max(),
+        batch_format="pandas").to_pandas()
+    bmax = part.groupby("bucket")["t"].max().sort_index()
+    bids = bmax.index.to_numpy(np.int64)
+    # exclusive prefix max over the sorted bucket summaries
+    carries = np.concatenate([[np.iinfo(np.int64).min],
+                              np.maximum.accumulate(
+                                  bmax.to_numpy(np.int64))[:-1]])
+    state_ref = ray.put((bids, carries))
+
+    def late_flags(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"win": np.zeros(0, np.int64),
+                                 "ontime": np.zeros(0, np.int64),
+                                 "late": np.zeros(0, np.int64)})
+        bids_, carries_ = ray.get(state_ref)
+        b = df["bucket"].to_numpy(np.int64)
+        a = df["arr"].to_numpy(np.int64)
+        e = df["eid"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        o = np.lexsort((e, a, b))
+        b, t = b[o], t[o]
+        cr = carries_[np.searchsorted(bids_, b)]
+        new_b = np.concatenate([[True], b[1:] != b[:-1]])
+        # carry-seeded EXCLUSIVE running max: heads carry their bucket's
+        # carry-in, other rows carry the previous row's t, then one plain
+        # cummax. No per-bucket reset is needed: the value leaking across
+        # a bucket boundary is bounded by that bucket's full max, which is
+        # folded into every later bucket's carry (carries are the global
+        # prefix maxes), so the head's seed always dominates the leak.
+        wm = np.maximum.accumulate(
+            np.where(new_b, cr,
+                     np.concatenate([[np.int64(0)], t[:-1]])))
+        # t < wm - L rewritten overflow-safe (the first bucket's carry is
+        # int64.min; t + L stays far inside int64)
+        late = (t + WM_LATENESS_US < wm).astype(np.int64)
+        win = t // WM_WINDOW_US
+        g = pd.DataFrame({"win": win, "late": late}).groupby(
+            "win", sort=False)["late"].agg(["count", "sum"])
+        return pd.DataFrame({
+            "win": g.index.to_numpy(np.int64),
+            "ontime": (g["count"] - g["sum"]).to_numpy(np.int64),
+            "late": g["sum"].to_numpy(np.int64),
+        })
+
+    per_bucket = grouped(sk, ["bucket"], late_flags, small=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("win", sort=False, as_index=False)[["ontime", "late"]].sum()
+        return pd.DataFrame({
+            "window_start_us": g["win"].to_numpy(np.int64) * WM_WINDOW_US,
+            "n_ontime": g["ontime"].to_numpy(np.int64),
+            "n_late": g["late"].to_numpy(np.int64),
+        })
+
+    return grouped(per_bucket, ["win"], finish, small=True)

@@ -3695,3 +3695,46 @@ class TestUserCovisitation:
         df = t.to_pandas() if hasattr(t, "to_pandas") else t
         assert list(df.columns if hasattr(df, "columns")
                     else df.column_names) == ["u1", "u2", "n_shared"]
+
+
+class TestEventsWatermarkLate:
+    def test_matches_sequential_simulation(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (WM_JITTER_US,
+                                                          WM_LATENESS_US,
+                                                          WM_WINDOW_US,
+                                                          events_watermark_late)
+
+        mine = (events_watermark_late(SF).to_pandas()
+                .sort_values("window_start_us").reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_id", "ts"]).to_pandas()
+        eid = ev["event_id"].to_numpy().astype(np.int64)
+        t = ev["ts"].astype("int64").to_numpy()
+        h = ((eid.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.int64)
+        arr = t + h % (2 * WM_JITTER_US) - WM_JITTER_US
+        # the straight sequential stream simulation the operator distributes
+        order = np.lexsort((eid, arr))
+        from collections import Counter
+        ontime, late = Counter(), Counter()
+        wm = None
+        for i in order:
+            w = (t[i] // WM_WINDOW_US) * WM_WINDOW_US
+            if wm is not None and t[i] + WM_LATENESS_US < wm:
+                late[w] += 1
+            else:
+                ontime[w] += 1
+            wm = t[i] if wm is None else max(wm, t[i])
+        wins = sorted(set(ontime) | set(late))
+        want = pd.DataFrame({"window_start_us": wins,
+                             "n_ontime": [ontime[w] for w in wins],
+                             "n_late": [late[w] for w in wins]})
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # non-degenerate: the bounded disorder produces BOTH classes
+        assert mine["n_late"].sum() > 0 and mine["n_ontime"].sum() > 0
+        assert (mine["n_ontime"] + mine["n_late"]).sum() == len(ev)
