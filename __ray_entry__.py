@@ -904,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": analytics.scd2_history,
         "user_covisitation": analytics.user_covisitation,
         "events_watermark_late": analytics.events_watermark_late,
+        "viterbi_user_paths": analytics.viterbi_user_paths,
     }
 
 
@@ -958,6 +959,7 @@ _TEXT_STATS = """
 
 def oracle_sql() -> dict[str, str]:
     from osmnetfusion_ray import corpusoracle, netfixture, netoracle
+    from osmnetfusion_ray.pipelines import analytics
     from osmnetfusion_ray.pipelines import graph as graphmod
 
     net = netoracle.network_oracles()
@@ -2919,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": graphmod.pagerank_sql(iters=5),
         "link_greedy_walks": graphmod.link_greedy_walks_sql(),
         "link_sssp": graphmod.link_sssp_sql(),
+        "viterbi_user_paths": analytics.viterbi_sql(),
         "user_session_coverage": """
             -- interval union per user: window-cummax island method
             WITH iv AS (

@@ -4335,3 +4335,144 @@ def events_watermark_late(sf_dir: str) -> rd.Dataset:
         })
 
     return grouped(per_bucket, ["win"], finish, small=True)
+
+
+VIT_STATES = 3
+# integer score tables, derived arithmetically so both engines share them:
+# transition T[i][j] = (7i + 13j) mod 10, emission E[s][o] = (11s + 17o) mod 10
+VIT_T = [[(7 * i + 13 * j) % 10 for j in range(3)] for i in range(3)]
+VIT_E = [[(11 * s + 17 * o) % 10 for o in range(4)] for s in range(3)]
+
+
+def viterbi_user_paths(sf_dir: str) -> rd.Dataset:
+    """PER-ENTITY SEQUENTIAL DYNAMIC PROGRAMMING (Viterbi / HMM decoding,
+    the MATCH_RECOGNIZE-decoder shape): each user's event sequence in
+    (ts, event_id) order is scored against a 3-state max-plus chain —
+    dp[k][s] = max_p(dp[k-1][p] + T[p][s]) + E[s][o_k] with integer
+    score tables and observation o = (cents // 100) mod 4 — and the
+    output is each user's best terminal score, arg-best end state
+    (smallest state wins ties) and path length. Unlike the one-step
+    recurrences (throttle's kept-slot walk, rising triples' shifted
+    compares), the DP state is a VECTOR that every step recombines over
+    all predecessors — the sequence-labeling primitive under HMM/CRF
+    decoding and MATCH_RECOGNIZE pattern engines.
+
+    Shape: skinny rows ride ONE user-keyed exchange; the block kernel
+    sorts by (user, ts, eid) and runs the DP as max_len VECTORIZED
+    steps — step k updates an (active_users × 3) int64 matrix via one
+    (m,3,3) broadcast max, so the Python loop is over SEQUENCE DEPTH
+    (≈ max events/user), never over rows or users. Work is O(rows · S²)
+    total, the theoretical DP cost.
+
+    The DuckDB oracle carries the dp VECTOR as three columns of a
+    recursive CTE (sc0..sc2, one GREATEST expression per state) — the
+    single-recursive-reference restriction is satisfied by pivoting
+    states into columns, exactly mirroring the engine's vectorization.
+    Integer scores make it bit-equal at all scales."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    T = np.asarray(VIT_T, np.int64)
+    E = np.asarray(VIT_E, np.int64)
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().astype(np.int64),
+            "t": df["ts"].astype("int64").to_numpy(),
+            "eid": df["event_id"].to_numpy().astype(np.int64),
+            "o": (cents // 100) % 4,
+        })
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.zeros(0, np.int64),
+                "n_steps": np.zeros(0, np.int64),
+                "best_score": np.zeros(0, np.int64),
+                "end_state": np.zeros(0, np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        o = df["o"].to_numpy()
+        srt = np.lexsort((e, t, u))
+        u, o = u[srt], o[srt]
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        uidx = np.cumsum(new_u) - 1
+        n_users = int(uidx[-1]) + 1
+        sizes = np.bincount(uidx)
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        loc = np.arange(len(u)) - starts[uidx]
+        # rows regrouped by DEPTH: one vectorized dp update per step k
+        by_depth = np.lexsort((uidx, loc))
+        kk = loc[by_depth]
+        kstarts = np.concatenate(
+            [[0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]])
+        dp = np.zeros((n_users, VIT_STATES), np.int64)
+        for s in range(len(kstarts) - 1):
+            rows = by_depth[kstarts[s]:kstarts[s + 1]]
+            uu = uidx[rows]
+            oo = o[rows]
+            if kk[kstarts[s]] == 0:
+                dp[uu] = E[:, oo].T
+            else:
+                prev = dp[uu]                              # (m, S)
+                best = (prev[:, :, None] + T[None]).max(1)  # (m, S)
+                dp[uu] = best + E[:, oo].T
+        best = dp.max(axis=1)
+        end_state = dp.argmax(axis=1)  # first max == smallest state
+        return pd.DataFrame({
+            "user_id": u[starts[:-1]].astype(np.int64),
+            "n_steps": sizes.astype(np.int64),
+            "best_score": best.astype(np.int64),
+            "end_state": end_state.astype(np.int64),
+        })
+
+    return grouped(ev.map_batches(skinny, batch_format="pandas"),
+                   ["user_id"], decode, small=True)
+
+
+def viterbi_sql() -> str:
+    """Recursive-CTE oracle for :func:`viterbi_user_paths`: the dp vector
+    rides as three columns (sc0..sc2), each step one GREATEST per state —
+    the states-as-columns pivot that satisfies the single-recursive-
+    reference rule. Score tables are inlined from the same formulas."""
+    t = VIT_T
+
+    def emit(s):
+        return ("CASE o " + " ".join(
+            f"WHEN {o} THEN {VIT_E[s][o]}" for o in range(4)) + " END")
+
+    def step(j):
+        return ("GREATEST(" + ", ".join(
+            f"dp.sc{i} + {t[i][j]}" for i in range(3)) + f") + ({emit(j)})")
+
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT user_id,
+                   ((CAST(round(value * 100) AS BIGINT) // 100) % 4) AS o,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        dp(user_id, rn, sc0, sc1, sc2) AS (
+            SELECT user_id, rn, {emit(0)}, {emit(1)}, {emit(2)}
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, {step(0)}, {step(1)}, {step(2)}
+            FROM dp JOIN e ON e.user_id = dp.user_id AND e.rn = dp.rn + 1
+        ),
+        fin AS (
+            SELECT user_id, rn, sc0, sc1, sc2,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY rn DESC) AS rr
+            FROM dp
+        )
+        SELECT user_id, CAST(rn AS BIGINT) AS n_steps,
+               CAST(GREATEST(sc0, sc1, sc2) AS BIGINT) AS best_score,
+               CAST(CASE WHEN sc0 >= sc1 AND sc0 >= sc2 THEN 0
+                         WHEN sc1 >= sc2 THEN 1 ELSE 2 END AS BIGINT)
+                   AS end_state
+        FROM fin WHERE rr = 1
+    """

@@ -3738,3 +3738,43 @@ class TestEventsWatermarkLate:
         # non-degenerate: the bounded disorder produces BOTH classes
         assert mine["n_late"].sum() > 0 and mine["n_ontime"].sum() > 0
         assert (mine["n_ontime"] + mine["n_late"]).sum() == len(ev)
+
+
+class TestViterbiUserPaths:
+    def test_matches_sequential_dp(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (VIT_E, VIT_T,
+                                                          viterbi_user_paths)
+
+        mine = (viterbi_user_paths(SF).to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"]).to_pandas()
+        ev["t"] = ev["ts"].astype("int64")
+        cents = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+        ev["o"] = (cents // 100) % 4
+        rows = []
+        for uid, g in ev.sort_values(["t", "event_id"]).groupby("user_id"):
+            obs = g["o"].tolist()
+            dp = [VIT_E[s][obs[0]] for s in range(3)]
+            for o in obs[1:]:
+                dp = [max(dp[p] + VIT_T[p][s] for p in range(3))
+                      + VIT_E[s][o] for s in range(3)]
+            best = max(dp)
+            rows.append((int(uid), len(obs), best, dp.index(best)))
+        want = pd.DataFrame(rows, columns=["user_id", "n_steps",
+                                           "best_score", "end_state"])
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # DP beats any single-state (frozen) path: best >= the stay-in-s
+        # score for every s — a structural Viterbi sanity check
+        for uid, g in ev.sort_values(["t", "event_id"]).groupby("user_id"):
+            obs = g["o"].tolist()
+            frozen = max(sum(VIT_E[s][o] for o in obs)
+                         + VIT_T[s][s] * (len(obs) - 1) for s in range(3))
+            got = int(mine.loc[mine["user_id"] == uid, "best_score"].iloc[0])
+            assert got >= frozen
