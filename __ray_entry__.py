@@ -905,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_covisitation": analytics.user_covisitation,
         "events_watermark_late": analytics.events_watermark_late,
         "viterbi_user_paths": analytics.viterbi_user_paths,
+        "quadtree_leaves": corpus.quadtree_leaves,
     }
 
 
@@ -960,6 +961,7 @@ _TEXT_STATS = """
 def oracle_sql() -> dict[str, str]:
     from osmnetfusion_ray import corpusoracle, netfixture, netoracle
     from osmnetfusion_ray.pipelines import analytics
+    from osmnetfusion_ray.pipelines import corpus as corpusmod
     from osmnetfusion_ray.pipelines import graph as graphmod
 
     net = netoracle.network_oracles()
@@ -2922,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "link_greedy_walks": graphmod.link_greedy_walks_sql(),
         "link_sssp": graphmod.link_sssp_sql(),
         "viterbi_user_paths": analytics.viterbi_sql(),
+        "quadtree_leaves": corpusmod.quadtree_sql(),
         "user_session_coverage": """
             -- interval union per user: window-cummax island method
             WITH iv AS (

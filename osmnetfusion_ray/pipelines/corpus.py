@@ -4371,3 +4371,129 @@ def lang_length_ks(sf_dir: str) -> rd.Dataset:
 
     pairs = hist.map_batches(to_pairs, batch_format="pandas")
     return grouped(pairs, ["la", "lb"], ks_block, small=True)
+
+
+QT_MAX_LEVEL = 8
+QT_SPLIT = 32  # a cell with more than this many points splits
+
+
+def quadtree_leaves(sf_dir: str) -> rd.Dataset:
+    """ADAPTIVE SPATIAL REFINEMENT (quadtree leaf decomposition): split
+    every tile holding more than ``QT_SPLIT`` points into its 4 children
+    until the cap or ``QT_MAX_LEVEL`` — the variable-depth indexing /
+    load-balancing structure the FIXED-resolution shapes (cell counts,
+    pyramid, salted histogram) never produce: output cells have
+    data-dependent sizes, dense areas go deep, sparse areas stay coarse.
+
+    The recursion is computed WITHOUT iteration from the ancestor
+    pyramid: a level-ℓ cell is a leaf iff its own count ≤ cap (or
+    ℓ = max) AND every ancestor's count > cap (exactly the cells the
+    recursive splitter reaches). Shape: one scan emits each point's 9
+    ancestor cells as count partials (bounded fan-out, combined
+    in-block); ONE (level, cx, cy)-keyed exchange finishes the pyramid;
+    the SPLIT frontier (cells > cap — at most n/cap per level,
+    corpus-size-bounded by the cap itself) broadcasts back as sorted
+    arrays, and a second tiny pass over the PYRAMID (never the corpus)
+    marks leaves via ≤ 8 searchsorted ancestor-membership probes per
+    row. Points are the 16-bit Knuth-hash coordinates SQUARED
+    (x = u² div 2^16 for u = h mod 2^16 — density ∝ 1/√x, an integer-
+    exact skewed field): the uniform hash field would give every leaf
+    the same depth, which is exactly the degenerate case a fixed-res
+    histogram already handles; the skew makes the origin corner refine
+    3-4 levels deeper than the sparse far corner. DuckDB oracle (9
+    unrolled GROUP BYs + generated ancestor joins) is bit-equal.
+    Only non-empty cells appear; n_docs is exact int64."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    L = QT_MAX_LEVEL
+
+    def ancestors(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy().astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(1 << 32)
+        x = (h % np.uint64(65536)).astype(np.int64)
+        y = (h // np.uint64(65536)).astype(np.int64)
+        x = (x * x) >> 16  # skewed field: density ~ 1/sqrt(x)
+        y = (y * y) >> 16
+        outs = []
+        for lvl in range(L + 1):
+            s = 16 - lvl
+            g = (pd.DataFrame({"level": np.full(len(x), lvl, np.int64),
+                               "cx": x >> s, "cy": y >> s})
+                 .groupby(["level", "cx", "cy"], sort=False, as_index=False)
+                 .size().rename(columns={"size": "n"}))
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["level", "cx", "cy"], sort=False,
+                       as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    pyramid = grouped(docs.map_batches(ancestors, batch_format="pandas"),
+                      ["level", "cx", "cy"], finish, small=True).materialize()
+
+    # split frontier: cells with count > cap, keyed (level, cx, cy) packed
+    # into one sortable int64 (level <= 8, cx/cy < 2^8 at the deepest level
+    # that can ever split an ancestor check, but pack generously)
+    split = pyramid.map_batches(
+        lambda df: df[df["n"] > QT_SPLIT][["level", "cx", "cy"]],
+        batch_format="pandas").to_pandas()
+    keys = (split["level"].to_numpy(np.int64) << 40 \
+            | split["cx"].to_numpy(np.int64) << 20 \
+            | split["cy"].to_numpy(np.int64))
+    keys = np.sort(keys)
+    keys_ref = ray.put(keys)
+
+    def leaves(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"level": np.zeros(0, np.int64),
+                                 "cx": np.zeros(0, np.int64),
+                                 "cy": np.zeros(0, np.int64),
+                                 "n_docs": np.zeros(0, np.int64)})
+        ks = ray.get(keys_ref)
+        lvl = df["level"].to_numpy(np.int64)
+        cx = df["cx"].to_numpy(np.int64)
+        cy = df["cy"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        ok = (n <= QT_SPLIT) | (lvl == L)
+        for up in range(1, L + 1):
+            anc_lvl = lvl - up
+            m = anc_lvl >= 0
+            key = ((anc_lvl << 40) | ((cx >> up) << 20) | (cy >> up))
+            pos = np.searchsorted(ks, key)
+            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == key)
+            ok &= ~m | hit  # every existing ancestor must have split
+        out = pd.DataFrame({"level": lvl, "cx": cx, "cy": cy, "n_docs": n})
+        return out[ok]
+
+    return pyramid.map_batches(leaves, batch_format="pandas")
+
+
+def quadtree_sql() -> str:
+    """Unrolled DuckDB mirror for :func:`quadtree_leaves`: one GROUP BY
+    per level, leaves = (n <= cap OR deepest) AND every ancestor > cap
+    via generated joins."""
+    parts = ["WITH uv AS (SELECT CAST((CAST(doc_id AS HUGEINT) * 2654435761)"
+             " % 4294967296 AS BIGINT) % 65536 AS u,"
+             " CAST((CAST(doc_id AS HUGEINT) * 2654435761)"
+             " % 4294967296 AS BIGINT) // 65536 AS v FROM documents),"
+             " xy AS (SELECT (u * u) >> 16 AS x, (v * v) >> 16 AS y"
+             " FROM uv)"]
+    for lvl in range(QT_MAX_LEVEL + 1):
+        s = 16 - lvl
+        parts.append(f", c{lvl} AS (SELECT x >> {s} AS cx, y >> {s} AS cy,"
+                     f" count(*) AS n FROM xy GROUP BY 1, 2)")
+    sel = []
+    for lvl in range(QT_MAX_LEVEL + 1):
+        joins = " ".join(
+            f"JOIN c{a} p{a} ON p{a}.cx = c{lvl}.cx >> {lvl - a}"
+            f" AND p{a}.cy = c{lvl}.cy >> {lvl - a} AND p{a}.n > {QT_SPLIT}"
+            for a in range(lvl))
+        cond = (f"c{lvl}.n <= {QT_SPLIT}" if lvl < QT_MAX_LEVEL
+                else "TRUE")
+        sel.append(f"SELECT {lvl} AS level, c{lvl}.cx, c{lvl}.cy,"
+                   f" CAST(c{lvl}.n AS BIGINT) AS n_docs FROM c{lvl} {joins}"
+                   f" WHERE {cond}")
+    return "".join(parts) + " " + " UNION ALL ".join(sel)

@@ -3778,3 +3778,50 @@ class TestViterbiUserPaths:
                          + VIT_T[s][s] * (len(obs) - 1) for s in range(3))
             got = int(mine.loc[mine["user_id"] == uid, "best_score"].iloc[0])
             assert got >= frozen
+
+
+class TestQuadtreeLeaves:
+    def test_matches_recursive_splitter(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (QT_MAX_LEVEL,
+                                                       QT_SPLIT,
+                                                       quadtree_leaves)
+
+        sf = "/root/testdata/sf0.1"  # deep enough to refine adaptively
+        mine = (quadtree_leaves(sf).to_pandas()
+                .sort_values(["level", "cx", "cy"]).reset_index(drop=True))
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id"]).to_pandas()
+        did = docs["doc_id"].to_numpy().astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(1 << 32)
+        x = (h % np.uint64(65536)).astype(np.int64)
+        y = (h // np.uint64(65536)).astype(np.int64)
+        x, y = (x * x) >> 16, (y * y) >> 16
+
+        # the actual recursion the operator claims to equal
+        leaves = []
+
+        def split(lvl, cx, cy, idx):
+            if len(idx) == 0:
+                return
+            if len(idx) <= QT_SPLIT or lvl == QT_MAX_LEVEL:
+                leaves.append((lvl, cx, cy, len(idx)))
+                return
+            s = 16 - (lvl + 1)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    ncx, ncy = cx * 2 + dx, cy * 2 + dy
+                    sub = idx[((x[idx] >> s) == ncx) & ((y[idx] >> s) == ncy)]
+                    split(lvl + 1, ncx, ncy, sub)
+
+        split(0, 0, 0, np.arange(len(x)))
+        want = pd.DataFrame(sorted(leaves),
+                            columns=["level", "cx", "cy", "n_docs"])
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # leaves partition the points and the tree is genuinely adaptive
+        assert mine["n_docs"].sum() == len(docs)
+        assert mine["level"].nunique() >= 3
