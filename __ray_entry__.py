@@ -181,6 +181,12 @@ def _q_link_sssp(sf_dir: str):
     return link_sssp(sf_dir)
 
 
+def _q_link_mis(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_mis
+
+    return link_mis(sf_dir)
+
+
 def _q_link_adamic_adar(sf_dir: str):
     from osmnetfusion_ray.pipelines.graph import link_adamic_adar
 
@@ -906,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": analytics.events_watermark_late,
         "viterbi_user_paths": analytics.viterbi_user_paths,
         "quadtree_leaves": corpus.quadtree_leaves,
+        "link_mis": _q_link_mis,
     }
 
 
@@ -2925,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
         "link_sssp": graphmod.link_sssp_sql(),
         "viterbi_user_paths": analytics.viterbi_sql(),
         "quadtree_leaves": corpusmod.quadtree_sql(),
+        "link_mis": graphmod.link_mis_sql(),
         "user_session_coverage": """
             -- interval union per user: window-cummax island method
             WITH iv AS (

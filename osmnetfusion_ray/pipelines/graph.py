@@ -591,3 +591,185 @@ def link_adamic_adar(sf_dir: str, k: int = 100) -> rd.Dataset:
     import pyarrow as pa
     return rd.from_arrow(pa.Table.from_pandas(top.reset_index(drop=True),
                                               preserve_index=False))
+
+
+MIS_ROUNDS = 32
+
+
+def link_mis(sf_dir: str, max_rounds: int = MIS_ROUNDS,
+             force_distributed: bool = False,
+             driver_threshold: int = 200_000) -> rd.Dataset:
+    """Deterministic LUBY MAXIMAL INDEPENDENT SET over the symmetrized
+    derived link graph — the SYMMETRY-BREAKING SELECTION fixpoint no
+    other iterative shape covers (relaxation improves values, peeling
+    removes, label-prop spreads; MIS must pick mutually non-adjacent
+    winners in parallel): fixed unique priorities p(v) = Knuth hash of
+    v, and the synchronous automaton per round — an alive node with a
+    MIS neighbour (as of the previous round) becomes EXCLUDED; an alive
+    node whose priority beats every alive neighbour's becomes MIS; else
+    it stays alive. The globally-min-priority alive node always enters,
+    so the fixpoint is reached (both paths RAISE past ``max_rounds`` —
+    no silent cap); with fixed priorities the result is the greedy
+    (lexicographic-by-priority) MIS, independent of partitioning.
+
+    Distribution (the >= ``driver_threshold`` path; below it a
+    vectorized driver automaton runs the identical transition — the
+    doc_kcore size-adaptive pattern, asserted path-equal in pytest):
+    because the affine graph's MULT is invertible mod N, a node's
+    IN-neighbours are as arithmetic as its out-neighbours
+    (``(v − j)·MULT⁻¹ mod N``), so each round is ONE node-keyed
+    co-location — every alive/MIS node emits its (state, priority)
+    along BOTH edge directions (16 skinny rows) and the transition
+    kernel folds own state + neighbour infos. Per-round traffic is
+    O(E); state per round is the O(V) status table.
+
+    Output: (doc_id, prio) of MIS members. The DuckDB oracle re-runs
+    the same automaton as a recursive CTE over materialized symmetric
+    adjacency (EXISTS / NOT-EXISTS per round — a different evaluation
+    strategy), bit-equal at three scales."""
+    n = table_rows(sf_dir, "documents")
+    if n % MULT == 0:
+        raise ValueError("derived-graph MULT shares a factor with N; "
+                         "in-neighbour arithmetic needs gcd(MULT, N) = 1")
+    inv = pow(MULT, -1, n)
+    J = np.arange(1, K_OUT + 1, dtype=np.int64)
+    INT_MAX = np.iinfo(np.int64).max
+
+    def prio(v: np.ndarray) -> np.ndarray:
+        return ((v.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(1 << 32)).astype(np.int64)
+
+    if n <= driver_threshold and not force_distributed:
+        v = np.arange(n, dtype=np.int64)
+        p = prio(v)
+        out_nb = (v[:, None] * MULT + J[None, :]) % n          # (n, 8)
+        in_nb = ((v[:, None] - J[None, :]) * inv) % n          # (n, 8)
+        nbr = np.concatenate([out_nb, in_nb], axis=1)          # (n, 16)
+        self_loop = nbr == v[:, None]
+        s = np.zeros(n, np.int64)
+        for _ in range(max_rounds):
+            sn = s[nbr]
+            sn = np.where(self_loop, 3, sn)  # self rows never count
+            has_mis = (sn == 1).any(axis=1)
+            pn = np.where(sn == 0, p[nbr], INT_MAX)
+            min_alive = pn.min(axis=1)
+            alive = s == 0
+            s = s.copy()
+            s[alive & has_mis] = 2
+            s[alive & ~has_mis & (p < min_alive)] = 1
+            if not (s == 0).any():
+                break
+        else:
+            raise RuntimeError(
+                f"link_mis did not converge in {max_rounds} rounds")
+        keep = s == 1
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({"doc_id": v[keep], "prio": p[keep]}))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    state = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["doc_id"].to_numpy(np.int64),
+            "s": np.zeros(len(df), np.int64),
+            "p": prio(df["doc_id"].to_numpy(np.int64)),
+            "tag": np.zeros(len(df), np.int64),   # 0 = state row
+        }), batch_format="pandas").materialize()
+
+    def msgs(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[(df["tag"] == 0) & (df["s"] <= 1)]  # alive or MIS speak
+        v = st["node"].to_numpy(np.int64)
+        out_dst = ((v[:, None] * MULT + J[None, :]) % n)
+        in_dst = ((v[:, None] - J[None, :]) * inv) % n
+        dst = np.concatenate([out_dst, in_dst], axis=1).ravel()
+        vr = np.repeat(v, 2 * K_OUT)
+        keep = dst != vr
+        return pd.DataFrame({
+            "node": dst[keep],
+            "s": np.repeat(st["s"].to_numpy(np.int64), 2 * K_OUT)[keep],
+            "p": np.repeat(st["p"].to_numpy(np.int64), 2 * K_OUT)[keep],
+            "tag": np.ones(int(keep.sum()), np.int64),  # 1 = neighbour info
+        })
+
+    def transition(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["tag"] == 0]
+        info = df[df["tag"] == 1]
+        nodes = st["node"].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        s = st["s"].to_numpy(np.int64)[order].copy()
+        p = st["p"].to_numpy(np.int64)[order]
+        pos = np.searchsorted(nodes, info["node"].to_numpy(np.int64))
+        i_s = info["s"].to_numpy(np.int64)
+        i_p = info["p"].to_numpy(np.int64)
+        has_mis = np.zeros(len(nodes), bool)
+        np.logical_or.at(has_mis, pos, i_s == 1)
+        min_alive = np.full(len(nodes), INT_MAX, np.int64)
+        al = i_s == 0
+        np.minimum.at(min_alive, pos[al], i_p[al])
+        alive = s == 0
+        s[alive & has_mis] = 2
+        s[alive & ~has_mis & (p < min_alive)] = 1
+        return pd.DataFrame({"node": nodes, "s": s, "p": p,
+                             "tag": np.zeros(len(nodes), np.int64)})
+
+    for _ in range(max_rounds):
+        m = state.map_batches(msgs, batch_format="pandas")
+        state = grouped(state.union(m), ["node"], transition,
+                        rows=n * (2 * K_OUT + 1)).materialize()
+        n_alive = state.map_batches(
+            lambda df: pd.DataFrame({"a": [int((df["s"] == 0).sum())]}),
+            batch_format="pandas").to_pandas()["a"].sum()
+        if n_alive == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"link_mis did not converge in {max_rounds} rounds")
+
+    return state.map_batches(
+        lambda df: df[df["s"] == 1][["node", "p"]].rename(
+            columns={"node": "doc_id", "p": "prio"}),
+        batch_format="pandas")
+
+
+def link_mis_sql(max_rounds: int = MIS_ROUNDS) -> str:
+    """Recursive-CTE oracle for :func:`link_mis`: the same synchronous
+    automaton over materialized symmetric adjacency; extra rounds after
+    the fixpoint are no-ops, so a fixed round count matches the engine's
+    converge-then-stop loop."""
+    return f"""
+        WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        e0 AS (SELECT d.doc_id AS u, (d.doc_id * {MULT} + t.j) % nn.n AS v
+               FROM documents d CROSS JOIN range(1, {K_OUT + 1}) t(j)
+               CROSS JOIN nn
+               WHERE d.doc_id <> (d.doc_id * {MULT} + t.j) % nn.n),
+        sym AS (SELECT DISTINCT u AS w, v AS x FROM e0
+                UNION SELECT v, u FROM e0),
+        pr AS (SELECT doc_id AS v,
+                      CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                           % 4294967296 AS BIGINT) AS p
+               FROM documents),
+        st(node, r, s) AS (
+            SELECT doc_id, 0, 0 FROM documents
+            UNION ALL
+            SELECT a.node, a.r + 1,
+                   CASE WHEN a.s <> 0 THEN a.s
+                        WHEN EXISTS (SELECT 1 FROM sym
+                                     JOIN st b ON b.node = sym.x
+                                              AND b.r = a.r
+                                     WHERE sym.w = a.node AND b.s = 1)
+                            THEN 2
+                        WHEN NOT EXISTS (SELECT 1 FROM sym
+                                     JOIN st b ON b.node = sym.x
+                                              AND b.r = a.r
+                                     JOIN pr pw ON pw.v = sym.x
+                                     WHERE sym.w = a.node AND b.s = 0
+                                       AND pw.p < (SELECT p FROM pr
+                                                   WHERE pr.v = a.node))
+                            THEN 1
+                        ELSE 0 END
+            FROM st a WHERE a.r < {max_rounds}
+        )
+        SELECT st.node AS doc_id, pr.p AS prio
+        FROM st JOIN pr ON pr.v = st.node
+        WHERE st.r = {max_rounds} AND st.s = 1
+    """

@@ -326,3 +326,42 @@ class TestLinkSssp:
         a = a.set_index("doc_id")["dist"]
         shared = a.index.intersection(full.index)
         assert (a.loc[shared] >= full.loc[shared]).all()
+
+
+class TestLinkMis:
+    def test_independence_and_maximality(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.graph import K_OUT, MULT, link_mis
+
+        sf = "/root/testdata/sf0.001"
+        out = link_mis(sf).to_pandas()
+        n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+        mis = set(out["doc_id"].tolist())
+        adj = {v: set() for v in range(n)}
+        for v in range(n):
+            for j in range(1, K_OUT + 1):
+                u = (v * MULT + j) % n
+                if u != v:
+                    adj[v].add(u)
+                    adj[u].add(v)
+        # independent: no two MIS members adjacent
+        for v in mis:
+            assert not (adj[v] & mis), v
+        # maximal: every non-member has a MIS neighbour
+        for v in range(n):
+            if v not in mis:
+                assert adj[v] & mis, v
+        # greedy-by-priority: the globally smallest priority is a member
+        p = {v: (v * 2654435761) % (1 << 32) for v in range(n)}
+        assert min(range(n), key=lambda v: p[v]) in mis
+
+    def test_distributed_path_equals_driver(self, ray_session):
+        from osmnetfusion_ray.pipelines.graph import link_mis
+
+        sf = "/root/testdata/sf0.001"
+        a = (link_mis(sf).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (link_mis(sf, force_distributed=True).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b) and len(a) > 0
