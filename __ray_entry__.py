@@ -187,6 +187,12 @@ def _q_link_mis(sf_dir: str):
     return link_mis(sf_dir)
 
 
+def _q_map_match_viterbi(sf_dir: str):
+    from osmnetfusion_ray.pipelines.pagejoin import map_match_viterbi
+
+    return map_match_viterbi(sf_dir)
+
+
 def _q_link_adamic_adar(sf_dir: str):
     from osmnetfusion_ray.pipelines.graph import link_adamic_adar
 
@@ -913,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viterbi_user_paths": analytics.viterbi_user_paths,
         "quadtree_leaves": corpus.quadtree_leaves,
         "link_mis": _q_link_mis,
+        "map_match_viterbi": _q_map_match_viterbi,
     }
 
 
@@ -978,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
         f"{d}/edge_segs.parquet", f"{d}/nodes.parquet", seg_ref, node_ref)
     net["page_network_join_tiled"] = net["page_network_join"]
     net["user_trajectories"] = netoracle.trajectory_oracle(
+        f"{d}/edge_segs.parquet", seg_ref)
+    net["map_match_viterbi"] = netoracle.map_match_oracle(
         f"{d}/edge_segs.parquet", seg_ref)
     net["coverage_gaps"] = netoracle.coverage_gaps_oracle(
         f"{d}/edge_segs.parquet", f"{d}/nodes.parquet", seg_ref, node_ref)

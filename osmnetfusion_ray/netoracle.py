@@ -659,3 +659,72 @@ def coverage_gaps_oracle(segs_path: str, nodes_path: str, seg_ref_lat: float,
         FROM g JOIN pj ON pj.doc_id = g.doc_id
         GROUP BY 1, 2
     """
+
+
+def map_match_oracle(segs_path: str, seg_ref_lat: float,
+                     radius_m: float = 300.0, k: int = 3,
+                     switch: int = 200_000, gap: int = 600_000) -> str:
+    """Mirror of pagejoin.map_match_viterbi: candidate ranking by
+    (dist, edge_row) within the radius over the same point-segment
+    distance arithmetic, slots pivoted to columns, and the Viterbi dp
+    vector carried as k columns of a recursive CTE (LEAST over the
+    predecessor slots + switch penalty). Pads use edge −1 / the gap
+    cost, so pad-to-pad transitions are free on both engines."""
+    mxs = float(geom.M_PER_DEG_LAT * np.cos(np.radians(seg_ref_lat)))
+    slot_cols = ", ".join(
+        f"max(CASE WHEN rn = {j} THEN edge_row END) AS e{j}, "
+        f"max(CASE WHEN rn = {j} THEN CAST(floor(dist * 1000.0) AS BIGINT)"
+        f" END) AS d{j}" for j in range(1, k + 1))
+    seq_cols = ", ".join(
+        f"COALESCE(s.e{j}, -1) AS e{j}, COALESCE(s.d{j}, {gap}) AS d{j}"
+        for j in range(1, k + 1))
+    init_cols = ", ".join(f"e{j}" for j in range(1, k + 1)) + ", " + \
+        ", ".join(f"d{j}" for j in range(1, k + 1))
+
+    def trans(j):
+        inner = ", ".join(
+            f"dp.s{i} + CASE WHEN dp.e{i} = n.e{j} THEN 0 ELSE {switch} END"
+            for i in range(1, k + 1))
+        return f"LEAST({inner}) + n.d{j}"
+
+    step_cols = ", ".join(f"n.e{j}" for j in range(1, k + 1)) + ", " + \
+        ", ".join(trans(j) for j in range(1, k + 1))
+    dp_sig = ", ".join(f"e{j}" for j in range(1, k + 1)) + ", " + \
+        ", ".join(f"s{j}" for j in range(1, k + 1))
+    end_edge = (f"CASE WHEN s1 <= s2 AND s1 <= s3 THEN e1 "
+                f"WHEN s2 <= s3 THEN e2 ELSE e3 END")
+    return f"""
+        WITH RECURSIVE {_EVENT_GEO_CTE},
+        pts AS (SELECT event_id, lon, lat FROM ev),
+        segs AS (SELECT edge_row, ax, ay, bx, by
+                 FROM read_parquet('{segs_path}')),
+        {_dist_cte("p.event_id", "segs", mxs, elem="edge_row")},
+        pe AS (SELECT event_id, edge_row, min(dist) AS dist
+               FROM dd GROUP BY event_id, edge_row),
+        cand AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                              ORDER BY dist, edge_row) AS rn
+                 FROM pe WHERE dist <= {_r(radius_m)}),
+        slots AS (SELECT event_id, {slot_cols} FROM cand GROUP BY event_id),
+        -- MATERIALIZED: the recursive dp term re-reads seq once per
+        -- iteration; without it DuckDB re-evaluates the event x segment
+        -- cross join every round
+        seq AS MATERIALIZED (SELECT e.user_id, e.event_id,
+                       row_number() OVER (PARTITION BY e.user_id
+                                          ORDER BY e.ts, e.event_id) AS rn,
+                       {seq_cols}
+                FROM ev e LEFT JOIN slots s USING (event_id)),
+        dp(user_id, rn, {dp_sig}) AS (
+            SELECT user_id, rn, {init_cols} FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT n.user_id, n.rn, {step_cols}
+            FROM dp JOIN seq n ON n.user_id = dp.user_id
+                              AND n.rn = dp.rn + 1
+        ),
+        fin AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY rn DESC) AS rr
+                FROM dp)
+        SELECT user_id, CAST(rn AS BIGINT) AS n_pings,
+               CAST(LEAST(s1, s2, s3) AS BIGINT) AS best_cost_unats,
+               CAST({end_edge} AS BIGINT) AS end_edge
+        FROM fin WHERE rr = 1
+    """

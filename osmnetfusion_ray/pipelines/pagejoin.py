@@ -561,3 +561,132 @@ def coverage_gaps(sf_dir: str) -> rd.Dataset:
         AggSpec("n_nobuffer", "nobuf", "sum"),
         AggSpec("n_nosnap", "nosnap", "sum"),
     ], small=True)
+
+
+MM_RADIUS_M = 300.0       # candidate radius for the HMM snap
+MM_K = 3                  # candidate edges per ping (dp vector width)
+MM_SWITCH_UNATS = 200_000  # transition penalty when the edge changes
+MM_GAP_UNATS = 600_000     # emission for a ping with no candidate in range
+
+
+def map_match_viterbi(sf_dir: str) -> rd.Dataset:
+    """HMM MAP MATCHING — the real-world gold standard for snapping noisy
+    GPS streams to a road network (Newson & Krumm 2009 shape), composing
+    the engine's two hardest primitives: the flagship join's broadcast
+    spatial index produces each ping's top-``MM_K`` candidate edges
+    (rank by (dist, edge) over ALL edges within ``MM_RADIUS_M`` — exact,
+    via the index's radius query + per-(ping, edge) min over segments),
+    and a per-user VITERBI then decodes the cheapest edge sequence where
+    emission = floor(snap_dist_m · 1000) and transition = a fixed
+    switch penalty when consecutive choices differ (pings with no
+    candidate carry a sentinel edge −1 at ``MM_GAP_UNATS``). Unlike the
+    independent per-ping snap (user_trajectories), the decoded sequence
+    is globally coherent — one far-off ping no longer teleports the
+    trajectory, the exact failure mode map matching exists to fix.
+
+    Distribution: the event stream flows through stateless snap tasks
+    (network broadcast once — never shuffled spatially); ONE user-keyed
+    exchange carries the skinny slot rows; the DP runs depth-vectorized
+    across users exactly like viterbi_user_paths. All integers after
+    the one shared floor-quantization, so the DuckDB oracle — the same
+    candidate ranking in SQL + the dp-vector-as-columns recursive CTE —
+    is bit-equal. Output per user: ping count, total decoded cost,
+    decoded final edge."""
+    from .. import netfixture
+    from ..rayctx import grouped
+    from ..sources import read_table, table_rows
+
+    netfixture.ensure_city_fixture()
+    nodes, edges, _ = netfixture.city_tables()
+    state_ref = ray.put(build_network_state(nodes, edges))
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    pts = ev.map_batches(_event_geocode_batch, batch_format="pyarrow")
+
+    def snap_slots(batch: pa.Table) -> pd.DataFrame:
+        joiner = _cached_join(state_ref)
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        npts = len(lon)
+        pt, eid, dist = joiner.seg_index.within(lon, lat, MM_RADIUS_M)
+        e_slots = np.full((npts, MM_K), -1, np.int64)
+        d_slots = np.full((npts, MM_K), MM_GAP_UNATS, np.int64)
+        if len(pt):
+            # per-(ping, edge) min over that edge's segments
+            o = np.lexsort((dist, eid, pt))
+            pt, eid, dist = pt[o], eid[o], dist[o]
+            first = np.concatenate([[True], (pt[1:] != pt[:-1])
+                                    | (eid[1:] != eid[:-1])])
+            pt, eid, dist = pt[first], eid[first], dist[first]
+            # rank per ping by (dist, edge); keep the MM_K best
+            o = np.lexsort((eid, dist, pt))
+            pt, eid, dist = pt[o], eid[o], dist[o]
+            newp = np.concatenate([[True], pt[1:] != pt[:-1]])
+            gid = np.cumsum(newp) - 1
+            starts = np.concatenate([[0], np.cumsum(np.bincount(gid))])
+            loc = np.arange(len(pt)) - starts[gid]
+            keep = loc < MM_K
+            e_slots[pt[keep], loc[keep]] = eid[keep]
+            d_slots[pt[keep], loc[keep]] = np.floor(
+                dist[keep] * 1000.0).astype(np.int64)
+        out = {"user_id": batch["user_id"].to_numpy().astype(np.int64),
+               "t": batch["ts"].cast(pa.int64()).to_numpy(),
+               "eid": batch["event_id"].to_numpy().astype(np.int64)}
+        for k in range(MM_K):
+            out[f"e{k + 1}"] = e_slots[:, k]
+            out[f"d{k + 1}"] = d_slots[:, k]
+        return pd.DataFrame(out)
+
+    slots = pts.map_batches(snap_slots, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": np.zeros(0, np.int64),
+                "n_pings": np.zeros(0, np.int64),
+                "best_cost_unats": np.zeros(0, np.int64),
+                "end_edge": np.zeros(0, np.int64)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        e = df["eid"].to_numpy()
+        srt = np.lexsort((e, t, u))
+        u = u[srt]
+        E = np.stack([df[f"e{k + 1}"].to_numpy(np.int64)[srt]
+                      for k in range(MM_K)], axis=1)
+        D = np.stack([df[f"d{k + 1}"].to_numpy(np.int64)[srt]
+                      for k in range(MM_K)], axis=1)
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        uidx = np.cumsum(new_u) - 1
+        n_users = int(uidx[-1]) + 1
+        sizes = np.bincount(uidx)
+        ustarts = np.concatenate([[0], np.cumsum(sizes)])
+        loc = np.arange(len(u)) - ustarts[uidx]
+        by_depth = np.lexsort((uidx, loc))
+        kk = loc[by_depth]
+        kstarts = np.concatenate(
+            [[0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]])
+        dp = np.zeros((n_users, MM_K), np.int64)
+        pe = np.full((n_users, MM_K), -1, np.int64)
+        for s in range(len(kstarts) - 1):
+            rows = by_depth[kstarts[s]:kstarts[s + 1]]
+            uu = uidx[rows]
+            if kk[kstarts[s]] == 0:
+                dp[uu] = D[rows]
+                pe[uu] = E[rows]
+            else:
+                switch = (pe[uu][:, :, None]
+                          != E[rows][:, None, :]) * MM_SWITCH_UNATS
+                dp[uu] = (dp[uu][:, :, None] + switch).min(1) + D[rows]
+                pe[uu] = E[rows]
+        best = dp.min(axis=1)
+        slot = dp.argmin(axis=1)  # first min == smallest slot
+        return pd.DataFrame({
+            "user_id": u[ustarts[:-1]].astype(np.int64),
+            "n_pings": sizes.astype(np.int64),
+            "best_cost_unats": best.astype(np.int64),
+            "end_edge": pe[np.arange(n_users), slot].astype(np.int64),
+        })
+
+    return grouped(slots, ["user_id"], decode,
+                   rows=table_rows(sf_dir, "events"))

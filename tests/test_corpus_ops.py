@@ -3825,3 +3825,59 @@ class TestQuadtreeLeaves:
         # leaves partition the points and the tree is genuinely adaptive
         assert mine["n_docs"].sum() == len(docs)
         assert mine["level"].nunique() >= 3
+
+
+class TestMapMatchViterbi:
+    def test_matches_sequential_dp(self, ray_session):
+        import duckdb
+
+        from osmnetfusion_ray import netfixture, netoracle
+        from osmnetfusion_ray.pipelines.pagejoin import (MM_SWITCH_UNATS,
+                                                         map_match_viterbi)
+
+        mine = (map_match_viterbi(SF).to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+        d = netfixture.ensure_city_fixture()
+        seg_ref, _ = netfixture.city_ref_lats()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        sql = netoracle.map_match_oracle(f"{d}/edge_segs.parquet", seg_ref)
+        i = sql.index("dp(user_id")
+        seq = con.execute(
+            sql[:i] + " sel AS (SELECT 1) SELECT user_id, rn, e1, e2, e3,"
+            " d1, d2, d3 FROM seq ORDER BY user_id, rn").df()
+        rows = []
+        for uid, g in seq.groupby("user_id"):
+            dp, pe, greedy1 = None, None, 0
+            prev1 = None
+            for _, r in g.sort_values("rn").iterrows():
+                E = [int(r.e1), int(r.e2), int(r.e3)]
+                D = [int(r.d1), int(r.d2), int(r.d3)]
+                if dp is None:
+                    dp = D[:]
+                else:
+                    dp = [min(dp[i2] + (0 if pe[i2] == E[j] else
+                                        MM_SWITCH_UNATS)
+                              for i2 in range(3)) + D[j] for j in range(3)]
+                pe = E
+                greedy1 += D[0] + (MM_SWITCH_UNATS
+                                   if prev1 is not None and prev1 != E[0]
+                                   else 0)
+                prev1 = E[0]
+            best = min(dp)
+            rows.append((int(uid), len(g), best, pe[dp.index(best)], greedy1))
+        want = pd.DataFrame(rows, columns=["user_id", "n_pings",
+                                           "best_cost_unats", "end_edge",
+                                           "greedy1"])
+        assert len(mine) == len(want) > 0
+        for c in ("user_id", "n_pings", "best_cost_unats", "end_edge"):
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # the decode is globally coherent: never worse than the
+        # independent always-nearest-candidate path, and strictly better
+        # for at least one user (the teleporting-ping failure mode)
+        assert (mine["best_cost_unats"].to_numpy()
+                <= want["greedy1"].to_numpy()).all()
+        assert (mine["best_cost_unats"].to_numpy()
+                < want["greedy1"].to_numpy()).any()
