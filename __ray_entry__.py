@@ -920,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadtree_leaves": corpus.quadtree_leaves,
         "link_mis": _q_link_mis,
         "map_match_viterbi": _q_map_match_viterbi,
+        "event_percentile_attach": analytics.event_percentile_attach,
     }
 
 
@@ -2942,6 +2943,12 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_user_paths": analytics.viterbi_sql(),
         "quadtree_leaves": corpusmod.quadtree_sql(),
         "link_mis": graphmod.link_mis_sql(),
+        "event_percentile_attach": """
+            SELECT event_id, event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS pct
+            FROM events
+        """,
         "user_session_coverage": """
             -- interval union per user: window-cummax island method
             WITH iv AS (

@@ -4476,3 +4476,75 @@ def viterbi_sql() -> str:
                    AS end_state
         FROM fin WHERE rr = 1
     """
+
+
+def event_percentile_attach(sf_dir: str) -> rd.Dataset:
+    """WINDOW FUNCTION AT SCALE — attach each event's PERCENT_RANK within
+    its type back onto EVERY ROW, with no global sort: the quantile/gini/
+    MAD family reduces groups to scalars, but the attach shape must
+    return the full stream enriched with an order statistic — the
+    normalize-against-your-cohort step of feature pipelines, and the
+    textbook case for histogram-broadcast instead of a sort shuffle.
+
+    Shape: per-(type, cents) count partials bound the one exchange by
+    the VALUE DOMAIN (types × distinct cents), the finished histogram
+    lands on the driver (domain-bounded, corpus-size-independent) as
+    one sorted composite-key array (type_idx·2³² + cents) with
+    exclusive within-type cumulative counts, broadcast once via
+    ray.put; a stateless second pass attaches
+    pct = (#strictly-smaller) / (n_type − 1) via one searchsorted probe
+    per row — every probed key exists because the histogram was built
+    from these very rows — so the stream itself NEVER shuffles. Exact
+    integers until the one terminal division DuckDB's percent_rank
+    performs identically (single-value groups → 0.0 on both engines)."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def hist_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"], "cents": cents})
+             .groupby(["event_type", "cents"], sort=False, as_index=False)
+             .size())
+        return g.rename(columns={"size": "n"})
+
+    def hist_finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "cents"], sort=False,
+                       as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    hist = (grouped(ev.map_batches(hist_partials, batch_format="pandas"),
+                    ["event_type", "cents"], hist_finish, small=True)
+            .to_pandas().sort_values(["event_type", "cents"]))
+    types = hist["event_type"].to_numpy()
+    vals = hist["cents"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    tkeys = np.unique(types)                       # sorted type vocabulary
+    tidx = np.searchsorted(tkeys, types)           # nondecreasing
+    tstarts = np.searchsorted(tidx, np.arange(len(tkeys)))
+    tends = np.searchsorted(tidx, np.arange(len(tkeys)) + 1)
+    cum = np.zeros(len(vals) + 1, np.int64)
+    np.cumsum(cnts, out=cum[1:])
+    excl = cum[:-1] - cum[tstarts][tidx]           # smaller-in-type counts
+    ntot = cum[tends] - cum[tstarts]               # rows per type
+    key_arr = tidx * (np.int64(1) << 32) + vals    # sorted composite key
+    state = ray.put((tkeys, key_arr, excl, ntot))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        tk, ka, ex, nt = ray.get(state)
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        ti = np.searchsorted(tk, df["event_type"].to_numpy())
+        p = np.searchsorted(ka, ti * (np.int64(1) << 32) + cents)
+        less = ex[p]
+        denom = (nt[ti] - 1).astype(np.float64)
+        pct = np.where(denom > 0, less.astype(np.float64) / denom, 0.0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy().astype(np.int64),
+            "event_type": df["event_type"],
+            "value": df["value"].to_numpy(),
+            "pct": pct,
+        })
+
+    return ev.map_batches(attach, batch_format="pandas")

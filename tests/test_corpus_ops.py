@@ -3881,3 +3881,29 @@ class TestMapMatchViterbi:
                 <= want["greedy1"].to_numpy()).all()
         assert (mine["best_cost_unats"].to_numpy()
                 < want["greedy1"].to_numpy()).any()
+
+
+class TestEventPercentileAttach:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import event_percentile_attach
+
+        mine = (event_percentile_attach(SF).to_pandas()
+                .sort_values("event_id").reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_id", "event_type", "value"]
+                           ).to_pandas().sort_values("event_id")
+        assert len(mine) == len(ev)
+        for t, g in ev.groupby("event_type"):
+            v = g["value"].to_numpy()
+            n = len(v)
+            got = mine.loc[mine["event_type"] == t].set_index("event_id")["pct"]
+            for eid, val in zip(g["event_id"], v):
+                less = int((v < val).sum())
+                want = less / (n - 1) if n > 1 else 0.0
+                assert got.loc[eid] == want, (t, eid)
+        # structural: every type's max value gets pct 1.0 (n>1), min gets 0
+        for t, g in mine.groupby("event_type"):
+            if len(g) > 1:
+                assert g["pct"].max() == 1.0 and g["pct"].min() == 0.0
