@@ -921,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_mis": _q_link_mis,
         "map_match_viterbi": _q_map_match_viterbi,
         "event_percentile_attach": analytics.event_percentile_attach,
+        "entity_resolution": corpus.entity_resolution,
     }
 
 
@@ -2948,6 +2949,56 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() OVER (PARTITION BY event_type
                                         ORDER BY value) AS pct
             FROM events
+        """,
+        "entity_resolution": """
+            -- same derived universe (base + two single-char rotations),
+            -- blocked levenshtein<=2 self-join, recursive reachability
+            -- closure, window-argmax golden record (largest text, min id)
+            WITH RECURSIVE uni AS (
+                SELECT doc_id AS id, lang, n_chars,
+                       substr(text, 1, 256) AS t
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, lang, n_chars,
+                       chr(32 + (ascii(substr(text, 1, 1)) - 32 + 1) % 95)
+                         || substr(substr(text, 1, 256), 2)
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, lang, n_chars,
+                       substr(text, 1, 1)
+                         || chr(32 + (ascii(substr(text, 2, 1)) - 32 + 1)
+                                % 95)
+                         || substr(substr(text, 1, 256), 3)
+                FROM documents WHERE doc_id % 6 = 0
+            ),
+            pr AS (SELECT a.id AS a, b.id AS b
+                   FROM uni a JOIN uni b
+                     ON a.lang = b.lang AND a.n_chars = b.n_chars
+                    AND a.id < b.id
+                    AND levenshtein(a.t, b.t) <= 2),
+            sym AS (SELECT a AS s, b AS u FROM pr
+                    UNION ALL SELECT b, a FROM pr),
+            w(node, lab) AS (
+                SELECT id, id FROM uni
+                UNION
+                SELECT s.u, w.lab FROM w JOIN sym s ON s.s = w.node
+            ),
+            comp AS (SELECT node, min(lab) AS label FROM w GROUP BY node),
+            ranked AS (
+                SELECT c.label, u.id, u.t,
+                       row_number() OVER (PARTITION BY c.label
+                                          ORDER BY u.t DESC, u.id) AS rn
+                FROM comp c JOIN uni u ON u.id = c.node
+            )
+            SELECT label AS cluster_id,
+                   count(*) AS n_members,
+                   CAST(sum(CASE WHEN id < 10000000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_base,
+                   CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT)
+                       AS golden_id
+            FROM ranked
+            GROUP BY label
+            HAVING count(*) >= 2
         """,
         "user_session_coverage": """
             -- interval union per user: window-cummax island method

@@ -4497,3 +4497,147 @@ def quadtree_sql() -> str:
                    f" CAST(c{lvl}.n AS BIGINT) AS n_docs FROM c{lvl} {joins}"
                    f" WHERE {cond}")
     return "".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+ER_OFF = 10_000_000   # variant-record id offset (doc ids are far below)
+ER_TAU = 2            # match threshold: levenshtein <= 2
+ER_TRUNC = 256
+
+
+def _er_rotate(t: str, pos: int) -> str:
+    """Deterministic single-character perturbation shared with the SQL
+    oracle: chr(32 + (code − 32 + 1) mod 95) at ``pos`` (codes stay in
+    printable ASCII for this corpus; both engines evaluate the same
+    integer expression)."""
+    c = ord(t[pos])
+    return t[:pos] + chr(32 + (c - 32 + 1) % 95) + t[pos + 1:]
+
+
+def entity_resolution(sf_dir: str) -> rd.Dataset:
+    """ENTITY RESOLUTION END-TO-END (the MDM / record-linkage composite):
+    blocking → pairwise exact match scoring → transitive closure →
+    golden-record survivorship, chained as ONE lazy pipeline the way
+    corpus_prep chains the LLM-prep stages. The corpus has no natural
+    near-identical records (all blocked pairs sit at distance > 24), so
+    the universe is documents ∪ DERIVED variant records — single-char
+    rotations at positions 0 (every 3rd doc) and 1 (every 6th doc),
+    SQL-expressible so the oracle rebuilds the identical universe — which
+    yields 2- and 3-member entities plus whatever true cross-doc matches
+    the blocker admits.
+
+    Stages and their scale shapes: (1) blocking = ONE
+    (lang, n_chars)-keyed exchange where only ``ER_TRUNC``-byte texts
+    ride; (2) in-block triu pair expansion + the vectorized Levenshtein
+    batch DP, keeping pairs with dist ≤ 2; (3) connected components on
+    the SAME size-adaptive labeler as the geometric node clustering
+    (driver union-find small, distributed min-label + pointer jumping
+    large), so cluster_id = min member id; (4) one id-keyed exchange
+    attaches labels to universe rows, and (5) one cluster-keyed exchange
+    reduces each entity to its golden record — survivorship rule:
+    lexicographically smallest text wins, ties to the smallest id (a
+    CONTENT rule, so the winner is not just the min id). Output:
+    multi-member entities (cluster_id, n_members, n_base, golden_id).
+    DuckDB oracle: same universe, native levenshtein blocked self-join,
+    recursive reachability closure, window-argmin survivorship."""
+    from ..pipelines.simplify import labels_from_edges_ds
+    from ..rayctx import ensure_tuned, grouped
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "text", "n_chars"])
+
+    def universe(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy().astype(np.int64)
+        lang = df["lang"].to_numpy()
+        nch = df["n_chars"].to_numpy().astype(np.int64)
+        t = np.fromiter((x[:ER_TRUNC] for x in df["text"]), object, len(df))
+        frames = [pd.DataFrame({"id": did, "lang": lang, "n_chars": nch,
+                                "t": t})]
+        m3 = did % 3 == 0
+        frames.append(pd.DataFrame({
+            "id": did[m3] + ER_OFF, "lang": lang[m3], "n_chars": nch[m3],
+            "t": np.fromiter((_er_rotate(x, 0) for x in t[m3]), object,
+                             int(m3.sum()))}))
+        m6 = did % 6 == 0
+        frames.append(pd.DataFrame({
+            "id": did[m6] + 2 * ER_OFF, "lang": lang[m6], "n_chars": nch[m6],
+            "t": np.fromiter((_er_rotate(x, 1) for x in t[m6]), object,
+                             int(m6.sum()))}))
+        return pd.concat(frames, ignore_index=True)
+
+    uni = docs.map_batches(universe, batch_format="pandas").materialize()
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, ta, tb = [], [], [], []
+        for _, g in df.groupby(["lang", "n_chars"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["id"].to_numpy()
+            txt = g["t"].to_numpy(object)
+            o = np.argsort(ids, kind="stable")
+            ids, txt = ids[o], txt[o]
+            ii, jj = np.triu_indices(len(g), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            ta.extend(txt[ii])
+            tb.extend(txt[jj])
+        if not out_a:
+            return pd.DataFrame({"a": np.zeros(0, np.int64),
+                                 "b": np.zeros(0, np.int64)})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        d = _lev_batch(ta, tb)
+        keep = d <= ER_TAU
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    pairs = grouped(uni, ["lang", "n_chars"], pairs_block)
+    msg_edges = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": np.concatenate([df["a"].to_numpy(np.int64),
+                                    df["b"].to_numpy(np.int64)]),
+            "nbr": np.concatenate([df["b"].to_numpy(np.int64),
+                                   df["a"].to_numpy(np.int64)]),
+        }), batch_format="pandas").materialize()
+    ids = uni.map_batches(
+        lambda df: pd.DataFrame({"osmid": df["id"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    ensure_tuned()
+    labels = labels_from_edges_ds(ids, msg_edges)
+
+    lab_rows = labels.map_batches(
+        lambda df: pd.DataFrame({"id": df["osmid"].to_numpy(np.int64),
+                                 "label": df["label"].to_numpy(np.int64),
+                                 "t": np.full(len(df), "", object)}),
+        batch_format="pandas")
+    uni_rows = uni.map_batches(
+        lambda df: pd.DataFrame({"id": df["id"].to_numpy(np.int64),
+                                 "label": np.full(len(df), -1, np.int64),
+                                 "t": df["t"].to_numpy(object)}),
+        batch_format="pandas")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["label"] >= 0]
+        rows = df[df["label"] < 0]
+        o = np.argsort(lab["id"].to_numpy(np.int64), kind="stable")
+        lid = lab["id"].to_numpy(np.int64)[o]
+        ll = lab["label"].to_numpy(np.int64)[o]
+        pos = np.searchsorted(lid, rows["id"].to_numpy(np.int64))
+        return pd.DataFrame({"label": ll[pos],
+                             "id": rows["id"].to_numpy(np.int64),
+                             "t": rows["t"].to_numpy(object)})
+
+    tagged = grouped(lab_rows.union(uni_rows), ["id"], attach)
+
+    def golden(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["label", "t", "id"], kind="mergesort",
+                            ascending=[True, False, True])
+        df["is_base"] = (df["id"].to_numpy(np.int64) < ER_OFF).astype(np.int64)
+        g = df.groupby("label", sort=False)
+        out = pd.DataFrame({
+            "cluster_id": g["id"].min().index.to_numpy(np.int64),
+            "n_members": g.size().to_numpy(np.int64),
+            "n_base": g["is_base"].sum().to_numpy(np.int64),
+            "golden_id": g["id"].first().to_numpy(np.int64),  # max t, min id
+        })
+        return out[out["n_members"] >= 2]
+
+    return grouped(tagged, ["label"], golden)

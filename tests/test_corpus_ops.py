@@ -3907,3 +3907,89 @@ class TestEventPercentileAttach:
         for t, g in mine.groupby("event_type"):
             if len(g) > 1:
                 assert g["pct"].max() == 1.0 and g["pct"].min() == 0.0
+
+
+class TestEntityResolution:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (ER_OFF, ER_TAU,
+                                                       _er_rotate,
+                                                       entity_resolution)
+
+        mine = (entity_resolution(SF).to_pandas()
+                .sort_values("cluster_id").reset_index(drop=True))
+        docs = pq.read_table(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "lang", "text", "n_chars"]).to_pandas()
+        uni = {}
+        for r in docs.itertuples():
+            t = r.text[:256]
+            uni[int(r.doc_id)] = (r.lang, int(r.n_chars), t)
+            if r.doc_id % 3 == 0:
+                uni[int(r.doc_id) + ER_OFF] = (r.lang, int(r.n_chars),
+                                               _er_rotate(t, 0))
+            if r.doc_id % 6 == 0:
+                uni[int(r.doc_id) + 2 * ER_OFF] = (r.lang, int(r.n_chars),
+                                                   _er_rotate(t, 1))
+
+        def _neg_text(t):
+            # max-text tie-min-id as a single sort key
+            return tuple(-ord(c) for c in t)
+
+        def lev(a, b):
+            if a == b:
+                return 0
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        # union-find over blocked matches
+        parent = {i: i for i in uni}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        from collections import defaultdict
+        blocks = defaultdict(list)
+        for i, (lg, nc, t) in uni.items():
+            blocks[(lg, nc)].append(i)
+        for ids in blocks.values():
+            ids.sort()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if lev(uni[ids[x]][2], uni[ids[y]][2]) <= ER_TAU:
+                        rx, ry = find(ids[x]), find(ids[y])
+                        if rx != ry:
+                            parent[max(rx, ry)] = min(rx, ry)
+        clusters = defaultdict(list)
+        for i in uni:
+            clusters[find(i)].append(i)
+        rows = []
+        for members in clusters.values():
+            if len(members) < 2:
+                continue
+            rows.append((min(members), len(members),
+                         sum(1 for m in members if m < ER_OFF),
+                         min(members,
+                             key=lambda m: (_neg_text(uni[m][2]), m))))
+        want = (pd.DataFrame(rows, columns=["cluster_id", "n_members",
+                                            "n_base", "golden_id"])
+                .sort_values("cluster_id").reset_index(drop=True))
+        assert len(mine) == len(want) > 0
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # survivorship is a CONTENT rule: some golden record must differ
+        # from the min-id representative (a rotation can sort below the
+        # base text), and 3-member entities exist (transitivity exercised)
+        assert (mine["golden_id"] != mine["cluster_id"]).any()
+        assert (mine["n_members"] >= 3).any()
