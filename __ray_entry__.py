@@ -2962,14 +2962,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 10000000, lang, n_chars,
                        chr(32 + (ascii(substr(text, 1, 1)) - 32 + 1) % 95)
                          || substr(substr(text, 1, 256), 2)
-                FROM documents WHERE doc_id % 3 = 0
+                FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 1
                 UNION ALL
                 SELECT doc_id + 20000000, lang, n_chars,
                        substr(text, 1, 1)
                          || chr(32 + (ascii(substr(text, 2, 1)) - 32 + 1)
                                 % 95)
                          || substr(substr(text, 1, 256), 3)
-                FROM documents WHERE doc_id % 6 = 0
+                FROM documents WHERE doc_id % 6 = 0 AND length(text) >= 2
             ),
             pr AS (SELECT a.id AS a, b.id AS b
                    FROM uni a JOIN uni b

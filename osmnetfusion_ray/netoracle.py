@@ -691,8 +691,10 @@ def map_match_oracle(segs_path: str, seg_ref_lat: float,
         ", ".join(trans(j) for j in range(1, k + 1))
     dp_sig = ", ".join(f"e{j}" for j in range(1, k + 1)) + ", " + \
         ", ".join(f"s{j}" for j in range(1, k + 1))
-    end_edge = (f"CASE WHEN s1 <= s2 AND s1 <= s3 THEN e1 "
-                f"WHEN s2 <= s3 THEN e2 ELSE e3 END")
+    best = "LEAST(" + ", ".join(f"s{j}" for j in range(1, k + 1)) + ")"
+    # first slot attaining the min (smallest slot wins ties), any k
+    end_edge = "CASE " + " ".join(
+        f"WHEN s{j} = {best} THEN e{j}" for j in range(1, k + 1)) + " END"
     return f"""
         WITH RECURSIVE {_EVENT_GEO_CTE},
         pts AS (SELECT event_id, lon, lat FROM ev),
@@ -724,7 +726,7 @@ def map_match_oracle(segs_path: str, seg_ref_lat: float,
                                              ORDER BY rn DESC) AS rr
                 FROM dp)
         SELECT user_id, CAST(rn AS BIGINT) AS n_pings,
-               CAST(LEAST(s1, s2, s3) AS BIGINT) AS best_cost_unats,
+               CAST({best} AS BIGINT) AS best_cost_unats,
                CAST({end_edge} AS BIGINT) AS end_edge
         FROM fin WHERE rr = 1
     """

@@ -4152,7 +4152,7 @@ def scd2_history(sf_dir: str) -> rd.Dataset:
 COVISIT_CAP = 16  # deterministic per-cell contributor cap (smallest user ids)
 
 
-def user_covisitation(sf_dir: str) -> rd.Dataset:
+def user_covisitation(sf_dir: str) -> pa.Table:
     """CO-VISITATION PAIR MINING (users sharing >= 2 grid cells) — the
     UNBOUNDED-pair-space self-join: unlike event_type_cooccurrence
     (vocabulary × vocabulary) the user × user pair space grows with the
@@ -4193,10 +4193,8 @@ def user_covisitation(sf_dir: str) -> rd.Dataset:
         u = df["user_id"].to_numpy(np.int64)
         o = np.lexsort((u, c))
         c, u = c[o], u[o]
-        new_c = np.concatenate([[True], c[1:] != c[:-1]])
-        gid = np.cumsum(new_c) - 1
-        starts = np.concatenate([[0], np.cumsum(np.bincount(gid))])
-        loc = np.arange(len(c)) - starts[gid]
+        from ..rayctx import group_positions
+        _, _, _, loc = group_positions(c)
         keep = loc < COVISIT_CAP  # smallest user ids win (u sorted in-cell)
         _, p, q = _pairs_within_groups(c[keep], u[keep])
         g = (pd.DataFrame({"u1": p, "u2": q})
@@ -4222,6 +4220,9 @@ def user_covisitation(sf_dir: str) -> rd.Dataset:
         df = pd.DataFrame({"u1": np.zeros(0, np.int64),
                            "u2": np.zeros(0, np.int64),
                            "n_shared": np.zeros(0, np.int64)})
+    # a bare pyarrow Table (allowed by the driver contract) rather than
+    # rd.from_arrow: Ray drops empty blocks even from from_arrow, so a
+    # Dataset CANNOT carry an empty result's schema
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)
 
@@ -4398,17 +4399,12 @@ def viterbi_user_paths(sf_dir: str) -> rd.Dataset:
         o = df["o"].to_numpy()
         srt = np.lexsort((e, t, u))
         u, o = u[srt], o[srt]
-        new_u = np.concatenate([[True], u[1:] != u[:-1]])
-        uidx = np.cumsum(new_u) - 1
-        n_users = int(uidx[-1]) + 1
-        sizes = np.bincount(uidx)
-        starts = np.concatenate([[0], np.cumsum(sizes)])
-        loc = np.arange(len(u)) - starts[uidx]
+        from ..rayctx import depth_slices, group_positions
+        uidx, sizes, starts, loc = group_positions(u)
+        n_users = len(sizes)
         # rows regrouped by DEPTH: one vectorized dp update per step k
-        by_depth = np.lexsort((uidx, loc))
+        by_depth, kstarts = depth_slices(uidx, loc)
         kk = loc[by_depth]
-        kstarts = np.concatenate(
-            [[0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]])
         dp = np.zeros((n_users, VIT_STATES), np.int64)
         for s in range(len(kstarts) - 1):
             rows = by_depth[kstarts[s]:kstarts[s + 1]]
@@ -4423,7 +4419,7 @@ def viterbi_user_paths(sf_dir: str) -> rd.Dataset:
         best = dp.max(axis=1)
         end_state = dp.argmax(axis=1)  # first max == smallest state
         return pd.DataFrame({
-            "user_id": u[starts[:-1]].astype(np.int64),
+            "user_id": u[starts].astype(np.int64),
             "n_steps": sizes.astype(np.int64),
             "best_score": best.astype(np.int64),
             "end_state": end_state.astype(np.int64),

@@ -4463,7 +4463,11 @@ def quadtree_leaves(sf_dir: str) -> rd.Dataset:
             m = anc_lvl >= 0
             key = ((anc_lvl << 40) | ((cx >> up) << 20) | (cy >> up))
             pos = np.searchsorted(ks, key)
-            hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == key)
+            if len(ks) == 0:  # nothing ever split (corpus <= cap points)
+                hit = np.zeros(len(key), bool)
+            else:
+                hit = ((pos < len(ks))
+                       & (ks[np.minimum(pos, len(ks) - 1)] == key))
             ok &= ~m | hit  # every existing ancestor must have split
         out = pd.DataFrame({"level": lvl, "cx": cx, "cy": cy, "n_docs": n})
         return out[ok]
@@ -4538,7 +4542,7 @@ def entity_resolution(sf_dir: str) -> rd.Dataset:
     CONTENT rule, so the winner is not just the min id). Output:
     multi-member entities (cluster_id, n_members, n_base, golden_id).
     DuckDB oracle: same universe, native levenshtein blocked self-join,
-    recursive reachability closure, window-argmin survivorship."""
+    recursive reachability closure, window-argmax survivorship."""
     from ..pipelines.simplify import labels_from_edges_ds
     from ..rayctx import ensure_tuned, grouped
 
@@ -4552,12 +4556,16 @@ def entity_resolution(sf_dir: str) -> rd.Dataset:
         t = np.fromiter((x[:ER_TRUNC] for x in df["text"]), object, len(df))
         frames = [pd.DataFrame({"id": did, "lang": lang, "n_chars": nch,
                                 "t": t})]
-        m3 = did % 3 == 0
+        # length guards mirror the oracle's predicates: a rotation at pos
+        # needs len > pos on BOTH engines (this corpus's min length is 44,
+        # but the operator contract shouldn't crash on short texts)
+        tlen = np.fromiter((len(x) for x in t), np.int64, len(df))
+        m3 = (did % 3 == 0) & (tlen >= 1)
         frames.append(pd.DataFrame({
             "id": did[m3] + ER_OFF, "lang": lang[m3], "n_chars": nch[m3],
             "t": np.fromiter((_er_rotate(x, 0) for x in t[m3]), object,
                              int(m3.sum()))}))
-        m6 = did % 6 == 0
+        m6 = (did % 6 == 0) & (tlen >= 2)
         frames.append(pd.DataFrame({
             "id": did[m6] + 2 * ER_OFF, "lang": lang[m6], "n_chars": nch[m6],
             "t": np.fromiter((_er_rotate(x, 1) for x in t[m6]), object,

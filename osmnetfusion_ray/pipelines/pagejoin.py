@@ -656,16 +656,11 @@ def map_match_viterbi(sf_dir: str) -> rd.Dataset:
                       for k in range(MM_K)], axis=1)
         D = np.stack([df[f"d{k + 1}"].to_numpy(np.int64)[srt]
                       for k in range(MM_K)], axis=1)
-        new_u = np.concatenate([[True], u[1:] != u[:-1]])
-        uidx = np.cumsum(new_u) - 1
-        n_users = int(uidx[-1]) + 1
-        sizes = np.bincount(uidx)
-        ustarts = np.concatenate([[0], np.cumsum(sizes)])
-        loc = np.arange(len(u)) - ustarts[uidx]
-        by_depth = np.lexsort((uidx, loc))
+        from ..rayctx import depth_slices, group_positions
+        uidx, sizes, ustarts, loc = group_positions(u)
+        n_users = len(sizes)
+        by_depth, kstarts = depth_slices(uidx, loc)
         kk = loc[by_depth]
-        kstarts = np.concatenate(
-            [[0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]])
         dp = np.zeros((n_users, MM_K), np.int64)
         pe = np.full((n_users, MM_K), -1, np.int64)
         for s in range(len(kstarts) - 1):
@@ -682,7 +677,7 @@ def map_match_viterbi(sf_dir: str) -> rd.Dataset:
         best = dp.min(axis=1)
         slot = dp.argmin(axis=1)  # first min == smallest slot
         return pd.DataFrame({
-            "user_id": u[ustarts[:-1]].astype(np.int64),
+            "user_id": u[ustarts].astype(np.int64),
             "n_pings": sizes.astype(np.int64),
             "best_cost_unats": best.astype(np.int64),
             "end_edge": pe[np.arange(n_users), slot].astype(np.int64),

@@ -96,3 +96,42 @@ def grouped(ds, keys, block_fn, *, small: bool = False, rows: int | None = None)
     n = n_shuffle_blocks(small=small, rows=rows)
     return ds.repartition(num_blocks=n, keys=list(keys)).map_batches(
         block_fn, batch_format="pandas")
+
+
+def group_positions(sorted_keys):
+    """Within-run positions over a key array already sorted so equal keys
+    are contiguous: returns ``(gid, sizes, starts, loc)`` — dense group
+    index per row, rows per group, group start offsets (len = n_groups +
+    1 is NOT included; starts[g] is group g's first row), and each row's
+    0-based position inside its group. Shared by the per-entity DP
+    kernels and pair-capping kernels (one implementation to fix)."""
+    import numpy as np
+
+    n = len(sorted_keys)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    gid = np.cumsum(new) - 1
+    sizes = np.bincount(gid)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    loc = np.arange(n) - starts[gid]
+    return gid, sizes.astype(np.int64), starts.astype(np.int64), loc
+
+
+def depth_slices(gid, loc):
+    """Regroup rows BY within-group position (depth): returns
+    ``(by_depth, kstarts)`` where ``by_depth`` orders rows by (loc, gid)
+    and ``kstarts`` bounds each depth's contiguous slice — the layout that
+    lets a sequential per-entity DP run as max_depth VECTORIZED steps."""
+    import numpy as np
+
+    by_depth = np.lexsort((gid, loc))
+    kk = loc[by_depth]
+    if len(kk) == 0:
+        return by_depth, np.zeros(1, np.int64)
+    kstarts = np.concatenate(
+        [[0], np.flatnonzero(kk[1:] != kk[:-1]) + 1, [len(kk)]])
+    return by_depth, kstarts
