@@ -4440,10 +4440,12 @@ def quadtree_leaves(sf_dir: str) -> rd.Dataset:
     split = pyramid.map_batches(
         lambda df: df[df["n"] > QT_SPLIT][["level", "cx", "cy"]],
         batch_format="pandas").to_pandas()
-    keys = (split["level"].to_numpy(np.int64) << 40 \
-            | split["cx"].to_numpy(np.int64) << 20 \
-            | split["cy"].to_numpy(np.int64))
-    keys = np.sort(keys)
+    if split.empty:  # nothing split (Ray drops empty blocks' schema too)
+        keys = np.zeros(0, np.int64)
+    else:
+        keys = np.sort(split["level"].to_numpy(np.int64) << 40
+                       | split["cx"].to_numpy(np.int64) << 20
+                       | split["cy"].to_numpy(np.int64))
     keys_ref = ray.put(keys)
 
     def leaves(df: pd.DataFrame) -> pd.DataFrame:

@@ -3826,6 +3826,25 @@ class TestQuadtreeLeaves:
         assert mine["n_docs"].sum() == len(docs)
         assert mine["level"].nunique() >= 3
 
+    def test_tiny_corpus_single_root_leaf(self, ray_session, tmp_path):
+        """Empty split frontier (corpus <= cap points): the root is the
+        one leaf, not an IndexError."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import quadtree_leaves
+
+        n = 10
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n), "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }), str(tmp_path / "documents.parquet"))
+        out = quadtree_leaves(str(tmp_path)).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0][["level", "cx", "cy", "n_docs"]].tolist() == [0, 0, 0, n]
+
 
 class TestMapMatchViterbi:
     def test_matches_sequential_dp(self, ray_session):
