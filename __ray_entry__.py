@@ -922,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_match_viterbi": _q_map_match_viterbi,
         "event_percentile_attach": analytics.event_percentile_attach,
         "entity_resolution": corpus.entity_resolution,
+        "join_sample": analytics.join_sample,
     }
 
 
@@ -2999,6 +3000,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             GROUP BY label
             HAVING count(*) >= 2
+        """,
+        "join_sample": """
+            -- degree-weighted two-phase sample over the unmaterialized
+            -- lineitem self-join on partkey; same integer hash + ONE
+            -- double division per (slot, row)
+            WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS rowid,
+                              l_partkey AS pk
+                       FROM lineitem),
+            d AS (SELECT pk, count(*) AS d FROM r GROUP BY pk),
+            s AS (SELECT unnest(range(1, 17)) AS s),
+            pri AS (SELECT s.s, r.rowid, r.pk,
+                           CAST((r.rowid * 2654435761 + s.s * 97003)
+                                % 4294967296 AS DOUBLE) / d.d AS pri
+                    FROM r JOIN d USING (pk) CROSS JOIN s),
+            win AS (SELECT * FROM (
+                        SELECT *, row_number() OVER (PARTITION BY s
+                                   ORDER BY pri, rowid) AS rn
+                        FROM pri) WHERE rn = 1),
+            wr AS (SELECT w.s, w.rowid, w.pk,
+                          (w.rowid * 40503 + w.s * 131) % d.d AS r
+                   FROM win w JOIN d USING (pk)),
+            rk AS (SELECT pk, rowid,
+                          row_number() OVER (PARTITION BY pk
+                                             ORDER BY rowid) - 1 AS rank
+                   FROM r)
+            SELECT wr.s AS slot, wr.rowid AS a_rowid, wr.pk AS l_partkey,
+                   rk.rowid AS b_rowid
+            FROM wr JOIN rk ON rk.pk = wr.pk AND rk.rank = wr.r
         """,
         "user_session_coverage": """
             -- interval union per user: window-cummax island method

@@ -4544,3 +4544,117 @@ def event_percentile_attach(sf_dir: str) -> rd.Dataset:
         })
 
     return ev.map_batches(attach, batch_format="pandas")
+
+
+JS_K = 16          # sample slots drawn from the unmaterialized join
+JS_MOD = 1 << 32
+
+
+def join_sample(sf_dir: str) -> rd.Dataset:
+    """SAMPLING OVER AN UNMATERIALIZED JOIN (the retrieved-papers shape:
+    Reservoir Sampling over Joins, SIGMOD'24 / weighted sampling over
+    join queries): draw ``JS_K`` rows from the M:N self-join
+    ``lineitem ⋈ lineitem ON l_partkey`` — Σ d_p² pairs, far too many to
+    materialize — WITHOUT producing the join: phase 1 picks the LEFT row
+    of each sample by degree-weighted selection (weight = its key's
+    right-side multiplicity, the exact condition that makes the pair
+    uniform over the join result), phase 2 resolves the partner as the
+    hash-ranked row within the key group. Determinism stands in for
+    randomness (the engine's weighted_sample idiom): slot priorities are
+    ``h(slot, rowid) / degree`` with an integer hash and ONE IEEE
+    division, so both engines pick identical samples and the oracle is
+    bit-equal rather than statistical.
+
+    Shapes: ONE vocab-bounded key exchange builds the degree table
+    (broadcast back as sorted arrays); phase 1 streams the fact side
+    once with per-block (slot → argmin) partials — k rows per block, a
+    driver fold of block winners; phase 2 rides ONE partkey-keyed
+    exchange where `group_positions` ranks each key group and the k
+    broadcast requests select their ranked partner. Output: k rows
+    (slot, a_rowid, l_partkey, b_rowid), self-pairs allowed (the join
+    contains them)."""
+    from ..rayctx import group_positions, grouped
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rowid": df["l_orderkey"].to_numpy().astype(np.int64) * 8
+            + df["l_linenumber"].to_numpy().astype(np.int64),
+            "pk": df["l_partkey"].to_numpy().astype(np.int64),
+        })
+
+    rows = li.map_batches(skinny, batch_format="pandas").materialize()
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pk", sort=False, as_index=False).size()
+        return g.rename(columns={"size": "d"})
+
+    deg = grouped(rows.map_batches(deg_part, batch_format="pandas"),
+                  ["pk"], lambda df: df.groupby("pk", sort=False,
+                                                as_index=False)["d"].sum(),
+                  small=True).to_pandas().sort_values("pk")
+    dkeys = deg["pk"].to_numpy(np.int64)
+    dvals = deg["d"].to_numpy(np.int64)
+    deg_ref = ray.put((dkeys, dvals))
+
+    S = np.arange(1, JS_K + 1, dtype=np.int64)
+
+    def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        dk, dv = ray.get(deg_ref)
+        rid = df["rowid"].to_numpy(np.int64)
+        pk = df["pk"].to_numpy(np.int64)
+        d = dv[np.searchsorted(dk, pk)].astype(np.float64)
+        # (slots, rows) priorities; integer hash fits int64 with no wrap
+        h = (rid[None, :] * 2654435761 + S[:, None] * 97003) % JS_MOD
+        pri = h.astype(np.float64) / d[None, :]
+        # per-slot argmin with (priority, rowid) ties
+        best = np.argmin(pri, axis=1)
+        # strict tie handling: re-scan candidates equal to the min
+        out_s, out_r, out_p, out_pri = [], [], [], []
+        for i in range(JS_K):
+            m = pri[i] == pri[i, best[i]]
+            cand = rid[m]
+            j = np.argmin(cand)
+            out_s.append(i + 1)
+            out_r.append(cand[j])
+            out_p.append(pk[m][j])
+            out_pri.append(pri[i, best[i]])
+        return pd.DataFrame({"s": np.array(out_s, np.int64),
+                             "rowid": np.array(out_r, np.int64),
+                             "pk": np.array(out_p, np.int64),
+                             "pri": np.array(out_pri, np.float64)})
+
+    part1 = rows.map_batches(phase1, batch_format="pandas").to_pandas()
+    win = (part1.sort_values(["s", "pri", "rowid"], kind="mergesort")
+           .groupby("s", sort=True).first().reset_index())
+    wd = dvals[np.searchsorted(dkeys, win["pk"].to_numpy(np.int64))]
+    win["r"] = (win["rowid"].to_numpy(np.int64) * 40503
+                + win["s"].to_numpy(np.int64) * 131) % wd
+    req_ref = ray.put((win["s"].to_numpy(np.int64),
+                       win["pk"].to_numpy(np.int64),
+                       win["r"].to_numpy(np.int64)))
+
+    def phase2(df: pd.DataFrame) -> pd.DataFrame:
+        rs, rpk, rr = ray.get(req_ref)
+        pk = df["pk"].to_numpy(np.int64)
+        rid = df["rowid"].to_numpy(np.int64)
+        o = np.lexsort((rid, pk))
+        pk, rid = pk[o], rid[o]
+        _, _, _, rank = group_positions(pk)
+        # match (pk, rank) against the k requests
+        out_s, out_b = [], []
+        for s, p, r in zip(rs, rpk, rr):
+            m = (pk == p) & (rank == r)
+            if m.any():
+                out_s.append(s)
+                out_b.append(rid[np.flatnonzero(m)[0]])
+        return pd.DataFrame({"s": np.array(out_s, np.int64),
+                             "b_rowid": np.array(out_b, np.int64)})
+
+    partners = grouped(rows, ["pk"], phase2).to_pandas()
+    out = win.merge(partners, on="s")[["s", "rowid", "pk", "b_rowid"]]
+    out = out.rename(columns={"s": "slot", "rowid": "a_rowid",
+                              "pk": "l_partkey"}).sort_values("slot")
+    return rd.from_pandas(out.reset_index(drop=True))

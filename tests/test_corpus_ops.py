@@ -4012,3 +4012,45 @@ class TestEntityResolution:
         # base text), and 3-member entities exist (transitivity exercised)
         assert (mine["golden_id"] != mine["cluster_id"]).any()
         assert (mine["n_members"] >= 3).any()
+
+
+class TestJoinSample:
+    def test_matches_single_process(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (JS_K, JS_MOD,
+                                                          join_sample)
+
+        mine = (join_sample(SF).to_pandas()
+                .sort_values("slot").reset_index(drop=True))
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_partkey"]).to_pandas()
+        rid = (li["l_orderkey"].to_numpy().astype(np.int64) * 8
+               + li["l_linenumber"].to_numpy().astype(np.int64))
+        pk = li["l_partkey"].to_numpy().astype(np.int64)
+        from collections import Counter
+        deg = Counter(pk.tolist())
+        d = np.array([deg[p] for p in pk], np.float64)
+        rows = []
+        by_pk = {}
+        order = np.lexsort((rid, pk))
+        for i in order:
+            by_pk.setdefault(pk[i], []).append(rid[i])
+        for s in range(1, JS_K + 1):
+            pri = ((rid * 2654435761 + s * 97003) % JS_MOD
+                   ).astype(np.float64) / d
+            i = np.lexsort((rid, pri))[0]
+            r = int((rid[i] * 40503 + s * 131) % deg[pk[i]])
+            rows.append((s, int(rid[i]), int(pk[i]), by_pk[pk[i]][r]))
+        want = pd.DataFrame(rows, columns=["slot", "a_rowid",
+                                           "l_partkey", "b_rowid"])
+        assert len(mine) == JS_K
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        # the sample genuinely spans the join: at least one partner differs
+        # from its left row, and (k=16 slots over 200 keys) the slots
+        # don't all collapse to one key
+        assert (mine["a_rowid"] != mine["b_rowid"]).any()
+        assert mine["l_partkey"].nunique() > 1
