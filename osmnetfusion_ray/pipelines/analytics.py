@@ -79,24 +79,64 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
 
 
 def revenue_by_nation(sf_dir: str) -> rd.Dataset:
-    """orders ⋈ customer ⋈ nation (both dims broadcast) → revenue per nation."""
+    """orders ⋈ customer ⋈ nation → revenue per nation.  Scale layout
+    (q7/q21 marker co-location, NOT a customer broadcast — customer scales
+    linearly with SF, so shipping it whole to the driver and every task is
+    the round-2 perf-weak finding): orders reduce to ≤1 revenue partial per
+    (block, custkey) by a combiner, customer's (custkey, nationkey) rides
+    the SAME custkey-keyed exchange as tagged marker rows, and each block
+    resolves custkey→nationkey locally and re-reduces to ≤25 nation
+    partials — so the terminal aggregate sees #blocks × #nations rows, and
+    the only broadcast is the constant 25-row nation table."""
+    from ..rayctx import grouped
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def order_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False).agg(
+            rev=("o_totalprice", "sum"), n=("o_totalprice", "size"))
+        return pd.DataFrame({
+            "c_custkey": g["o_custkey"].to_numpy().astype(np.int64),
+            "rev": g["rev"].to_numpy(),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "c_nationkey": np.int64(-1)})
+
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy().astype(np.int64),
+            "rev": np.float64(0.0), "n": np.int64(0),
+            "c_nationkey": df["c_nationkey"].to_numpy().astype(np.int64)})
+
+    def nation_partials(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["c_nationkey"] >= 0
+        nk = df.loc[mark].set_index("c_custkey")["c_nationkey"]
+        d = df[~mark]
+        g = d.groupby("c_custkey", sort=False, as_index=False)[["rev", "n"]].sum()
+        g["c_nationkey"] = g["c_custkey"].map(nk)
+        g = g.dropna(subset=["c_nationkey"])
+        out = g.groupby("c_nationkey", sort=False, as_index=False)[["rev", "n"]].sum()
+        return pd.DataFrame({
+            "n_nationkey": out["c_nationkey"].to_numpy().astype(np.int64),
+            "rev": out["rev"].to_numpy(),
+            "n": out["n"].to_numpy().astype(np.int64)})
+
+    per_block = grouped(
+        orders.map_batches(order_partials, batch_format="pandas").union(
+            customer.map_batches(cust_markers, batch_format="pandas")),
+        ["c_custkey"], nation_partials, small=True)
+
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name"]]
-    joined = broadcast_join(orders, dim, left_on="o_custkey", right_on="c_custkey")
-    out = groupby_agg(
-        joined,
-        ["n_name"],
-        [AggSpec("total_revenue", "o_totalprice", "sum"), AggSpec("n_orders", None, "count")],
-        small=True,  # 25 nations
-    )
+    names = nation.set_index("n_nationkey")["n_name"]
 
-    def rounded(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_revenue"] = df["total_revenue"].round(4)
-        return df
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_nationkey", sort=False, as_index=False)[["rev", "n"]].sum()
+        return pd.DataFrame({
+            "n_name": g["n_nationkey"].map(names).to_numpy(),
+            "total_revenue": np.round(g["rev"].to_numpy(), 4),
+            "n_orders": g["n"].to_numpy().astype(np.int64)})
 
-    return out.map_batches(rounded, batch_format="pandas")
+    return grouped(per_block, ["n_nationkey"], finish, small=True)
 
 
 def q3_shipping_priority(sf_dir: str, k: int = 10,
@@ -862,18 +902,42 @@ def q18_large_orders(sf_dir: str, threshold: float = 250.0) -> rd.Dataset:
         orders.map_batches(order_markers, batch_format="pandas")),
         ["l_orderkey"], having_attach, small=True)
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    out = broadcast_join(joined, cust, left_on="o_custkey", right_on="c_custkey")
+    # exchange B (custkey): customer scales with SF, so the name attach is a
+    # SECOND marker co-location (the q3 layout) rather than a broadcast —
+    # survivors (~1% of orders post-HAVING) and customer's (custkey, name)
+    # ride the same custkey-keyed exchange and the block joins locally.
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def cust_markers(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "o_orderkey": df["o_orderkey"].to_numpy(),
-            "c_name": df["c_name"].to_numpy(),
-            "o_totalprice": np.round(df["o_totalprice"].to_numpy(), 2),
-            "total_qty": np.round(df["total_qty"].to_numpy(), 4),
-        })
+            "o_custkey": df["c_custkey"].to_numpy().astype(np.int64),
+            "o_orderkey": np.int64(-1),
+            "total_qty": np.float64(0.0), "o_totalprice": np.float64(0.0),
+            "c_name": df["c_name"].to_numpy()})
 
-    return out.map_batches(finish, batch_format="pandas")
+    def survivor_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "total_qty": df["total_qty"].to_numpy(),
+            "o_totalprice": df["o_totalprice"].to_numpy(),
+            "c_name": ""})
+
+    def attach_name(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["o_orderkey"] < 0
+        names = df.loc[mark].set_index("o_custkey")["c_name"]
+        d = df[~mark]
+        out = pd.DataFrame({
+            "o_orderkey": d["o_orderkey"].to_numpy(np.int64),
+            "c_name": d["o_custkey"].map(names).to_numpy(),
+            "o_totalprice": np.round(d["o_totalprice"].to_numpy(), 2),
+            "total_qty": np.round(d["total_qty"].to_numpy(), 4),
+        })
+        return out.dropna(subset=["c_name"])
+
+    return grouped(joined.map_batches(survivor_rows, batch_format="pandas").union(
+        cust.map_batches(cust_markers, batch_format="pandas")),
+        ["o_custkey"], attach_name, small=True)
 
 
 def q4_order_priority(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:

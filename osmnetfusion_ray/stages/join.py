@@ -113,11 +113,19 @@ def salted_join(
     from ..pipelines.simplify import _num_partitions
     from ..stages.agg import AggSpec, groupby_agg
 
-    counts = groupby_agg(
+    # The count table is |keys| rows — at billions of distinct keys that is
+    # a driver OOM if collected whole.  The HOT set, by contrast, is bounded
+    # by fact_rows/target (each hot key needs > target rows), so filter the
+    # threshold INSIDE the distributed aggregate and collect only hot keys.
+    hot = groupby_agg(
         fact.select_columns([fact_key]),
         [fact_key], [AggSpec("n", None, "count")], small=True,
+    ).map_batches(
+        lambda df: df[df["n"] > target_rows_per_key],
+        batch_format="pandas",
     ).to_pandas()
-    hot = counts[counts["n"] > target_rows_per_key]
+    if fact_key not in hot.columns:  # all blocks filtered empty → Ray
+        hot = pd.DataFrame({fact_key: [], "n": []})  # drops the schema
     factors = {
         int(k): int(-(-n // target_rows_per_key))
         for k, n in zip(hot[fact_key], hot["n"])
