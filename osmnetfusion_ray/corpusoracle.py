@@ -592,13 +592,16 @@ def mulmod_expr(a: str, b: str) -> str:
     return f"((({a}) * ({b})) % {_M64_SQL})"
 
 
-def powmod_expr(base: int, iexpr: str, bits: int = 24) -> str:
+def powmod_expr(base: int, iexpr: str, bits: int = 40) -> str:
     """base^(iexpr) mod 2^64 as a pure-SQL expression: bit-decomposition
     of the integer exponent column into a chain of ``bits`` conditional
     mulmods over the precomputed squarings base^(2^k) (Python-computed
     literals — both engines share the same constants). Supports exponents
     up to 2^bits - 1; every step reduces mod 2^64 so no intermediate
-    exceeds uint128."""
+    exceeds uint128.  The engine side has NO exponent cap, so ``bits``
+    must cover the table's row count or the oracle is silently wrong:
+    the 40-bit default covers ~1.1e12 rows (beyond any plausible sweep
+    scale — the old 24-bit default capped out near sf≈16 on events)."""
     p = base % _M64
     e = "CAST(1 AS UHUGEINT)"
     for k in range(bits):

@@ -4636,7 +4636,14 @@ def join_sample(sf_dir: str) -> rd.Dataset:
     exchange where `group_positions` ranks each key group and the k
     broadcast requests select their ranked partner. Output: k rows
     (slot, a_rowid, l_partkey, b_rowid), self-pairs allowed (the join
-    contains them)."""
+    contains them).
+
+    Scale bound: the slot-priority hash ``rid * 2654435761 + s * 97003``
+    is computed in plain int64 on the engine side and BIGINT in DuckDB —
+    exact (no wrap) for rowids < 2^63 / 2654435761 ≈ 3.5e9 (~sf100
+    lineitem). Beyond that numpy would wrap silently while DuckDB raises,
+    so larger scales must move the hash to uint64 with a HUGEINT-mirrored
+    oracle expression (the event_chain_scan idiom)."""
     from ..rayctx import group_positions, grouped
 
     li = read_table(sf_dir, "lineitem",
@@ -4666,6 +4673,11 @@ def join_sample(sf_dir: str) -> rd.Dataset:
     S = np.arange(1, JS_K + 1, dtype=np.int64)
 
     def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # argmin over a (k, 0) array raises
+            return pd.DataFrame({"s": np.zeros(0, np.int64),
+                                 "rowid": np.zeros(0, np.int64),
+                                 "pk": np.zeros(0, np.int64),
+                                 "pri": np.zeros(0, np.float64)})
         dk, dv = ray.get(deg_ref)
         rid = df["rowid"].to_numpy(np.int64)
         pk = df["pk"].to_numpy(np.int64)

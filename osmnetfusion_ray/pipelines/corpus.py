@@ -4540,7 +4540,7 @@ def entity_resolution(sf_dir: str) -> rd.Dataset:
     large), so cluster_id = min member id; (4) one id-keyed exchange
     attaches labels to universe rows, and (5) one cluster-keyed exchange
     reduces each entity to its golden record — survivorship rule:
-    lexicographically smallest text wins, ties to the smallest id (a
+    lexicographically LARGEST text wins, ties to the smallest id (a
     CONTENT rule, so the winner is not just the min id). Output:
     multi-member entities (cluster_id, n_members, n_base, golden_id).
     DuckDB oracle: same universe, native levenshtein blocked self-join,
