@@ -405,6 +405,173 @@ def cluster_merge_map_ds(nodes_ds: rd.Dataset, threshold: int = S.CLUSTER_THRESH
 
 
 # ---------------------------------------------------------------------------
+# above-cap distributed cluster-buffer state (round-2 scale flag): below this
+# many nodes the split-request state and the merge map are driver-built and
+# broadcast ONCE as compact objects (one ray.put beats ~4 extra exchanges);
+# above it nothing O(N_nodes) may touch the driver — the split-request phase
+# switches to the tiled keyed-exchange build below and the reassign step to
+# left_outer hash-join attachment. Same explicit-cap + forced-path-equality
+# contract as SMALL_SIMPLIFY_MAX_EDGES / LOCAL_CC_MAX_PAIRS.
+# ---------------------------------------------------------------------------
+P3_BROADCAST_STATE_MAX_NODES = 2_000_000
+
+_TILE_OFF = 1 << 20   # lon/lat tile ids fit ±2^20 at the minimum tile size
+_TILE_SPAN = 1 << 21
+
+
+def split_requests_tiled(edges_ds: rd.Dataset, mm1: rd.Dataset,
+                         nodes_ds: rd.Dataset, *, max_r: float,
+                         ref_lat: float | None,
+                         join_partitions: int | None = None,
+                         n_edges: int | None = None,
+                         n_nodes: int | None = None,
+                         merge_small: bool = False) -> rd.Dataset:
+    """Distributed build of the edge-split requests — the scale path that
+    replaces ``ClusterBufferState``'s whole-table driver collect with three
+    keyed exchanges (the doc_dbscan cell+halo shape):
+
+    1. member rows: ``mm1 ⋈ nodes`` on osmid (hash join), then a merged_by
+       co-location filters multi-member clusters — each member row carries
+       its cluster centroid (mx, my) so no tile ever needs remote state;
+    2. tile exchange: members go to the tile of their point, edges to every
+       tile overlapped by their bbox ⊕ max_r halo (a member disk can only
+       hit / contain an endpoint of an edge within max_r of it, so every
+       (edge, cluster) interaction is visible in the member's own tile);
+    3. the per-tile kernel runs the SAME ``_split_requests_core`` as the
+       broadcast path and emits per-(edge, cluster) rows with the LOCAL
+       endpoint-inside flag; a final (edge, rep)-keyed exchange ORs the
+       flags across tiles (a cluster's members may straddle tiles) and
+       dedupes the identical split points.
+
+    Result-identical to the broadcast path (the split point is a pure
+    function of edge geometry + cluster centroid; forced-path equality
+    tested)."""
+    from ..rayctx import grouped
+    from ..stages import simplify as S
+
+    jp = join_partitions or _num_partitions()
+
+    nodes_slim = nodes_ds.select_columns(["osmid", "x", "y", "buffer_r"])
+    mem = mm1.select_columns(["osmid", "merged_by", "mx", "my"]).join(
+        nodes_slim, join_type="inner", num_partitions=jp, on=("osmid",))
+
+    def _multi(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"rep": np.zeros(0, np.int64),
+                                 "px": np.zeros(0), "py": np.zeros(0),
+                                 "pr": np.zeros(0), "cx": np.zeros(0),
+                                 "cy": np.zeros(0)})
+        sz = df.groupby("merged_by", sort=False)["osmid"].transform("size")
+        d = df[sz >= 2]
+        return pd.DataFrame({
+            "rep": d["merged_by"].to_numpy().astype(np.int64),
+            "px": d["x"].to_numpy(np.float64),
+            "py": d["y"].to_numpy(np.float64),
+            "pr": d["buffer_r"].to_numpy(np.float64),
+            "cx": d["mx"].to_numpy(np.float64),
+            "cy": d["my"].to_numpy(np.float64)})
+
+    members = grouped(mem, ["merged_by"], _multi, small=merge_small,
+                      rows=n_nodes)
+
+    import math
+
+    phi = math.radians(ref_lat if ref_lat is not None else 48.0)
+    coslat = max(math.cos(phi), 0.05)
+    deg_y = max(max_r, 1.0) / 111320.0          # meters → lat degrees
+    deg_x = deg_y / coslat
+    ts = max(64.0 * deg_y, 0.002)               # tile edge, degrees
+    hx, hy = 1.05 * deg_x, 1.05 * deg_y         # halo (≥ max_r, margin)
+
+    def _mem_tiles(df: pd.DataFrame) -> pd.DataFrame:
+        tx = np.floor(df["px"].to_numpy(np.float64) / ts).astype(np.int64)
+        ty = np.floor(df["py"].to_numpy(np.float64) / ts).astype(np.int64)
+        out = df.copy()
+        out["tile"] = (tx + _TILE_OFF) * _TILE_SPAN + (ty + _TILE_OFF)
+        out["kind"] = np.int64(0)
+        out["osmid"] = np.int64(-1)
+        out["geometry"] = b""
+        return out
+
+    def _edge_tiles(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"tile": np.zeros(0, np.int64), "kind": np.zeros(0, np.int64),
+                "rep": np.zeros(0, np.int64), "px": np.zeros(0),
+                "py": np.zeros(0), "pr": np.zeros(0), "cx": np.zeros(0),
+                "cy": np.zeros(0), "osmid": np.zeros(0, np.int64),
+                "geometry": np.zeros(0, object)}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        from .. import geom
+        coords, offsets = geom.wkb_linestrings_to_flat(df["geometry"].tolist())
+        mnx = np.minimum.reduceat(coords[:, 0], offsets[:-1])
+        mxx = np.maximum.reduceat(coords[:, 0], offsets[:-1])
+        mny = np.minimum.reduceat(coords[:, 1], offsets[:-1])
+        mxy = np.maximum.reduceat(coords[:, 1], offsets[:-1])
+        tx0 = np.floor((mnx - hx) / ts).astype(np.int64)
+        tx1 = np.floor((mxx + hx) / ts).astype(np.int64)
+        ty0 = np.floor((mny - hy) / ts).astype(np.int64)
+        ty1 = np.floor((mxy + hy) / ts).astype(np.int64)
+        nx_t = tx1 - tx0 + 1
+        ny_t = ty1 - ty0 + 1
+        cnt = nx_t * ny_t
+        ei = np.repeat(np.arange(len(df), dtype=np.int64), cnt)
+        pos = (np.arange(int(cnt.sum()), dtype=np.int64)
+               - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        gx = tx0[ei] + pos // ny_t[ei]
+        gy = ty0[ei] + pos % ny_t[ei]
+        geoms = df["geometry"].to_numpy(object)
+        osmid = df["osmid"].to_numpy().astype(np.int64)
+        n = len(ei)
+        return pd.DataFrame({
+            "tile": (gx + _TILE_OFF) * _TILE_SPAN + (gy + _TILE_OFF),
+            "kind": np.ones(n, np.int64),
+            "rep": np.full(n, -1, np.int64),
+            "px": np.full(n, np.nan), "py": np.full(n, np.nan),
+            "pr": np.full(n, np.nan), "cx": np.full(n, np.nan),
+            "cy": np.full(n, np.nan),
+            "osmid": osmid[ei], "geometry": geoms[ei]})
+
+    tiled = members.map_batches(_mem_tiles, batch_format="pandas").union(
+        edges_ds.select_columns(["osmid", "geometry"]).map_batches(
+            _edge_tiles, batch_format="pandas"))
+
+    def _tile_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("tile", sort=False):
+            m = g[g["kind"] == 0]
+            e = g[g["kind"] == 1]
+            if not len(m) or not len(e):
+                continue
+            order = np.argsort(m["rep"].to_numpy(), kind="mergesort")
+            rep = m["rep"].to_numpy(np.int64)[order]
+            mpx = m["px"].to_numpy(np.float64)[order]
+            mpy = m["py"].to_numpy(np.float64)[order]
+            mpr = m["pr"].to_numpy(np.float64)[order]
+            first = np.concatenate([[True], rep[1:] != rep[:-1]])
+            outs.append(S._split_requests_core(
+                e[["osmid", "geometry"]], rep, mpx, mpy, mpr,
+                rep[first], m["cx"].to_numpy(np.float64)[order][first],
+                m["cy"].to_numpy(np.float64)[order][first],
+                max_r, ref_lat))
+        if not outs:
+            return S._split_requests_empty()
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped(tiled, ["tile"], _tile_kernel, small=merge_small,
+                    rows=(n_edges or 0) + (n_nodes or 0) or None)
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return S._split_requests_empty().drop(columns=["inside"])
+        bad = df.groupby(["edge_osmid", "rep"], sort=False)["inside"].transform("max")
+        d = df[~bad.astype(bool)].drop_duplicates(["edge_osmid", "rep"])
+        return d[["edge_osmid", "rep", "t_arc", "px", "py"]].reset_index(drop=True)
+
+    return grouped(pairs, ["edge_osmid", "rep"], _resolve, small=merge_small,
+                   rows=n_edges)
+
+
+# ---------------------------------------------------------------------------
 # full pipeline
 # ---------------------------------------------------------------------------
 
@@ -607,27 +774,41 @@ def simplify_network(
     # request rows are ever collected on the driver (round-1 flag: the
     # request table is O(edge×buffer crossings) and can reach GBs at 10^8
     # edges).
-    mm1_pd = mm1.to_pandas()
-    _mark("cluster_pass_1")
-    nodes_pd = _collect_pandas(nodes_all, ["osmid", "x", "y", "buffer_r"])
-    state = S.ClusterBufferState(mm1_pd, nodes_pd, ref_lat=cfg.ref_lat)
-    state_ref = ray.put(state)
+    # size-adaptive state layout (P3_BROADCAST_STATE_MAX_NODES): only below
+    # the cap may node-scaled tables land on the driver
+    use_broadcast_state = n_nodes <= P3_BROADCAST_STATE_MAX_NODES
+    if use_broadcast_state:
+        mm1_pd = mm1.to_pandas()
+        _mark("cluster_pass_1")
+        nodes_pd = _collect_pandas(nodes_all, ["osmid", "x", "y", "buffer_r"])
+        state = S.ClusterBufferState(mm1_pd, nodes_pd, ref_lat=cfg.ref_lat)
+        state_ref = ray.put(state)
 
-    class _RequestsBatch:
-        """Actor-pool stage: ClusterBufferState is an object graph (grid
-        index + per-cluster arrays) that ``ray.get`` unpickles on every
-        call — fetched once per actor, not once per batch."""
+        class _RequestsBatch:
+            """Actor-pool stage: ClusterBufferState is an object graph (grid
+            index + per-cluster arrays) that ``ray.get`` unpickles on every
+            call — fetched once per actor, not once per batch."""
 
-        def __init__(self):
-            self.state = ray.get(state_ref)
+            def __init__(self):
+                self.state = ray.get(state_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return S.split_requests(df, self.state)
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                return S.split_requests(df, self.state)
 
-    from ..rayctx import pool_width
+        from ..rayctx import pool_width
 
-    req_ds = edges_ds.map_batches(_RequestsBatch, batch_format="pandas",
-                                  concurrency=(1, pool_width())).materialize()
+        req_ds = edges_ds.map_batches(_RequestsBatch, batch_format="pandas",
+                                      concurrency=(1, pool_width())).materialize()
+    else:
+        # max buffer radius is a scalar reduce (the only global the tiled
+        # build needs); tiles + halos make every (edge, cluster) interaction
+        # tile-local — see split_requests_tiled
+        max_r = float(nodes_all.max("buffer_r") or 0.0)
+        _mark("cluster_pass_1")
+        req_ds = split_requests_tiled(
+            edges_ds, mm1, nodes_all, max_r=max_r, ref_lat=cfg.ref_lat,
+            join_partitions=jp, n_edges=n_edges, n_nodes=n_nodes,
+            merge_small=merge_small).materialize()
     _mark("split_requests")
     if req_ds.count() > 0:
         joined = edges_ds.join(req_ds, join_type="left_outer",
@@ -661,31 +842,62 @@ def simplify_network(
                                rows=n_nodes).materialize()
     _mark("cluster_pass_2")
 
-    # 8. reassign edges to merged nodes. The merge map is broadcast as
-    # SORTED numpy arrays (id + searchsorted lookup inside the kernel) —
-    # compact, zero-copy out of the object store, no driver-held Python
-    # dicts (round-1 flag: dicts cost tens of GB at 10^8 nodes).
-    mm2_pd = mm2.to_pandas()
-    _mark("mm2_to_driver")
-    order = np.argsort(mm2_pd["osmid"].to_numpy(), kind="stable")
-    ids_sorted = mm2_pd["osmid"].to_numpy()[order].astype(np.int64)
-    maps_ref = ray.put((
-        ids_sorted,
-        mm2_pd["merged_by"].to_numpy()[order].astype(np.int64),
-        mm2_pd["mx"].to_numpy()[order].astype(np.float64),
-        mm2_pd["my"].to_numpy()[order].astype(np.float64),
-    ))
+    # 8. reassign edges to merged nodes. Below the cap the merge map is
+    # broadcast as SORTED numpy arrays (id + searchsorted lookup inside the
+    # kernel — compact, zero-copy out of the object store, no driver-held
+    # Python dicts); above it the map never touches the driver at all —
+    # two left_outer hash joins attach the (rep, mx, my) triple to each
+    # endpoint and the SAME kernel tail finishes per batch.
+    if use_broadcast_state:
+        mm2_pd = mm2.to_pandas()
+        _mark("mm2_to_driver")
+        order = np.argsort(mm2_pd["osmid"].to_numpy(), kind="stable")
+        ids_sorted = mm2_pd["osmid"].to_numpy()[order].astype(np.int64)
+        maps_ref = ray.put((
+            ids_sorted,
+            mm2_pd["merged_by"].to_numpy()[order].astype(np.int64),
+            mm2_pd["mx"].to_numpy()[order].astype(np.float64),
+            mm2_pd["my"].to_numpy()[order].astype(np.float64),
+        ))
 
-    class _ReassignBatch:
-        def __init__(self):
-            self.maps = ray.get(maps_ref)
+        class _ReassignBatch:
+            def __init__(self):
+                self.maps = ray.get(maps_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids, mb, mxa, mya = self.maps
-            return S.reassign_edges_arrays(df, ids, mb, ids, mxa, ids, mya)
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ids, mb, mxa, mya = self.maps
+                return S.reassign_edges_arrays(df, ids, mb, ids, mxa, ids, mya)
 
-    edges_ds = edges_ds.map_batches(_ReassignBatch, batch_format="pandas",
-                                    concurrency=(1, pool_width()))
+        edges_ds = edges_ds.map_batches(_ReassignBatch, batch_format="pandas",
+                                        concurrency=(1, pool_width()))
+    else:
+        def _mm_u(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "nid_u": df["osmid"].to_numpy().astype(np.int64),
+                "rep_u": df["merged_by"].to_numpy().astype(np.int64),
+                "mux": df["mx"].to_numpy(np.float64),
+                "muy": df["my"].to_numpy(np.float64)})
+
+        def _mm_v(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "nid_v": df["osmid"].to_numpy().astype(np.int64),
+                "rep_v": df["merged_by"].to_numpy().astype(np.int64),
+                "mvx": df["mx"].to_numpy(np.float64),
+                "mvy": df["my"].to_numpy(np.float64)})
+
+        j = edges_ds.join(mm2.map_batches(_mm_u, batch_format="pandas"),
+                          join_type="left_outer", num_partitions=jp,
+                          on=("u",), right_on=("nid_u",))
+        j = j.join(mm2.map_batches(_mm_v, batch_format="pandas"),
+                   join_type="left_outer", num_partitions=jp,
+                   on=("v",), right_on=("nid_v",))
+
+        def _resolve_batch(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=[c for c in ("nid_u", "nid_v")
+                                  if c in df.columns])
+            return S.reassign_edges_resolved(df)
+
+        edges_ds = j.map_batches(_resolve_batch, batch_format="pandas")
 
     # 10. merge nodes: join merge map, group by representative. The tag
     # cleaning happens INSIDE the post-shuffle block — cleaned columns hold

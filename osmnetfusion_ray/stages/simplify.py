@@ -337,17 +337,30 @@ class ClusterBufferState:
             self._idx = None
 
 
-def split_requests(edges: pd.DataFrame, state: ClusterBufferState) -> pd.DataFrame:
-    """Phase 1 (per edge batch, broadcast state): for each (edge, cluster
-    buffer) the edge passes THROUGH (neither endpoint inside), emit the
-    split point = nearest edge point to the cluster centroid with its
-    arc-length position. Pure function of (edge, cluster) — deterministic
-    under any partitioning; replaces the reference's sequential conflict
-    fixup of multiply-split edges (p3_functions.py:1005-1072).
-    """
-    out = {"edge_osmid": [], "rep": [], "t_arc": [], "px": [], "py": []}
-    if state._idx is None or len(edges) == 0:
-        return pd.DataFrame(out)
+def _split_requests_empty() -> pd.DataFrame:
+    return pd.DataFrame({
+        "edge_osmid": np.zeros(0, np.int64), "rep": np.zeros(0, np.int64),
+        "t_arc": np.zeros(0, np.float64), "px": np.zeros(0, np.float64),
+        "py": np.zeros(0, np.float64), "inside": np.zeros(0, bool)})
+
+
+def _split_requests_core(edges: pd.DataFrame,
+                         m_rep: np.ndarray, m_px: np.ndarray,
+                         m_py: np.ndarray, m_pr: np.ndarray,
+                         c_rep: np.ndarray, c_x: np.ndarray, c_y: np.ndarray,
+                         max_r: float, ref_lat: float | None) -> pd.DataFrame:
+    """Shared kernel of the broadcast AND tiled split-request paths: for
+    each candidate (edge, cluster) pair emit one row carrying the LOCAL
+    endpoint-inside flag — computed over the member rows VISIBLE here (the
+    full cluster in the broadcast path, a tile's subset in the tiled path)
+    — instead of filtering on it, so the tiled caller can OR the flags
+    across tiles. Locally-not-inside pairs carry the split point (pure
+    function of edge geometry + cluster centroid → identical in every tile
+    that discovers the pair); locally-inside pairs carry NaN and exist
+    only to veto. Member arrays must be sorted by ``m_rep`` (contiguous
+    clusters); centroid arrays sorted by ``c_rep``."""
+    if len(edges) == 0 or len(m_px) == 0:
+        return _split_requests_empty()
 
     geoms = edges["geometry"].tolist()
     osmids = edges["osmid"].to_numpy()
@@ -362,14 +375,14 @@ def split_requests(edges: pd.DataFrame, state: ClusterBufferState) -> pd.DataFra
 
     # candidate (member-disk, segment) hits: member centers within r of a segment
     seg_idx = SegmentGridIndex(ax, ay, bx, by, np.arange(len(ax), dtype=np.int64),
-                               max_radius_m=max(2 * state.max_r, 1.0),
-                               ref_lat=state.ref_lat)
-    pt_rows, seg_rows, dist = seg_idx.within(state.px, state.py, state.max_r)
-    hit = dist < state.pr[pt_rows]
+                               max_radius_m=max(2 * max_r, 1.0),
+                               ref_lat=ref_lat)
+    pt_rows, seg_rows, dist = seg_idx.within(m_px, m_py, max_r)
+    hit = dist < m_pr[pt_rows]
     if not hit.any():
-        return pd.DataFrame(out)
+        return _split_requests_empty()
     e_hit = seg_edge[seg_rows[hit]]
-    c_hit = state.rep[pt_rows[hit]]
+    c_hit = m_rep[pt_rows[hit]]
     # unique (edge, cluster) pairs — fully vectorized from here on (the
     # per-pair Python loop was the last row loop in the two-phase split)
     pk = np.unique(np.stack([e_hit, c_hit], axis=1), axis=0)
@@ -381,58 +394,87 @@ def split_requests(edges: pd.DataFrame, state: ClusterBufferState) -> pd.DataFra
     ey1 = coords[offsets[1:] - 1, 1]
 
     # endpoint-inside test per (edge, cluster): endpoint within ANY member
-    # disk. Member rows of each cluster are contiguous (state sorted by rep)
-    mlo = np.searchsorted(state.rep, prep, side="left")
-    mhi = np.searchsorted(state.rep, prep, side="right")
+    # disk visible here. Member rows of each cluster are contiguous.
+    mlo = np.searchsorted(m_rep, prep, side="left")
+    mhi = np.searchsorted(m_rep, prep, side="right")
     mcnt = mhi - mlo
     pr_of = np.repeat(np.arange(len(pe), dtype=np.int64), mcnt)
     moffs = np.concatenate([[0], np.cumsum(mcnt)])
     mpos = (np.arange(int(mcnt.sum()), dtype=np.int64)
             - np.repeat(moffs[:-1], mcnt) + np.repeat(mlo, mcnt))
-    d0 = geom.haversine_m(ex0[pe][pr_of], ey0[pe][pr_of], state.px[mpos], state.py[mpos])
-    d1 = geom.haversine_m(ex1[pe][pr_of], ey1[pe][pr_of], state.px[mpos], state.py[mpos])
-    inside = ((d0 < state.pr[mpos]) | (d1 < state.pr[mpos])).astype(np.int64)
-    any_inside = np.bincount(pr_of, weights=inside, minlength=len(pe)) > 0
-    keep_pair = ~any_inside
-    pe, prep = pe[keep_pair], prep[keep_pair]
-    if not len(pe):
-        return pd.DataFrame(out)
+    d0 = geom.haversine_m(ex0[pe][pr_of], ey0[pe][pr_of], m_px[mpos], m_py[mpos])
+    d1 = geom.haversine_m(ex1[pe][pr_of], ey1[pe][pr_of], m_px[mpos], m_py[mpos])
+    ins = ((d0 < m_pr[mpos]) | (d1 < m_pr[mpos])).astype(np.int64)
+    any_inside = np.bincount(pr_of, weights=ins, minlength=len(pe)) > 0
 
-    # nearest point on each edge polyline to its cluster centroid: expand
-    # (pair × edge segments) — segments of an edge are contiguous in the
-    # kept-segment arrays
-    seg_start = np.concatenate([[0], np.cumsum(n_pts - 1)])
-    ci = np.searchsorted(state.cent_rep, prep)
-    cx, cy = state.cx[ci], state.cy[ci]
-    scnt = (n_pts - 1)[pe]
-    sp_of = np.repeat(np.arange(len(pe), dtype=np.int64), scnt)
-    soffs = np.concatenate([[0], np.cumsum(scnt)])
-    spos = (np.arange(int(scnt.sum()), dtype=np.int64)
-            - np.repeat(soffs[:-1], scnt) + np.repeat(seg_start[pe], scnt))
-    d, t = geom.point_segment_dist_m(
-        cx[sp_of], cy[sp_of], ax[spos], ay[spos], bx[spos], by[spos], cy[sp_of])
-    # first argmin per pair over its contiguous segment range
-    dmin = np.minimum.reduceat(d, soffs[:-1])
-    rel = np.arange(len(d), dtype=np.int64) - np.repeat(soffs[:-1], scnt)
-    cand = np.where(d == np.repeat(dmin, scnt), rel, np.int64(len(d)))
-    jrel = np.minimum.reduceat(cand, soffs[:-1])
-    j = seg_start[pe] + jrel
-    tt = t[soffs[:-1] + jrel]
-    sx = ax[j] + tt * (bx[j] - ax[j])
-    sy = ay[j] + tt * (by[j] - ay[j])
-    # p5 must not coincide with an endpoint (p3_functions.py:540)
-    ok = ~(((sx == ex0[pe]) & (sy == ey0[pe])) | ((sx == ex1[pe]) & (sy == ey1[pe])))
-    # arc position: cumulative length to segment j + t within it
-    seg_len = geom.haversine_m(ax, ay, bx, by)
-    slc = np.concatenate([[0.0], np.cumsum(seg_len)])
-    t_arc = (slc[j] - slc[seg_start[pe]]) + tt * seg_len[j]
-    return pd.DataFrame({
-        "edge_osmid": osmids[pe[ok]].astype(np.int64),
-        "rep": prep[ok].astype(np.int64),
-        "t_arc": t_arc[ok],
-        "px": sx[ok],
-        "py": sy[ok],
-    })
+    frames = []
+    ni = ~any_inside
+    pe_n, prep_n = pe[ni], prep[ni]
+    if len(pe_n):
+        # nearest point on each edge polyline to its cluster centroid:
+        # expand (pair × edge segments) — segments of an edge are
+        # contiguous in the kept-segment arrays
+        seg_start = np.concatenate([[0], np.cumsum(n_pts - 1)])
+        ci = np.searchsorted(c_rep, prep_n)
+        cx, cy = c_x[ci], c_y[ci]
+        scnt = (n_pts - 1)[pe_n]
+        sp_of = np.repeat(np.arange(len(pe_n), dtype=np.int64), scnt)
+        soffs = np.concatenate([[0], np.cumsum(scnt)])
+        spos = (np.arange(int(scnt.sum()), dtype=np.int64)
+                - np.repeat(soffs[:-1], scnt) + np.repeat(seg_start[pe_n], scnt))
+        d, t = geom.point_segment_dist_m(
+            cx[sp_of], cy[sp_of], ax[spos], ay[spos], bx[spos], by[spos], cy[sp_of])
+        # first argmin per pair over its contiguous segment range
+        dmin = np.minimum.reduceat(d, soffs[:-1])
+        rel = np.arange(len(d), dtype=np.int64) - np.repeat(soffs[:-1], scnt)
+        cand = np.where(d == np.repeat(dmin, scnt), rel, np.int64(len(d)))
+        jrel = np.minimum.reduceat(cand, soffs[:-1])
+        j = seg_start[pe_n] + jrel
+        tt = t[soffs[:-1] + jrel]
+        sx = ax[j] + tt * (bx[j] - ax[j])
+        sy = ay[j] + tt * (by[j] - ay[j])
+        # p5 must not coincide with an endpoint (p3_functions.py:540) —
+        # deterministic in every tile, so not-ok pairs emit nothing at all
+        ok = ~(((sx == ex0[pe_n]) & (sy == ey0[pe_n]))
+               | ((sx == ex1[pe_n]) & (sy == ey1[pe_n])))
+        # arc position: cumulative length to segment j + t within it
+        seg_len = geom.haversine_m(ax, ay, bx, by)
+        slc = np.concatenate([[0.0], np.cumsum(seg_len)])
+        t_arc = (slc[j] - slc[seg_start[pe_n]]) + tt * seg_len[j]
+        frames.append(pd.DataFrame({
+            "edge_osmid": osmids[pe_n[ok]].astype(np.int64),
+            "rep": prep_n[ok].astype(np.int64),
+            "t_arc": t_arc[ok], "px": sx[ok], "py": sy[ok],
+            "inside": np.zeros(int(ok.sum()), bool)}))
+    if any_inside.any():
+        pi, ri = pe[any_inside], prep[any_inside]
+        frames.append(pd.DataFrame({
+            "edge_osmid": osmids[pi].astype(np.int64),
+            "rep": ri.astype(np.int64),
+            "t_arc": np.full(len(pi), np.nan),
+            "px": np.full(len(pi), np.nan), "py": np.full(len(pi), np.nan),
+            "inside": np.ones(len(pi), bool)}))
+    if not frames:
+        return _split_requests_empty()
+    return pd.concat(frames, ignore_index=True)
+
+
+def split_requests(edges: pd.DataFrame, state: ClusterBufferState) -> pd.DataFrame:
+    """Phase 1 (per edge batch, broadcast state): for each (edge, cluster
+    buffer) the edge passes THROUGH (neither endpoint inside), emit the
+    split point = nearest edge point to the cluster centroid with its
+    arc-length position. Pure function of (edge, cluster) — deterministic
+    under any partitioning; replaces the reference's sequential conflict
+    fixup of multiply-split edges (p3_functions.py:1005-1072). The state
+    here is cluster-complete, so the core's LOCAL inside flag IS the
+    global one and filtering it reproduces the pre-refactor behavior."""
+    if state._idx is None or len(edges) == 0:
+        return _split_requests_empty().drop(columns=["inside"])
+    r = _split_requests_core(edges, state.rep, state.px, state.py, state.pr,
+                             state.cent_rep, state.cx, state.cy,
+                             state.max_r, state.ref_lat)
+    return (r[~r["inside"]].drop(columns=["inside"])
+            .reset_index(drop=True))
 
 
 def apply_edge_splits(edges: pd.DataFrame, req: pd.DataFrame,
@@ -553,9 +595,9 @@ def reassign_edges_arrays(
     v = edges["v"].to_numpy().astype(np.int64)
     new_u = _sorted_lookup(mb_ids, mb_vals, u, u)
     new_v = _sorted_lookup(mb_ids, mb_vals, v, v)
-    edges["new_u"] = new_u
-    edges["new_v"] = new_v
     if n == 0:
+        edges["new_u"] = new_u
+        edges["new_v"] = new_v
         edges["geom_linear"] = []
         edges["geom_reassigned"] = []
         edges["length"] = np.zeros(0)
@@ -570,6 +612,60 @@ def reassign_edges_arrays(
     uy = _sorted_lookup(my_ids, my_vals, u, fy)
     vx = _sorted_lookup(mx_ids, mx_vals, v, lx)
     vy = _sorted_lookup(my_ids, my_vals, v, ly)
+    return _reassign_core(edges, u, v, new_u, new_v, ux, uy, vx, vy,
+                          coords, offsets)
+
+
+def reassign_edges_resolved(edges: pd.DataFrame) -> pd.DataFrame:
+    """Join-attached variant of :func:`reassign_edges_arrays` for the
+    above-cap distributed path: the merge-map lookup arrives as COLUMNS
+    (``rep_u``/``mux``/``muy`` and ``rep_v``/``mvx``/``mvy``, NaN where the
+    endpoint is unmapped — the left_outer hash-join attachment in
+    ``pipelines/simplify.py``) instead of broadcast sorted arrays, so no
+    O(N_nodes) state ever touches the driver. Defaults mirror the array
+    path: unmapped endpoints keep their id and their original first/last
+    geometry coordinate. Consumes (drops) the six helper columns."""
+    helper = ["rep_u", "mux", "muy", "rep_v", "mvx", "mvy"]
+    n = len(edges)
+    u = edges["u"].to_numpy().astype(np.int64)
+    v = edges["v"].to_numpy().astype(np.int64)
+    # joins deliver nullable dtypes (Int64 with pd.NA / object with None);
+    # astype(float64) maps every null flavor to NaN
+    rep_u = edges["rep_u"].astype("float64").to_numpy()
+    rep_v = edges["rep_v"].astype("float64").to_numpy()
+    new_u = np.where(np.isnan(rep_u), u, rep_u).astype(np.int64)
+    new_v = np.where(np.isnan(rep_v), v, rep_v).astype(np.int64)
+    mux = edges["mux"].astype("float64").to_numpy()
+    muy = edges["muy"].astype("float64").to_numpy()
+    mvx = edges["mvx"].astype("float64").to_numpy()
+    mvy = edges["mvy"].astype("float64").to_numpy()
+    edges = edges.drop(columns=helper).copy()
+    if n == 0:
+        edges["new_u"] = new_u
+        edges["new_v"] = new_v
+        edges["geom_linear"] = []
+        edges["geom_reassigned"] = []
+        edges["length"] = np.zeros(0)
+        edges["bearing"] = np.zeros(0)
+        return edges
+    coords, offsets = geom.wkb_linestrings_to_flat(edges["geometry"].tolist())
+    off0, off1 = offsets[:-1], offsets[1:]
+    fx, fy = coords[off0, 0], coords[off0, 1]
+    lx, ly = coords[off1 - 1, 0], coords[off1 - 1, 1]
+    ux = np.where(np.isnan(mux), fx, mux)
+    uy = np.where(np.isnan(muy), fy, muy)
+    vx = np.where(np.isnan(mvx), lx, mvx)
+    vy = np.where(np.isnan(mvy), ly, mvy)
+    return _reassign_core(edges, u, v, new_u, new_v, ux, uy, vx, vy,
+                          coords, offsets)
+
+
+def _reassign_core(edges: pd.DataFrame, u, v, new_u, new_v, ux, uy, vx, vy,
+                   coords, offsets) -> pd.DataFrame:
+    n = len(edges)
+    off0, off1 = offsets[:-1], offsets[1:]
+    edges["new_u"] = new_u
+    edges["new_v"] = new_v
 
     # mids window per edge — the reference's (buggy, preserved) elif chain
     # p3_functions.py:610-619: u unchanged → drop first; elif v unchanged →

@@ -158,8 +158,17 @@ class TestSimplifyPathEquality:
         ln, le = run()                       # small path (default at this size)
         monkeypatch.setattr(SIMP, "SMALL_SIMPLIFY_MAX_EDGES", 0)
         dn, de = run()                       # forced distributed path
+        # forced tiled-state path: cluster-buffer split requests built by
+        # keyed exchanges and reassign by hash-join attachment — nothing
+        # O(N_nodes) on the driver (round-2 scale flag)
+        monkeypatch.setattr(SIMP, "P3_BROADCAST_STATE_MAX_NODES", 0)
+        tn, te = run()
         monkeypatch.undo()
         assert sorted(le.columns) == sorted(de.columns)
         assert sorted(ln.columns) == sorted(dn.columns)
         pd.testing.assert_frame_equal(le, de[le.columns], check_dtype=False)
         pd.testing.assert_frame_equal(ln, dn[ln.columns], check_dtype=False)
+        assert sorted(le.columns) == sorted(te.columns)
+        assert sorted(ln.columns) == sorted(tn.columns)
+        pd.testing.assert_frame_equal(le, te[le.columns], check_dtype=False)
+        pd.testing.assert_frame_equal(ln, tn[ln.columns], check_dtype=False)
