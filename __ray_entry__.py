@@ -435,7 +435,7 @@ def _q_media_pipeline(sf_dir: str):
     from osmnetfusion_ray.sources import read_table
     from osmnetfusion_ray.stages import multimodal as MM
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         MM.media_from_documents_batch, batch_format="pyarrow")
     ds = ds.map_batches(MM.MediaDecoder, batch_format="pyarrow",
                         batch_size=256, concurrency=(1, 4))
@@ -449,7 +449,7 @@ def _q_media_features(sf_dir: str):
     from osmnetfusion_ray.sources import read_table
     from osmnetfusion_ray.stages import multimodal as MM
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         MM.media_from_documents_batch, batch_format="pyarrow")
     return ds.map_batches(MM.FeatureExtractor, batch_format="pyarrow",
                           batch_size=256, concurrency=(1, 4))
@@ -521,17 +521,19 @@ def _q_video_pipeline_y4m(sf_dir: str):
 
 
 def _q_media_feature_stats(sf_dir: str):
-    """Per-media scalar summary of the FeatureExtractor embedding — the
-    oracle-checkable projection of the list<float> feature column. Features
-    are 4-bit-quantized (k/15), so dequantizing back to integer nibbles
-    makes the sums exact; the only float ops are one division / one sqrt."""
+    """Per-media scalar summary of the FeatureExtractor CONTENT histogram
+    — the oracle-checkable projection of the list<float> feature column.
+    Features are exact integer bin counts over the REAL decoded units, so
+    the stats are integer-exact; the only float op is one sqrt. The oracle
+    recomputes the counts from the codec generation formulas without ever
+    seeing bytes (corpusoracle.media_feature_stats_sql)."""
     import numpy as np
     import pyarrow as pa
 
     from osmnetfusion_ray.sources import read_table
     from osmnetfusion_ray.stages import multimodal as MM
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         MM.media_from_documents_batch, batch_format="pyarrow")
     ds = ds.map_batches(MM.FeatureExtractor, batch_format="pyarrow",
                         batch_size=256, concurrency=(1, 4))
@@ -539,14 +541,14 @@ def _q_media_feature_stats(sf_dir: str):
     def stats(batch: pa.Table) -> pa.Table:
         feat = batch["feature"].combine_chunks()
         mat = feat.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
-        nib = np.rint(mat * 15.0).astype(np.int64)
+        cnt = np.rint(mat).astype(np.int64)
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
-            "f_min": pa.array(nib.min(axis=1).astype(np.float64) / 15.0),
-            "f_max": pa.array(nib.max(axis=1).astype(np.float64) / 15.0),
-            "f_sum": pa.array(nib.sum(axis=1).astype(np.float64) / 15.0),
-            "f_norm": pa.array(np.sqrt((nib * nib).sum(axis=1).astype(np.float64)) / 15.0),
+            "f_min": pa.array(cnt.min(axis=1).astype(np.float64)),
+            "f_max": pa.array(cnt.max(axis=1).astype(np.float64)),
+            "f_sum": pa.array(cnt.sum(axis=1).astype(np.float64)),
+            "f_norm": pa.array(np.sqrt((cnt * cnt).sum(axis=1).astype(np.float64))),
         })
 
     return ds.map_batches(stats, batch_format="pyarrow")
@@ -753,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_bike_labels": netqueries.network_bike_labels,
         "network_reverse_bike": netqueries.network_reverse_bike,
         "network_pt_stops": netqueries.network_pt_stops,
+        "network_pt_stops_rel": netqueries.network_pt_stops_rel,  # S4 parse path
         "network_amenities": netqueries.network_amenities,
         "network_widths": netqueries.network_widths,
         "network_split_curves": netqueries.network_split_curves,
@@ -2986,8 +2989,16 @@ def oracle_sql() -> dict[str, str]:
                          || substr(substr(text, 1, 256), 3)
                 FROM documents WHERE doc_id % 6 = 0 AND length(text) >= 2
             ),
+            -- per-block contributor cap (ER_BLOCK_CAP = 512 smallest ids):
+            -- the same stated semantic as the engine's pairs_block — only
+            -- capped members generate pairs; the rest stay in the universe
+            capped AS (SELECT id, lang, n_chars, t FROM (
+                       SELECT id, lang, n_chars, t,
+                              row_number() OVER (PARTITION BY lang, n_chars
+                                                 ORDER BY id) AS rn
+                       FROM uni) WHERE rn <= 512),
             pr AS (SELECT a.id AS a, b.id AS b
-                   FROM uni a JOIN uni b
+                   FROM capped a JOIN capped b
                      ON a.lang = b.lang AND a.n_chars = b.n_chars
                     AND a.id < b.id
                     AND levenshtein(a.t, b.t) <= 2),

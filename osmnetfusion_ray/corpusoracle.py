@@ -393,59 +393,107 @@ def ann_topk_ivf_flat_sql(k: int = 10, query_vec_id: int = 0,
 
 
 def media_feature_stats_sql(dim: int = 16) -> str:
-    """Scalar summary of the FeatureExtractor pseudo-embedding — the
-    oracle-checkable projection of the list<float> feature column. Feature
-    i is ``((h >> 4i) & 15) / 15``; the stats dequantize back to integer
-    nibbles so sums are exact and the only float ops are one division /
-    one sqrt (bit-equal on both sides)."""
+    """Scalar summary of the FeatureExtractor CONTENT histogram — the
+    oracle-checkable projection of the list<float> feature column. The
+    engine really decodes the payload bytes and histograms the decoded
+    units; this mirror recomputes the 16 bin counts from the codec
+    generation formulas (ppm/wav/y4m stage docstrings) WITHOUT ever seeing
+    bytes, so a match proves encode→decode content-lossless. Bins:
+    pixel ``v >> 4`` (image), ``(s + 32768) >> 12`` = raw ``% 65536 //
+    4096`` (audio), plane ``v >> 4`` (video). All-integer counts; the only
+    float op is one sqrt."""
     return f"""
-      WITH h AS (
-        SELECT doc_id AS media_id,
-               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                               ELSE 'video' END AS media_type,
-               CAST({fnv_expr('text')} AS UBIGINT) AS h
-        FROM documents
-      ),
-      nib AS (
-        SELECT media_id, media_type,
-               [CAST((h >> (4 * i)) & 15 AS BIGINT) for i in range({dim})] AS ns
-        FROM h
+      WITH bins AS (SELECT unnest(range({dim})) AS bin),
+      img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+              FROM documents WHERE doc_id % 3 = 0),
+      iy AS (SELECT doc_id, w, h, unnest(range(h)) AS y FROM img),
+      ix AS (SELECT doc_id, w, y, unnest(range(w)) AS x FROM iy),
+      ic AS (SELECT doc_id, y, x, unnest(range(3)) AS c FROM ix),
+      iu AS (SELECT doc_id,
+                    ((doc_id*7919 + y*131 + x*31 + c*17) % 256) // 16 AS u
+             FROM ic),
+      icnt AS (SELECT i.doc_id, b.bin, count(u.u) AS n
+               FROM img i CROSS JOIN bins b
+               LEFT JOIN iu u ON u.doc_id = i.doc_id AND u.u = b.bin
+               GROUP BY 1, 2),
+      aud AS (SELECT doc_id, 64 + doc_id % 97 AS ns
+              FROM documents WHERE doc_id % 3 = 1),
+      at_ AS (SELECT doc_id, unnest(range(ns)) AS t FROM aud),
+      au AS (SELECT doc_id,
+                    ((doc_id*7919 + t*t*13 + t*101) % 65536) // 4096 AS u
+             FROM at_),
+      acnt AS (SELECT a.doc_id, b.bin, count(u.u) AS n
+               FROM aud a CROSS JOIN bins b
+               LEFT JOIN au u ON u.doc_id = a.doc_id AND u.u = b.bin
+               GROUP BY 1, 2),
+      vid AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                     3 + doc_id % 5 AS nf
+              FROM documents WHERE doc_id % 3 = 2),
+      vf AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM vid),
+      vy AS (SELECT doc_id, w, f, unnest(range(h)) AS y FROM vf),
+      vx AS (SELECT doc_id, f, y, unnest(range(w)) AS x FROM vy),
+      vp AS (SELECT doc_id, f, y, x, unnest(range(3)) AS p FROM vx),
+      vu AS (SELECT doc_id,
+                    ((doc_id*7919 + f*251 + y*131 + x*31 + p*85) % 256)
+                    // 16 AS u
+             FROM vp),
+      vcnt AS (SELECT v.doc_id, b.bin, count(u.u) AS n
+               FROM vid v CROSS JOIN bins b
+               LEFT JOIN vu u ON u.doc_id = v.doc_id AND u.u = b.bin
+               GROUP BY 1, 2),
+      allc AS (
+        SELECT doc_id, 'image' AS media_type, bin, n FROM icnt
+        UNION ALL SELECT doc_id, 'audio', bin, n FROM acnt
+        UNION ALL SELECT doc_id, 'video', bin, n FROM vcnt
       )
-      SELECT media_id, media_type,
-             CAST(list_min(ns) AS DOUBLE) / 15.0 AS f_min,
-             CAST(list_max(ns) AS DOUBLE) / 15.0 AS f_max,
-             CAST(list_sum(ns) AS DOUBLE) / 15.0 AS f_sum,
-             sqrt(CAST(list_sum([n * n for n in ns]) AS DOUBLE)) / 15.0 AS f_norm
-      FROM nib
+      SELECT doc_id AS media_id, media_type,
+             CAST(min(n) AS DOUBLE) AS f_min,
+             CAST(max(n) AS DOUBLE) AS f_max,
+             CAST(sum(n) AS DOUBLE) AS f_sum,
+             sqrt(CAST(sum(n * n) AS DOUBLE)) AS f_norm
+      FROM allc
+      GROUP BY 1, 2
     """
 
 
 def media_pipeline_sql() -> str:
-    """Mirrors stages/multimodal MediaDecoder + MediaResizer fake-decode
-    arithmetic on the codepoint-FNV of the payload text."""
-    return f"""
-      WITH h AS (
-        SELECT doc_id, CAST({fnv_expr('text')} AS UBIGINT) AS h,
-               length(text) AS nb
-        FROM documents
-      ),
-      d AS (
-        SELECT doc_id AS media_id,
-               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                               ELSE 'video' END AS media_type,
-               CAST(nb AS BIGINT) AS media_bytes,
-               CAST(h % 1920 + 16 AS BIGINT) AS width,
-               CAST((h >> 16) % 1080 + 16 AS BIGINT) AS height,
-               CAST((h >> 32) % 300 + 1 AS BIGINT) AS n_frames
-        FROM h
-      )
-      SELECT media_id, media_type, media_bytes, width, height, n_frames,
-             round(CAST(n_frames AS DOUBLE) / 30.0, 3) AS duration_s,
-             CAST(floor(width * least(1.0, least(256.0 / width, 256.0 / height)))
-                  AS BIGINT) AS resized_w,
-             CAST(floor(height * least(1.0, least(256.0 / width, 256.0 / height)))
-                  AS BIGINT) AS resized_h
-      FROM d
+    """Mirrors stages/multimodal's REAL decode path: payload sizes,
+    decoded dims, durations, and nearest-neighbor resize boxes recomputed
+    from the codec formats (P6 header = 9 + digits(w) + digits(h) + 3wh
+    bytes; canonical WAV = 44 + 2n; Y4M = 33 + digits(w) + digits(h)
+    header + nf·(6 + 3wh)) — never from bytes, so a match proves the
+    engine's real encode→parse roundtrip."""
+    return """
+      WITH img AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+      aud AS (SELECT doc_id, 64 + doc_id % 97 AS ns
+              FROM documents WHERE doc_id % 3 = 1),
+      vid AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                     3 + doc_id % 5 AS nf
+              FROM documents WHERE doc_id % 3 = 2)
+      SELECT doc_id AS media_id, 'image' AS media_type,
+             CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                  + 3 * w * h AS BIGINT) AS media_bytes,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(1 AS BIGINT) AS n_frames, 0.0 AS duration_s,
+             CAST(least(w, 8) AS BIGINT) AS resized_w,
+             CAST(least(h, 8) AS BIGINT) AS resized_h
+      FROM img
+      UNION ALL
+      SELECT doc_id, 'audio',
+             CAST(44 + 2 * ns AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(ns AS DOUBLE) / 8000.0,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM aud
+      UNION ALL
+      SELECT doc_id, 'video',
+             CAST(33 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                  + nf * (6 + 3 * w * h) AS BIGINT),
+             CAST(w AS BIGINT), CAST(h AS BIGINT), CAST(nf AS BIGINT),
+             CAST(nf AS DOUBLE) / 25.0,
+             CAST(least(w, 8) AS BIGINT), CAST(least(h, 8) AS BIGINT)
+      FROM vid
     """
 
 

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 from . import geom, synth
 
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 CITY_N = 16
 CITY_SEED = 42
 REF_LAT = 48.15  # PipelineConfig.ref_lat — the enrich metric's latitude
@@ -185,6 +185,12 @@ def ensure_city_fixture() -> str:
         "stop_row": pa.array(np.arange(len(slon), dtype=np.int64)),
         "name": st["name"], "lon": pa.array(slon), "lat": pa.array(slat),
     }))
+
+    # S4 PBF-shaped relation tables (synth.synth_pt_relations over the same
+    # city nodes) — RAW inputs of the parse_pt_relations oracle, which
+    # mirrors the whole parse + J10 + kNN chain in SQL
+    for rel_name, rel_tab in synth.synth_pt_relations(nodes_t, seed=CITY_SEED).items():
+        _write(os.path.join(d, f"{rel_name}.parquet"), rel_tab)
 
     # bike amenities with the engine's display-name format
     am = dims["bike_amenities"]

@@ -291,6 +291,50 @@ def network_oracles() -> dict[str, str]:
         FROM {edges} e LEFT JOIN agg a ON a.osmid = e.osmid
     """
 
+    # S4 parse mirror: the ENTIRE chain — relation parse over the raw
+    # PBF-shaped parquet (node members inherit relation tags; missing-name
+    # fallback = str(relation_id), the engine's documented deviation from
+    # the reference's iteration-ordinal), distributed J10 (count > 3 over
+    # ALL member rows incl. way platforms, dedup to first (relation_id,
+    # seq)), then the same kNN snap as network_pt_stops with stop_row =
+    # (relation_id, seq) rank.
+    out["network_pt_stops_rel"] = f"""
+        WITH tags AS (SELECT * FROM read_parquet('{d}/rel_tags.parquet')),
+        mem AS (SELECT * FROM read_parquet('{d}/rel_members.parquet')),
+        onode AS (SELECT * FROM read_parquet('{d}/osm_nodes.parquet')),
+        pstop AS (SELECT m.relation_id, m.seq, m.member_ref,
+                         coalesce(t.name, CAST(m.relation_id AS VARCHAR))
+                             AS name,
+                         n.lon, n.lat
+                  FROM mem m JOIN tags t USING (relation_id)
+                  JOIN onode n ON n.node_id = m.member_ref
+                  WHERE m.member_type = 'n'),
+        cnt AS (SELECT member_ref, count(*) AS c FROM mem
+                GROUP BY member_ref),
+        keep AS (SELECT p.*, row_number() OVER (PARTITION BY p.member_ref
+                            ORDER BY p.relation_id, p.seq) AS rn
+                 FROM pstop p JOIN cnt c USING (member_ref) WHERE c.c > 3),
+        pts AS (SELECT row_number() OVER (ORDER BY relation_id, seq) - 1
+                       AS stop_row, name, lon, lat
+                FROM keep WHERE rn = 1),
+        carsegs AS (SELECT s.* FROM {segs} s JOIN {edges} e ON e.osmid = s.osmid
+                    WHERE e.highway IN {car}),
+        {_dist_cte("p.stop_row, p.name", "carsegs", MXE)},
+        pe AS (SELECT stop_row, min(name) AS name, osmid, min(dist) AS dist
+               FROM dd WHERE dist <= 30.0 GROUP BY stop_row, osmid),
+        best AS (SELECT *, row_number() OVER (PARTITION BY stop_row
+                                              ORDER BY dist, osmid) AS rn
+                 FROM pe),
+        agg AS (SELECT osmid, count(*) AS cnt,
+                       string_agg(name, ', ' ORDER BY stop_row) AS routes
+                FROM best WHERE rn = 1 GROUP BY osmid)
+        SELECT e.osmid,
+               CASE WHEN a.osmid IS NULL THEN 0 ELSE 1 END AS pt_stop_on,
+               coalesce(a.cnt, 0) AS pt_stop_count,
+               coalesce(a.routes, '') AS pt_stop_routes
+        FROM {edges} e LEFT JOIN agg a ON a.osmid = e.osmid
+    """
+
     out["network_amenities"] = f"""
         WITH f AS ({_bike_flags('e')} FROM {edges} e),
         pts AS (SELECT am_row, name, lon, lat FROM read_parquet('{d}/amenities.parquet')),

@@ -4508,6 +4508,11 @@ def quadtree_sql() -> str:
 ER_OFF = 10_000_000   # variant-record id offset (doc ids are far below)
 ER_TAU = 2            # match threshold: levenshtein <= 2
 ER_TRUNC = 256
+ER_BLOCK_CAP = 512    # per-(lang, n_chars) pair-contributor cap (smallest
+#                       ids) — bounds the triu expansion to O(cap²) on
+#                       adversarial blocks; a stated semantic in BOTH
+#                       engines (oracle: row_number() <= 512), not a
+#                       silent truncation
 
 
 def _er_rotate(t: str, pos: int) -> str:
@@ -4519,7 +4524,7 @@ def _er_rotate(t: str, pos: int) -> str:
     return t[:pos] + chr(32 + (c - 32 + 1) % 95) + t[pos + 1:]
 
 
-def entity_resolution(sf_dir: str) -> rd.Dataset:
+def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
     """ENTITY RESOLUTION END-TO-END (the MDM / record-linkage composite):
     blocking → pairwise exact match scoring → transitive closure →
     golden-record survivorship, chained as ONE lazy pipeline the way
@@ -4533,7 +4538,10 @@ def entity_resolution(sf_dir: str) -> rd.Dataset:
 
     Stages and their scale shapes: (1) blocking = ONE
     (lang, n_chars)-keyed exchange where only ``ER_TRUNC``-byte texts
-    ride; (2) in-block triu pair expansion + the vectorized Levenshtein
+    ride; (2) in-block triu pair expansion over at most the
+    ``ER_BLOCK_CAP`` smallest ids of each block (an explicit contributor
+    cap mirrored by the oracle — the user_covisitation hub-cap semantic —
+    so adversarial blocks stay O(cap²)) + the vectorized Levenshtein
     batch DP, keeping pairs with dist ≤ 2; (3) connected components on
     the SAME size-adaptive labeler as the geometric node clustering
     (driver union-find small, distributed min-label + pointer jumping
@@ -4585,7 +4593,15 @@ def entity_resolution(sf_dir: str) -> rd.Dataset:
             txt = g["t"].to_numpy(object)
             o = np.argsort(ids, kind="stable")
             ids, txt = ids[o], txt[o]
-            ii, jj = np.triu_indices(len(g), k=1)
+            # explicit per-block contributor cap (the user_covisitation
+            # hub-capping semantic, stated by BOTH engines): only the
+            # block_cap smallest ids of a (lang, n_chars) block generate
+            # pairs, so an adversarial block degenerates to O(cap²), not
+            # O(B²). Records beyond the cap stay in the universe (they can
+            # be singletons) but never match.
+            if len(ids) > block_cap:
+                ids, txt = ids[:block_cap], txt[:block_cap]
+            ii, jj = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
             ta.extend(txt[ii])

@@ -130,6 +130,39 @@ def network_pt_stops(sf_dir: str) -> rd.Dataset:
     return ds.select_columns(["osmid", "pt_stop_on", "pt_stop_count", "pt_stop_routes"])
 
 
+def network_pt_stops_rel(sf_dir: str) -> rd.Dataset:
+    """S4 + J10 + J5 off PARSED relations: the PBF-shaped pre-extracted
+    tables (synth.synth_pt_relations — the osmium handler's dicts
+    flattened) are parsed by the distributed ``parse_pt_relations``
+    (marker co-location exchanges only), J10-filtered by the distributed
+    ``filter_pt_stops_ds``, and the surviving POINT stops — sorted by
+    (relation_id, seq) for a deterministic stop_row order — feed the same
+    add_pt_stops kNN as network_pt_stops. Way-member platforms survive the
+    parse (LineString WKB, exercised by pytest) but are excluded from the
+    point-snap join. The DuckDB oracle mirrors the ENTIRE chain — parse
+    (joins over the raw relation parquet), name fallback, J10, kNN — so a
+    match verifies the parser itself, not just the join."""
+    from .. import synth
+    from . import network as PN
+
+    ensure_tuned()
+    nodes_t, edges_t, dims = _city()
+    rels = synth.synth_pt_relations(nodes_t, seed=netfixture.CITY_SEED)
+    stops = PN.parse_pt_relations(
+        rd.from_arrow(rels["rel_tags"]), rd.from_arrow(rels["rel_members"]),
+        rd.from_arrow(rels["osm_nodes"]), rd.from_arrow(rels["osm_ways"]))
+    filt = PN.filter_pt_stops_ds(stops).to_pandas()
+    filt = (filt[filt["geom_type"] == "Point"]
+            .sort_values(["relation_id", "seq"], kind="mergesort")
+            .reset_index(drop=True))
+    stops_t = pa.Table.from_pandas(filt[["name", "geometry"]],
+                                   preserve_index=False)
+    ds = PE.add_pt_stops(_edges_ds(edges_t), stops_t,
+                         max_distance_m=30.0, ref_lat=REF_LAT)
+    return ds.select_columns(["osmid", "pt_stop_on", "pt_stop_count",
+                              "pt_stop_routes"])
+
+
 def network_amenities(sf_dir: str) -> rd.Dataset:
     """J4: nearest bike-accessible edge ≤200 m gets amenity_on; all within
     get amenity_nearby (p2_enrichData.py:495-557)."""

@@ -446,3 +446,80 @@ def synth_pages(n_pages: int = 2000, seed: int = 42) -> pa.Table:
             "lang": pa.array(langs.tolist(), type=pa.string()),
         }
     )
+
+
+def synth_pt_relations(nodes: pa.Table, seed: int = 42) -> dict[str, pa.Table]:
+    """PBF-SHAPED pre-extracted relation rows (S4 scale path): the osmium
+    ``SimpleHandler``'s node/way/relation dicts
+    (p1_getFurtherOSMData.py:93-117) flattened into four Arrow tables —
+    the form a PBF extract takes after a trivial streaming pre-pass, and
+    the input contract of ``pipelines.network.parse_pt_relations``:
+
+    - ``rel_tags``   (relation_id, route, name, operator, ref, network,
+      rel_from, rel_to) — one row per route relation; some names NULL to
+      exercise the fallback;
+    - ``rel_members`` (relation_id, seq, member_type 'n'|'w', member_ref,
+      role) — one row per relation member in relation order;
+    - ``osm_nodes``  (node_id, lon, lat);
+    - ``osm_ways``   (way_id, seq, node_id) — flattened way-node lists.
+
+    Recipe mirrors ``synth_dim_tables``'s pt_stops stream (6 routes × 8
+    node-member stops; the first 3 routes replicated 5× so their members
+    pass the J10 frequency filter) plus one 3-node ``platform`` WAY member
+    per route exercising the LineString assembly. Node ids reuse the
+    7000+idx scheme; way ids are 8000+route (disjoint ref spaces)."""
+    rng = _rng(seed + 7)
+    nx = nodes["x"].to_numpy()
+    ny = nodes["y"].to_numpy()
+    n_nodes = len(nx)
+
+    modes = ["bus", "tram", "trolleybus"]
+    t_rows: list[tuple] = []
+    m_rows: list[tuple] = []
+    w_rows: list[tuple] = []
+    n_routes, stops_per_route = 6, 8
+    for r in range(n_routes):
+        member_idx = rng.choice(n_nodes, size=stops_per_route, replace=False)
+        for rep in range(5 if r < 3 else 1):
+            rid = 100 + r * 10 + rep
+            t_rows.append((rid, modes[r % 3],
+                           None if r % 4 == 0 else f"Route {r}",
+                           f"Operator {r % 2}", str(10 + r), "CityNet",
+                           "Terminal A", "Terminal B"))
+            for k, mi in enumerate(member_idx):
+                m_rows.append((rid, k, "n", int(7000 + mi), "stop"))
+            m_rows.append((rid, stops_per_route, "w", 8000 + r, "platform"))
+    for r in range(n_routes):
+        base = (r * 11) % max(n_nodes - 3, 1)
+        for s in range(3):
+            w_rows.append((8000 + r, s, int(7000 + base + s)))
+
+    rel_tags = pa.table({
+        "relation_id": pa.array([t[0] for t in t_rows], type=pa.int64()),
+        "route": pa.array([t[1] for t in t_rows]),
+        "name": pa.array([t[2] for t in t_rows], type=pa.string()),
+        "operator": pa.array([t[3] for t in t_rows]),
+        "ref": pa.array([t[4] for t in t_rows]),
+        "network": pa.array([t[5] for t in t_rows]),
+        "rel_from": pa.array([t[6] for t in t_rows]),
+        "rel_to": pa.array([t[7] for t in t_rows]),
+    })
+    rel_members = pa.table({
+        "relation_id": pa.array([m[0] for m in m_rows], type=pa.int64()),
+        "seq": pa.array([m[1] for m in m_rows], type=pa.int64()),
+        "member_type": pa.array([m[2] for m in m_rows]),
+        "member_ref": pa.array([m[3] for m in m_rows], type=pa.int64()),
+        "role": pa.array([m[4] for m in m_rows]),
+    })
+    osm_nodes = pa.table({
+        "node_id": pa.array(7000 + np.arange(n_nodes, dtype=np.int64)),
+        "lon": pa.array(nx.astype(np.float64)),
+        "lat": pa.array(ny.astype(np.float64)),
+    })
+    osm_ways = pa.table({
+        "way_id": pa.array([w[0] for w in w_rows], type=pa.int64()),
+        "seq": pa.array([w[1] for w in w_rows], type=pa.int64()),
+        "node_id": pa.array([w[2] for w in w_rows], type=pa.int64()),
+    })
+    return {"rel_tags": rel_tags, "rel_members": rel_members,
+            "osm_nodes": osm_nodes, "osm_ways": osm_ways}

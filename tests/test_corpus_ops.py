@@ -114,47 +114,96 @@ class TestMultimodal:
 
     def test_schema_and_decode(self):
         from osmnetfusion_ray.stages import multimodal as MM
+        from osmnetfusion_ray.stages.ppm import ppm_dims
 
         media = self._media()
         assert media.schema.names == ["media_id", "media_type", "payload", "media_bytes"]
         dec = MM.MediaDecoder()(media)
-        assert (np.asarray(dec["width"].to_pylist()) >= 16).all()
-        assert (np.asarray(dec["n_frames"].to_pylist()) >= 1).all()
+        kinds = dec["media_type"].to_pylist()
+        ids = np.asarray(dec["media_id"].to_pylist())
+        w = np.asarray(dec["width"].to_pylist())
+        nf = np.asarray(dec["n_frames"].to_pylist())
+        img = np.asarray([k == "image" for k in kinds])
+        # the REAL P6 parse recovers the generator's dims exactly
+        assert np.array_equal(w[img], ppm_dims(ids[img])[0])
+        assert (nf[img] == 1).all()
+        aud = np.asarray([k == "audio" for k in kinds])
+        assert (w[aud] == 0).all()
+        vid = np.asarray([k == "video" for k in kinds])
+        assert (nf[vid] >= 1).all()
         # deterministic
         dec2 = MM.MediaDecoder()(media)
         assert dec.equals(dec2)
 
-    def test_real_decode_raises(self):
+    def test_real_decode_raises_on_corrupt_bytes(self):
         from osmnetfusion_ray.stages import multimodal as MM
 
-        with pytest.raises(NotImplementedError):
-            MM.MediaDecoder(fake=False)(self._media())
+        media = self._media()
+        bad = media.set_column(
+            media.schema.get_field_index("payload"), "payload",
+            pa.array([b"garbage" for _ in range(media.num_rows)],
+                     type=pa.binary()))
+        with pytest.raises(ValueError):
+            MM.MediaDecoder()(bad)
 
-    def test_resize_bounds(self):
+    def test_resize_real_roundtrip(self):
         from osmnetfusion_ray.stages import multimodal as MM
+        from osmnetfusion_ray.stages.ppm import decode_ppm, ppm_pixels
 
-        out = MM.MediaResizer(max_w=128, max_h=128)(MM.MediaDecoder()(self._media()))
-        assert (np.asarray(out["resized_w"].to_pylist()) <= 128).all()
-        assert (np.asarray(out["resized_h"].to_pylist()) <= 128).all()
+        out = MM.MediaResizer()(MM.MediaDecoder()(self._media()))
+        kinds = out["media_type"].to_pylist()
+        rw = np.asarray(out["resized_w"].to_pylist())
+        rh = np.asarray(out["resized_h"].to_pylist())
+        w = np.asarray(out["width"].to_pylist())
+        h = np.asarray(out["height"].to_pylist())
+        for k in range(out.num_rows):
+            if kinds[k] != "image":
+                continue
+            assert rw[k] == min(w[k], MM.RESIZE_BOX)
+            assert rh[k] == min(h[k], MM.RESIZE_BOX)
+            # the resized payload is REAL P6 whose pixels are the NN
+            # resample of the generator field
+            ww, hh, pix = decode_ppm(out["resized_payload"][k].as_py())
+            assert (ww, hh) == (rw[k], rh[k])
+            src = ppm_pixels(int(out["media_id"][k].as_py()), int(w[k]), int(h[k]))
+            ri = (np.arange(hh) * h[k]) // hh
+            rj = (np.arange(ww) * w[k]) // ww
+            assert np.array_equal(pix, src[ri][:, rj])
+        aud = np.asarray([t == "audio" for t in kinds])
+        assert (rw[aud] == 0).all() and (rh[aud] == 0).all()
 
     def test_frame_sampler_flatmap(self):
         from osmnetfusion_ray.stages import multimodal as MM
 
         dec = MM.MediaDecoder()(self._media(12))
-        frames = MM.FrameSampler(every=30, max_frames=4)(dec)
+        frames = MM.FrameSampler(every=2, max_frames=4)(dec)
         assert frames.schema.names == ["media_id", "frame_idx"]
         n_video = sum(1 for t in dec["media_type"].to_pylist() if t == "video")
         assert frames.num_rows >= n_video  # ≥1 frame per video
-        assert (np.asarray(frames["frame_idx"].to_pylist()) % 30 == 0).all()
+        assert (np.asarray(frames["frame_idx"].to_pylist()) % 2 == 0).all()
 
     def test_feature_extractor_fixed_dim(self):
         from osmnetfusion_ray.stages import multimodal as MM
 
-        out = MM.FeatureExtractor()(self._media())
+        media = self._media()
+        out = MM.FeatureExtractor()(media)
         assert out["feature"].type == pa.list_(pa.float64(), MM.FEATURE_DIM)
         feats = np.asarray(out["feature"].to_pylist())
         assert feats.shape == (6, MM.FEATURE_DIM)
-        assert (feats >= 0).all() and (feats <= 1).all()
+        # content histogram: nonneg integer counts summing to the decoded
+        # unit count (pixels*3 / samples / frame-plane bytes)
+        assert (feats >= 0).all()
+        kinds = out["media_type"].to_pylist()
+        ids = np.asarray(out["media_id"].to_pylist())
+        for k in range(6):
+            i = int(ids[k])
+            if kinds[k] == "image":
+                want = (8 + i % 9) * (8 + i % 7) * 3
+            elif kinds[k] == "audio":
+                want = 64 + i % 97
+            else:
+                want = (3 + i % 5) * 3 * (4 + i % 3) * (4 + i % 5)
+            assert feats[k].sum() == want
 
 
 class TestPpmRealImagePath:
@@ -4012,6 +4061,45 @@ class TestEntityResolution:
         # base text), and 3-member entities exist (transitivity exercised)
         assert (mine["golden_id"] != mine["cluster_id"]).any()
         assert (mine["n_members"] >= 3).any()
+
+    def test_block_cap_exercised(self, ray_session, tmp_path):
+        """An adversarial (lang, n_chars) block larger than the contributor
+        cap: only the cap smallest ids may pair (the stated hub-cap
+        semantic), so near-identical texts beyond the cap stay singletons.
+        Brute force applies the same cap."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (ER_OFF, ER_TAU,
+                                                       _er_rotate,
+                                                       entity_resolution)
+
+        cap = 6
+        # 3 * (3k) doc ids so no rotation variants derive (ids % 3 != 0),
+        # all same lang + n_chars → ONE block of 20 >> cap; texts pairwise
+        # within levenshtein 1 of a shared stem
+        n = 20
+        ids = [3 * k + 1 for k in range(n)]
+        texts = ["aaaaaaaaab" if k % 2 else "aaaaaaaaaa" for k in range(n)]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "lang": pa.array(["xx"] * n),
+                      "text": pa.array(texts),
+                      "n_chars": pa.array([10] * n, pa.int64())})
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        mine = (entity_resolution(str(tmp_path), block_cap=cap).to_pandas()
+                .sort_values("cluster_id").reset_index(drop=True))
+        # brute force with the cap: contributors = cap smallest ids
+        contrib = sorted(ids)[:cap]
+        # every contributor text is within tau of every other → one entity
+        # of exactly cap members; the other 14 records never pair
+        assert len(mine) == 1
+        assert int(mine["n_members"].iloc[0]) == cap
+        assert int(mine["cluster_id"].iloc[0]) == min(contrib)
+        assert int(mine["n_base"].iloc[0]) == cap
+        # golden: largest text among members ('aaaaaaaaab'), smallest id
+        b_ids = [i for i in contrib if texts[ids.index(i)] == "aaaaaaaaab"]
+        assert int(mine["golden_id"].iloc[0]) == min(b_ids)
+        assert ER_TAU >= 1 and ER_OFF > max(ids)  # fixture preconditions
 
 
 class TestJoinSample:

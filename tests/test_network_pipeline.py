@@ -163,3 +163,74 @@ class TestLanduseRaster:
                               ref.sum(axis=1).astype(np.int64))
         assert np.array_equal(out["covered"].to_numpy(),
                               ref.any(axis=1).astype(np.int64))
+
+
+class TestPtRelationParse:
+    """S4 scale path: the PBF-shaped relation parse + distributed J10."""
+
+    @pytest.fixture(scope="class")
+    def parsed(self, ray_session):
+        import ray.data as rd
+
+        from osmnetfusion_ray import synth
+        from osmnetfusion_ray.pipelines import network as PN
+        from osmnetfusion_ray.rayctx import ensure_tuned
+
+        ensure_tuned()
+        nodes, _ = synth.synth_city(6, 42, 4)
+        rels = synth.synth_pt_relations(nodes)
+        stops = PN.parse_pt_relations(
+            rd.from_arrow(rels["rel_tags"]), rd.from_arrow(rels["rel_members"]),
+            rd.from_arrow(rels["osm_nodes"]), rd.from_arrow(rels["osm_ways"]))
+        return nodes, rels, stops.to_pandas(), PN
+
+    def test_member_expansion_and_tags(self, parsed):
+        nodes, rels, df, PN = parsed
+        # one stop row per relation member (p1_getFurtherOSMData.py:121-149)
+        assert len(df) == rels["rel_members"].num_rows
+        assert set(df["mode"].unique()) == {"bus", "tram", "trolleybus"}
+        # relation tags inherited by every member; NULL-name relations fall
+        # back to str(relation_id) (documented deviation from the
+        # reference's iteration-ordinal)
+        tags = rels["rel_tags"].to_pandas().set_index("relation_id")
+        for rid, g in df.groupby("relation_id"):
+            want = tags.loc[rid, "name"]
+            want = str(rid) if want is None else want
+            assert (g["name"] == want).all()
+            assert (g["operator"] == tags.loc[rid, "operator"]).all()
+
+    def test_point_and_linestring_geometry(self, parsed):
+        nodes, rels, df, PN = parsed
+        onodes = rels["osm_nodes"].to_pandas().set_index("node_id")
+        pts = df[df["geom_type"] == "Point"]
+        assert len(pts) > 0
+        for r in pts.head(20).itertuples():
+            _, c = geom.wkb_parse(r.geometry)
+            assert c[0, 0] == onodes.loc[r.member_ref, "lon"]
+            assert c[0, 1] == onodes.loc[r.member_ref, "lat"]
+        # way members: LineString of the way's node coords IN seq ORDER
+        ways = rels["osm_ways"].to_pandas()
+        ls = df[df["geom_type"] == "LineString"]
+        assert len(ls) > 0
+        for r in ls.drop_duplicates("member_ref").itertuples():
+            wn = ways[ways["way_id"] == r.member_ref].sort_values("seq")
+            _, c = geom.wkb_parse(r.geometry)
+            assert len(c) == len(wn)
+            assert np.array_equal(c[:, 0], onodes.loc[wn["node_id"], "lon"].to_numpy())
+            assert np.array_equal(c[:, 1], onodes.loc[wn["node_id"], "lat"].to_numpy())
+
+    def test_distributed_j10_matches_bruteforce(self, parsed, ray_session):
+        import ray.data as rd
+
+        nodes, rels, df, PN = parsed
+        filt = PN.filter_pt_stops_ds(rd.from_pandas(df)).to_pandas()
+        cnt = df["member_ref"].value_counts()
+        want = (df[df["member_ref"].isin(cnt[cnt > 3].index)]
+                .sort_values(["member_ref", "relation_id", "seq"],
+                             kind="mergesort")
+                .drop_duplicates("member_ref"))
+        assert len(filt) == len(want) > 0
+        assert (set(map(tuple, filt[["member_ref", "relation_id", "seq"]].values))
+                == set(map(tuple, want[["member_ref", "relation_id", "seq"]].values)))
+        # way platforms of the replicated routes survive the frequency cut
+        assert (filt["geom_type"] == "LineString").any()
