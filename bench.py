@@ -269,7 +269,10 @@ def p3_only():
     from osmnetfusion_ray.rayctx import ensure_tuned
 
     ensure_tuned()
-    run_p3_large(n=max(32, CITY_P3_N // 2))  # warmup: worker spawn + pools
+    # warmup: worker spawn + actor pools. Capped at n=75 — the warmup only
+    # needs to fault in workers and spin the pools once; a half-size warmup
+    # of a ≥10⁵-edge city would cost ~25% of the whole measurement.
+    run_p3_large(n=max(32, min(75, CITY_P3_N // 2)))
     res = run_p3_large()
     ray.shutdown()
     print(json.dumps({"num_cpus": NUM_CPUS, "city_n": CITY_P3_N, **res}))

@@ -41,6 +41,27 @@ TOKEN_RE = r"\S+"
 # text analysis (vectorized Arrow kernels)
 # ---------------------------------------------------------------------------
 
+def tokenize_arrow(texts) -> tuple[pa.Array, pa.Array]:
+    """Arrow-native whitespace tokenization, semantics-equal to Python
+    ``str.split()``: ``utf8_split_whitespace`` collapses interior runs but
+    keeps one empty token at a leading/trailing boundary — the filter
+    drops those, after which the two tokenizers agree on every string.
+    Returns ``(parent_row_index, token)`` flat ARROW arrays (no Python
+    object boxing) — the zero-loop replacement for the per-row
+    ``.split()`` list builds that were the heaviest text-carrying pandas
+    kernels (round-2 advice #10). Callers stay in pyarrow.compute for
+    counting (``group_by().aggregate(count_all)`` is C++ on the string
+    array) and drop to numpy only for positional logic."""
+    s = pc.cast(texts, pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    lists = pc.utf8_split_whitespace(s)
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    return pc.filter(parent, keep), pc.filter(flat, keep)
+
+
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-document stats: token count, char count, punct/stopword ratios,
     average token length — the quality-scoring feature set."""
@@ -1033,11 +1054,12 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
     final reduce. Ties break on token text ascending."""
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split().explode()
-        toks = toks[toks.notna() & (toks != "")]
-        c = toks.value_counts()
-        return pd.DataFrame({"token": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64)})
+    def local_counts(batch: pa.Table) -> pa.Table:
+        _, toks = tokenize_arrow(batch["text"])
+        g = pa.table({"token": toks}).group_by("token").aggregate(
+            [([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     from ..rayctx import grouped
 
@@ -1045,7 +1067,7 @@ def top_tokens(sf_dir: str, k: int = 50) -> pa.Table:
         agg = df.groupby("token", sort=False, as_index=False)["n"].sum()
         return agg.sort_values(["n", "token"], ascending=[False, True]).head(k)
 
-    partial = docs.map_batches(local_counts, batch_format="pandas")
+    partial = docs.map_batches(local_counts, batch_format="pyarrow")
     per_block = grouped(partial, ["token"], block_sum_topk, small=True)
     top = per_block.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
@@ -1060,26 +1082,26 @@ def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
     reduce. Ties break on bigram text ascending."""
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
-        tok_lists = [t.split() for t in df["text"]]
-        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
-        total = int(counts.sum())
-        if not total:
-            return pd.DataFrame({"bigram": np.array([], object), "n": np.array([], np.int64)})
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in tok_lists:
-            flat[pos: pos + len(toks)] = toks
-            pos += len(toks)
+    def local_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        parent, flat = tokenize_arrow(batch["text"])
+        n = len(flat)
+        if n < 2:
+            return empty
         # adjacent pairs, masked where the successor starts a new document
-        doc_of = np.repeat(np.arange(len(counts)), counts)
-        same_doc = doc_of[:-1] == doc_of[1:]
-        lhs, rhs = flat[:-1][same_doc], flat[1:][same_doc]
-        c = pd.Series(
-            np.fromiter((a + " " + b for a, b in zip(lhs, rhs)), dtype=object,
-                        count=len(lhs))
-        ).value_counts()
-        return pd.DataFrame({"bigram": c.index.to_numpy(), "n": c.to_numpy().astype(np.int64)})
+        # (positional mask in numpy; strings never leave Arrow)
+        par = parent.to_numpy(zero_copy_only=False)
+        same_doc = pa.array(par[:-1] == par[1:])
+        lhs = pc.filter(flat.slice(0, n - 1), same_doc)
+        rhs = pc.filter(flat.slice(1), same_doc)
+        if len(lhs) == 0:
+            return empty
+        big = pc.binary_join_element_wise(lhs, rhs, " ")
+        g = pa.table({"bigram": big}).group_by("bigram").aggregate(
+            [([], "count_all")])
+        return pa.table({"bigram": g["bigram"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     from ..rayctx import grouped
 
@@ -1087,7 +1109,7 @@ def top_bigrams(sf_dir: str, k: int = 50) -> pa.Table:
         agg = df.groupby("bigram", sort=False, as_index=False)["n"].sum()
         return agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
 
-    partial = docs.map_batches(local_counts, batch_format="pandas")
+    partial = docs.map_batches(local_counts, batch_format="pyarrow")
     per_block = grouped(partial, ["bigram"], block_sum_topk, small=True)
     top = per_block.to_pandas().sort_values(["n", "bigram"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
@@ -1184,24 +1206,15 @@ def tfidf_top_terms(sf_dir: str, driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.D
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()  # parquet-metadata count — no execution
 
-    def term_rows(df: pd.DataFrame) -> pd.DataFrame:
-        tok_lists = [t.split() for t in df["text"]]
-        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
-        total = int(counts.sum())
-        if not total:
-            return pd.DataFrame({"doc_id": np.array([], np.int64),
-                                 "token": np.array([], object),
-                                 "tf": np.array([], np.int64)})
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in tok_lists:
-            flat[pos: pos + len(toks)] = toks
-            pos += len(toks)
-        g = pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), counts),
-            "token": flat,
-        }).groupby(["doc_id", "token"], sort=False, as_index=False).size()
-        return g.rename(columns={"size": "tf"})
+    def term_rows(batch: pa.Table) -> pa.Table:
+        parent, flat = tokenize_arrow(batch["text"])
+        ids = pc.take(pc.cast(batch["doc_id"].combine_chunks()
+                              if isinstance(batch["doc_id"], pa.ChunkedArray)
+                              else batch["doc_id"], pa.int64()), parent)
+        g = pa.table({"doc_id": ids, "token": flat}).group_by(
+            ["doc_id", "token"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "token": g["token"],
+                         "tf": pc.cast(g["count_all"], pa.int64())})
 
     def attach_df(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1216,7 +1229,7 @@ def tfidf_top_terms(sf_dir: str, driver_below: int = _TOKEN_DRIVER_DOCS) -> rd.D
         out = df.groupby("doc_id", sort=False, as_index=False).head(1)
         return out[["doc_id", "token", "tf", "df", "tfidf"]].reset_index(drop=True)
 
-    tf = docs.map_batches(term_rows, batch_format="pandas")
+    tf = docs.map_batches(term_rows, batch_format="pyarrow")
     if n_docs <= driver_below:
         out = top1(attach_df(tf.to_pandas()))
         from ..rayctx import ensure_tuned
@@ -4139,15 +4152,15 @@ def token_entropy_by_lang(sf_dir: str) -> rd.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["lang", "text"])
 
-    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split().explode()
-        ok = toks.notna() & (toks != "")
-        g = pd.DataFrame({
-            "lang": df["lang"].reindex(toks.index[ok]).to_numpy(),
-            "token": toks[ok].to_numpy(),
-        }).groupby(["lang", "token"], sort=False, as_index=False).size()
-        g["n"] = g.pop("size").astype(np.int64)
-        return g
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        parent, flat = tokenize_arrow(batch["text"])
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        g = pa.table({"lang": pc.take(lang, parent), "token": flat}) \
+            .group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "token": g["token"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     def unat_terms(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["lang", "token"], sort=False, as_index=False)["n"].sum()
@@ -4173,7 +4186,7 @@ def token_entropy_by_lang(sf_dir: str) -> rd.Dataset:
             g[c] = g[c].astype(np.int64)
         return g[["lang", "n_tokens", "n_vocab", "entropy"]]
 
-    pairs = docs.map_batches(pair_counts, batch_format="pandas")
+    pairs = docs.map_batches(pair_counts, batch_format="pyarrow")
     terms = grouped(pairs, ["lang", "token"], unat_terms)
     return grouped(terms, ["lang"], finish, small=True)
 
@@ -4205,20 +4218,24 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_n: int = 5) -> pa.Table:
 
     docs = read_table(sf_dir, "documents", columns=["text"])
 
-    def uni_counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split().explode()
-        toks = toks[toks.notna() & (toks != "")]
-        c = toks.value_counts()
+    def uni_counts(batch: pa.Table) -> pa.Table:
+        parent, flat = tokenize_arrow(batch["text"])
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
         # D partial (docs with >=1 token) rides the same exchange as a
         # sentinel row — '\x00' sorts before any real token and can never
         # be produced by a whitespace split
-        nonempty = int((df["text"].str.strip() != "").sum())
-        return pd.DataFrame({
-            "token": np.concatenate([c.index.to_numpy(object), ["\x00D"]]),
-            "n": np.concatenate([c.to_numpy().astype(np.int64), [nonempty]]),
+        nonempty = len(np.unique(parent.to_numpy(zero_copy_only=False)))
+        return pa.table({
+            "token": pa.concat_arrays([
+                g["token"].combine_chunks().cast(pa.string()),
+                pa.array(["\x00D"], pa.string())]),
+            "n": pa.concat_arrays([
+                pc.cast(g["count_all"], pa.int64()).combine_chunks(),
+                pa.array([nonempty], pa.int64())]),
         })
 
-    uni = grouped(docs.map_batches(uni_counts, batch_format="pandas"),
+    uni = grouped(docs.map_batches(uni_counts, batch_format="pyarrow"),
                   ["token"], lambda df: df.groupby(
                       "token", sort=False, as_index=False)["n"].sum(),
                   small=True).to_pandas()          # vocab-bounded pull
@@ -4232,25 +4249,24 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_n: int = 5) -> pa.Table:
     lT = np.log(np.float64(T))
     lB = np.log(np.float64(B))
 
-    def bi_counts(df: pd.DataFrame) -> pd.DataFrame:
-        tok_lists = [t.split() for t in df["text"]]
-        counts = np.asarray([len(t) for t in tok_lists], dtype=np.int64)
-        total = int(counts.sum())
-        if not total:
-            return pd.DataFrame({"bigram": np.array([], object),
-                                 "n": np.array([], np.int64)})
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for toks in tok_lists:
-            flat[pos: pos + len(toks)] = toks
-            pos += len(toks)
-        doc_of = np.repeat(np.arange(len(counts)), counts)
-        same_doc = doc_of[:-1] == doc_of[1:]
-        lhs, rhs = flat[:-1][same_doc], flat[1:][same_doc]
-        c = pd.Series(np.fromiter((a + " " + b for a, b in zip(lhs, rhs)),
-                                  dtype=object, count=len(lhs))).value_counts()
-        return pd.DataFrame({"bigram": c.index.to_numpy(),
-                             "n": c.to_numpy().astype(np.int64)})
+    def bi_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        parent, flat = tokenize_arrow(batch["text"])
+        n = len(flat)
+        if n < 2:
+            return empty
+        par = parent.to_numpy(zero_copy_only=False)
+        same_doc = pa.array(par[:-1] == par[1:])
+        lhs = pc.filter(flat.slice(0, n - 1), same_doc)
+        rhs = pc.filter(flat.slice(1), same_doc)
+        if len(lhs) == 0:
+            return empty
+        big = pc.binary_join_element_wise(lhs, rhs, " ")
+        g = pa.table({"bigram": big}).group_by("bigram").aggregate(
+            [([], "count_all")])
+        return pa.table({"bigram": g["bigram"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     def score_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("bigram", sort=False, as_index=False)["n"].sum()
@@ -4278,7 +4294,7 @@ def pmi_bigrams(sf_dir: str, k: int = 50, min_n: int = 5) -> pa.Table:
         return out.sort_values(["pmi_unats", "bigram"],
                                ascending=[False, True]).head(k)
 
-    per_block = grouped(docs.map_batches(bi_counts, batch_format="pandas"),
+    per_block = grouped(docs.map_batches(bi_counts, batch_format="pyarrow"),
                         ["bigram"], score_topk, small=True)
     top = per_block.to_pandas().sort_values(
         ["pmi_unats", "bigram"], ascending=[False, True]).head(k)

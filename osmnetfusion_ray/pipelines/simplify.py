@@ -23,11 +23,14 @@ Stage shape (SURVEY.md §7.3 step 5):
 
 Scale notes: the page table (10^12 rows) never enters this pipeline — only
 the network side does, and its exact-key groupbys (osmid, component,
-merged_by, uv_key) are the legitimate shuffles. Broadcast lookups
-(cluster-buffer state, merge map) are node-sized objects shipped once via
-``ray.put`` — the same network-broadcast thesis as the page join. Hot urban
-cells in the pair-generation groupby are salted by disk-bbox duplication at
-a resolution sized to the buffer radius.
+merged_by, uv_key) are the legitimate shuffles. The two node-sized lookups
+(cluster-buffer state, merge map) are SIZE-ADAPTIVE
+(``P3_BROADCAST_STATE_MAX_NODES``): below the cap they are driver-built
+and shipped once via ``ray.put``; above it the split requests build
+through tiled keyed exchanges (``split_requests_tiled``) and the merge map
+attaches by hash join — nothing O(N_nodes) ever lands on the driver. Hot
+urban cells in the pair-generation groupby are salted by disk-bbox
+duplication at a resolution sized to the buffer radius.
 """
 
 from __future__ import annotations
