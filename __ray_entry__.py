@@ -940,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_mis": _q_link_mis,
         "map_match_viterbi": _q_map_match_viterbi,
         "event_percentile_attach": analytics.event_percentile_attach,
+        "union_join_sample": analytics.union_join_sample,
     }
 
 
@@ -3053,6 +3054,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT wr.s AS slot, wr.rowid AS a_rowid, wr.pk AS l_partkey,
                    rk.rowid AS b_rowid
             FROM wr JOIN rk ON rk.pk = wr.pk AND rk.rank = wr.r
+        """,
+        "union_join_sample": """
+            -- uniform sample over the BAG UNION of two unmaterialized
+            -- self-joins (partkey / suppkey): branch pick is pure HUGEINT
+            -- (g(s)*(n1+n2) < n1*2^32), within-branch selection mirrors
+            -- join_sample's hash/degree idiom with ONE double division
+            WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS rowid,
+                              l_partkey AS pk, l_suppkey AS sk
+                       FROM lineitem),
+            d1 AS (SELECT pk, count(*) AS d FROM r GROUP BY pk),
+            d2 AS (SELECT sk, count(*) AS d FROM r GROUP BY sk),
+            nn AS (SELECT
+                     (SELECT sum(CAST(d AS HUGEINT) * d) FROM d1) AS n1,
+                     (SELECT sum(CAST(d AS HUGEINT) * d) FROM d2) AS n2),
+            s AS (SELECT unnest(range(1, 17)) AS s),
+            sb AS (SELECT s.s,
+                          CASE WHEN CAST((s.s * 1140671485 + 12820163)
+                                         % 4294967296 AS HUGEINT)
+                                    * (nn.n1 + nn.n2)
+                                    < nn.n1 * CAST(4294967296 AS HUGEINT)
+                               THEN 1 ELSE 2 END AS branch
+                   FROM s, nn),
+            pri AS (SELECT sb.s, sb.branch, r.rowid,
+                           CASE WHEN sb.branch = 1 THEN r.pk
+                                ELSE r.sk END AS key,
+                           CAST((r.rowid * 2654435761 + sb.s * 97003)
+                                % 4294967296 AS DOUBLE)
+                           / (CASE WHEN sb.branch = 1 THEN dd1.d
+                                   ELSE dd2.d END) AS pri
+                    FROM r JOIN d1 dd1 USING (pk)
+                    JOIN d2 dd2 USING (sk) CROSS JOIN sb),
+            win AS (SELECT * FROM (
+                        SELECT *, row_number() OVER (PARTITION BY s
+                                   ORDER BY pri, rowid) AS rn
+                        FROM pri) WHERE rn = 1),
+            wr AS (SELECT w.s, w.branch, w.rowid, w.key,
+                          (w.rowid * 40503 + w.s * 131) %
+                          (CASE WHEN w.branch = 1
+                                THEN (SELECT d FROM d1 WHERE pk = w.key)
+                                ELSE (SELECT d FROM d2 WHERE sk = w.key)
+                           END) AS rr
+                   FROM win w),
+            rk1 AS (SELECT pk AS key, rowid,
+                           row_number() OVER (PARTITION BY pk
+                                              ORDER BY rowid) - 1 AS rank
+                    FROM r),
+            rk2 AS (SELECT sk AS key, rowid,
+                           row_number() OVER (PARTITION BY sk
+                                              ORDER BY rowid) - 1 AS rank
+                    FROM r)
+            SELECT wr.s AS slot, wr.branch, wr.rowid AS a_rowid,
+                   wr.key AS key, rk1.rowid AS b_rowid
+            FROM wr JOIN rk1 ON wr.branch = 1 AND rk1.key = wr.key
+                            AND rk1.rank = wr.rr
+            UNION ALL
+            SELECT wr.s, wr.branch, wr.rowid, wr.key, rk2.rowid
+            FROM wr JOIN rk2 ON wr.branch = 2 AND rk2.key = wr.key
+                            AND rk2.rank = wr.rr
         """,
         "user_session_coverage": """
             -- interval union per user: window-cummax island method

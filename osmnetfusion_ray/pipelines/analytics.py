@@ -4734,3 +4734,158 @@ def join_sample(sf_dir: str) -> rd.Dataset:
     out = out.rename(columns={"s": "slot", "rowid": "a_rowid",
                               "pk": "l_partkey"}).sort_values("slot")
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+UJS_K = 16
+UJS_MOD = 1 << 32
+
+
+def union_join_sample(sf_dir: str) -> rd.Dataset:
+    """SAMPLING OVER A UNION OF JOINS (the retrieved-papers shape:
+    Sampling over Union of Joins, SIGMOD'23): draw ``UJS_K`` rows
+    uniformly from the BAG union of two unmaterialized M:N self-joins —
+    J₁ = lineitem ⋈ lineitem ON l_partkey (|J₁| = Σₚ dₚ²) and
+    J₂ = lineitem ⋈ lineitem ON l_suppkey (|J₂| = Σₛ dₛ²) — without
+    producing either join. Uniformity over the union decomposes exactly
+    as the paper's: each slot first picks its BRANCH with probability
+    |J_b| / (|J₁|+|J₂|), then samples within the branch by the
+    degree-weighted two-phase selection of :func:`join_sample` (left row
+    weighted by its key's right multiplicity; partner = hash-ranked row
+    within the key group).
+
+    Determinism stands in for randomness end-to-end so the oracle is
+    bit-equal rather than statistical: the branch pick is PURE INTEGER —
+    branch 1 iff ``g(s)·(|J₁|+|J₂|) < |J₁|·2³²`` with
+    ``g(s) = (s·1140671485 + 12820163) mod 2³²``, evaluated in Python
+    ints / HUGEINT (no float at all); slot priorities reuse join_sample's
+    ``h(slot,rowid)/d`` idiom with the slot's OWN branch key's degree.
+
+    Shapes: TWO vocab-bounded degree exchanges (partkey + suppkey, both
+    broadcast back as sorted arrays); the join sizes are driver-side
+    int64 sums of the degree vectors (Σd² ≤ rows·max_deg — fits int64
+    through ~sf1000); ONE streamed fact pass computes per-block per-slot
+    argmin partials for ALL slots at once (each slot reads the degree of
+    its branch's key column); partner resolution rides one keyed exchange
+    PER BRANCH over skinny (key, rowid) rows. Output: UJS_K rows (slot,
+    branch, a_rowid, key, b_rowid). Same int64 hash scale bound as
+    join_sample (rowids < ~3.5e9)."""
+    from ..rayctx import group_positions, grouped
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_partkey",
+                             "l_suppkey"])
+
+    def skinny(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rowid": df["l_orderkey"].to_numpy().astype(np.int64) * 8
+            + df["l_linenumber"].to_numpy().astype(np.int64),
+            "pk": df["l_partkey"].to_numpy().astype(np.int64),
+            "sk": df["l_suppkey"].to_numpy().astype(np.int64),
+        })
+
+    rows = li.map_batches(skinny, batch_format="pandas").materialize()
+
+    def _deg(col: str) -> tuple[np.ndarray, np.ndarray]:
+        part = rows.map_batches(
+            lambda df, c=col: df.groupby(c, sort=False, as_index=False)
+            .size().rename(columns={"size": "d"}),
+            batch_format="pandas")
+        deg = grouped(part, [col],
+                      lambda df, c=col: df.groupby(c, sort=False,
+                                                   as_index=False)["d"].sum(),
+                      small=True).to_pandas().sort_values(col)
+        return (deg[col].to_numpy(np.int64), deg["d"].to_numpy(np.int64))
+
+    pkeys, pdeg = _deg("pk")
+    skeys, sdeg = _deg("sk")
+    n1 = int((pdeg.astype(object) ** 2).sum())   # python ints: exact
+    n2 = int((sdeg.astype(object) ** 2).sum())
+
+    # branch pick per slot — pure integer, mirrored by HUGEINT in SQL
+    S = np.arange(1, UJS_K + 1, dtype=np.int64)
+    g = [(int(s) * 1140671485 + 12820163) % UJS_MOD for s in S]
+    branch = np.asarray([1 if gv * (n1 + n2) < n1 * UJS_MOD else 2
+                         for gv in g], np.int64)
+    deg_ref = ray.put((pkeys, pdeg, skeys, sdeg, branch))
+
+    def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"s": np.zeros(0, np.int64),
+                                 "rowid": np.zeros(0, np.int64),
+                                 "key": np.zeros(0, np.int64),
+                                 "pri": np.zeros(0, np.float64)})
+        pk_, pd_, sk_, sd_, br = ray.get(deg_ref)
+        rid = df["rowid"].to_numpy(np.int64)
+        pk = df["pk"].to_numpy(np.int64)
+        sk = df["sk"].to_numpy(np.int64)
+        d1 = pd_[np.searchsorted(pk_, pk)].astype(np.float64)
+        d2 = sd_[np.searchsorted(sk_, sk)].astype(np.float64)
+        h = (rid[None, :] * 2654435761 + S[:, None] * 97003) % UJS_MOD
+        d_of = np.where(br[:, None] == 1, d1[None, :], d2[None, :])
+        key_of = np.where(br[:, None] == 1, pk[None, :], sk[None, :])
+        pri = h.astype(np.float64) / d_of
+        best = np.argmin(pri, axis=1)
+        out_s, out_r, out_k, out_pri = [], [], [], []
+        for i in range(UJS_K):
+            m = pri[i] == pri[i, best[i]]
+            cand = rid[m]
+            j = np.argmin(cand)
+            out_s.append(i + 1)
+            out_r.append(cand[j])
+            out_k.append(key_of[i][m][j])
+            out_pri.append(pri[i, best[i]])
+        return pd.DataFrame({"s": np.array(out_s, np.int64),
+                             "rowid": np.array(out_r, np.int64),
+                             "key": np.array(out_k, np.int64),
+                             "pri": np.array(out_pri, np.float64)})
+
+    part1 = rows.map_batches(phase1, batch_format="pandas").to_pandas()
+    win = (part1.sort_values(["s", "pri", "rowid"], kind="mergesort")
+           .groupby("s", sort=True).first().reset_index())
+    wbr = branch[win["s"].to_numpy(np.int64) - 1]
+    wd = np.where(
+        wbr == 1,
+        pdeg[np.searchsorted(pkeys,
+                             np.where(wbr == 1, win["key"].to_numpy(np.int64),
+                                      pkeys[0]))],
+        sdeg[np.searchsorted(skeys,
+                             np.where(wbr == 2, win["key"].to_numpy(np.int64),
+                                      skeys[0]))])
+    win["r"] = (win["rowid"].to_numpy(np.int64) * 40503
+                + win["s"].to_numpy(np.int64) * 131) % wd
+    win["branch"] = wbr
+
+    def _partners(col: str, b: int) -> pd.DataFrame:
+        sub = win[win["branch"] == b]
+        if len(sub) == 0:
+            return pd.DataFrame({"s": np.zeros(0, np.int64),
+                                 "b_rowid": np.zeros(0, np.int64)})
+        req_ref = ray.put((sub["s"].to_numpy(np.int64),
+                           sub["key"].to_numpy(np.int64),
+                           sub["r"].to_numpy(np.int64)))
+
+        def phase2(df: pd.DataFrame) -> pd.DataFrame:
+            rs, rk, rr = ray.get(req_ref)
+            k = df[col].to_numpy(np.int64)
+            rid = df["rowid"].to_numpy(np.int64)
+            o = np.lexsort((rid, k))
+            k, rid = k[o], rid[o]
+            _, _, _, rank = group_positions(k)
+            out_s, out_b = [], []
+            for s, kk, r in zip(rs, rk, rr):
+                m = (k == kk) & (rank == r)
+                if m.any():
+                    out_s.append(s)
+                    out_b.append(rid[np.flatnonzero(m)[0]])
+            return pd.DataFrame({"s": np.array(out_s, np.int64),
+                                 "b_rowid": np.array(out_b, np.int64)})
+
+        return grouped(rows, [col], phase2).to_pandas()
+
+    partners = pd.concat([_partners("pk", 1), _partners("sk", 2)],
+                         ignore_index=True)
+    out = win.merge(partners, on="s")[["s", "branch", "rowid", "key",
+                                      "b_rowid"]]
+    out = out.rename(columns={"s": "slot", "rowid": "a_rowid"}) \
+        .sort_values("slot")
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -4142,3 +4142,82 @@ class TestJoinSample:
         # don't all collapse to one key
         assert (mine["a_rowid"] != mine["b_rowid"]).any()
         assert mine["l_partkey"].nunique() > 1
+
+
+class TestUnionJoinSample:
+    @staticmethod
+    def _brute(li: pd.DataFrame):
+        from collections import Counter
+
+        from osmnetfusion_ray.pipelines.analytics import UJS_K, UJS_MOD
+
+        rid = (li["l_orderkey"].to_numpy().astype(np.int64) * 8
+               + li["l_linenumber"].to_numpy().astype(np.int64))
+        pk = li["l_partkey"].to_numpy().astype(np.int64)
+        sk = li["l_suppkey"].to_numpy().astype(np.int64)
+        dp, ds = Counter(pk.tolist()), Counter(sk.tolist())
+        n1 = sum(v * v for v in dp.values())
+        n2 = sum(v * v for v in ds.values())
+        by = {1: {}, 2: {}}
+        for i in np.lexsort((rid, pk)):
+            by[1].setdefault(pk[i], []).append(rid[i])
+        for i in np.lexsort((rid, sk)):
+            by[2].setdefault(sk[i], []).append(rid[i])
+        rows = []
+        for s in range(1, UJS_K + 1):
+            g = (s * 1140671485 + 12820163) % UJS_MOD
+            br = 1 if g * (n1 + n2) < n1 * UJS_MOD else 2
+            key, deg = (pk, dp) if br == 1 else (sk, ds)
+            d = np.array([deg[kk] for kk in key], np.float64)
+            pri = ((rid * 2654435761 + s * 97003) % UJS_MOD
+                   ).astype(np.float64) / d
+            i = np.lexsort((rid, pri))[0]
+            r = int((rid[i] * 40503 + s * 131) % deg[key[i]])
+            rows.append((s, br, int(rid[i]), int(key[i]), by[br][key[i]][r]))
+        return pd.DataFrame(rows, columns=["slot", "branch", "a_rowid",
+                                           "key", "b_rowid"])
+
+    def test_matches_single_process(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (UJS_K,
+                                                          union_join_sample)
+
+        mine = (union_join_sample(SF).to_pandas()
+                .sort_values("slot").reset_index(drop=True))
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_partkey",
+                     "l_suppkey"]).to_pandas()
+        want = self._brute(li)
+        assert len(mine) == UJS_K
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+
+    def test_both_branches_on_balanced_fixture(self, ray_session, tmp_path):
+        """A lineitem whose partkey and suppkey join sizes are comparable,
+        so the deterministic branch pick exercises BOTH branches (on the
+        real corpus the suppkey join dominates and all 16 slots land in
+        branch 2)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import union_join_sample
+
+        n = 240
+        li = pd.DataFrame({
+            "l_orderkey": np.arange(n, dtype=np.int64) // 4 + 1,
+            "l_linenumber": np.arange(n, dtype=np.int64) % 4 + 1,
+            "l_partkey": (np.arange(n, dtype=np.int64) * 7) % 12 + 1,
+            "l_suppkey": (np.arange(n, dtype=np.int64) * 11) % 12 + 1,
+        })
+        pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                       str(tmp_path / "lineitem.parquet"))
+        mine = (union_join_sample(str(tmp_path)).to_pandas()
+                .sort_values("slot").reset_index(drop=True))
+        want = self._brute(li)
+        for c in want.columns:
+            assert np.array_equal(mine[c].to_numpy(np.int64),
+                                  want[c].to_numpy(np.int64)), c
+        assert set(mine["branch"].unique()) == {1, 2}
