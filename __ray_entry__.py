@@ -941,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_match_viterbi": _q_map_match_viterbi,
         "event_percentile_attach": analytics.event_percentile_attach,
         "union_join_sample": analytics.union_join_sample,
+        "groupby_kmv_estimate": analytics.groupby_kmv_estimate,
     }
 
 
@@ -3112,6 +3113,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT wr.s, wr.branch, wr.rowid, wr.key, rk2.rowid
             FROM wr JOIN rk2 ON wr.branch = 2 AND rk2.key = wr.key
                             AND rk2.rank = wr.rr
+        """,
+        "groupby_kmv_estimate": """
+            -- CIDR'19 sample+sketch group-by estimate: 1-in-20 row sample
+            -- for per-group masses, k-minimum-values sketch of the key
+            -- column for the total-group correction — all integer, so the
+            -- mirror is bit-equal (KMV exact below k distinct hashes)
+            WITH h AS (SELECT user_id,
+                              (event_id * 2654435761) % 4294967296 AS hh
+                       FROM events),
+            samp AS (SELECT user_id, count(*) AS n
+                     FROM h WHERE hh % 20 = 0 GROUP BY user_id),
+            uh AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296
+                       AS uh FROM events),
+            kmin AS (SELECT uh FROM uh ORDER BY uh LIMIT 256),
+            kk AS (SELECT count(*) AS kcnt, max(uh) AS hk FROM kmin)
+            SELECT user_id, n AS n_sample,
+                   CAST(n * 20 AS BIGINT) AS est_n
+            FROM samp
+            UNION ALL
+            SELECT -1, (SELECT count(*) FROM samp),
+                   CASE WHEN kk.kcnt < 256
+                        THEN (SELECT count(*) FROM uh)
+                        ELSE CAST((CAST(255 AS HUGEINT) * 4294967296)
+                                  // kk.hk AS BIGINT) END
+            FROM kk
         """,
         "user_session_coverage": """
             -- interval union per user: window-cummax island method

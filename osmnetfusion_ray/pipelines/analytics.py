@@ -4889,3 +4889,76 @@ def union_join_sample(sf_dir: str) -> rd.Dataset:
     out = out.rename(columns={"s": "slot", "rowid": "a_rowid"}) \
         .sort_values("slot")
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+GKE_P = 20     # deterministic 1-in-20 row sample
+GKE_K = 256    # KMV sketch size (k minimum hashes)
+
+
+def groupby_kmv_estimate(sf_dir: str, p_mod: int = GKE_P,
+                         k: int = GKE_K) -> rd.Dataset:
+    """GROUP-BY RESULT ESTIMATION BY SAMPLE + SKETCH (the retrieved-papers
+    shape: Every Row Counts — Combining Sketches and Sampling for Accurate
+    Group-By Result Estimates, CIDR'19): estimate the per-user event
+    counts AND the total group count of ``events GROUP BY user_id`` from
+    one cheap pass — a deterministic 1-in-``p_mod`` row sample for the
+    per-group masses (est = n_sample · p_mod, exact for the Zipf head the
+    sample sees) combined with a ``k``-minimum-values DISTINCT sketch of
+    the full key column for the group-count correction (the unseen-group
+    mass the sample alone cannot see). Everything is INTEGER-EXACT — the
+    KMV estimate is ``⌊(k−1)·2³² / h_k⌋`` with ``h_k`` the k-th smallest
+    distinct key hash, and the sketch degenerates to the exact distinct
+    count when fewer than k distinct hashes exist (the standard KMV
+    rule) — so the DuckDB mirror is bit-equal, not statistical.
+
+    Shapes: ONE streamed pass emits (a) per-block sampled-group count
+    partials (finished by a user-keyed exchange, vocab-bounded) and (b)
+    per-block k-smallest distinct key hashes (#blocks × k ints folded on
+    the driver — KMV partials are mergeable by union+truncate). Output:
+    one row per SAMPLED group (user_id, n_sample, est_n = n_sample·p_mod)
+    plus the sentinel row user_id = −1 carrying (seen_group_count,
+    kmv_estimated_total_groups)."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    M = np.uint64(1 << 32)
+    KN = np.uint64(2654435761)
+
+    def samp_part(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy().astype(np.uint64)
+        hh = (eid * KN) % M
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        mask = (hh % np.uint64(p_mod)) == 0
+        g = (pd.DataFrame({"user_id": uid[mask]})
+             .groupby("user_id", sort=False, as_index=False).size())
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy().astype(np.int64)})
+
+    def samp_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False, as_index=False)["n"].sum()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "n_sample": g["n"].to_numpy(np.int64),
+            "est_n": (g["n"].to_numpy(np.int64) * p_mod)})
+
+    seen = grouped(ev.map_batches(samp_part, batch_format="pandas"),
+                   ["user_id"], samp_final, small=True).to_pandas()
+
+    def kmv_part(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.uint64)
+        uh = np.unique((uid * KN) % M)          # sorted ascending
+        return pd.DataFrame({"uh": uh[:k].astype(np.int64)})
+
+    parts = ev.map_batches(kmv_part, batch_format="pandas").to_pandas()
+    uh = np.unique(parts["uh"].to_numpy(np.int64))
+    if len(uh) < k:
+        est_total = int(len(uh))                # sketch is exact below k
+    else:
+        hk = int(uh[k - 1])
+        est_total = ((k - 1) * (1 << 32)) // hk
+    sent = pd.DataFrame({"user_id": [np.int64(-1)],
+                         "n_sample": [np.int64(len(seen))],
+                         "est_n": [np.int64(est_total)]})
+    out = pd.concat([seen, sent], ignore_index=True)
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -4221,3 +4221,40 @@ class TestUnionJoinSample:
             assert np.array_equal(mine[c].to_numpy(np.int64),
                                   want[c].to_numpy(np.int64)), c
         assert set(mine["branch"].unique()) == {1, 2}
+
+
+class TestGroupbyKmvEstimate:
+    def test_matches_bruteforce_and_quality(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import (GKE_K, GKE_P,
+                                                          groupby_kmv_estimate)
+
+        mine = (groupby_kmv_estimate(SF).to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_id", "user_id"]).to_pandas()
+        eid = ev["event_id"].to_numpy().astype(np.uint64)
+        hh = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        uid = ev["user_id"].to_numpy().astype(np.int64)
+        samp = pd.Series(uid[(hh % np.uint64(GKE_P)) == 0]).value_counts()
+        # per-sampled-group rows exactly n_sample * P
+        rows = mine[mine["user_id"] >= 0].set_index("user_id")
+        assert len(rows) == len(samp)
+        for u, n in samp.items():
+            assert rows.loc[u, "n_sample"] == n
+            assert rows.loc[u, "est_n"] == n * GKE_P
+        # sentinel: KMV group-count estimate
+        uh = np.unique((uid.astype(np.uint64) * np.uint64(2654435761))
+                       % np.uint64(1 << 32)).astype(np.int64)
+        if len(uh) < GKE_K:
+            want_total = len(uh)
+        else:
+            want_total = ((GKE_K - 1) * (1 << 32)) // int(uh[GKE_K - 1])
+        sent = mine[mine["user_id"] == -1].iloc[0]
+        assert sent["n_sample"] == len(samp)
+        assert sent["est_n"] == want_total
+        # estimator quality: the sketch estimate is within 25% of truth
+        # (k=256 → relative std ~1/sqrt(k-2) ≈ 6%)
+        true_d = ev["user_id"].nunique()
+        assert abs(want_total - true_d) / true_d < 0.25
