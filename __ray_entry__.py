@@ -942,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentile_attach": analytics.event_percentile_attach,
         "union_join_sample": analytics.union_join_sample,
         "groupby_kmv_estimate": analytics.groupby_kmv_estimate,
+        "agg_discovery": analytics.agg_discovery,
     }
 
 
@@ -3113,6 +3114,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT wr.s, wr.branch, wr.rowid, wr.key, rk2.rowid
             FROM wr JOIN rk2 ON wr.branch = 2 AND rk2.key = wr.key
                             AND rk2.rank = wr.rr
+        """,
+        "agg_discovery": """
+            -- EDBT'19 aggregate discovery: rank candidate group-bys by
+            -- the scale-free dispersion of per-group sums on the same
+            -- deterministic 1-in-20 sample; all-HUGEINT rational score
+            WITH samp AS (
+                SELECT event_type, user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       (event_id * 2654435761) % 4294967296 AS h
+                FROM events
+                WHERE ((event_id * 2654435761) % 4294967296) % 20 = 0
+            ),
+            r AS (SELECT event_type,
+                         epoch_us(ts) // 86400000000 AS day,
+                         user_id % 64 AS bucket,
+                         ((h % 65536) // 1024) * 64
+                           + ((h // 65536) // 1024) AS cell,
+                         cents
+                  FROM samp),
+            g1 AS (SELECT CAST(sum(cents) AS HUGEINT) AS s, count(*) AS n
+                   FROM r GROUP BY event_type),
+            g2 AS (SELECT CAST(sum(cents) AS HUGEINT) AS s, count(*) AS n
+                   FROM r GROUP BY day),
+            g3 AS (SELECT CAST(sum(cents) AS HUGEINT) AS s, count(*) AS n
+                   FROM r GROUP BY bucket),
+            g4 AS (SELECT CAST(sum(cents) AS HUGEINT) AS s, count(*) AS n
+                   FROM r GROUP BY cell),
+            sc AS (
+                SELECT 'event_type' AS grouping, count(*) AS n_groups,
+                       sum(n) AS sr, sum(s) AS ts_, sum(s*s) AS ss FROM g1
+                UNION ALL SELECT 'day', count(*), sum(n), sum(s), sum(s*s)
+                          FROM g2
+                UNION ALL SELECT 'user_bucket', count(*), sum(n), sum(s),
+                          sum(s*s) FROM g3
+                UNION ALL SELECT 'cell', count(*), sum(n), sum(s),
+                          sum(s*s) FROM g4
+            )
+            SELECT grouping, CAST(n_groups AS BIGINT) AS n_groups,
+                   CAST(sr AS BIGINT) AS sample_rows,
+                   CASE WHEN ts_ = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((n_groups * ss - ts_ * ts_) * 1000000
+                                  // (ts_ * ts_) AS BIGINT) END AS score_ppm
+            FROM sc
         """,
         "groupby_kmv_estimate": """
             -- CIDR'19 sample+sketch group-by estimate: 1-in-20 row sample

@@ -4962,3 +4962,91 @@ def groupby_kmv_estimate(sf_dir: str, p_mod: int = GKE_P,
                          "est_n": [np.int64(est_total)]})
     out = pd.concat([seen, sent], ignore_index=True)
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+AGD_P = 20     # deterministic 1-in-20 row sample (same hash as KMV op)
+
+
+def agg_discovery(sf_dir: str, p_mod: int = AGD_P) -> rd.Dataset:
+    """AGGREGATE DISCOVERY THROUGH SAMPLING (the retrieved-papers shape:
+    Speeding up RDF Aggregate Discovery through Sampling, EDBT'19): rank
+    CANDIDATE group-by aggregates of the events table by how interesting
+    they look on a cheap deterministic sample, without computing any of
+    them exactly. Candidates (all vocab-bounded key spaces): GROUP BY
+    event_type / utc-day / user_id%64 / 64×64 geocell (the Knuth-hash
+    cell of user_covisitation), measure = sum(value) in exact cents.
+    Interestingness = the scale-free dispersion of the per-group sample
+    sums, kept RATIONAL: score_ppm = ⌊10⁶·(G·Σs² − S²) / S²⌋ evaluated in
+    arbitrary-precision Python ints / HUGEINT (Σs² exceeds int64), so the
+    DuckDB mirror is bit-equal, not statistical — a uniform aggregate
+    scores ~0, a skewed one large.
+
+    Shapes: ONE streamed pass over the sampled rows emits per-block
+    (candidate, group, cents, n) partials for ALL four candidates at
+    once; one (candidate, group)-keyed exchange finishes the ≤ ~4.3k
+    group sums (64×64 cells dominate); the scoring fold is driver-side
+    over that vocab-bounded table. Output: 4 rows (grouping, n_groups,
+    sample_rows, score_ppm)."""
+    from ..rayctx import grouped
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts",
+                             "value"])
+    M = np.uint64(1 << 32)
+    KN = np.uint64(2654435761)
+    DAY_US = np.int64(86400000000)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy().astype(np.uint64)
+        hh = (eid * KN) % M
+        m = (hh % np.uint64(p_mod)) == 0
+        d = df[m]
+        if len(d) == 0:
+            return pd.DataFrame({"cand": np.zeros(0, object),
+                                 "gkey": np.zeros(0, np.int64),
+                                 "cents": np.zeros(0, np.int64),
+                                 "n": np.zeros(0, np.int64)})
+        cents = np.rint(d["value"].to_numpy() * 100.0).astype(np.int64)
+        h = (d["event_id"].to_numpy().astype(np.uint64) * KN) % M
+        ix = (h % np.uint64(65536)) // np.uint64(1024)
+        iy = (h // np.uint64(65536)) // np.uint64(1024)
+        frames = []
+        et = d["event_type"].to_numpy(object)
+        # event_type keys the int64 exchange via its FNV (collision-free
+        # over the tiny vocab; the key VALUE never reaches the output, so
+        # the oracle just groups by the string itself)
+        from ..functions.hashing import fnv1a64
+        etk = (fnv1a64(et) % np.uint64(1 << 62)).astype(np.int64)
+        day = (d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // DAY_US)
+        bucket = d["user_id"].to_numpy().astype(np.int64) % 64
+        cell = (ix * np.uint64(64) + iy).astype(np.int64)
+        for cand, gk in (("event_type", etk), ("day", day),
+                         ("user_bucket", bucket), ("cell", cell)):
+            g = (pd.DataFrame({"gkey": gk, "cents": cents})
+                 .groupby("gkey", sort=False, as_index=False)
+                 .agg(cents=("cents", "sum"), n=("cents", "size")))
+            g.insert(0, "cand", cand)
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cand", "gkey"], sort=False, as_index=False)[
+            ["cents", "n"]].sum()
+        return g
+
+    sums = grouped(ev.map_batches(partials, batch_format="pandas"),
+                   ["cand", "gkey"], fin, small=True).to_pandas()
+
+    rows = []
+    for cand, g in sums.groupby("cand", sort=True):
+        s = [int(v) for v in g["cents"]]
+        G = len(s)
+        S = sum(s)
+        ss = sum(v * v for v in s)          # python ints: exact, no wrap
+        score = ((G * ss - S * S) * 1_000_000) // (S * S) if S != 0 else 0
+        rows.append((cand, np.int64(G), np.int64(int(g["n"].sum())),
+                     np.int64(score)))
+    out = pd.DataFrame(rows, columns=["grouping", "n_groups",
+                                      "sample_rows", "score_ppm"])
+    return rd.from_pandas(out)

@@ -4258,3 +4258,50 @@ class TestGroupbyKmvEstimate:
         # (k=256 → relative std ~1/sqrt(k-2) ≈ 6%)
         true_d = ev["user_id"].nunique()
         assert abs(want_total - true_d) / true_d < 0.25
+
+
+class TestAggDiscovery:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import AGD_P, agg_discovery
+
+        mine = (agg_discovery(SF).to_pandas()
+                .sort_values("grouping").reset_index(drop=True))
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "ts", "value"]
+        ).to_pandas()
+        eid = ev["event_id"].to_numpy().astype(np.uint64)
+        h = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        d = ev[(h % np.uint64(AGD_P)) == 0].copy()
+        hs = (d["event_id"].to_numpy().astype(np.uint64)
+              * np.uint64(2654435761)) % np.uint64(1 << 32)
+        d["cents"] = np.rint(d["value"].to_numpy() * 100.0).astype(np.int64)
+        keys = {
+            "event_type": d["event_type"].to_numpy(object),
+            "day": (d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                    // 86400000000),
+            "user_bucket": d["user_id"].to_numpy().astype(np.int64) % 64,
+            "cell": (((hs % np.uint64(65536)) // np.uint64(1024))
+                     * np.uint64(64)
+                     + ((hs // np.uint64(65536)) // np.uint64(1024))
+                     ).astype(np.int64),
+        }
+        want = {}
+        for cand, gk in keys.items():
+            g = pd.DataFrame({"g": gk, "c": d["cents"].to_numpy()}) \
+                .groupby("g")["c"].sum()
+            s = [int(v) for v in g]
+            G, S, ss = len(s), sum(s), sum(v * v for v in s)
+            score = ((G * ss - S * S) * 1_000_000) // (S * S) if S else 0
+            want[cand] = (G, len(d), score)
+        assert len(mine) == 4
+        for r in mine.itertuples():
+            G, n, score = want[r.grouping]
+            assert (r.n_groups, r.sample_rows, r.score_ppm) == (G, n, score), r.grouping
+        # dispersion semantics: the near-uniform 64-bucket user split
+        # scores lower than at least one genuinely skewed candidate
+        sc = mine.set_index("grouping")["score_ppm"]
+        assert (sc >= 0).all()
+        assert sc.drop("user_bucket").max() != sc["user_bucket"]
