@@ -778,8 +778,12 @@ def simplify_network(
     # request table is O(edge×buffer crossings) and can reach GBs at 10^8
     # edges).
     # size-adaptive state layout (P3_BROADCAST_STATE_MAX_NODES): only below
-    # the cap may node-scaled tables land on the driver
-    use_broadcast_state = n_nodes <= P3_BROADCAST_STATE_MAX_NODES
+    # the cap may node-scaled tables land on the driver. The env override
+    # exists for benchmarking the tiled path below the cap (tests force it
+    # by monkeypatching the constant).
+    import os as _os2
+    use_broadcast_state = (n_nodes <= P3_BROADCAST_STATE_MAX_NODES
+                           and not _os2.environ.get("OSMNF_FORCE_TILED_STATE"))
     if use_broadcast_state:
         mm1_pd = mm1.to_pandas()
         _mark("cluster_pass_1")
