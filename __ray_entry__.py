@@ -520,6 +520,34 @@ def _q_video_pipeline_y4m(sf_dir: str):
     return ds.map_batches(Y4M.y4m_stats_batch, batch_format="pyarrow")
 
 
+def _q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection over REAL decoded Y4M planes: per-frame luma
+    sums, consecutive deltas, cut iff |Δ| > 4·w·h (integer; oracle
+    recomputes from the plane formula — stages/y4m.py)."""
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import y4m as Y4M
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        Y4M.y4m_payloads_batch, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(Y4M.Y4mDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    return ds.map_batches(Y4M.y4m_scene_cuts_batch, batch_format="pyarrow")
+
+
+def _q_audio_silence(sf_dir: str):
+    """VAD-style silence windows over REAL decoded PCM: 16-sample window
+    energies Σ|s|, silent below 131072 (integer; oracle recomputes from
+    the sample formula — stages/wav.py)."""
+    from osmnetfusion_ray.sources import read_table
+    from osmnetfusion_ray.stages import wav as WAV
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        WAV.wav_payloads_batch, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(WAV.WavDecoder, batch_format="pyarrow",
+                        batch_size=256, concurrency=(1, 4))
+    return ds.map_batches(WAV.wav_silence_batch, batch_format="pyarrow")
+
+
 def _q_media_feature_stats(sf_dir: str):
     """Per-media scalar summary of the FeatureExtractor CONTENT histogram
     — the oracle-checkable projection of the list<float> feature column.
@@ -943,6 +971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_join_sample": analytics.union_join_sample,
         "groupby_kmv_estimate": analytics.groupby_kmv_estimate,
         "agg_discovery": analytics.agg_discovery,
+        "video_scene_cuts": _q_video_scene_cuts,
+        "audio_silence_windows": _q_audio_silence,
     }
 
 
@@ -3114,6 +3144,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT wr.s, wr.branch, wr.rowid, wr.key, rk2.rowid
             FROM wr JOIN rk2 ON wr.branch = 2 AND rk2.key = wr.key
                             AND rk2.rank = wr.rr
+        """,
+        "video_scene_cuts": """
+            -- cuts recomputed from the plane formula (never from bytes):
+            -- per-frame luma sums, lag deltas, cut iff |d| > 4*w*h
+            WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+                                 4 + doc_id % 3 AS h, 3 + doc_id % 5 AS nf
+                          FROM documents),
+            vf AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
+            vy AS (SELECT doc_id, w, h, f, unnest(range(h)) AS y FROM vf),
+            vx AS (SELECT doc_id, w, h, f, y, unnest(range(w)) AS x
+                   FROM vy),
+            fs AS (SELECT doc_id, w, h, f,
+                          CAST(sum((doc_id*7919 + f*251 + y*131 + x*31)
+                                   % 256) AS BIGINT) AS s
+                   FROM vx GROUP BY doc_id, w, h, f),
+            d AS (SELECT doc_id, w, h,
+                         abs(s - lag(s) OVER (PARTITION BY doc_id
+                                              ORDER BY f)) AS ad
+                  FROM fs)
+            SELECT x.doc_id AS media_id, CAST(x.nf AS BIGINT) AS n_frames,
+                   CAST(coalesce(sum(CASE WHEN d.ad > 4 * x.w * x.h
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_cuts,
+                   CAST(coalesce(max(d.ad), 0) AS BIGINT) AS max_abs_delta
+            FROM dims x
+            LEFT JOIN d ON d.doc_id = x.doc_id AND d.ad IS NOT NULL
+            GROUP BY x.doc_id, x.nf
+        """,
+        "audio_silence_windows": """
+            -- silence windows recomputed from the sample formula: full
+            -- 16-sample windows, energy = sum |s|, silent below 131072
+            WITH lens AS (SELECT doc_id, 64 + doc_id % 97 AS n
+                          FROM documents),
+            ts AS (SELECT doc_id, n, unnest(range((n // 16) * 16)) AS t
+                   FROM lens),
+            sv AS (SELECT doc_id, t // 16 AS wdw,
+                          abs((doc_id*7919 + t*t*13 + t*101) % 65536
+                              - 32768) AS a
+                   FROM ts),
+            en AS (SELECT doc_id, wdw, CAST(sum(a) AS BIGINT) AS e
+                   FROM sv GROUP BY doc_id, wdw)
+            SELECT l.doc_id AS media_id,
+                   CAST(l.n // 16 AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN e.e < 131072 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_silent,
+                   CAST(min(e.e) AS BIGINT) AS min_energy,
+                   CAST(max(e.e) AS BIGINT) AS max_energy
+            FROM lens l JOIN en e USING (doc_id)
+            GROUP BY l.doc_id, l.n
         """,
         "agg_discovery": """
             -- EDBT'19 aggregate discovery: rank candidate group-bys by

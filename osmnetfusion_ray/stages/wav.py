@@ -156,3 +156,34 @@ def wav_stats_batch(batch: pa.Table) -> pd.DataFrame:
     cols = ["doc_id", "n_samples", "sum_abs", "peak", "zero_cross",
             "ds_n", "ds_sum_abs"]
     return batch.select(cols).to_pandas()
+
+
+SIL_WIN = 16        # window length (samples)
+SIL_THR = 131072    # silent iff Σ|s| over the window < SIL_THR (mean 8192)
+
+
+def wav_silence_batch(batch: pa.Table) -> pd.DataFrame:
+    """Silence-window detection over the REAL decoded PCM buffer (consumes
+    WavDecoder output): non-overlapping ``SIL_WIN``-sample windows (tail
+    partial window dropped), window energy = Σ|s|, silent iff energy <
+    ``SIL_THR`` — all integer, so the oracle recomputes the windows from
+    the sample formula. The standard audio-curation VAD-style pre-pass on
+    real parsed bytes."""
+    n = len(batch)
+    n_win = np.zeros(n, np.int64)
+    n_sil = np.zeros(n, np.int64)
+    emin = np.zeros(n, np.int64)
+    emax = np.zeros(n, np.int64)
+    for k, buf in enumerate(batch["pcm"]):
+        s = np.frombuffer(buf.as_py(), "<i2").astype(np.int64)
+        nw = len(s) // SIL_WIN
+        n_win[k] = nw
+        if nw:
+            e = np.abs(s[: nw * SIL_WIN]).reshape(nw, SIL_WIN).sum(axis=1)
+            n_sil[k] = int((e < SIL_THR).sum())
+            emin[k] = int(e.min())
+            emax[k] = int(e.max())
+    return pd.DataFrame({
+        "media_id": batch["doc_id"].to_numpy().astype(np.int64),
+        "n_windows": n_win, "n_silent": n_sil,
+        "min_energy": emin, "max_energy": emax})

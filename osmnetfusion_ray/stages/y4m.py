@@ -181,3 +181,33 @@ def y4m_stats_batch(batch: pa.Table) -> pd.DataFrame:
     cols = ["doc_id", "w", "h", "n_frames", "sum_y", "sum_u", "sum_v",
             "sampled_frames", "sampled_luma"]
     return batch.select(cols).to_pandas()
+
+
+CUT_MULT = 4   # cut iff |Δ luma sum| > CUT_MULT · w · h
+
+
+def y4m_scene_cuts_batch(batch: pa.Table) -> pd.DataFrame:
+    """Scene-cut detection over the REAL decoded plane buffer (consumes
+    Y4mDecoder output): per-frame luma (plane 0) sums, consecutive-frame
+    absolute deltas, cut iff ``|Δ| > CUT_MULT·w·h`` — all integer, so the
+    oracle recomputes the cuts from the plane formula. The standard
+    video-curation pre-pass (segmenting on luma discontinuities) on real
+    parsed bytes."""
+    n = len(batch)
+    ws = batch["w"].to_numpy()
+    hs = batch["h"].to_numpy()
+    nfs = batch["n_frames"].to_numpy()
+    n_cuts = np.zeros(n, np.int64)
+    max_d = np.zeros(n, np.int64)
+    for k, buf in enumerate(batch["planes"]):
+        w, h, nf = int(ws[k]), int(hs[k]), int(nfs[k])
+        planes = np.frombuffer(buf.as_py(), np.uint8).reshape(nf, 3, h, w)
+        fs = planes[:, 0].reshape(nf, -1).sum(axis=1, dtype=np.int64)
+        if nf > 1:
+            d = np.abs(np.diff(fs))
+            n_cuts[k] = int((d > CUT_MULT * w * h).sum())
+            max_d[k] = int(d.max())
+    return pd.DataFrame({
+        "media_id": batch["doc_id"].to_numpy().astype(np.int64),
+        "n_frames": nfs.astype(np.int64),
+        "n_cuts": n_cuts, "max_abs_delta": max_d})

@@ -4305,3 +4305,43 @@ class TestAggDiscovery:
         sc = mine.set_index("grouping")["score_ppm"]
         assert (sc >= 0).all()
         assert sc.drop("user_bucket").max() != sc["user_bucket"]
+
+
+class TestMediaContentAnalytics:
+    def test_scene_cuts_bruteforce(self):
+        from osmnetfusion_ray.stages import y4m as Y4M
+
+        docs = pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+        dec = Y4M.Y4mDecoder()(Y4M.y4m_payloads_batch(docs))
+        out = Y4M.y4m_scene_cuts_batch(dec)
+        ws, hs, nfs = Y4M.y4m_dims(np.arange(40))
+        for r in out.itertuples():
+            i = int(r.media_id)
+            planes = Y4M.y4m_planes(i, int(ws[i]), int(hs[i]), int(nfs[i]))
+            fs = planes[:, 0].reshape(int(nfs[i]), -1).sum(axis=1).astype(np.int64)
+            d = np.abs(np.diff(fs))
+            assert r.n_frames == nfs[i]
+            assert r.n_cuts == (d > Y4M.CUT_MULT * ws[i] * hs[i]).sum()
+            assert r.max_abs_delta == d.max()
+        # discriminative: cuts fire for some videos, not all frames
+        assert out["n_cuts"].sum() > 0
+        assert (out["n_cuts"] < out["n_frames"] - 1).any()
+
+    def test_silence_windows_bruteforce(self):
+        from osmnetfusion_ray.stages import wav as WAV
+
+        docs = pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+        dec = WAV.WavDecoder()(WAV.wav_payloads_batch(docs))
+        out = WAV.wav_silence_batch(dec)
+        ns = WAV.wav_lengths(np.arange(40))
+        for r in out.itertuples():
+            i = int(r.media_id)
+            s = np.abs(WAV.wav_samples(i, int(ns[i])).astype(np.int64))
+            nw = int(ns[i]) // WAV.SIL_WIN
+            e = s[: nw * WAV.SIL_WIN].reshape(nw, WAV.SIL_WIN).sum(axis=1)
+            assert r.n_windows == nw
+            assert r.n_silent == (e < WAV.SIL_THR).sum()
+            assert r.min_energy == e.min() and r.max_energy == e.max()
+        # discriminative: silence exists but is not universal
+        assert out["n_silent"].sum() > 0
+        assert (out["n_silent"] < out["n_windows"]).any()
