@@ -129,14 +129,16 @@ def revenue_by_nation(sf_dir: str) -> rd.Dataset:
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     names = nation.set_index("n_nationkey")["n_name"]
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("n_nationkey", sort=False, as_index=False)[["rev", "n"]].sum()
-        return pd.DataFrame({
-            "n_name": g["n_nationkey"].map(names).to_numpy(),
-            "total_revenue": np.round(g["rev"].to_numpy(), 4),
-            "n_orders": g["n"].to_numpy().astype(np.int64)})
-
-    return grouped(per_block, ["n_nationkey"], finish, small=True)
+    # terminal fold on the driver: per_block is ≤ #blocks × 25 rows, so a
+    # second aggregator-pool exchange would cost more in actor spawn than
+    # the whole 25-key reduce (measured +0.85 s at sf0.1)
+    pdf = per_block.to_pandas()
+    g = pdf.groupby("n_nationkey", sort=False, as_index=False)[["rev", "n"]].sum()
+    out = pd.DataFrame({
+        "n_name": g["n_nationkey"].map(names).to_numpy(),
+        "total_revenue": np.round(g["rev"].to_numpy(), 4),
+        "n_orders": g["n"].to_numpy().astype(np.int64)})
+    return rd.from_pandas(out.reset_index(drop=True))
 
 
 def q3_shipping_priority(sf_dir: str, k: int = 10,
