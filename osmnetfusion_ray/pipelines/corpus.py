@@ -4540,6 +4540,34 @@ def _er_rotate(t: str, pos: int) -> str:
     return t[:pos] + chr(32 + (c - 32 + 1) % 95) + t[pos + 1:]
 
 
+_ER_DRIVER_MAX_DOCS = 2_000     # below: the whole ER chain folds driver-side
+#                                 on the SAME kernels (measured 1.0 s vs
+#                                 3.0 s at 500 docs — pool spawns dominate
+#                                 there); above: 4 keyed exchanges + the
+#                                 distributed CC labeler (the batched
+#                                 Levenshtein DP is the real cost at scale
+#                                 and needs the block parallelism: a
+#                                 driver fold measured 25.8 s vs 6.98 s
+#                                 distributed at 5k docs). Path equality
+#                                 test-forced both ways.
+
+
+def _er_golden(df: pd.DataFrame) -> pd.DataFrame:
+    """Shared survivorship kernel of both ER paths: within each label,
+    lexicographically LARGEST text wins, ties to the smallest id."""
+    df = df.sort_values(["label", "t", "id"], kind="mergesort",
+                        ascending=[True, False, True])
+    df["is_base"] = (df["id"].to_numpy(np.int64) < ER_OFF).astype(np.int64)
+    g = df.groupby("label", sort=False)
+    out = pd.DataFrame({
+        "cluster_id": g["id"].min().index.to_numpy(np.int64),
+        "n_members": g.size().to_numpy(np.int64),
+        "n_base": g["is_base"].sum().to_numpy(np.int64),
+        "golden_id": g["id"].first().to_numpy(np.int64),  # max t, min id
+    })
+    return out[out["n_members"] >= 2]
+
+
 def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
     """ENTITY RESOLUTION END-TO-END (the MDM / record-linkage composite):
     blocking → pairwise exact match scoring → transitive closure →
@@ -4574,6 +4602,7 @@ def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
 
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "lang", "text", "n_chars"])
+    n_docs = docs.count()  # parquet-metadata count — no execution
 
     def universe(df: pd.DataFrame) -> pd.DataFrame:
         did = df["doc_id"].to_numpy().astype(np.int64)
@@ -4631,6 +4660,20 @@ def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
         keep = d <= ER_TAU
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
+    if n_docs <= _ER_DRIVER_MAX_DOCS:
+        from ..stages.simplify import components_from_pairs
+
+        u = uni.to_pandas()
+        p = pairs_block(u)
+        labels = components_from_pairs(u["id"].to_numpy(np.int64),
+                                       p["a"].to_numpy(np.int64),
+                                       p["b"].to_numpy(np.int64))
+        tag = pd.DataFrame({"label": labels,
+                            "id": u["id"].to_numpy(np.int64),
+                            "t": u["t"].to_numpy(object)})
+        ensure_tuned()
+        return rd.from_pandas(_er_golden(tag).reset_index(drop=True))
+
     pairs = grouped(uni, ["lang", "n_chars"], pairs_block)
     msg_edges = pairs.map_batches(
         lambda df: pd.DataFrame({
@@ -4669,17 +4712,4 @@ def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
 
     tagged = grouped(lab_rows.union(uni_rows), ["id"], attach)
 
-    def golden(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["label", "t", "id"], kind="mergesort",
-                            ascending=[True, False, True])
-        df["is_base"] = (df["id"].to_numpy(np.int64) < ER_OFF).astype(np.int64)
-        g = df.groupby("label", sort=False)
-        out = pd.DataFrame({
-            "cluster_id": g["id"].min().index.to_numpy(np.int64),
-            "n_members": g.size().to_numpy(np.int64),
-            "n_base": g["is_base"].sum().to_numpy(np.int64),
-            "golden_id": g["id"].first().to_numpy(np.int64),  # max t, min id
-        })
-        return out[out["n_members"] >= 2]
-
-    return grouped(tagged, ["label"], golden)
+    return grouped(tagged, ["label"], _er_golden)

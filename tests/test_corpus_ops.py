@@ -4062,6 +4062,24 @@ class TestEntityResolution:
         assert (mine["golden_id"] != mine["cluster_id"]).any()
         assert (mine["n_members"] >= 3).any()
 
+    def test_driver_and_distributed_paths_equal(self, ray_session,
+                                                monkeypatch):
+        """Size-adaptive contract: the driver fold (default at test scale)
+        and the forced 4-exchange distributed chain yield identical
+        entities."""
+        import osmnetfusion_ray.pipelines.corpus as C
+
+        drv = (C.entity_resolution(SF).to_pandas()
+               .sort_values("cluster_id").reset_index(drop=True))
+        monkeypatch.setattr(C, "_ER_DRIVER_MAX_DOCS", 0)
+        dist = (C.entity_resolution(SF).to_pandas()
+                .sort_values("cluster_id").reset_index(drop=True))
+        monkeypatch.undo()
+        assert len(drv) == len(dist) > 0
+        for c in ("cluster_id", "n_members", "n_base", "golden_id"):
+            assert np.array_equal(drv[c].to_numpy(np.int64),
+                                  dist[c].to_numpy(np.int64)), c
+
     def test_block_cap_exercised(self, ray_session, tmp_path):
         """An adversarial (lang, n_chars) block larger than the contributor
         cap: only the cap smallest ids may pair (the stated hub-cap
