@@ -4787,19 +4787,26 @@ def union_join_sample(sf_dir: str) -> rd.Dataset:
 
     rows = li.map_batches(skinny, batch_format="pandas").materialize()
 
-    def _deg(col: str) -> tuple[np.ndarray, np.ndarray]:
-        part = rows.map_batches(
-            lambda df, c=col: df.groupby(c, sort=False, as_index=False)
-            .size().rename(columns={"size": "d"}),
-            batch_format="pandas")
-        deg = grouped(part, [col],
-                      lambda df, c=col: df.groupby(c, sort=False,
-                                                   as_index=False)["d"].sum(),
-                      small=True).to_pandas().sort_values(col)
-        return (deg[col].to_numpy(np.int64), deg["d"].to_numpy(np.int64))
+    # BOTH degree tables ride ONE tagged-key exchange (key*2 for partkey,
+    # key*2+1 for suppkey — the domains overlap numerically, the tag keeps
+    # them disjoint); split back driver-side. One pool spawn instead of two.
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        tk = np.concatenate([df["pk"].to_numpy(np.int64) * 2,
+                             df["sk"].to_numpy(np.int64) * 2 + 1])
+        g = (pd.DataFrame({"k": tk})
+             .groupby("k", sort=False, as_index=False).size())
+        return pd.DataFrame({"k": g["k"].to_numpy(np.int64),
+                             "d": g["size"].to_numpy().astype(np.int64)})
 
-    pkeys, pdeg = _deg("pk")
-    skeys, sdeg = _deg("sk")
+    deg = grouped(rows.map_batches(deg_part, batch_format="pandas"),
+                  ["k"], lambda df: df.groupby("k", sort=False,
+                                               as_index=False)["d"].sum(),
+                  small=True).to_pandas().sort_values("k")
+    tk = deg["k"].to_numpy(np.int64)
+    dv = deg["d"].to_numpy(np.int64)
+    pm = (tk % 2) == 0
+    pkeys, pdeg = tk[pm] // 2, dv[pm]
+    skeys, sdeg = tk[~pm] // 2, dv[~pm]
     n1 = int((pdeg.astype(object) ** 2).sum())   # python ints: exact
     n2 = int((sdeg.astype(object) ** 2).sum())
 
