@@ -973,6 +973,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_discovery": analytics.agg_discovery,
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
+        "bpe_first_merge": corpus.bpe_first_merge,
+        # rows-only by design: iterative string rewriting; bpe_first_merge
+        # is the oracled twin of round 1 (pytest asserts agreement)
+        "bpe_merges": corpus.bpe_merges,
     }
 
 
@@ -3144,6 +3148,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT wr.s, wr.branch, wr.rowid, wr.key, rk2.rowid
             FROM wr JOIN rk2 ON wr.branch = 2 AND rk2.key = wr.key
                             AND rk2.rank = wr.rr
+        """,
+        "bpe_first_merge": """
+            -- BPE round-1 pair counts: adjacent character pairs over the
+            -- word-frequency table ('\\S+' tokens), each in-word
+            -- occurrence weighted by word frequency; top-10 by
+            -- (count desc, pair asc)
+            WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+'))
+                              AS w
+                          FROM documents),
+            wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+            ps AS (SELECT w, f, unnest(range(length(w) - 1)) AS i
+                   FROM wf WHERE length(w) > 1),
+            pc AS (SELECT substr(w, CAST(i + 1 AS INTEGER), 1) AS lhs,
+                          substr(w, CAST(i + 2 AS INTEGER), 1) AS rhs,
+                          sum(f) AS n
+                   FROM ps GROUP BY 1, 2)
+            SELECT lhs, rhs, CAST(n AS BIGINT) AS pair_freq
+            FROM pc ORDER BY n DESC, lhs, rhs LIMIT 10
         """,
         "video_scene_cuts": """
             -- cuts recomputed from the plane formula (never from bytes):

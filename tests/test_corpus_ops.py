@@ -4363,3 +4363,61 @@ class TestMediaContentAnalytics:
         # discriminative: silence exists but is not universal
         assert out["n_silent"].sum() > 0
         assert (out["n_silent"] < out["n_windows"]).any()
+
+
+class TestBpeMerges:
+    def test_round1_matches_oracle_twin_and_structure(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import (bpe_first_merge,
+                                                       bpe_merges)
+
+        merges = bpe_merges(SF, n_merges=8).to_pandas()
+        first = bpe_first_merge(SF, k=1).to_pandas()
+        # round 1 == the oracled twin's top pair
+        assert merges.iloc[0]["lhs"] == first.iloc[0]["lhs"]
+        assert merges.iloc[0]["rhs"] == first.iloc[0]["rhs"]
+        assert merges.iloc[0]["pair_freq"] == first.iloc[0]["pair_freq"]
+        # structure: ranks 1..8; merged symbols grow; frequencies are
+        # positive; a later round may merge a PRODUCT of an earlier merge
+        assert list(merges["merge_rank"]) == list(range(1, len(merges) + 1))
+        assert (merges["pair_freq"] > 0).all()
+        syms = set()
+        grew = False
+        for r in merges.itertuples():
+            if len(r.lhs) > 1 or len(r.rhs) > 1:
+                grew = True
+                assert (r.lhs in syms) or (r.rhs in syms)
+            syms.add(r.lhs + r.rhs)
+        assert grew  # 8 rounds on real text must compound at least once
+
+    def test_merge_application_bruteforce(self, ray_session):
+        """Round-2 counts equal a brute-force recount after applying
+        merge 1 left-to-right non-overlapping over the word-freq table."""
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import bpe_merges
+
+        merges = bpe_merges(SF, n_merges=2).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        wf = Counter()
+        for t in docs["text"]:
+            for w in t.split():
+                wf[w] += 1
+        a, b = merges.iloc[0]["lhs"], merges.iloc[0]["rhs"]
+        pc2 = Counter()
+        for w, f in wf.items():
+            syms, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    syms.append(a + b)
+                    i += 2
+                else:
+                    syms.append(w[i])
+                    i += 1
+            for j in range(len(syms) - 1):
+                pc2[(syms[j], syms[j + 1])] += f
+        (wl, wr), wn = min(pc2.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (merges.iloc[1]["lhs"], merges.iloc[1]["rhs"]) == (wl, wr)
+        assert merges.iloc[1]["pair_freq"] == wn
