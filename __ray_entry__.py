@@ -973,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_discovery": analytics.agg_discovery,
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
+        "dsir_weights": corpus.dsir_weights,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3149,6 +3150,43 @@ def oracle_sql() -> dict[str, str]:
             FROM wr JOIN rk2 ON wr.branch = 2 AND rk2.key = wr.key
                             AND rk2.rank = wr.rr
         """,
+        "dsir_weights": """
+            -- DSIR hashed-bigram importance weights: add-one-smoothed
+            -- target(en)/raw bucket models, micro-nat score = floor of
+            -- ONE ln of ONE division of two exact int64 products
+            -- (the lm_perplexity idiom); per-doc exact int64 sum
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(text), '\\s+') AS l
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            bg AS (
+                SELECT doc_id, lang,
+                       unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:len(l)])
+                           AS b
+                FROM toks WHERE len(l) >= 2
+            ),
+            hb AS (SELECT doc_id, lang,
+                          CAST(__FNV__ % 65536 AS BIGINT) AS bk
+                   FROM bg),
+            cnt AS (SELECT bk, count(*) AS r,
+                           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t
+                    FROM hb GROUP BY bk),
+            tot AS (SELECT sum(r) AS tr, sum(t) AS tt FROM cnt),
+            sc AS (SELECT c.bk,
+                          CAST(floor(1000000.0 * ln(
+                              CAST((c.t + 1) * (tot.tr + 65536) AS DOUBLE)
+                              / CAST((c.r + 1) * (tot.tt + 65536)
+                                     AS DOUBLE))) AS BIGINT) AS s
+                   FROM cnt c, tot),
+            dw AS (SELECT h.doc_id, count(*) AS nb, sum(sc.s) AS w
+                   FROM hb h JOIN sc ON sc.bk = h.bk GROUP BY h.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(dw.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(dw.w, 0) AS BIGINT) AS w_unats,
+                   CAST(coalesce(dw.w, 0) AS DOUBLE) / 1000000.0 AS weight
+            FROM documents d LEFT JOIN dw USING (doc_id)
+        """.replace("__FNV__", corpusoracle.fnv_expr("b")),
         "bpe_first_merge": """
             -- BPE round-1 pair counts: adjacent character pairs over the
             -- word-frequency table ('\\S+' tokens), each in-word

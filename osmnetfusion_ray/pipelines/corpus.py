@@ -4811,3 +4811,98 @@ def bpe_merges(sf_dir: str, n_merges: int = 8) -> rd.Dataset:
     ensure_tuned()
     return rd.from_pandas(pd.DataFrame(
         merges, columns=["merge_rank", "lhs", "rhs", "pair_freq"]))
+
+
+DSIR_B = 1 << 16          # hashed-bigram bucket count
+DSIR_TARGET_LANG = "en"
+
+
+def _bigram_buckets(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_row_index, bucket) per in-doc word bigram: Arrow tokenize,
+    adjacent-pair join, codepoint-FNV bucket hash (the SQL-mirrorable
+    fnv1a64 % DSIR_B)."""
+    parent, flat = tokenize_arrow(batch["text"])
+    n = len(flat)
+    if n < 2:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    par = parent.to_numpy(zero_copy_only=False)
+    same = par[:-1] == par[1:]
+    if not same.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    mask = pa.array(same)
+    lhs = pc.filter(flat.slice(0, n - 1), mask)
+    rhs = pc.filter(flat.slice(1), mask)
+    big = pc.binary_join_element_wise(lhs, rhs, " ")
+    bk = (hashing.fnv1a64(big) % np.uint64(DSIR_B)).astype(np.int64)
+    return par[:-1][same], bk
+
+
+def dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DATA SELECTION VIA IMPORTANCE RESAMPLING weights (DSIR, Xie et al.
+    NeurIPS'23 — the hashed-n-gram importance estimator every modern
+    pretraining-mix pipeline runs): per-document importance weight
+    w(d) = Σ_{b ∈ bigrams(d)} ln( p_target(bucket(b)) / p_raw(bucket(b)) )
+    with add-one-smoothed hashed-bigram models (2¹⁶ buckets; target =
+    lang='en' documents, raw = the whole corpus).
+
+    Exactness (the lm_perplexity idiom): each bucket score is ONE ln of
+    ONE division of two exactly-float64-representable int64 products —
+    s(b) = ⌊10⁶·ln((ct_t+1)(T_r+B) / ((ct_r+1)(T_t+B)))⌋ — and the
+    per-document reduction is an exact int64 sum of those micro-nat
+    scores (order-free under any partitioning), with a single terminal
+    /10⁶. The SQL mirror evaluates the identical expressions.
+
+    Shapes: pass 1 streams the corpus once emitting per-block
+    (bucket, n_raw, n_target) partials finished by ONE bucket-keyed
+    exchange (≤ 2¹⁶ keys); the 512 KB score array broadcasts via
+    ``ray.put``; pass 2 streams the corpus again gathering s[bucket] and
+    reducing per doc in-block — no further exchange. Output one row per
+    document: (doc_id, n_bigrams, w_unats, weight); no-bigram docs weigh
+    0."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        di, bk = _bigram_buckets(batch)
+        if len(bk) == 0:
+            return pd.DataFrame({"bucket": np.zeros(0, np.int64),
+                                 "r": np.zeros(0, np.int64),
+                                 "t": np.zeros(0, np.int64)})
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        tgt = (lang[di] == DSIR_TARGET_LANG).astype(np.int64)
+        g = (pd.DataFrame({"bucket": bk, "t": tgt})
+             .groupby("bucket", sort=False, as_index=False)
+             .agg(r=("t", "size"), t=("t", "sum")))
+        return g[["bucket", "r", "t"]]
+
+    cnt = grouped(docs.map_batches(part, batch_format="pyarrow"),
+                  ["bucket"],
+                  lambda df: df.groupby("bucket", sort=False,
+                                        as_index=False)[["r", "t"]].sum(),
+                  small=True).to_pandas()
+
+    ct_r = np.zeros(DSIR_B, np.int64)
+    ct_t = np.zeros(DSIR_B, np.int64)
+    ct_r[cnt["bucket"].to_numpy(np.int64)] = cnt["r"].to_numpy(np.int64)
+    ct_t[cnt["bucket"].to_numpy(np.int64)] = cnt["t"].to_numpy(np.int64)
+    tr, tt = int(ct_r.sum()), int(ct_t.sum())
+    num = ((ct_t + 1) * (tr + DSIR_B)).astype(np.float64)   # < 2^53: exact
+    den = ((ct_r + 1) * (tt + DSIR_B)).astype(np.float64)
+    s = np.floor(1_000_000.0 * np.log(num / den)).astype(np.int64)
+    sref = ray.put(s)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        sc = ray.get(sref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di, bk = _bigram_buckets(batch)
+        nb = np.bincount(di, minlength=len(ids)).astype(np.int64)
+        # micro-nat magnitudes ≤ ~1.7e7 and ≤ ~1e4 bigrams/doc: the float64
+        # accumulation stays < 2^53, so the int64 cast is exact
+        w = np.bincount(di, weights=sc[bk].astype(np.float64),
+                        minlength=len(ids)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "n_bigrams": nb, "w_unats": w,
+            "weight": w.astype(np.float64) / 1_000_000.0})
+
+    return docs.map_batches(score, batch_format="pyarrow")

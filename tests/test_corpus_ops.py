@@ -4421,3 +4421,26 @@ class TestBpeMerges:
         (wl, wr), wn = min(pc2.items(), key=lambda kv: (-kv[1], kv[0]))
         assert (merges.iloc[1]["lhs"], merges.iloc[1]["rhs"]) == (wl, wr)
         assert merges.iloc[1]["pair_freq"] == wn
+
+
+class TestDsirWeights:
+    def test_semantics(self, ray_session):
+        """Importance weights separate the target language: mean weight of
+        en docs strictly exceeds the mean of every other language (the
+        whole point of DSIR), and no-bigram docs weigh exactly 0."""
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import dsir_weights
+
+        w = dsir_weights(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "lang"]).to_pandas()
+        m = w.merge(docs, on="doc_id")
+        assert len(m) == len(docs)
+        per_lang = m.groupby("lang")["weight"].mean()
+        assert per_lang.idxmax() == "en"
+        zero = m[m["n_bigrams"] == 0]
+        assert (zero["weight"] == 0).all() and (zero["w_unats"] == 0).all()
+        # micro-nat exactness: weight is w_unats / 1e6 bit-for-bit
+        assert np.array_equal(m["weight"].to_numpy(),
+                              m["w_unats"].to_numpy() / 1_000_000.0)
