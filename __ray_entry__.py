@@ -777,7 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sampling/AQP + data-selection ops (union_join_sample,
     # groupby_kmv_estimate, agg_discovery, dsir_weights).
     return {
-        # --- 1-12: network per-stage oracles -------------------------------
+        # --- 1-13: network per-stage oracles (+ the S4 parse variant) ------
         "network_rank": netqueries.network_rank,
         "network_importance": netqueries.network_importance,
         "network_gradient": netqueries.network_gradient,
@@ -791,13 +791,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "network_widths": netqueries.network_widths,
         "network_split_curves": netqueries.network_split_curves,
         "network_cluster": netqueries.network_cluster,
-        # --- 13-17: flagship composites + joins ----------------------------
+        # --- 14-18: flagship composites + joins ----------------------------
         "network_enrich": _q_network_enrich,         # FULL p2 chain, SQL-oracled
         "network_simplify": _q_network_simplify,     # rows-only composite (stages individually oracled)
         "page_network_join": _q_page_network_join,
         "page_network_join_tiled": _q_page_network_join_tiled,
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
-        # --- 18-30: dedup family -------------------------------------------
+        # --- 19-31: dedup family -------------------------------------------
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
         "near_dup_clusters": _q_near_dup_clusters,
@@ -811,7 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": _q_boilerplate,
         "corpus_prep": _q_corpus_prep,
         "dup_passages": _q_dup_passages,
-        # --- 31-38: chunking/packing + media codec family ------------------
+        # --- 32-38: chunking/packing + media codec family ------------------
         "doc_chunks": _q_doc_chunks,
         "sequence_packing": _q_sequence_packing,
         "media_pipeline": _q_media_pipeline,
@@ -819,7 +819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pipeline_ppm": _q_image_pipeline_ppm,
         "audio_pipeline_wav": _q_audio_pipeline_wav,
         "video_pipeline_y4m": _q_video_pipeline_y4m,
-        # --- 39-50: embeddings, composites, perf-reworked analytics --------
+        # --- 39-50: embeddings, ER, perf-reworked analytics, and the
+        # --- round-3 paper-aligned sampling/AQP + data-selection ops -------
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk": _q_ann_topk,
         "entity_resolution": corpus.entity_resolution,
@@ -3294,8 +3295,8 @@ def oracle_sql() -> dict[str, str]:
                           sum(s*s) FROM g4
             )
             SELECT grouping, CAST(n_groups AS BIGINT) AS n_groups,
-                   CAST(sr AS BIGINT) AS sample_rows,
-                   CASE WHEN ts_ = 0 THEN CAST(0 AS BIGINT)
+                   CAST(coalesce(sr, 0) AS BIGINT) AS sample_rows,
+                   CASE WHEN ts_ IS NULL OR ts_ = 0 THEN CAST(0 AS BIGINT)
                         ELSE CAST((n_groups * ss - ts_ * ts_) * 1000000
                                   // (ts_ * ts_) AS BIGINT) END AS score_ppm
             FROM sc

@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 
 from . import geom, synth
 
-FIXTURE_VERSION = 5
+FIXTURE_VERSION = 6
 CITY_N = 16
 CITY_SEED = 42
 REF_LAT = 48.15  # PipelineConfig.ref_lat — the enrich metric's latitude

@@ -306,7 +306,7 @@ def network_oracles() -> dict[str, str]:
                          coalesce(t.name, CAST(m.relation_id AS VARCHAR))
                              AS name,
                          n.lon, n.lat
-                  FROM mem m JOIN tags t USING (relation_id)
+                  FROM mem m LEFT JOIN tags t USING (relation_id)
                   JOIN onode n ON n.node_id = m.member_ref
                   WHERE m.member_type = 'n'),
         cnt AS (SELECT member_ref, count(*) AS c FROM mem

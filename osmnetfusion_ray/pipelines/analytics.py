@@ -4742,7 +4742,7 @@ UJS_K = 16
 UJS_MOD = 1 << 32
 
 
-def union_join_sample(sf_dir: str) -> rd.Dataset:
+def union_join_sample(sf_dir: str):
     """SAMPLING OVER A UNION OF JOINS (the retrieved-papers shape:
     Sampling over Union of Joins, SIGMOD'23): draw ``UJS_K`` rows
     uniformly from the BAG union of two unmaterialized M:N self-joins —
@@ -4769,8 +4769,10 @@ def union_join_sample(sf_dir: str) -> rd.Dataset:
     argmin partials for ALL slots at once (each slot reads the degree of
     its branch's key column); partner resolution rides one keyed exchange
     PER BRANCH over skinny (key, rowid) rows. Output: UJS_K rows (slot,
-    branch, a_rowid, key, b_rowid). Same int64 hash scale bound as
-    join_sample (rowids < ~3.5e9)."""
+    branch, a_rowid, key, b_rowid) as a Dataset — or a typed empty
+    pa.Table when the fact table is empty (a Dataset cannot carry an
+    empty schema; the driver contract allows Table returns). Same int64
+    hash scale bound as join_sample (rowids < ~3.5e9)."""
     from ..rayctx import group_positions, grouped
 
     li = read_table(sf_dir, "lineitem",
@@ -4801,12 +4803,26 @@ def union_join_sample(sf_dir: str) -> rd.Dataset:
     deg = grouped(rows.map_batches(deg_part, batch_format="pandas"),
                   ["k"], lambda df: df.groupby("k", sort=False,
                                                as_index=False)["d"].sum(),
-                  small=True).to_pandas().sort_values("k")
+                  small=True).to_pandas()
+    if "k" not in deg.columns:   # empty fact: Ray drops the schema with
+        deg = pd.DataFrame({"k": [], "d": []})  # the empty blocks
+    deg = deg.sort_values("k")
     tk = deg["k"].to_numpy(np.int64)
     dv = deg["d"].to_numpy(np.int64)
     pm = (tk % 2) == 0
     pkeys, pdeg = tk[pm] // 2, dv[pm]
     skeys, sdeg = tk[~pm] // 2, dv[~pm]
+    if len(pkeys) == 0 or len(skeys) == 0:
+        # empty fact table: both joins are empty. A Dataset cannot carry an
+        # empty result's schema (Ray drops empty blocks even from
+        # from_pandas — the user_covisitation gotcha), so pin a typed
+        # Arrow table; the driver contract accepts Table returns.
+        return pa.table({
+            "slot": pa.array([], pa.int64()),
+            "branch": pa.array([], pa.int64()),
+            "a_rowid": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "b_rowid": pa.array([], pa.int64())})
     n1 = int((pdeg.astype(object) ** 2).sum())   # python ints: exact
     n2 = int((sdeg.astype(object) ** 2).sum())
 
@@ -4934,33 +4950,51 @@ def groupby_kmv_estimate(sf_dir: str, p_mod: int = GKE_P,
     M = np.uint64(1 << 32)
     KN = np.uint64(2654435761)
 
-    def samp_part(df: pd.DataFrame) -> pd.DataFrame:
+    # ONE streamed pass emits BOTH partial kinds as tagged skinny rows
+    # (kind 0: per-block sampled-group counts; kind 1: the block's
+    # k-smallest distinct key hashes); the MATERIALIZED intermediate is
+    # the reduced partials, never the events table, so the corpus is
+    # scanned exactly once.
+    def part(df: pd.DataFrame) -> pd.DataFrame:
         eid = df["event_id"].to_numpy().astype(np.uint64)
         hh = (eid * KN) % M
         uid = df["user_id"].to_numpy().astype(np.int64)
         mask = (hh % np.uint64(p_mod)) == 0
         g = (pd.DataFrame({"user_id": uid[mask]})
              .groupby("user_id", sort=False, as_index=False).size())
-        return pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
-                             "n": g["size"].to_numpy().astype(np.int64)})
+        uh = np.unique((uid.astype(np.uint64) * KN) % M)[:k]
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(g), np.int64),
+                                    np.ones(len(uh), np.int64)]),
+            "key": np.concatenate([g["user_id"].to_numpy(np.int64),
+                                   uh.astype(np.int64)]),
+            "n": np.concatenate([g["size"].to_numpy().astype(np.int64),
+                                 np.ones(len(uh), np.int64)])})
+
+    partials = ev.map_batches(part, batch_format="pandas").materialize()
 
     def samp_final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id", sort=False, as_index=False)["n"].sum()
+        d = df[df["kind"] == 0]
+        g = d.groupby("key", sort=False, as_index=False)["n"].sum()
         return pd.DataFrame({
-            "user_id": g["user_id"].to_numpy(np.int64),
+            "user_id": g["key"].to_numpy(np.int64),
             "n_sample": g["n"].to_numpy(np.int64),
             "est_n": (g["n"].to_numpy(np.int64) * p_mod)})
 
-    seen = grouped(ev.map_batches(samp_part, batch_format="pandas"),
-                   ["user_id"], samp_final, small=True).to_pandas()
+    seen = grouped(
+        partials.map_batches(lambda df: df[df["kind"] == 0],
+                             batch_format="pandas"),
+        ["key"], samp_final, small=True).to_pandas()
+    if "user_id" not in seen.columns:   # no sampled rows: Ray drops schema
+        seen = pd.DataFrame({"user_id": np.zeros(0, np.int64),
+                             "n_sample": np.zeros(0, np.int64),
+                             "est_n": np.zeros(0, np.int64)})
 
-    def kmv_part(df: pd.DataFrame) -> pd.DataFrame:
-        uid = df["user_id"].to_numpy().astype(np.uint64)
-        uh = np.unique((uid * KN) % M)          # sorted ascending
-        return pd.DataFrame({"uh": uh[:k].astype(np.int64)})
-
-    parts = ev.map_batches(kmv_part, batch_format="pandas").to_pandas()
-    uh = np.unique(parts["uh"].to_numpy(np.int64))
+    kmv = partials.map_batches(
+        lambda df: df[df["kind"] == 1][["key"]],
+        batch_format="pandas").to_pandas()
+    uh = (np.unique(kmv["key"].to_numpy(np.int64))
+          if "key" in kmv.columns else np.zeros(0, np.int64))
     if len(uh) < k:
         est_total = int(len(uh))                # sketch is exact below k
     else:
@@ -5016,7 +5050,7 @@ def agg_discovery(sf_dir: str, p_mod: int = AGD_P) -> rd.Dataset:
                                  "cents": np.zeros(0, np.int64),
                                  "n": np.zeros(0, np.int64)})
         cents = np.rint(d["value"].to_numpy() * 100.0).astype(np.int64)
-        h = (d["event_id"].to_numpy().astype(np.uint64) * KN) % M
+        h = hh[m]                       # same hash — no recompute
         ix = (h % np.uint64(65536)) // np.uint64(1024)
         iy = (h // np.uint64(65536)) // np.uint64(1024)
         frames = []
@@ -5046,9 +5080,18 @@ def agg_discovery(sf_dir: str, p_mod: int = AGD_P) -> rd.Dataset:
 
     sums = grouped(ev.map_batches(partials, batch_format="pandas"),
                    ["cand", "gkey"], fin, small=True).to_pandas()
+    if "cand" not in sums.columns:      # every block sampled empty — Ray
+        sums = pd.DataFrame({"cand": [], "gkey": [],  # drops the schema
+                             "cents": [], "n": []})
 
     rows = []
-    for cand, g in sums.groupby("cand", sort=True):
+    cands = ["cell", "day", "event_type", "user_bucket"]
+    by_cand = dict(iter(sums.groupby("cand", sort=True)))
+    for cand in cands:
+        if cand not in by_cand:
+            rows.append((cand, np.int64(0), np.int64(0), np.int64(0)))
+            continue
+        g = by_cand[cand]
         s = [int(v) for v in g["cents"]]
         G = len(s)
         S = sum(s)

@@ -174,7 +174,11 @@ class MediaResizer:
                     np.ascontiguousarray(small)))
             else:
                 rw[k] = rh[k] = 0
-                out_payloads.append(buf)
+                # keep the column self-consistent: every modality's
+                # resized_payload is a file its own codec can parse, so
+                # audio re-encodes the decoded PCM as real WAV (dims 0)
+                out_payloads.append(WAV.encode_wav(
+                    np.frombuffer(buf, "<i2")))
         return (batch.drop_columns(["content"])
                 .append_column("resized_w", pa.array(rw))
                 .append_column("resized_h", pa.array(rh))

@@ -467,7 +467,9 @@ def synth_pt_relations(nodes: pa.Table, seed: int = 42) -> dict[str, pa.Table]:
     node-member stops; the first 3 routes replicated 5× so their members
     pass the J10 frequency filter) plus one 3-node ``platform`` WAY member
     per route exercising the LineString assembly. Node ids reuse the
-    7000+idx scheme; way ids are 8000+route (disjoint ref spaces)."""
+    7000+idx scheme; way ids are 9_000_000+route — disjoint from node ids
+    for ANY city below ~9M nodes (the J10 dedup keys on member_ref across
+    BOTH member kinds, so the ref spaces must never collide)."""
     rng = _rng(seed + 7)
     nx = nodes["x"].to_numpy()
     ny = nodes["y"].to_numpy()
@@ -488,11 +490,12 @@ def synth_pt_relations(nodes: pa.Table, seed: int = 42) -> dict[str, pa.Table]:
                            "Terminal A", "Terminal B"))
             for k, mi in enumerate(member_idx):
                 m_rows.append((rid, k, "n", int(7000 + mi), "stop"))
-            m_rows.append((rid, stops_per_route, "w", 8000 + r, "platform"))
+            m_rows.append((rid, stops_per_route, "w", 9_000_000 + r,
+                           "platform"))
     for r in range(n_routes):
         base = (r * 11) % max(n_nodes - 3, 1)
         for s in range(3):
-            w_rows.append((8000 + r, s, int(7000 + base + s)))
+            w_rows.append((9_000_000 + r, s, int(7000 + base + s)))
 
     rel_tags = pa.table({
         "relation_id": pa.array([t[0] for t in t_rows], type=pa.int64()),

@@ -4444,3 +4444,53 @@ class TestDsirWeights:
         # micro-nat exactness: weight is w_unats / 1e6 bit-for-bit
         assert np.array_equal(m["weight"].to_numpy(),
                               m["w_unats"].to_numpy() / 1_000_000.0)
+
+
+class TestEmptyInputGuards:
+    def test_union_join_sample_empty_lineitem(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import union_join_sample
+
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([], pa.int64()),
+            "l_linenumber": pa.array([], pa.int64()),
+            "l_partkey": pa.array([], pa.int64()),
+            "l_suppkey": pa.array([], pa.int64())}),
+            str(tmp_path / "lineitem.parquet"))
+        res = union_join_sample(str(tmp_path))
+        out = res.to_pandas()   # typed pa.Table (Dataset drops empty schema)
+        assert len(out) == 0
+        assert list(out.columns) == ["slot", "branch", "a_rowid", "key",
+                                     "b_rowid"]
+
+    def test_agg_discovery_empty_sample(self, ray_session, tmp_path):
+        """No event survives the 1-in-20 hash sample → 4 zero rows, not a
+        schema-loss crash (Ray drops fully-empty blocks)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.analytics import agg_discovery
+
+        # event_ids whose Knuth hash is never ≡ 0 (mod 20)
+        ids = []
+        i = 1
+        while len(ids) < 50:
+            if ((i * 2654435761) % (1 << 32)) % 20 != 0:
+                ids.append(i)
+            i += 1
+        n = len(ids)
+        pq.write_table(pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "ts": pa.array([1_600_000_000_000_000 + k for k in range(n)],
+                           pa.timestamp("us")),
+            "value": pa.array([1.0] * n)}),
+            str(tmp_path / "events.parquet"))
+        out = agg_discovery(str(tmp_path)).to_pandas()
+        assert len(out) == 4
+        assert (out["n_groups"] == 0).all()
+        assert (out["sample_rows"] == 0).all()
+        assert (out["score_ppm"] == 0).all()
