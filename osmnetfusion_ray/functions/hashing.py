@@ -73,7 +73,7 @@ def fnv1a64(values) -> np.ndarray:
     reproduce it EXACTLY: DuckDB's ``unicode(c)`` yields the codepoint and
     HUGEINT holds ``h * prime`` (< 2^104) before the mod-2^64 wrap. Used by
     the fingerprinting kernels (SimHash token hash, MinHash shingle hash,
-    media fake-decode) that are oracle-checked by the driver.
+    the DSIR bucket hash) that are oracle-checked by the driver.
 
     Vectorized ACROSS strings by character position: the input is viewed as
     a UCS4 codepoint matrix and each position updates all still-live rows

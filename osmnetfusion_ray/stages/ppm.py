@@ -1,6 +1,7 @@
 """REAL (dependency-free) image path for the multimodal stages: a P6 PPM
 codec written on numpy, so decode / resize / feature-stats run on ACTUAL
-image bytes instead of the hash-derived fakes in ``multimodal.py``.
+image bytes (and since round 3, ``multimodal.py`` itself is rebased
+on these codecs — no hash-derived fakes remain).
 
 The reference brief allows stubbing media decode because no image library
 ships in this container — PPM needs none: the P6 format is an ASCII header

@@ -1,7 +1,8 @@
 """REAL (dependency-free) audio path for the multimodal stages: a RIFF/
 WAVE PCM16 codec written on numpy, so decode / downsample / feature-stats
-run on ACTUAL audio bytes instead of the hash-derived fakes in
-``multimodal.py`` — the audio analog of ``stages/ppm.py``.
+run on ACTUAL audio bytes — the audio analog of ``stages/ppm.py``
+(and since round 3 ``multimodal.py`` itself is rebased on these codecs;
+no hash-derived fakes remain).
 
 No audio library ships in this container, and none is needed: a canonical
 PCM WAV file is a fixed 44-byte RIFF header (chunk ids + little-endian
