@@ -4494,3 +4494,31 @@ class TestEmptyInputGuards:
         assert (out["n_groups"] == 0).all()
         assert (out["sample_rows"] == 0).all()
         assert (out["score_ppm"] == 0).all()
+
+
+class TestTokenizeArrowProperty:
+    def test_matches_python_split_on_arbitrary_text(self):
+        """Property: tokenize_arrow == str.split() for arbitrary unicode —
+        the parity claim every token-pipeline oracle rests on."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from osmnetfusion_ray.pipelines.corpus import tokenize_arrow
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.text(max_size=40), min_size=0, max_size=20))
+        def prop(texts):
+            import pyarrow as pa
+            arr = pa.array(texts, pa.string())
+            parent, flat = tokenize_arrow(arr)
+            par = parent.to_numpy(zero_copy_only=False)
+            toks = flat.to_pylist()
+            want_parent, want_toks = [], []
+            for i, t in enumerate(texts):
+                for w in t.split():
+                    want_parent.append(i)
+                    want_toks.append(w)
+            assert toks == want_toks
+            assert list(par) == want_parent
+
+        prop()
