@@ -978,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentile_attach": analytics.event_percentile_attach,
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
+        "ccnet_buckets": corpus.ccnet_buckets,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3191,6 +3192,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(dw.w, 0) AS DOUBLE) / 1000000.0 AS weight
             FROM documents d LEFT JOIN dw USING (doc_id)
         """.replace("__FNV__", corpusoracle.fnv_expr("b")),
+        "ccnet_buckets": """
+            -- CCNet head/middle/tail terciles of the bigram-LM NLL within
+            -- each language: exact integer rank buckets over the same
+            -- micro-nat scores as the lm_perplexity oracle
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            b AS (
+                SELECT doc_id, unnest(l[1:len(l)-1]) AS lhs,
+                       unnest(l[1:len(l)-1]) || ' ' || unnest(l[2:len(l)])
+                           AS bigram
+                FROM toks WHERE len(l) >= 2
+            ),
+            tf AS (
+                SELECT doc_id, lhs, bigram, count(*) AS tf
+                FROM b GROUP BY doc_id, lhs, bigram
+            ),
+            scored AS (
+                SELECT doc_id, tf,
+                       CAST(floor(ln(
+                           CAST(sum(tf) OVER (PARTITION BY bigram) AS DOUBLE)
+                           / CAST(sum(tf) OVER (PARTITION BY lhs) AS DOUBLE)
+                       ) * 1e6) AS BIGINT) AS q
+                FROM tf
+            ),
+            nll AS (SELECT doc_id, CAST(-sum(tf * q) AS BIGINT) AS nll_micro
+                    FROM scored GROUP BY doc_id)
+            SELECT n.doc_id, d.lang, n.nll_micro,
+                   CAST((row_number() OVER (PARTITION BY d.lang
+                                            ORDER BY n.nll_micro, n.doc_id)
+                         - 1) * 3
+                        // count(*) OVER (PARTITION BY d.lang)
+                        AS BIGINT) AS bucket
+            FROM nll n JOIN documents d USING (doc_id)
+        """,
         "bpe_first_merge": """
             -- BPE round-1 pair counts: adjacent character pairs over the
             -- word-frequency table ('\\S+' tokens), each in-word

@@ -4906,3 +4906,49 @@ def dsir_weights(sf_dir: str) -> rd.Dataset:
             "weight": w.astype(np.float64) / 1_000_000.0})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNET PERPLEXITY BUCKETS (Wenzek et al., LREC'20 — the canonical
+    LM-quality partitioning every CommonCrawl-derived corpus ships with):
+    assign each scored document to the head / middle / tail TERCILE of the
+    bigram-LM negative log-likelihood WITHIN its language (head = lowest
+    NLL = most fluent). Composes :func:`lm_perplexity`'s integer-exact
+    micro-nat machinery, so the bucket boundary is an exact integer rank —
+    ``bucket = (rank−1)·3 // n_lang`` over (nll_micro, doc_id) order — and
+    the SQL mirror is bit-equal. Documents with <2 tokens have no LM score
+    and are excluded (the lm_perplexity contract).
+
+    Shapes: the NLL table (already distributed) inner-joins the skinny
+    (doc_id, lang) projection on one doc_id-keyed hash join, then ONE
+    lang-keyed exchange ranks each language's docs locally (languages are
+    a small vocabulary; a skewed giant language would salt by nll range —
+    documented, not needed at corpus language counts). Output:
+    (doc_id, lang, nll_micro, bucket ∈ {0,1,2})."""
+    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
+
+    nll = lm_perplexity(sf_dir).select_columns(["doc_id", "nll_micro"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    j = nll.join(docs, join_type="inner",
+                 num_partitions=_num_partitions(), on=("doc_id",))
+
+    def blk(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.sort_values(["nll_micro", "doc_id"], kind="mergesort")
+            n = len(g)
+            b = (np.arange(n, dtype=np.int64) * 3) // n
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+                "lang": lang,
+                "nll_micro": g["nll_micro"].to_numpy().astype(np.int64),
+                "bucket": b}))
+        if not outs:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                                 "lang": np.zeros(0, object),
+                                 "nll_micro": np.zeros(0, np.int64),
+                                 "bucket": np.zeros(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped(j, ["lang"], blk)

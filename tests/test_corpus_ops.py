@@ -4522,3 +4522,22 @@ class TestTokenizeArrowProperty:
             assert list(par) == want_parent
 
         prop()
+
+
+class TestCcnetBuckets:
+    def test_tercile_structure(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import ccnet_buckets
+
+        out = ccnet_buckets(SF).to_pandas()
+        assert set(out["bucket"].unique()) <= {0, 1, 2}
+        for lang, g in out.groupby("lang"):
+            n = len(g)
+            sizes = g["bucket"].value_counts().sort_index()
+            # exact integer-rank terciles: sizes differ by at most 1 and
+            # every tercile is populated once n >= 3
+            if n >= 3:
+                assert len(sizes) == 3
+                assert sizes.max() - sizes.min() <= 1
+            # head holds the LOWEST NLL (most fluent)
+            g = g.sort_values(["nll_micro", "doc_id"], kind="mergesort")
+            assert (np.diff(g["bucket"].to_numpy()) >= 0).all()
