@@ -2121,17 +2121,25 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q14_promo_revenue": """
+            -- revenue mirrored in exact int64 ten-thousandths (2dp price ×
+            -- 2dp discount), same expression tree as the engine combiner
             SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount)
+                              THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                              * 10000) AS BIGINT)
                               ELSE 0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                         / sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                          * 10000) AS BIGINT)), 4)
                        AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1995-09-01'
               AND l_shipdate < TIMESTAMP '1995-10-01'
         """,
         "q19_discounted_revenue": """
-            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            -- revenue mirrored in exact int64 ten-thousandths with integer
+            -- half-up cent rounding, same expression tree as the engine
+            SELECT CAST((sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 10000) AS BIGINT)) + 50) // 100
+                        AS BIGINT) / 100.0 AS revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 1 AND 11)

@@ -307,29 +307,79 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 def supplier_part_stats(sf_dir: str) -> rd.Dataset:
-    """lineitem ⋈ supplier (broadcast) → per-nation lineitem stats with
-    min/max aggregates — exercises the min/max partial-agg path."""
-    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity", "l_extendedprice"])
-    supplier = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    """lineitem ⋈ supplier ⋈ nation → per-nation lineitem stats with
+    min/max aggregates. Scale layout (q7/q21 marker co-location, NOT a
+    supplier broadcast — supplier scales linearly with SF, so shipping it
+    whole to the driver and every task was the round-3 perf-weak finding):
+    lineitem reduces to ≤1 (n, min, max, price-sum) partial per (block,
+    suppkey) in a combiner, supplier's (suppkey, nationkey) rides the SAME
+    suppkey-keyed exchange as tagged marker rows, each block resolves
+    suppkey→nationkey locally and re-reduces to ≤25 nation partials, and
+    the driver folds ≤ #blocks × 25 rows. The only broadcast is the
+    constant 25-row nation name table."""
+    from ..rayctx import grouped
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_quantity", "l_extendedprice"])
+    supplier = read_table(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", sort=False, as_index=False).agg(
+            n=("l_quantity", "size"), mn=("l_quantity", "min"),
+            mx=("l_quantity", "max"), ps=("l_extendedprice", "sum"))
+        return pd.DataFrame({
+            "l_suppkey": g["l_suppkey"].to_numpy().astype(np.int64),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "mn": g["mn"].to_numpy().astype(np.float64),
+            "mx": g["mx"].to_numpy().astype(np.float64),
+            "ps": g["ps"].to_numpy().astype(np.float64),
+            "nk": np.int64(-1)})
+
+    def supp_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
+            "n": np.int64(0), "mn": np.float64(0.0), "mx": np.float64(0.0),
+            "ps": np.float64(0.0),
+            "nk": df["s_nationkey"].to_numpy().astype(np.int64)})
+
+    def nation_partials(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["nk"] >= 0
+        nk = df.loc[mark].set_index("l_suppkey")["nk"]
+        d = df[~mark]
+        g = d.groupby("l_suppkey", sort=False, as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+            ps=("ps", "sum"))
+        g["nk"] = g["l_suppkey"].map(nk)
+        g = g.dropna(subset=["nk"])
+        out = g.groupby("nk", sort=False, as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+            ps=("ps", "sum"))
+        return pd.DataFrame({
+            "nk": out["nk"].to_numpy().astype(np.int64),
+            "n": out["n"].to_numpy().astype(np.int64),
+            "mn": out["mn"].to_numpy(), "mx": out["mx"].to_numpy(),
+            "ps": out["ps"].to_numpy()})
+
+    per_block = grouped(
+        li.map_batches(li_partials, batch_format="pandas").union(
+            supplier.map_batches(supp_markers, batch_format="pandas")),
+        ["l_suppkey"], nation_partials, small=True)
+
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = supplier.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[["s_suppkey", "n_name"]]
-    joined = broadcast_join(li, dim, left_on="l_suppkey", right_on="s_suppkey")
-    out = groupby_agg(
-        joined, ["n_name"],
-        [
-            AggSpec("n_items", None, "count"),
-            AggSpec("min_qty", "l_quantity", "min"),
-            AggSpec("max_qty", "l_quantity", "max"),
-            AggSpec("avg_price", "l_extendedprice", "mean"),
-        ],
-        small=True,  # 25 nations
-    )
+    names = nation.set_index("n_nationkey")["n_name"]
 
-    def rounded(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_price"] = df["avg_price"].round(4)
-        return df
-
-    return out.map_batches(rounded, batch_format="pandas")
+    # terminal fold on the driver: ≤ #blocks × 25 rows
+    pdf = per_block.to_pandas()
+    g = pdf.groupby("nk", sort=False, as_index=False).agg(
+        n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"), ps=("ps", "sum"))
+    out = pd.DataFrame({
+        "n_name": g["nk"].map(names).to_numpy(),
+        "n_items": g["n"].to_numpy().astype(np.int64),
+        "min_qty": g["mn"].to_numpy(),
+        "max_qty": g["mx"].to_numpy(),
+        "avg_price": np.round(g["ps"].to_numpy() / g["n"].to_numpy(), 4)})
+    return rd.from_pandas(out.reset_index(drop=True))
 
 
 def orders_by_month(sf_dir: str) -> rd.Dataset:
@@ -1647,33 +1697,54 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq_mod
 
+    from ..rayctx import grouped
+
     lo = pd.Timestamp("1995-09-01")
     hi = pd.Timestamp("1995-10-01")
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_extendedprice", "l_discount"],
                     filter=((pads.field("l_shipdate") >= lo)
                             & (pads.field("l_shipdate") < hi)))
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_type"]).to_pandas()
-    promo_keys = np.sort(
-        part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"].to_numpy())
-    kref = ray.put(promo_keys)
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
 
-    class _Partial:
-        def __init__(self):
-            self.k = ray.get(kref)
+    # q7/q21 marker co-location, NOT a promo-key broadcast (part scales
+    # linearly with SF — the round-3 perf-weak finding): lineitem revenue
+    # reduces to ≤1 exact-int-ten-thousandths partial per (block, partkey),
+    # part's is-promo flag rides the SAME partkey-keyed exchange as tagged
+    # markers, and each block emits ONE (promo, total) scalar row.
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        tt = np.rint(df["l_extendedprice"].to_numpy()
+                     * (1.0 - df["l_discount"].to_numpy()) * 10000.0).astype(np.int64)
+        g = (pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+                           "tt": tt})
+             .groupby("l_partkey", sort=False, as_index=False)["tt"].sum())
+        g["promo"] = np.int64(-1)
+        return g
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-            pk = df["l_partkey"].to_numpy()
-            pos = np.clip(np.searchsorted(self.k, pk), 0, max(len(self.k) - 1, 0))
-            promo = (self.k[pos] == pk) if len(self.k) else np.zeros(len(pk), bool)
-            return pd.DataFrame({"promo": [rev[promo].sum()], "total": [rev.sum()]})
+    def part_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["p_partkey"].to_numpy().astype(np.int64),
+            "tt": np.int64(0),
+            "promo": df["p_type"].str.startswith("PROMO").to_numpy().astype(np.int64)})
 
-    parts = li.map_batches(_Partial, batch_format="pandas",
-                           concurrency=(1, 8)).to_pandas()
-    total = float(parts["total"].sum())
-    promo = float(parts["promo"].sum())
+    def block_sums(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["promo"] >= 0
+        flag = df.loc[mark].set_index("l_partkey")["promo"]
+        d = df[~mark]
+        g = d.groupby("l_partkey", sort=False, as_index=False)["tt"].sum()
+        pf = g["l_partkey"].map(flag)
+        ok = pf.notna().to_numpy()
+        tt = g["tt"].to_numpy()[ok]
+        promo = pf.to_numpy()[ok].astype(np.int64) == 1
+        return pd.DataFrame({"promo_tt": [np.int64(tt[promo].sum())],
+                             "total_tt": [np.int64(tt.sum())]})
+
+    per_block = grouped(
+        li.map_batches(li_partials, batch_format="pandas").union(
+            part.map_batches(part_markers, batch_format="pandas")),
+        ["l_partkey"], block_sums, small=True).to_pandas()
+    total = int(per_block["total_tt"].sum())
+    promo = int(per_block["promo_tt"].sum())
     return pd.DataFrame({"promo_revenue_pct":
                          [round(100.0 * promo / total if total else 0.0, 4)]})
 
@@ -1681,45 +1752,69 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
 def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q19 shape (disjunctive predicate revenue): revenue from
     lineitems matching ANY of three (brand, size-range, quantity-range)
-    clauses — the OR-of-ANDs predicate evaluated fully vectorized inside
-    one streamed pass (no shuffle at all; per-block scalar partials). The
-    part attributes arrive as broadcast sorted arrays + searchsorted, never
-    a join."""
-    import os
+    clauses.
 
-    import pyarrow.parquet as pq_mod
+    Scale layout (q7/q21 marker co-location, NOT a part broadcast — part
+    scales linearly with SF, the round-3 perf-weak finding): the
+    quantity half of each clause is decided row-side in the streamed
+    lineitem combiner, which reduces revenue to ≤1 exact-int partial per
+    (block, partkey, quantity-range bitmask); part's (brand, size) rides
+    the SAME partkey-keyed exchange as tagged markers, and the block
+    finishes the OR-of-ANDs test (clause i fires iff brand/size matches
+    AND bit i is set) emitting ONE scalar row. Money stays in exact int64
+    ten-thousandths with integer half-up cent rounding, mirrored by the
+    SQL."""
+    from ..rayctx import grouped
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
-    pk = np.sort(part["p_partkey"].to_numpy())
-    order = np.argsort(part["p_partkey"].to_numpy())
-    brand = part["p_brand"].to_numpy()[order]
-    size = part["p_size"].to_numpy()[order].astype(np.int64)
-    ref = ray.put((pk, brand, size))
-
-    class _Partial:
-        def __init__(self):
-            self.pk, self.brand, self.size = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            k = df["l_partkey"].to_numpy()
-            pos = np.clip(np.searchsorted(self.pk, k), 0, max(len(self.pk) - 1, 0))
-            ok = self.pk[pos] == k
-            b = self.brand[pos]
-            s = self.size[pos]
-            q = df["l_quantity"].to_numpy()
-            c1 = (b == "Brand#12") & (s >= 1) & (s <= 15) & (q >= 1) & (q <= 11)
-            c2 = (b == "Brand#23") & (s >= 1) & (s <= 30) & (q >= 10) & (q <= 20)
-            c3 = (b == "Brand#34") & (s >= 1) & (s <= 45) & (q >= 20) & (q <= 30)
-            m = ok & (c1 | c2 | c3)
-            rev = (df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()))[m]
-            return pd.DataFrame({"s": [rev.sum()]})
-
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
     li = read_table(sf_dir, "lineitem",
-                    columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
-    parts = li.map_batches(_Partial, batch_format="pandas",
-                           concurrency=(1, 8)).to_pandas()
-    return pd.DataFrame({"revenue": [round(float(parts["s"].sum()), 2)]})
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def li_partials(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy()
+        qmask = (((q >= 1) & (q <= 11)).astype(np.int64)
+                 | (((q >= 10) & (q <= 20)).astype(np.int64) << 1)
+                 | (((q >= 20) & (q <= 30)).astype(np.int64) << 2))
+        tt = np.rint(df["l_extendedprice"].to_numpy()
+                     * (1.0 - df["l_discount"].to_numpy()) * 10000.0).astype(np.int64)
+        d = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+                          "qmask": qmask, "tt": tt})
+        g = (d[d["qmask"] > 0]
+             .groupby(["l_partkey", "qmask"], sort=False, as_index=False)["tt"].sum())
+        g["p_brand"] = ""
+        g["p_size"] = np.int64(-1)
+        return g
+
+    def part_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["p_partkey"].to_numpy().astype(np.int64),
+            "qmask": np.int64(-1), "tt": np.int64(0),
+            "p_brand": df["p_brand"].to_numpy(),
+            "p_size": df["p_size"].to_numpy().astype(np.int64)})
+
+    def block_sum(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["qmask"] < 0
+        attrs = df.loc[mark].set_index("l_partkey")
+        d = df[~mark]
+        b = d["l_partkey"].map(attrs["p_brand"])
+        s = pd.to_numeric(d["l_partkey"].map(attrs["p_size"]),
+                          errors="coerce").fillna(-1).to_numpy().astype(np.int64)
+        bm = b.fillna("").to_numpy()
+        qm = d["qmask"].to_numpy()
+        c1 = (bm == "Brand#12") & (s >= 1) & (s <= 15) & ((qm & 1) != 0)
+        c2 = (bm == "Brand#23") & (s >= 1) & (s <= 30) & ((qm & 2) != 0)
+        c3 = (bm == "Brand#34") & (s >= 1) & (s <= 45) & ((qm & 4) != 0)
+        keep = c1 | c2 | c3
+        return pd.DataFrame({"s": [np.int64(d["tt"].to_numpy()[keep].sum())]})
+
+    per_block = grouped(
+        li.map_batches(li_partials, batch_format="pandas").union(
+            part.map_batches(part_markers, batch_format="pandas")),
+        ["l_partkey"], block_sum, small=True).to_pandas()
+    tt = int(per_block["s"].sum())
+    return pd.DataFrame({"revenue": [((tt + 50) // 100) / 100.0]})
 
 
 def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
@@ -2637,59 +2732,80 @@ def q20_promotion_suppliers(sf_dir: str, name_like: str = "bolt",
     filters its supplier rows in the same block pass (quantities are
     integral so the majority test is exact).
 
-    Scale: partkey semi-filter + year predicate inside the fact's only
-    streamed pass; the per-block combiner bounds the ONE partkey-keyed
-    exchange at one row per (block, partkey, suppkey), and the block
-    finishes both the exact (partkey, suppkey) sums and the majority test
-    (everything of a part is co-located); winners are a tiny supplier-id
-    set decoded via a dim broadcast, dedup'd and sorted in one terminal
-    block."""
-    import os
-
-    import pyarrow.parquet as pq_mod
-
+    Scale (round-4 de-broadcast — part AND supplier both scale linearly
+    with SF, so neither is broadcast): the year predicate lives inside the
+    fact's streamed pass, whose combiner bounds the ONE partkey-keyed
+    exchange at one row per (block, partkey, suppkey); part's qualifying
+    keys ride that SAME exchange as tagged marker rows semi-filtering
+    inside the reduce block, which finishes both the exact (partkey,
+    suppkey) sums and the majority test (everything of a part is
+    co-located). Winner suppkeys — a tiny set — are name-decoded through a
+    SECOND marker co-location on suppkey (supplier's (key, name) rows ride
+    the exchange; no dim broadcast), and the driver folds only the winner
+    names."""
     from ..rayctx import grouped
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_name"]).to_pandas()
-    pkeys = part.loc[part["p_name"].str.contains(name_like),
-                     "p_partkey"].to_numpy()
     lo, hi = pd.Timestamp(f"{year}-01-01"), pd.Timestamp(f"{year + 1}-01-01")
-
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_suppkey", "l_quantity",
                              "l_shipdate"])
-    li = broadcast_semi_filter(li, pkeys, "l_partkey")
 
     def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
         m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
         df = df[m]
-        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
-                            "l_suppkey": df["l_suppkey"].to_numpy(),
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+                            "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
                             "qty": df["l_quantity"].to_numpy().astype(np.int64)})
         return out.groupby(["l_partkey", "l_suppkey"], sort=False,
                            as_index=False)["qty"].sum()
 
+    def part_markers(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["p_name"].str.contains(name_like), "p_partkey"]
+        return pd.DataFrame({"l_partkey": keys.to_numpy().astype(np.int64),
+                             "l_suppkey": np.int64(-1), "qty": np.int64(0)})
+
     def majority(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["l_partkey", "l_suppkey"], sort=False,
-                       as_index=False)["qty"].sum()
+        mark = df["l_suppkey"] < 0
+        qual = df.loc[mark, "l_partkey"].unique()
+        d = df[~mark]
+        d = d[d["l_partkey"].isin(qual)]
+        g = d.groupby(["l_partkey", "l_suppkey"], sort=False,
+                      as_index=False)["qty"].sum()
         tot = g.groupby("l_partkey", sort=False)["qty"].transform("sum")
         keep = 2 * g["qty"].to_numpy() > tot.to_numpy()
         return g.loc[keep, ["l_suppkey"]]
 
-    winners = grouped(li.map_batches(qty_partial, batch_format="pandas"),
-                      ["l_partkey"], majority, small=True)
+    winners = grouped(
+        li.map_batches(qty_partial, batch_format="pandas").union(
+            part.map_batches(part_markers, batch_format="pandas")),
+        ["l_partkey"], majority, small=True)
 
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_name"]).to_pandas()
-    dec = broadcast_join(winners, sup, left_on="l_suppkey",
-                         right_on="s_suppkey", concurrency=(1, 2))
+    # suppkey co-location decodes winner names without a supplier broadcast
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.drop_duplicates(["s_name"])[["s_name"]]
-                  .sort_values("s_name").reset_index(drop=True))
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+                             "s_name": "", "is_dim": np.int64(0)})
 
-    return dec.repartition(1).map_batches(finish, batch_format="pandas")
+    def sup_markers(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
+                             "s_name": df["s_name"].to_numpy(),
+                             "is_dim": np.int64(1)})
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        dim = df[df["is_dim"] == 1].set_index("s_suppkey")["s_name"]
+        won = df.loc[df["is_dim"] == 0, "s_suppkey"].unique()
+        return pd.DataFrame({"s_name": pd.Series(won).map(dim).dropna().to_numpy()})
+
+    named = grouped(
+        winners.map_batches(win_rows, batch_format="pandas").union(
+            sup.map_batches(sup_markers, batch_format="pandas")),
+        ["s_suppkey"], decode, small=True)
+
+    out = (named.to_pandas().drop_duplicates(["s_name"])[["s_name"]]
+           .sort_values("s_name").reset_index(drop=True))
+    return rd.from_pandas(out)
 
 
 def salted_enrich_events(sf_dir: str,

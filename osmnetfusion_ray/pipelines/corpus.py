@@ -2320,6 +2320,35 @@ def mixture_sample(sf_dir: str,
     return docs.map_batches(keep, batch_format="pandas")
 
 
+_PACK_SCHEMA = pa.schema([("pack_id", pa.int64()),
+                          ("n_docs", pa.int64()),
+                          ("total_tokens", pa.int64())])
+
+
+def _pack_split(edge: bool):
+    """Typed filter for the pack-partials union branches. Ray unifies the
+    union's block schemas lazily, so ONE empty block whose pandas frame
+    lost its dtypes (null-typed ``pack_id``/``n_docs``/``total_tokens``)
+    makes the collected representation hash-unstable even when every value
+    matches the oracle (driver round-3 diagnosis). Returning a pyarrow
+    Table cast to the fixed int64 schema pins every block — empty or not —
+    to one non-null schema."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PACK_SCHEMA.empty_table()
+        mask = t["edge"] if edge else pc.invert(t["edge"])
+        out = t.filter(mask).select(["pack_id", "n_docs", "total_tokens"])
+        return out.cast(_PACK_SCHEMA)
+    return fn
+
+
+def _pack_cast(t: pa.Table) -> pa.Table:
+    """Terminal cast for the edge-row reduce output: same schema pin."""
+    if t.num_rows == 0:
+        return _PACK_SCHEMA.empty_table()
+    return t.select(["pack_id", "n_docs", "total_tokens"]).cast(_PACK_SCHEMA)
+
+
 def sequence_packing(sf_dir: str, budget: int = 2048,
                      n_ranges: int = 64) -> rd.Dataset:
     """Sequence packing for LLM pre-training: lay documents end-to-end in
@@ -2386,17 +2415,15 @@ def sequence_packing(sf_dir: str, budget: int = 2048,
         return pd.concat(out, ignore_index=True)
 
     partials = grouped(ranged, ["rng"], pack_block, small=True)
-    keep_cols = ["pack_id", "n_docs", "total_tokens"]
-    interior = partials.map_batches(
-        lambda df: df.loc[~df["edge"], keep_cols], batch_format="pandas")
+    interior = partials.map_batches(_pack_split(False), batch_format="pyarrow")
     # the only rows that can be split across blocks: ≤ 2 per RANGE — the
     # reduce moves O(n_ranges) rows no matter how big the corpus is
-    edge_rows = partials.map_batches(
-        lambda df: df.loc[df["edge"], keep_cols], batch_format="pandas")
+    edge_rows = partials.map_batches(_pack_split(True), batch_format="pyarrow")
     edges = groupby_agg(edge_rows, ["pack_id"],
                         [AggSpec("n_docs", "n_docs", "sum"),
                          AggSpec("total_tokens", "total_tokens", "sum")],
-                        small=True)
+                        small=True).map_batches(_pack_cast,
+                                                batch_format="pyarrow")
     return interior.union(edges)
 
 
@@ -3046,15 +3073,13 @@ def corpus_prep(sf_dir: str, q_min: float = 0.5,
         return pd.concat(out, ignore_index=True)
 
     partials = grouped(ranged, ["rng"], pack_block, small=True)
-    keep_cols = ["pack_id", "n_docs", "total_tokens"]
-    interior = partials.map_batches(
-        lambda df: df.loc[~df["edge"], keep_cols], batch_format="pandas")
-    edge_rows = partials.map_batches(
-        lambda df: df.loc[df["edge"], keep_cols], batch_format="pandas")
+    interior = partials.map_batches(_pack_split(False), batch_format="pyarrow")
+    edge_rows = partials.map_batches(_pack_split(True), batch_format="pyarrow")
     edges = groupby_agg(edge_rows, ["pack_id"],
                         [AggSpec("n_docs", "n_docs", "sum"),
                          AggSpec("total_tokens", "total_tokens", "sum")],
-                        small=True)
+                        small=True).map_batches(_pack_cast,
+                                                batch_format="pyarrow")
     return interior.union(edges)
 
 

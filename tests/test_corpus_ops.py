@@ -1989,6 +1989,24 @@ class TestSequencePacking:
              .sort_values("pack_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
 
+    def test_union_block_schemas_uniform_non_null(self, ray_session):
+        """Round-3 driver regression: both union-terminated pack pipelines
+        emitted a NULL-typed empty block (an empty pandas filter frame
+        losing its dtypes on Arrow conversion), making the collected
+        representation hash-unstable while every value matched the oracle.
+        Assert every block — including empty ones — shares ONE non-null
+        schema."""
+        import pyarrow as pa
+        import ray as _ray
+        from osmnetfusion_ray.pipelines.corpus import corpus_prep, sequence_packing
+
+        for ds in (sequence_packing(SF), corpus_prep(SF)):
+            schemas = [_ray.get(r).schema for r in ds.to_arrow_refs()]
+            assert len(schemas) > 0
+            for s in schemas:
+                assert not any(pa.types.is_null(f.type) for f in s), s
+                assert s == schemas[0], (s, schemas[0])
+
 
 class TestSaltedJoin:
     def test_row_identical_to_plain_join(self, ray_session):
