@@ -12,6 +12,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -629,11 +630,32 @@ def _q_network_enrich(sf_dir: str):
 
 
 def _q_network_simplify(sf_dir: str):
-    """Full p2+p3 chain → contracted edges (rows-only check)."""
+    """Full p2+p3 chain → contracted edges, checked against the COMMITTED
+    golden artifact (``osmnetfusion_ray/golden/simplify_city_n8_s42.parquet``)
+    — the same regression-gate role as the reference's published
+    ``network_data/Munich_TEST/p3_Munich_TEST_simplified.gpkg``
+    (p3_simplification.py:116,410-421): the chain's semantics are proven by
+    the per-stage network_* oracles + the pytest truth tables / merge-kernel
+    bit-identity tests, and the golden pins the end-to-end composite so ANY
+    drift in any stage turns this driver row red. Floats are rounded to 6
+    decimals on both sides (the chain itself is deterministic across
+    cluster widths — asserted by tools/make_simplify_golden.py --check and
+    test_simplify_golden). Regenerate deliberately with
+    tools/make_simplify_golden.py after an intended semantic change."""
+    import pandas as pd
+
     out = _simplified()
-    return out["edges"].select_columns(
+    ds = out["edges"].select_columns(
         ["g_id", "g_u", "g_v", "g_lit", "g_gradient", "g_severity",
          "access_wal", "access_bik", "access_mot", "w_length", "b_length", "m_length"])
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("g_gradient", "g_severity", "w_length", "b_length", "m_length"):
+            df[c] = df[c].astype(float).round(6)
+        return df
+
+    return ds.map_batches(_round, batch_format="pandas")
 
 
 _SIMP_TABLES_CACHE: dict = {}
@@ -766,38 +788,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osmnetfusion_ray.pipelines import analytics, corpus, netqueries
 
     # ORDERING IS LOAD-BEARING: the driver oracle-checks only the FIRST 50
-    # entries of this dict (insertion order).  The window below is curated to
-    # cover (a) the 12 network_* per-stage oracles + the S4 parse variant,
-    # (b) the flagship joins and composites (page_network_join*,
-    # network_enrich, network_simplify, page_join_simplified), (c) the dedup
-    # family, (d) the media codec family, (e) the perf-reworked analytics
-    # queries (q12 dtype fix, de-broadcast revenue_by_nation/q18,
-    # salted_enrich_events) — exactly the entries the round-2 verdict flagged
-    # as unverified-by-driver — and (f) the round-3 paper-aligned
-    # sampling/AQP + data-selection ops (union_join_sample,
-    # groupby_kmv_estimate, agg_discovery, dsir_weights).
+    # entries of this dict (insertion order).  Round-4 rotation (verdict
+    # item 4): ten entries that were driver-green in BOTH r02 and r03 (the
+    # per-stage network_* family + q18/revenue_by_nation stay green in the
+    # local sweep and pytest) rotate OUT below the line; rotated IN are
+    # (a) the heavy iterative family that had never had a driver row
+    # (doc_dbscan, link_sssp, map_match_viterbi, viterbi_user_paths,
+    # quadtree_leaves, link_mis), (b) the four round-4 de-broadcast proofs
+    # (q14, q19, q20, supplier_part_stats — verdict item 3 asked for q20 in
+    # the window as evidence), and (c) network_simplify now carries the
+    # committed-golden oracle instead of err:no_oracle.
     return {
-        # --- 1-13: network per-stage oracles (+ the S4 parse variant) ------
-        "network_rank": netqueries.network_rank,
-        "network_importance": netqueries.network_importance,
-        "network_gradient": netqueries.network_gradient,
-        "network_landuse_points": netqueries.network_landuse_points,
-        "network_landuse_poly": netqueries.network_landuse_poly,
-        "network_bike_labels": netqueries.network_bike_labels,
-        "network_reverse_bike": netqueries.network_reverse_bike,
-        "network_pt_stops": netqueries.network_pt_stops,
+        # --- 1-5: network stage samples (+ the S4 parse variant) -----------
         "network_pt_stops_rel": netqueries.network_pt_stops_rel,  # S4 parse path
-        "network_amenities": netqueries.network_amenities,
-        "network_widths": netqueries.network_widths,
         "network_split_curves": netqueries.network_split_curves,
         "network_cluster": netqueries.network_cluster,
-        # --- 14-18: flagship composites + joins ----------------------------
+        "network_reverse_bike": netqueries.network_reverse_bike,
+        "network_widths": netqueries.network_widths,
+        # --- 6-10: flagship composites + joins -----------------------------
         "network_enrich": _q_network_enrich,         # FULL p2 chain, SQL-oracled
-        "network_simplify": _q_network_simplify,     # rows-only composite (stages individually oracled)
+        "network_simplify": _q_network_simplify,     # committed-golden oracle (round 4)
         "page_network_join": _q_page_network_join,
         "page_network_join_tiled": _q_page_network_join_tiled,
         "page_join_simplified": _q_page_join_simplified,  # join-only oracle (net side = p3 output)
-        # --- 19-31: dedup family -------------------------------------------
+        # --- 11-16: the iterative family (first driver rows, round 4) ------
+        "doc_dbscan": _q_doc_dbscan,
+        "link_sssp": _q_link_sssp,
+        "map_match_viterbi": _q_map_match_viterbi,
+        "viterbi_user_paths": analytics.viterbi_user_paths,
+        "quadtree_leaves": corpus.quadtree_leaves,
+        "link_mis": _q_link_mis,
+        # --- 17-20: round-4 de-broadcast proofs ----------------------------
+        "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q19_discounted_revenue": analytics.q19_discounted_revenue,
+        "supplier_part_stats": analytics.supplier_part_stats,
+        # --- 21-33: dedup family -------------------------------------------
         "exact_dedup": _q_exact_dedup,
         "minhash_near_dups": _q_minhash,             # rows-only (hash not in SQL)
         "near_dup_clusters": _q_near_dup_clusters,
@@ -811,7 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": _q_boilerplate,
         "corpus_prep": _q_corpus_prep,
         "dup_passages": _q_dup_passages,
-        # --- 32-38: chunking/packing + media codec family ------------------
+        # --- 34-40: chunking/packing + media codec family ------------------
         "doc_chunks": _q_doc_chunks,
         "sequence_packing": _q_sequence_packing,
         "media_pipeline": _q_media_pipeline,
@@ -819,21 +845,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pipeline_ppm": _q_image_pipeline_ppm,
         "audio_pipeline_wav": _q_audio_pipeline_wav,
         "video_pipeline_y4m": _q_video_pipeline_y4m,
-        # --- 39-50: embeddings, ER, perf-reworked analytics, and the
+        # --- 41-50: embeddings, ER, perf-reworked analytics, and the
         # --- round-3 paper-aligned sampling/AQP + data-selection ops -------
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk": _q_ann_topk,
         "entity_resolution": corpus.entity_resolution,
         "join_sample": analytics.join_sample,
-        "q12_priority_lines": analytics.q12_priority_lines,
-        "revenue_by_nation": analytics.revenue_by_nation,
-        "q18_large_orders": analytics.q18_large_orders,
         "salted_enrich_events": analytics.salted_enrich_events,
         "union_join_sample": analytics.union_join_sample,
         "groupby_kmv_estimate": analytics.groupby_kmv_estimate,
         "agg_discovery": analytics.agg_discovery,
         "dsir_weights": corpus.dsir_weights,
+        "ccnet_buckets": corpus.ccnet_buckets,
         # ------------------- end of driver check window --------------------
+        "network_rank": netqueries.network_rank,
+        "network_importance": netqueries.network_importance,
+        "network_gradient": netqueries.network_gradient,
+        "network_landuse_points": netqueries.network_landuse_points,
+        "network_landuse_poly": netqueries.network_landuse_poly,
+        "network_bike_labels": netqueries.network_bike_labels,
+        "network_pt_stops": netqueries.network_pt_stops,
+        "network_amenities": netqueries.network_amenities,
+        "q12_priority_lines": analytics.q12_priority_lines,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "q18_large_orders": analytics.q18_large_orders,
         "media_features": _q_media_features,         # rows-only (list<float> output; media_feature_stats is the oracled projection)
         "text_stats": _q_text_stats,
         "quality_scores": _q_quality,
@@ -860,8 +895,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q10_returned_items": analytics.q10_returned_items,
-        "q14_promo_revenue": analytics.q14_promo_revenue,
-        "q19_discounted_revenue": analytics.q19_discounted_revenue,
         "q7_volume_shipping": analytics.q7_volume_shipping,
         "q13_customer_distribution": analytics.q13_customer_distribution,
         "q15_top_supplier": analytics.q15_top_supplier,
@@ -877,7 +910,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_type_profit": analytics.q9_product_type_profit,
         "q11_important_parts": analytics.q11_important_parts,
         "q16_parts_supplier_counts": analytics.q16_parts_supplier_counts,
-        "q20_promotion_suppliers": analytics.q20_promotion_suppliers,
         "table_profile": analytics.table_profile,
         "event_value_exact_quantiles": analytics.event_value_exact_quantiles,
         "event_type_transitions": analytics.event_type_transitions,
@@ -892,7 +924,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms_by_lang": analytics.embedding_norms_by_lang,
         "stratified_sample": analytics.stratified_sample,
         "lang_length_quantiles": analytics.lang_length_quantiles,
-        "supplier_part_stats": analytics.supplier_part_stats,
         "orders_by_month": analytics.orders_by_month,
         "daily_active_users": analytics.daily_active_users,
         "docs_by_lang": analytics.docs_by_lang,
@@ -944,7 +975,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_all_event_types": analytics.users_all_event_types,
         "campaign_peak_concurrency": analytics.campaign_peak_concurrency,
         "user_daily_locf": analytics.user_daily_locf,
-        "doc_dbscan": _q_doc_dbscan,
         "user_day_streaks": analytics.user_day_streaks,
         "event_twap": analytics.event_twap,
         "event_mad_by_type": analytics.event_mad_by_type,
@@ -965,20 +995,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_ks": corpus.lang_length_ks,
         "link_adamic_adar": _q_link_adamic_adar,
         "daily_balance_total": analytics.daily_balance_total,
-        "link_sssp": _q_link_sssp,
         "user_session_coverage": analytics.user_session_coverage,
         "user_retention_cohorts": analytics.user_retention_cohorts,
         "scd2_history": analytics.scd2_history,
         "user_covisitation": analytics.user_covisitation,
         "events_watermark_late": analytics.events_watermark_late,
-        "viterbi_user_paths": analytics.viterbi_user_paths,
-        "quadtree_leaves": corpus.quadtree_leaves,
-        "link_mis": _q_link_mis,
-        "map_match_viterbi": _q_map_match_viterbi,
         "event_percentile_attach": analytics.event_percentile_attach,
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
-        "ccnet_buckets": corpus.ccnet_buckets,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -1057,6 +1081,19 @@ def oracle_sql() -> dict[str, str]:
     net["page_join_simplified"] = netoracle.page_join_oracle(
         f"{simp['dir']}/edge_segs.parquet", f"{simp['dir']}/nodes.parquet",
         simp["seg_ref_lat"], simp["node_ref_lat"])
+    # the committed end-to-end golden artifact — same regression-gate role
+    # as the reference's published p3_Munich_TEST_simplified.gpkg
+    # (p3_simplification.py:116,410-421); see tools/make_simplify_golden.py
+    _golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "osmnetfusion_ray", "golden",
+                           "simplify_city_n8_s42.parquet")
+    net["network_simplify"] = f"""
+        -- golden-artifact regression oracle: the p2+p3 composite's
+        -- integer-exact projection, frozen at a verified state (per-stage
+        -- SQL oracles + pytest truth tables + cross-width determinism
+        -- check). Any drift in any stage of the chain breaks this row.
+        SELECT * FROM read_parquet('{_golden}')
+    """
     return {
         **net,
         "simhash_fingerprints": corpusoracle.simhash_sql(),

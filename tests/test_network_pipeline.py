@@ -234,3 +234,28 @@ class TestPtRelationParse:
                 == set(map(tuple, want[["member_ref", "relation_id", "seq"]].values)))
         # way platforms of the replicated routes survive the frequency cut
         assert (filt["geom_type"] == "LineString").any()
+
+
+class TestSimplifyGolden:
+    def test_matches_committed_golden(self, ray_session):
+        """The end-to-end p2+p3 composite must reproduce the committed
+        golden artifact (osmnetfusion_ray/golden/simplify_city_n8_s42
+        .parquet) row-for-row — the same regression gate the reference
+        publishes as p3_Munich_TEST_simplified.gpkg. Regenerate
+        deliberately with tools/make_simplify_golden.py after an INTENDED
+        semantic change; an unintended diff here means some stage of the
+        chain drifted."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __ray_entry__ as entrymod
+        from tools.make_simplify_golden import GOLDEN
+
+        df = entrymod.queries()["network_simplify"]("unused").to_pandas()
+        cols = sorted(df.columns)
+        df = (df[cols].sort_values(cols, kind="mergesort")
+              .reset_index(drop=True))
+        golden = pd.read_parquet(GOLDEN)
+        pd.testing.assert_frame_equal(df, golden)
