@@ -3124,7 +3124,8 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT pk, count(*) AS d FROM r GROUP BY pk),
             s AS (SELECT unnest(range(1, 17)) AS s),
             pri AS (SELECT s.s, r.rowid, r.pk,
-                           CAST((r.rowid * 2654435761 + s.s * 97003)
+                           CAST((CAST(r.rowid AS HUGEINT) * 2654435761
+                                 + s.s * 97003)
                                 % 4294967296 AS DOUBLE) / d.d AS pri
                     FROM r JOIN d USING (pk) CROSS JOIN s),
             win AS (SELECT * FROM (
@@ -3132,7 +3133,8 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY pri, rowid) AS rn
                         FROM pri) WHERE rn = 1),
             wr AS (SELECT w.s, w.rowid, w.pk,
-                          (w.rowid * 40503 + w.s * 131) % d.d AS r
+                          CAST((CAST(w.rowid AS HUGEINT) * 40503
+                                + w.s * 131) % d.d AS BIGINT) AS r
                    FROM win w JOIN d USING (pk)),
             rk AS (SELECT pk, rowid,
                           row_number() OVER (PARTITION BY pk
@@ -3166,7 +3168,8 @@ def oracle_sql() -> dict[str, str]:
             pri AS (SELECT sb.s, sb.branch, r.rowid,
                            CASE WHEN sb.branch = 1 THEN r.pk
                                 ELSE r.sk END AS key,
-                           CAST((r.rowid * 2654435761 + sb.s * 97003)
+                           CAST((CAST(r.rowid AS HUGEINT) * 2654435761
+                                 + sb.s * 97003)
                                 % 4294967296 AS DOUBLE)
                            / (CASE WHEN sb.branch = 1 THEN dd1.d
                                    ELSE dd2.d END) AS pri
@@ -3177,11 +3180,12 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY pri, rowid) AS rn
                         FROM pri) WHERE rn = 1),
             wr AS (SELECT w.s, w.branch, w.rowid, w.key,
-                          (w.rowid * 40503 + w.s * 131) %
+                          CAST((CAST(w.rowid AS HUGEINT) * 40503
+                                + w.s * 131) %
                           (CASE WHEN w.branch = 1
                                 THEN (SELECT d FROM d1 WHERE pk = w.key)
                                 ELSE (SELECT d FROM d2 WHERE sk = w.key)
-                           END) AS rr
+                           END) AS BIGINT) AS rr
                    FROM win w),
             rk1 AS (SELECT pk AS key, rowid,
                            row_number() OVER (PARTITION BY pk

@@ -4756,12 +4756,15 @@ def join_sample(sf_dir: str) -> rd.Dataset:
     (slot, a_rowid, l_partkey, b_rowid), self-pairs allowed (the join
     contains them).
 
-    Scale bound: the slot-priority hash ``rid * 2654435761 + s * 97003``
-    is computed in plain int64 on the engine side and BIGINT in DuckDB —
-    exact (no wrap) for rowids < 2^63 / 2654435761 ≈ 3.5e9 (~sf100
-    lineitem). Beyond that numpy would wrap silently while DuckDB raises,
-    so larger scales must move the hash to uint64 with a HUGEINT-mirrored
-    oracle expression (the event_chain_scan idiom)."""
+    Scale bound (closed, round 4): the slot-priority hash
+    ``rid * 2654435761 + s * 97003 (mod 2^32)`` runs in uint64 on the
+    engine side — wrap mod 2^64 commutes with the final mod 2^32 because
+    2^32 | 2^64, so the wrap is EXACT at any rowid — and the oracle
+    mirrors it in HUGEINT (no 128-bit overflow below rowid 2^95). The
+    phase-2 rank hash ``rowid * 40503 + s * 131 (mod degree)`` does NOT
+    commute with a 2^64 wrap (degree is not a power of two), so it is
+    computed in arbitrary-precision Python ints — it only ever touches
+    the k driver-side winners — with the same HUGEINT mirror in SQL."""
     from ..rayctx import group_positions, grouped
 
     li = read_table(sf_dir, "lineitem",
@@ -4800,8 +4803,12 @@ def join_sample(sf_dir: str) -> rd.Dataset:
         rid = df["rowid"].to_numpy(np.int64)
         pk = df["pk"].to_numpy(np.int64)
         d = dv[np.searchsorted(dk, pk)].astype(np.float64)
-        # (slots, rows) priorities; integer hash fits int64 with no wrap
-        h = (rid[None, :] * 2654435761 + S[:, None] * 97003) % JS_MOD
+        # (slots, rows) priorities in uint64: the 2^64 wrap commutes with
+        # the mod-2^32 reduction, so this is exact at ANY rowid (HUGEINT-
+        # mirrored in the oracle)
+        h = ((rid.astype(np.uint64)[None, :] * np.uint64(2654435761)
+              + S.astype(np.uint64)[:, None] * np.uint64(97003))
+             % np.uint64(JS_MOD))
         pri = h.astype(np.float64) / d[None, :]
         # per-slot argmin with (priority, rowid) ties
         best = np.argmin(pri, axis=1)
@@ -4824,8 +4831,11 @@ def join_sample(sf_dir: str) -> rd.Dataset:
     win = (part1.sort_values(["s", "pri", "rowid"], kind="mergesort")
            .groupby("s", sort=True).first().reset_index())
     wd = dvals[np.searchsorted(dkeys, win["pk"].to_numpy(np.int64))]
-    win["r"] = (win["rowid"].to_numpy(np.int64) * 40503
-                + win["s"].to_numpy(np.int64) * 131) % wd
+    # arbitrary-precision Python ints (k driver rows only): a 2^64 wrap
+    # would NOT commute with mod-degree
+    win["r"] = np.array([(int(r) * 40503 + int(s) * 131) % int(d)
+                         for r, s, d in zip(win["rowid"], win["s"], wd)],
+                        np.int64)
     req_ref = ray.put((win["s"].to_numpy(np.int64),
                        win["pk"].to_numpy(np.int64),
                        win["r"].to_numpy(np.int64)))
@@ -4887,8 +4897,11 @@ def union_join_sample(sf_dir: str):
     PER BRANCH over skinny (key, rowid) rows. Output: UJS_K rows (slot,
     branch, a_rowid, key, b_rowid) as a Dataset — or a typed empty
     pa.Table when the fact table is empty (a Dataset cannot carry an
-    empty schema; the driver contract allows Table returns). Same int64
-    hash scale bound as join_sample (rowids < ~3.5e9)."""
+    empty schema; the driver contract allows Table returns). Hash scale
+    bounds closed the same way as :func:`join_sample` (round 4): the
+    slot-priority hash wraps exactly in uint64 (2^32 | 2^64), the rank
+    hash runs in Python ints over the k winners, both HUGEINT-mirrored
+    in the oracle."""
     from ..rayctx import group_positions, grouped
 
     li = read_table(sf_dir, "lineitem",
@@ -4961,7 +4974,9 @@ def union_join_sample(sf_dir: str):
         sk = df["sk"].to_numpy(np.int64)
         d1 = pd_[np.searchsorted(pk_, pk)].astype(np.float64)
         d2 = sd_[np.searchsorted(sk_, sk)].astype(np.float64)
-        h = (rid[None, :] * 2654435761 + S[:, None] * 97003) % UJS_MOD
+        h = ((rid.astype(np.uint64)[None, :] * np.uint64(2654435761)
+              + S.astype(np.uint64)[:, None] * np.uint64(97003))
+             % np.uint64(UJS_MOD))
         d_of = np.where(br[:, None] == 1, d1[None, :], d2[None, :])
         key_of = np.where(br[:, None] == 1, pk[None, :], sk[None, :])
         pri = h.astype(np.float64) / d_of
@@ -4992,8 +5007,11 @@ def union_join_sample(sf_dir: str):
         sdeg[np.searchsorted(skeys,
                              np.where(wbr == 2, win["key"].to_numpy(np.int64),
                                       skeys[0]))])
-    win["r"] = (win["rowid"].to_numpy(np.int64) * 40503
-                + win["s"].to_numpy(np.int64) * 131) % wd
+    # Python ints over the k winners: a 2^64 wrap would not commute with
+    # mod-degree
+    win["r"] = np.array([(int(r) * 40503 + int(s) * 131) % int(d)
+                         for r, s, d in zip(win["rowid"], win["s"], wd)],
+                        np.int64)
     win["branch"] = wbr
 
     def _partners(col: str, b: int) -> pd.DataFrame:

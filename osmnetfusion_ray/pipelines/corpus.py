@@ -3548,6 +3548,76 @@ def _lev_batch(a_texts, b_texts) -> np.ndarray:
     return res
 
 
+def _lev_batch_capped(a_texts, b_texts, tau: int) -> np.ndarray:
+    """Banded unit-cost Levenshtein thresholded at ``tau``, vectorized
+    across a batch of pairs: only the ``|i-j| <= tau`` diagonal band is
+    computed (every off-band cell is provably ``> tau`` since
+    ``D[i][j] >= |i-j|``), so the DP does O(L·(2τ+1)) cell updates per
+    pair instead of ``_lev_batch``'s O(L²) — at τ=2 over 256-char texts
+    that is ~50× fewer. Cells saturate at ``tau+1``; the return value is
+    the exact distance when it is ``<= tau`` and ``tau+1`` otherwise —
+    exactly what a ``dist <= tau`` verify consumes (property-tested
+    against ``min(_lev_batch, tau+1)``)."""
+    P = len(a_texts)
+    INF = np.int64(tau + 1)
+    if P == 0:
+        return np.zeros(0, np.int64)
+    la = np.fromiter((len(t) for t in a_texts), np.int64, P)
+    lb = np.fromiter((len(t) for t in b_texts), np.int64, P)
+    maxa, maxb = int(la.max()), int(lb.max())
+    res = np.full(P, INF, np.int64)
+    m0 = la == 0
+    res[m0] = np.minimum(lb[m0], INF)
+    if maxa == 0:
+        return res
+    A = np.full((P, maxa), -1, np.int32)
+    B = np.full((P, maxb if maxb else 1), -2, np.int32)
+    for p, t in enumerate(a_texts):
+        if t:
+            A[p, : len(t)] = np.frombuffer(t.encode("latin-1", "replace"),
+                                           np.uint8)
+    for p, t in enumerate(b_texts):
+        if t:
+            B[p, : len(t)] = np.frombuffer(t.encode("latin-1", "replace"),
+                                           np.uint8)
+    w = 2 * tau + 1
+    # band layout: v[:, t] = D[i, i + t - tau] (clamped at INF)
+    v = np.full((P, w), INF, np.int64)
+    for t in range(tau, w):
+        j = t - tau
+        v[:, t] = np.where(j <= lb, np.int64(j), INF)
+    for i in range(1, maxa + 1):
+        nv = np.full((P, w), INF, np.int64)
+        ai = A[:, i - 1]
+        for t in range(w):
+            j = i + t - tau
+            if j < 0:
+                continue
+            if j == 0:
+                nv[:, t] = min(i, int(INF))
+                continue
+            if j - 1 >= maxb:
+                continue
+            cost = (B[:, j - 1] != ai).astype(np.int64)
+            cell = v[:, t] + cost                      # diagonal
+            if t + 1 < w:
+                cell = np.minimum(cell, v[:, t + 1] + 1)   # up (delete)
+            if t > 0:
+                cell = np.minimum(cell, nv[:, t - 1] + 1)  # left (insert)
+            np.minimum(cell, INF, out=cell)
+            nv[:, t] = np.where(j <= lb, cell, INF)
+        v = nv
+        hit = la == i
+        if hit.any():
+            rows = np.flatnonzero(hit)
+            tt = lb[rows] - i + tau
+            ok = (tt >= 0) & (tt < w)
+            r = np.full(len(rows), INF, np.int64)
+            r[ok] = v[rows[ok], tt[ok]]
+            res[rows] = r
+    return res
+
+
 def edit_distance_pairs(sf_dir: str, trunc: int = 256) -> rd.Dataset:
     """Record-linkage BLOCKING + exact EDIT-DISTANCE verify: documents are
     blocked on (lang, n_chars) — the k=0 length band, the classic linkage
@@ -4579,7 +4649,9 @@ _ER_DRIVER_MAX_DOCS = 2_000     # below: the whole ER chain folds driver-side
 
 def _er_golden(df: pd.DataFrame) -> pd.DataFrame:
     """Shared survivorship kernel of both ER paths: within each label,
-    lexicographically LARGEST text wins, ties to the smallest id."""
+    lexicographically LARGEST ``ER_TRUNC``-truncated text wins, ties to
+    the smallest id (the comparison is over the truncated ``t`` column —
+    the only text representation the pipeline carries)."""
     df = df.sort_values(["label", "t", "id"], kind="mergesort",
                         ascending=[True, False, True])
     df["is_base"] = (df["id"].to_numpy(np.int64) < ER_OFF).astype(np.int64)
@@ -4617,8 +4689,10 @@ def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
     large), so cluster_id = min member id; (4) one id-keyed exchange
     attaches labels to universe rows, and (5) one cluster-keyed exchange
     reduces each entity to its golden record — survivorship rule:
-    lexicographically LARGEST text wins, ties to the smallest id (a
-    CONTENT rule, so the winner is not just the min id). Output:
+    lexicographically LARGEST ``ER_TRUNC``-prefix wins, ties to the
+    smallest id (a CONTENT rule over the same truncated text the whole
+    pipeline ships — full texts never ride any ER exchange — so the
+    winner is not just the min id). Output:
     multi-member entities (cluster_id, n_members, n_base, golden_id).
     DuckDB oracle: same universe, native levenshtein blocked self-join,
     recursive reachability closure, window-argmax survivorship."""
@@ -4681,7 +4755,9 @@ def entity_resolution(sf_dir: str, block_cap: int = ER_BLOCK_CAP) -> rd.Dataset:
                                  "b": np.zeros(0, np.int64)})
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        d = _lev_batch(ta, tb)
+        # banded τ-thresholded DP (round-4 perf): ER only consumes
+        # dist <= ER_TAU, so the O(L·τ) band replaces the O(L²) kernel
+        d = _lev_batch_capped(ta, tb, ER_TAU)
         keep = d <= ER_TAU
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 

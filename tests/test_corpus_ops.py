@@ -2628,6 +2628,43 @@ class TestEditDistancePairs:
         want = [scalar_lev(a, b) for a, b in pairs]
         assert got.tolist() == want
 
+    def test_banded_kernel_matches_capped_full_dp(self):
+        """The τ-banded kernel (ER's round-4 hot path) must equal
+        min(full DP, τ+1) for every τ — the exact contract a
+        ``dist <= τ`` verify consumes."""
+        import random
+
+        from osmnetfusion_ray.pipelines.corpus import (_lev_batch,
+                                                       _lev_batch_capped)
+
+        rng = random.Random(11)
+        pairs = [("", ""), ("", "ab"), ("ab", ""), ("kitten", "sitting"),
+                 ("abc", "abc"), ("aaaa", "aaab")]
+        for _ in range(300):
+            a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 40)))
+            if rng.random() < 0.6:   # bias toward near-duplicates
+                b = list(a)
+                for _ in range(rng.randint(0, 3)):
+                    op = rng.randint(0, 2)
+                    if op == 0 and b:
+                        b[rng.randrange(len(b))] = rng.choice("abcd")
+                    elif op == 1 and b:
+                        del b[rng.randrange(len(b))]
+                    else:
+                        b.insert(rng.randint(0, len(b)), rng.choice("abcd"))
+                b = "".join(b)
+            else:
+                b = "".join(rng.choice("abcd")
+                            for _ in range(rng.randint(0, 40)))
+            pairs.append((a, b))
+        ta = [p[0] for p in pairs]
+        tb = [p[1] for p in pairs]
+        full = _lev_batch(ta, tb)
+        for tau in (0, 1, 2, 3):
+            want = np.minimum(full, tau + 1)
+            got = _lev_batch_capped(ta, tb, tau)
+            assert np.array_equal(got, want), tau
+
     def test_pipeline_matches_duckdb(self, ray_session):
         import duckdb
         import pyarrow.parquet as pq
