@@ -15,7 +15,7 @@ import ray.data as rd
 
 from ..sources import read_table, table_rows
 from ..stages.agg import AggSpec, groupby_agg
-from ..stages.join import broadcast_join, broadcast_semi_filter
+from ..stages.join import colocated_attach
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
@@ -300,8 +300,16 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> pa.Table:
 
     pdf = per_part.map_batches(local_topk, batch_format="pandas").to_pandas()
     pdf = pdf.sort_values(["part_revenue", "l_partkey"], ascending=[False, True]).head(k)
-    # name lookup only for the k winners — no broadcast of the part table
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    # winner-only pushdown read: only the k winners' part rows leave
+    # storage (part scales with SF — round-4 de-broadcast)
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(
+        _os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", pdf["l_partkey"].tolist())]).to_pandas()
     pdf = pdf.merge(part, left_on="l_partkey", right_on="p_partkey", how="left")
     return pa.Table.from_pandas(pdf[["l_partkey", "p_name", "part_revenue"]].reset_index(drop=True))
 
@@ -1314,13 +1322,13 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
     one region (reference parity target: the multi-dim star join,
     p2_enrichData-style dim chaining). Scale layout for 100 TB:
 
-    - region -> nation -> supplier is a DIM CHAIN resolved driver-side and
-      broadcast once (suppliers are the small side of TPC-H by
-      construction; the broadcast is |suppliers in region| rows).
-    - lineitem is decorated with s_nationkey inside map_batches (no
-      shuffle), then a combiner reduces it to one partial-revenue row per
-      (block, orderkey, nationkey) BEFORE the exchange; the exact
-      per-(orderkey, nationkey) revenue comes out of one hash shuffle.
+    - region -> nation stays a constant driver-side dim (5 + 25 rows);
+      supplier SCALES with SF, so its region-filtered (suppkey, natk)
+      rows ride a suppkey co-location over the fact's combiner partials
+      (attach + region semi in one exchange — round-4 de-broadcast).
+    - lineitem combiner-reduces to one partial-revenue row per (block,
+      suppkey, orderkey) BEFORE that exchange; the per-(orderkey,
+      nationkey) revenue then flows into the orderkey co-location.
     - orders and customer are BIG tables: both arrive via Ray-native hash
       joins (never broadcast), and the same-nation predicate
       (c_nationkey = s_nationkey) is a streamed filter between them.
@@ -1331,16 +1339,26 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
 
     from ..pipelines.simplify import _num_partitions
 
-    # dim chain (driver-side: region 5 rows, nation 25, supplier small)
+    # constant dims driver-side: region 5 rows, nation 25
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
     nat = nat[nat["n_regionkey"].isin(set(rkey))]
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sup = sup[sup["s_nationkey"].isin(set(nat["n_nationkey"]))]
+    nkeys = set(nat["n_nationkey"])
 
-    # two co-location exchanges replace groupby + native join + native
+    # supplier scales with SF (round-4 de-broadcast): the region's
+    # supplier→nation decode rides a suppkey co-location over the fact's
+    # combiner partials (attach + region semi in one exchange)
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"])
+
+    def sup_region(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"].isin(nkeys)]
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
+            "natk": df["s_nationkey"].to_numpy().astype(np.int64)})
+
+    # co-location exchanges replace groupby + native join + native
     # join (the q7/q21 fusion layout): orders' custkey rides the orderkey
     # shuffle as tagged marker rows, customer's nationkey rides the
     # custkey shuffle, and money stays in exact int64 ten-thousandths so
@@ -1349,15 +1367,25 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> rd.Dataset:
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
+            "tt": np.round(rev * 10000.0).astype(np.int64),
+        }).groupby(["l_suppkey", "l_orderkey"], sort=False,
+                   as_index=False)["tt"].sum()
+
+    dec = colocated_attach(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_suppkey", sup.map_batches(sup_region, batch_format="pandas"),
+        "s_suppkey", {"natk": np.int64},
+        left_fill={"l_orderkey": np.int64(-1), "tt": np.int64(0)})
 
     def revenue(df: pd.DataFrame) -> pd.DataFrame:
-        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        out = pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
-            "natk": df["s_nationkey"].to_numpy().astype(np.int64),
-            "tt": np.round(rev * 10000.0).astype(np.int64),
-        }).groupby(["l_orderkey", "natk"], sort=False, as_index=False)["tt"].sum()
+        out = df.groupby(["l_orderkey", "natk"], sort=False,
+                         as_index=False)["tt"].sum()
         out["cust"] = np.int64(-1)
         return out
 
@@ -1423,27 +1451,31 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
     """TPC-H Q17 shape (small-quantity-order revenue): average yearly
     revenue lost if small orders (below 20% of the part's mean quantity)
     were not filled, for one brand. The aggregate-then-rejoin-the-fact
-    layout fused to ONE partkey co-location: the brand semi-filter is
-    pushed into the lineitem scan (broadcast partkey set — bounded by the
-    brand's share of parts), and the surviving (partkey, qty, cents) rows
-    ride ONE partkey-keyed exchange; with every row of a part co-located,
+    layout fused to ONE partkey co-location: the brand's partkeys ride
+    the exchange as key-only marker rows (round-4 de-broadcast — part
+    scales with SF), and the (partkey, qty, cents) rows share that ONE
+    partkey-keyed exchange; with every row of a part co-located,
     the block computes the part's mean-quantity threshold AND the sum of
     its small-order prices in the same pass — one scan, one exchange,
     nothing broadcast back. Money stays in exact int64 cents; the /7
     average is integer half-up (floor((2s+7)/14)) so both engines share
     one expression tree."""
-    import pyarrow.parquet as pq_mod
-    import os
-
     from ..rayctx import grouped
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_brand"]).to_pandas()
-    keys = np.sort(part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy())
+    # round-4 de-broadcast: part scales with SF, so the brand's partkeys
+    # ride the correlated-subquery exchange as key-only markers instead of
+    # a broadcast key set
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def brand_markers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["p_brand"] == brand, "p_partkey"].to_numpy()
+        return pd.DataFrame({
+            "l_partkey": k.astype(np.int64),
+            "qty": np.zeros(len(k), np.float64),
+            "cents": np.full(len(k), -1, np.int64)})
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_quantity", "l_extendedprice"])
-    li_b = broadcast_semi_filter(li, keys, "l_partkey")
 
     def skinny(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1453,6 +1485,10 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
         })
 
     def small_qty_sum(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["cents"].to_numpy() == -1
+        qual = df.loc[mark, "l_partkey"].unique()
+        df = df[~mark]
+        df = df[df["l_partkey"].isin(qual)]
         if len(df) == 0:
             return pd.DataFrame({"s": np.zeros(0, np.int64)})
         g = df.groupby("l_partkey", sort=False)["qty"]
@@ -1461,8 +1497,10 @@ def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataF
         ok = df["qty"].to_numpy() < thr
         return pd.DataFrame({"s": [np.int64(df["cents"].to_numpy()[ok].sum())]})
 
-    parts = grouped(li_b.map_batches(skinny, batch_format="pandas"),
-                    ["l_partkey"], small_qty_sum, small=True).to_pandas()
+    parts = grouped(
+        li.map_batches(skinny, batch_format="pandas").union(
+            part.map_batches(brand_markers, batch_format="pandas")),
+        ["l_partkey"], small_qty_sum, small=True).to_pandas()
     s = int(parts["s"].sum())
     return pd.DataFrame({"avg_yearly": [((2 * s + 7) // 14) / 100.0]})
 
@@ -1825,14 +1863,16 @@ def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
     predicate is BIDIRECTIONAL, so neither side can be pre-filtered to one
     region — both region labels must travel to the final filter.
 
-    Scale layout: region→nation→supplier is a driver-side dim chain
-    broadcast once (suppliers restricted to r1∪r2 — the semi-filter
-    happens inside the first streamed pass, shrinking everything
-    downstream); lineitem is combiner-reduced to one partial-revenue row
-    per (orderkey, supp_region, year) BEFORE its only exchange; orders and
-    customer arrive via Ray-native big-big hash joins; customer's nation →
-    region decode is a 25-row broadcast applied in-stream; the terminal
-    aggregate has |2 regions|² × |years| keys."""
+    Scale layout (round-4 de-broadcast — supplier scales with SF):
+    region→nation stays the constant driver-side dim chain (5 + 25
+    rows); the r1∪r2 suppliers' region labels ride a suppkey
+    co-location over the fact's combiner partials (attach + semi in one
+    exchange); lineitem is combiner-reduced to one partial-revenue row
+    per (suppkey, orderkey, year) BEFORE that exchange; orders' custkey
+    and customer's nationkey ride the subsequent orderkey/custkey
+    co-locations as markers; customer's nation → region decode is a
+    25-row broadcast applied in-stream; the terminal aggregate has
+    |2 regions|² × |years| keys."""
     import os
 
     import pyarrow.parquet as pq_mod
@@ -1844,19 +1884,21 @@ def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
     nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     nat = nat[nat["r_name"].isin([r1, r2])]
     nat_region = dict(zip(nat["n_nationkey"], nat["r_name"]))
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sup = sup[sup["s_nationkey"].isin(nat_region)]
-    sup["supp_region"] = sup["s_nationkey"].map(nat_region)
-    sup = sup[["s_suppkey", "supp_region"]]
+    sup_ds = read_table(sf_dir, "supplier",
+                        columns=["s_suppkey", "s_nationkey"])
+
+    def sup_region(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"].isin(nat_region)]
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
+            "supp_region": df["s_nationkey"].map(nat_region).to_numpy()})
 
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                              "l_discount", "l_shipdate"])
-    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
 
-    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
         df = df[m]
         rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
@@ -1865,20 +1907,29 @@ def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
         # order-independent — the ~1.6e8 float sums here land ON the cent-
         # rounding boundary and differ from the oracle's sum order otherwise
         return pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].to_numpy(),
-            "supp_region": df["supp_region"].to_numpy(),
+            "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
             "l_year": df["l_shipdate"].dt.year.to_numpy().astype(np.int64),
             "rev": np.round(rev * 10000.0).astype(np.int64),
-        })
+        }).groupby(["l_suppkey", "l_orderkey", "l_year"], sort=False,
+                   as_index=False)["rev"].sum()
 
-    # two co-location exchanges replace groupby + native join + native
-    # join (the q21 fusion layout): orders' custkey rides the orderkey
-    # shuffle as marker rows, customer's nationkey rides the custkey
-    # shuffle — each block finishes the partial-revenue sums AND the join
-    # attach in one pass, so no separate aggregator pool per stage
+    # supplier scales with SF (round-4 de-broadcast): the r1∪r2 supplier
+    # region decode rides a suppkey co-location over the combiner
+    # partials (attach + semi in one exchange); then two co-location
+    # exchanges replace groupby + native join + native join (the q21
+    # fusion layout): orders' custkey rides the orderkey shuffle as
+    # marker rows, customer's nationkey rides the custkey shuffle —
+    # each block finishes the partial-revenue sums AND the join attach
+    # in one pass, so no separate aggregator pool per stage
     from ..rayctx import grouped
 
-    partials = dec.map_batches(revenue, batch_format="pandas")
+    partials = colocated_attach(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_suppkey", sup_ds.map_batches(sup_region, batch_format="pandas"),
+        "s_suppkey", {"supp_region": None},
+        left_fill={"l_orderkey": np.int64(-1), "l_year": np.int64(0),
+                   "rev": np.int64(0)})
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
@@ -1889,7 +1940,8 @@ def q7_volume_shipping(sf_dir: str, r1: str = "AMERICA",
             "cust": df["o_custkey"].to_numpy().astype(np.int64)})
 
     li_side = partials.map_batches(
-        lambda df: df.assign(cust=np.int64(-1)), batch_format="pandas")
+        lambda df: df.drop(columns=["l_suppkey"]).assign(cust=np.int64(-1)),
+        batch_format="pandas")
 
     def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
         mark = df["cust"] >= 0
@@ -2014,8 +2066,13 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
                            small=True).to_pandas()
     per_supp["total_revenue"] = per_supp["total_revenue"].round(2)
     best = per_supp[per_supp["total_revenue"] == per_supp["total_revenue"].max()]
-    names = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                              columns=["s_suppkey", "s_name"]).to_pandas()
+    # winner-only pushdown read (the q10 idiom): only the ≤handful of
+    # winning suppliers' rows leave storage — supplier scales with SF, so
+    # reading it whole to the driver is the round-4 de-broadcast target
+    names = pq_mod.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", best["l_suppkey"].tolist())]).to_pandas()
     out = best.merge(names, left_on="l_suppkey", right_on="s_suppkey")
     out = out[["s_suppkey", "s_name", "total_revenue"]].sort_values("s_suppkey")
     return out.reset_index(drop=True)
@@ -2204,24 +2261,24 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
     one type sold to customers in one region during 1995–1996, the share
     supplied from one nation, per order year.
 
-    Scale layout: the part-type semi-filter is a broadcast partkey set
-    applied inside the first streamed pass (the fact shrinks before
-    anything else happens); supplier→nation is a dim broadcast; lineitem
-    combiner-reduces to one int64 partial-revenue row per (orderkey,
-    supp_nation) before its only exchange; orders (year-filtered in-scan)
-    and customer arrive via Ray-native hash joins; customer nation→region
-    is a 25-entry broadcast decode; the numerator is a masked copy of the
-    same revenue column so ONE terminal |years|-row aggregate yields both
-    sides of the ratio."""
+    Scale layout (round-4 de-broadcast — part AND supplier scale with
+    SF): the part-type keys ride the fact's FIRST keyed exchange as
+    markers (semi-filter in the partkey co-location, which reduces to
+    per-(orderkey, suppkey) int64 partials); supplier→nation attaches
+    through a suppkey co-location (nation×region stays the constant
+    driver-side map); orders (year-filtered in-scan) and customer arrive
+    via Ray-native hash joins; customer nation→region is a 25-entry
+    broadcast decode; the numerator is a masked copy of the same revenue
+    column so ONE terminal |years|-row aggregate yields both sides of
+    the ratio."""
     import os
 
     import pyarrow.parquet as pq_mod
 
     from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped as _grouped
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_type"]).to_pandas()
-    pkeys = part.loc[part["p_type"] == ptype, "p_partkey"].to_numpy()
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
 
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
@@ -2229,23 +2286,59 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
     nat_region = dict(zip(nat["n_nationkey"], nat["r_name"]))
     nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
 
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sup["supp_nation"] = sup["s_nationkey"].map(nat_name)
-    sup = sup[["s_suppkey", "supp_nation"]]
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"])
+
+    def sup_nation(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
+            "supp_nation": df["s_nationkey"].map(nat_name).to_numpy()})
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_partkey", "l_suppkey",
                              "l_extendedprice", "l_discount"])
-    li = broadcast_semi_filter(li, pkeys, "l_partkey")
-    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+            "rev": np.round(rev * 10000.0).astype(np.int64)})
+        return out.groupby(["l_partkey", "l_orderkey", "l_suppkey"],
+                           sort=False, as_index=False)["rev"].sum()
+
+    def type_markers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["p_type"] == ptype, "p_partkey"].to_numpy()
+        n = len(k)
+        return pd.DataFrame({"l_partkey": k.astype(np.int64),
+                             "l_orderkey": np.full(n, -1, np.int64),
+                             "l_suppkey": np.full(n, -1, np.int64),
+                             "rev": np.zeros(n, np.int64)})
+
+    def semi_block(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["l_suppkey"].to_numpy() == -1
+        qual = df.loc[mark, "l_partkey"].unique()
+        d = df[~mark]
+        d = d[d["l_partkey"].isin(qual)]
+        return d.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                         as_index=False)["rev"].sum()
+
+    pairs = _grouped(
+        li.map_batches(li_partial, batch_format="pandas").union(
+            part.map_batches(type_markers, batch_format="pandas")),
+        ["l_partkey"], semi_block, small=True)
+
+    dec = colocated_attach(
+        pairs, "l_suppkey", sup.map_batches(sup_nation, batch_format="pandas"),
+        "s_suppkey", {"supp_nation": None},
+        left_fill={"l_orderkey": np.int64(-1), "rev": np.int64(0)})
 
     def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
-        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
         out = pd.DataFrame({
             "l_orderkey": df["l_orderkey"].to_numpy(),
             "supp_nation": df["supp_nation"].to_numpy(),
-            "rev": np.round(rev * 10000.0).astype(np.int64),
+            "rev": df["rev"].to_numpy().astype(np.int64),
         })
         return out.groupby(["l_orderkey", "supp_nation"], sort=False,
                            as_index=False)["rev"].sum()
@@ -2413,10 +2506,12 @@ def q21_waiting_suppliers(sf_dir: str) -> rd.Dataset:
     per_supp = groupby_agg(waits, ["l_suppkey"],
                            [AggSpec("numwait", "numwait", "sum")], small=True)
 
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_name"]).to_pandas()
-    out = broadcast_join(per_supp, sup, left_on="l_suppkey",
-                         right_on="s_suppkey", concurrency=(1, 2))
+    # supplier scales with SF — name decode rides a suppkey co-location
+    # (round-4 de-broadcast), never a dim broadcast
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = colocated_attach(per_supp, "l_suppkey", sup, "s_suppkey",
+                           {"s_name": None},
+                           left_fill={"numwait": np.int64(0)})
     return out.map_batches(
         lambda df: pd.DataFrame({"s_name": df["s_name"].to_numpy(),
                                  "numwait": df["numwait"].to_numpy()}),
@@ -2431,11 +2526,11 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15,
     of one size, find the region's suppliers matching the per-part global
     minimum cost; top-100 by (s_acctbal desc, n_name, s_name, p_partkey).
 
-    Scale layout: the size filter is a broadcast partkey set applied in the
-    fact's only streamed pass; the fact combiner-reduces to one min-cost
-    row per (partkey, suppkey) before its single exchange; the region's
-    supplier decode (name/acctbal/nation) is a dim broadcast that also
-    semi-filters; the correlated per-part MIN never becomes a self-join —
+    Scale layout (round-4 de-broadcast — part AND supplier scale with
+    SF): the fact combiner-reduces to one min-cost row per (partkey,
+    suppkey); the region's supplier attrs attach + semi-filter through a
+    suppkey co-location; the size filter rides the partkey exchange as
+    key-only markers; the correlated per-part MIN never becomes a self-join —
     one partkey co-location computes the group min and keeps the matching
     pairs in the same block pass; LIMIT is per-block top-100 → one tiny
     terminal reduce (the ordering key is total on (part, supplier) rows so
@@ -2444,44 +2539,65 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15,
 
     import pyarrow.parquet as pq_mod
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_size"]).to_pandas()
-    pkeys = part.loc[part["p_size"] == size, "p_partkey"].to_numpy()
+    from ..rayctx import grouped
 
+    # nation×region is CONSTANT-size (25/5 rows) — the only driver-side dim
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     nat = nat[nat["r_name"] == region]
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_name", "s_acctbal",
-                                     "s_nationkey"]).to_pandas()
-    sup = sup.merge(nat[["n_nationkey", "n_name"]],
-                    left_on="s_nationkey", right_on="n_nationkey")
-    sup = sup[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    # supplier scales with SF (round-4 de-broadcast): region-filtered
+    # supplier attrs ride a suppkey co-location over the combiner-reduced
+    # pair partials (attach + region semi in one exchange)
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_name", "s_acctbal",
+                              "s_nationkey"])
+
+    def sup_region(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"].isin(nat_name)].copy()
+        df["n_name"] = df["s_nationkey"].map(nat_name)
+        return df[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+    sup_q = sup.map_batches(sup_region, batch_format="pandas")
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_suppkey", "l_extendedprice",
                              "l_quantity"])
-    li = broadcast_semi_filter(li, pkeys, "l_partkey")
 
     def cost_partial(df: pd.DataFrame) -> pd.DataFrame:
         uc = df["l_extendedprice"].to_numpy() / df["l_quantity"].to_numpy()
-        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
-                            "l_suppkey": df["l_suppkey"].to_numpy(),
+        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+                            "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
                             "unit_cost": uc})
         return out.groupby(["l_partkey", "l_suppkey"], sort=False,
                            as_index=False)["unit_cost"].min()
 
-    # inner broadcast join doubles as the region semi-filter, applied to
-    # the per-block pair partials BEFORE the one exchange; the block then
-    # finishes the (partkey, suppkey) mins AND the correlated per-part
-    # min in the same co-location — no separate pair-min exchange
-    dec = broadcast_join(li.map_batches(cost_partial, batch_format="pandas"),
-                         sup, left_on="l_suppkey", right_on="s_suppkey")
+    dec = colocated_attach(
+        li.map_batches(cost_partial, batch_format="pandas"),
+        "l_suppkey", sup_q, "s_suppkey",
+        {"s_name": None, "s_acctbal": np.float64, "n_name": None},
+        left_fill={"l_partkey": np.int64(-1), "unit_cost": np.float64(0.0)})
 
-    from ..rayctx import grouped
+    # part scales with SF too: the size filter rides the partkey exchange
+    # the correlated per-part MIN already needs, as key-only markers
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def part_markers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["p_size"] == size, "p_partkey"].to_numpy()
+        n = len(k)
+        return pd.DataFrame({"l_partkey": k.astype(np.int64),
+                             "l_suppkey": np.full(n, -1, np.int64),
+                             "unit_cost": np.float64(0.0),
+                             "s_name": "", "s_acctbal": np.float64(0.0),
+                             "n_name": ""})
 
     def per_part_min(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["l_suppkey"].to_numpy() == -1
+        qual = df.loc[mark, "l_partkey"].unique()
+        df = df[~mark]
+        df = df[df["l_partkey"].isin(qual)]
         df = df.groupby(
             ["l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name"],
             sort=False, as_index=False)["unit_cost"].min()
@@ -2489,7 +2605,9 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15,
         df = df[df["unit_cost"].to_numpy() == gmin.to_numpy()]
         return df[["s_acctbal", "s_name", "n_name", "l_partkey", "unit_cost"]]
 
-    winners = grouped(dec, ["l_partkey"], per_part_min, small=True)
+    winners = grouped(
+        dec.union(part.map_batches(part_markers, batch_format="pandas")),
+        ["l_partkey"], per_part_min, small=True)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         # unit_cost stays the raw IEEE quotient: both engines compute the
@@ -2508,49 +2626,76 @@ def q9_product_type_profit(sf_dir: str, name_like: str = "bolt") -> rd.Dataset:
     whose name contains a substring, grouped by supplier nation × order
     year.
 
-    Scale layout: same skeleton as Q8 — partkey semi-filter broadcast into
-    the fact's first pass, supplier→nation a dim broadcast, the fact
-    combiner-reduced to one int64 partial per (orderkey, nation) before
-    its only exchange, orders arriving via a Ray-native hash join, and a
-    |nations|×|years| terminal aggregate."""
+    Scale layout (round-4 de-broadcast — part AND supplier scale with SF):
+    the name-qualifying partkeys ride the fact's FIRST keyed exchange as
+    markers (semi-filter in the partkey co-location, which also reduces to
+    per-(orderkey, suppkey) int64 partials); supplier→nation attaches
+    through a suppkey co-location over those partials (nation itself is
+    the constant 25-row map applied in-stream); orders' year rides the
+    final orderkey exchange as markers; the terminal aggregate is
+    |nations|×|years|."""
     import os
 
     import pyarrow.parquet as pq_mod
 
-    from ..pipelines.simplify import _num_partitions
+    from ..rayctx import grouped
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_name"]).to_pandas()
-    pkeys = part.loc[part["p_name"].str.contains(name_like),
-                     "p_partkey"].to_numpy()
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
 
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sup["nation"] = sup["s_nationkey"].map(nat_name)
-    sup = sup[["s_suppkey", "nation"]]
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"])
+
+    def sup_nation(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
+            "nation": df["s_nationkey"].map(nat_name).to_numpy()})
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_partkey", "l_suppkey",
                              "l_extendedprice", "l_discount"])
-    li = broadcast_semi_filter(li, pkeys, "l_partkey")
-    dec = broadcast_join(li, sup, left_on="l_suppkey", right_on="s_suppkey")
 
-    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         amt = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(),
-                            "nation": df["nation"].to_numpy(),
-                            "amt": np.round(amt * 10000.0).astype(np.int64)})
-        return out.groupby(["l_orderkey", "nation"], sort=False,
-                           as_index=False)["amt"].sum()
+        out = pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
+            "l_orderkey": df["l_orderkey"].to_numpy().astype(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+            "amt": np.round(amt * 10000.0).astype(np.int64)})
+        return out.groupby(["l_partkey", "l_orderkey", "l_suppkey"],
+                           sort=False, as_index=False)["amt"].sum()
+
+    def part_markers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["p_name"].str.contains(name_like), "p_partkey"].to_numpy()
+        n = len(k)
+        return pd.DataFrame({"l_partkey": k.astype(np.int64),
+                             "l_orderkey": np.full(n, -1, np.int64),
+                             "l_suppkey": np.full(n, -1, np.int64),
+                             "amt": np.zeros(n, np.int64)})
+
+    def semi_block(df: pd.DataFrame) -> pd.DataFrame:
+        mark = df["l_suppkey"].to_numpy() == -1
+        qual = df.loc[mark, "l_partkey"].unique()
+        d = df[~mark]
+        d = d[d["l_partkey"].isin(qual)]
+        return d.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                         as_index=False)["amt"].sum()
+
+    pairs = grouped(
+        li.map_batches(li_partial, batch_format="pandas").union(
+            part.map_batches(part_markers, batch_format="pandas")),
+        ["l_partkey"], semi_block, small=True)
+
+    dec = colocated_attach(
+        pairs, "l_suppkey", sup.map_batches(sup_nation, batch_format="pandas"),
+        "s_suppkey", {"nation": None},
+        left_fill={"l_orderkey": np.int64(-1), "amt": np.int64(0)})
 
     # co-location fusion (the q7/q21 layout): orders' year rides the one
     # orderkey-keyed exchange as tagged marker rows; the block finishes
     # the per-(orderkey, nation) sums, the year attach, and the
     # (nation, year) partial reduce in one pass
-    from ..rayctx import grouped
-
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
 
     def order_markers(df: pd.DataFrame) -> pd.DataFrame:
@@ -2559,8 +2704,12 @@ def q9_product_type_profit(sf_dir: str, name_like: str = "bolt") -> rd.Dataset:
             "nation": "", "amt": np.int64(0),
             "o_year": df["o_orderdate"].dt.year.to_numpy().astype(np.int64)})
 
-    li_side = dec.map_batches(profit_partial, batch_format="pandas").map_batches(
-        lambda df: df.assign(o_year=np.int64(-1)), batch_format="pandas")
+    def profit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["l_orderkey", "nation"], sort=False,
+                         as_index=False)["amt"].sum()
+        return out.assign(o_year=np.int64(-1))
+
+    li_side = dec.map_batches(profit_partial, batch_format="pandas")
 
     def attach_year(df: pd.DataFrame) -> pd.DataFrame:
         mark = df["o_year"] >= 0
@@ -2598,12 +2747,14 @@ def q11_important_parts(sf_dir: str, region: str = "EUROPE") -> rd.Dataset:
     scalar HAVING threshold, computed exactly in integers
     (value·count > 2·total avoids any float mean at the boundary).
 
-    Scale layout: region suppliers are a broadcast semi-filter inside the
-    fact's single streamed pass; per-part int64 partials bound the one
-    exchange; the global (total, count) reduces the already-dimension-
-    bounded per-part table, and the HAVING filter streams with two scalar
-    broadcasts. Only survivors (a fraction of |parts|) hit the terminal
-    sort block."""
+    Scale layout (round-4 de-broadcast — supplier scales with SF): the
+    region's supplier keys ride a suppkey co-location over the fact's
+    per-(suppkey, partkey) combiner partials (semi-filter in the
+    exchange; nation×region stays the constant driver-side dim); per-part
+    int64 partials bound the second exchange; the global (total, count)
+    reduces the already-dimension-bounded per-part table, and the HAVING
+    filter streams with two scalar broadcasts. Only survivors (a
+    fraction of |parts|) hit the terminal sort block."""
     import os
 
     import pyarrow.parquet as pq_mod
@@ -2612,26 +2763,36 @@ def q11_important_parts(sf_dir: str, region: str = "EUROPE") -> rd.Dataset:
     reg = pq_mod.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     nkeys = set(nat.loc[nat["r_name"] == region, "n_nationkey"])
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    skeys = sup.loc[sup["s_nationkey"].isin(nkeys), "s_suppkey"].to_numpy()
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"])
+
+    def region_sup(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["s_nationkey"].isin(nkeys), "s_suppkey"].to_numpy()
+        return pd.DataFrame({"s_suppkey": k.astype(np.int64)})
 
     li = read_table(sf_dir, "lineitem",
                     columns=["l_partkey", "l_suppkey", "l_extendedprice",
                              "l_discount"])
-    li = broadcast_semi_filter(li, skeys, "l_suppkey")
 
     def value_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        out = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(),
+        out = pd.DataFrame({"l_suppkey": df["l_suppkey"].to_numpy().astype(np.int64),
+                            "l_partkey": df["l_partkey"].to_numpy().astype(np.int64),
                             "v": np.round(v * 10000.0).astype(np.int64)})
-        return out.groupby("l_partkey", sort=False, as_index=False)["v"].sum()
+        return out.groupby(["l_suppkey", "l_partkey"], sort=False,
+                           as_index=False)["v"].sum()
+
+    semi = colocated_attach(
+        li.map_batches(value_partial, batch_format="pandas"),
+        "l_suppkey", sup.map_batches(region_sup, batch_format="pandas"),
+        "s_suppkey", {}, semi_only=True,
+        left_fill={"l_partkey": np.int64(-1), "v": np.int64(0)})
 
     # consumed twice (global scalar + HAVING pass): materialize the
     # dimension-bounded per-part table once or the full fact scan +
     # exchange re-executes for the second consumer
-    per_part = groupby_agg(li.map_batches(value_partial, batch_format="pandas"),
-                           ["l_partkey"], [AggSpec("v", "v", "sum")]).materialize()
+    per_part = groupby_agg(semi, ["l_partkey"],
+                           [AggSpec("v", "v", "sum")]).materialize()
 
     # global scalar: one tiny reduce over the per-part aggregate
     def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2670,50 +2831,61 @@ def q16_parts_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
     counts per (brand, type, size) for qualifying parts, excluding
     complaint suppliers (stand-in: negative account balance).
 
-    Scale layout: COUNT(DISTINCT) never sees raw fact rows — the
-    part-attr decode is a broadcast join INSIDE the scan (doubling as the
-    attribute filter), each block reduces to distinct (brand, type, size,
-    suppkey) rows (a combiner at least as tight as distinct raw pairs,
-    since many parts share an attr triple), and ONE attr-keyed exchange
-    both finishes the global dedup and counts suppliers block-locally —
-    an attr triple's quads are bounded by its supplier count, so the
-    co-location is skew-safe and a separate quad-dedup exchange would be
-    redundant work."""
-    import os
-
-    import pyarrow.parquet as pq_mod
-
+    Scale layout (round-4 de-broadcast — part AND supplier both scale
+    with SF, so neither is broadcast): COUNT(DISTINCT) never sees raw
+    fact rows. The fact combiner reduces to distinct (partkey, suppkey)
+    pairs per block; qualifying part attrs ride the partkey-keyed
+    exchange as markers (attach + semi-filter in one co-location); the
+    complaint-supplier exclusion is the GOOD-supplier marker set on a
+    second, suppkey-keyed co-location — within which every (attr-triple,
+    suppkey) quad of one supplier is co-located, so the global quad
+    dedup AND the per-attr partial counts finish in-block; the terminal
+    attr-keyed sum is dimension-bounded."""
     from ..rayctx import grouped
 
-    part = pq_mod.read_table(os.path.join(sf_dir, "part.parquet"),
-                             columns=["p_partkey", "p_brand", "p_type",
-                                      "p_size"]).to_pandas()
-    part = part[(part["p_brand"] != excl_brand)
-                & part["p_size"].isin(list(sizes))]
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"])
 
-    sup = pq_mod.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                            columns=["s_suppkey", "s_acctbal"]).to_pandas()
-    bad = sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].to_numpy()
+    def qual_parts(df: pd.DataFrame) -> pd.DataFrame:
+        return df[(df["p_brand"] != excl_brand)
+                  & df["p_size"].isin(list(sizes))]
+
+    part_q = part.map_batches(qual_parts, batch_format="pandas")
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-    li = broadcast_semi_filter(li, part["p_partkey"].to_numpy(), "l_partkey")
-    if len(bad):
-        li = broadcast_semi_filter(li, bad, "l_suppkey", keep=False)
 
-    dec = broadcast_join(li, part, left_on="l_partkey", right_on="p_partkey")
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
 
-    def attr_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])[
-            ["p_brand", "p_type", "p_size", "l_suppkey"]]
+    dec = colocated_attach(
+        li.map_batches(pair_distinct, batch_format="pandas"),
+        "l_partkey", part_q, "p_partkey",
+        {"p_brand": None, "p_type": None, "p_size": np.int64},
+        left_fill={"l_suppkey": np.int64(-1)})
 
-    def count_block(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
-               .groupby(["p_brand", "p_type", "p_size"], sort=False)["l_suppkey"]
-               .size().rename("supplier_cnt").reset_index())
+    def good_markers(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["s_acctbal"] >= 0, "s_suppkey"].to_numpy()
+        return pd.DataFrame({"l_suppkey": k.astype(np.int64),
+                             "p_brand": "", "p_type": "",
+                             "p_size": np.int64(-1), "l_partkey": np.int64(-1)})
+
+    def quad_count_block(df: pd.DataFrame) -> pd.DataFrame:
+        mk = df["p_size"].to_numpy() == -1
+        good = set(df.loc[mk, "l_suppkey"].tolist())
+        d = df.loc[~mk]
+        d = d[d["l_suppkey"].isin(good)]
+        g = (d.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+              .groupby(["p_brand", "p_type", "p_size"], sort=False)["l_suppkey"]
+              .size().rename("supplier_cnt").reset_index())
         return g
 
-    counts = grouped(dec.map_batches(attr_distinct, batch_format="pandas"),
-                     ["p_brand", "p_type", "p_size"], count_block, small=True)
+    per_block = grouped(
+        dec.union(sup.map_batches(good_markers, batch_format="pandas")),
+        ["l_suppkey"], quad_count_block, small=True)
+    counts = groupby_agg(per_block, ["p_brand", "p_type", "p_size"],
+                         [AggSpec("supplier_cnt", "supplier_cnt", "sum")],
+                         small=True)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],

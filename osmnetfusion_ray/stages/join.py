@@ -166,3 +166,78 @@ def salted_join(
     )
     return out.map_batches(lambda df: df.drop(columns=["__salt"]),
                            batch_format="pandas")
+
+
+def colocated_attach(
+    left: rd.Dataset,
+    key: str,
+    dim: rd.Dataset,
+    dim_key: str,
+    attach: dict[str, "np.dtype | type | None"],
+    *,
+    left_fill: dict | None = None,
+    small: bool = True,
+    rows: int | None = None,
+    semi_only: bool = False,
+) -> rd.Dataset:
+    """Dim-attribute attach / semi-filter through ONE key-co-located hash
+    exchange (the engine's q7/q21 "marker co-location" layout) instead of
+    a dim broadcast.
+
+    Why: broadcasting a dimension that SCALES WITH THE DATA (TPC-H part /
+    supplier / customer grow linearly with SF) ships the whole table to
+    the driver and then to every task — at 100 TB that is a driver OOM
+    and a per-worker memory wall. Here the dim's (key, attrs) rows ride
+    the SAME keyed exchange as the left rows, tagged by a marker column;
+    each reduce block resolves key → attrs locally. The dim crosses the
+    wire exactly once, linearly, and nothing is ever collected whole.
+
+    ``left`` is typically a combiner-reduced partial stream (so the
+    exchange is bounded), but raw fact rows are fine — the exchange is
+    linear either way. ``attach`` maps dim column → dtype to pin on the
+    output (None = leave as mapped); inner semantics (left rows without a
+    dim match drop). ``semi_only=True`` ignores ``attach`` values and
+    just filters (semi-join).
+    """
+    from ..rayctx import grouped
+
+    attach_cols = [] if semi_only else list(attach)
+
+    def markers(df: pd.DataFrame) -> pd.DataFrame:
+        out = {key: df[dim_key].to_numpy(), "__mk": np.int64(1)}
+        for c in attach_cols:
+            out[c] = df[c].to_numpy()
+        # CRITICAL: marker rows must carry TYPED placeholders for every
+        # non-key left column (``left_fill``) — otherwise the union
+        # null-fills them, Ray unifies the column to a nullable/float
+        # type, and a later exchange keyed on such a column hashes 42.0
+        # differently from 42 (mis-colocation, silently wrong results)
+        for c, fill in (left_fill or {}).items():
+            out[c] = fill
+        return pd.DataFrame(out)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in attach_cols:
+            if c not in df.columns:
+                df[c] = np.nan
+        df["__mk"] = np.int64(0)
+        return df
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        mk = df["__mk"].to_numpy() == 1
+        dimr = df.loc[mk]
+        out = df.loc[~mk].drop(columns=["__mk"] + attach_cols)
+        keep = out[key].isin(set(dimr[key].tolist()))
+        out = out[keep]
+        if attach_cols:
+            idx = dimr.drop_duplicates(key).set_index(key)
+            for c in attach_cols:
+                v = out[key].map(idx[c]).to_numpy()
+                tp = attach.get(c)
+                out[c] = v.astype(tp) if tp is not None else v
+        return out
+
+    union = left.map_batches(tag_left, batch_format="pandas").union(
+        dim.map_batches(markers, batch_format="pandas"))
+    return grouped(union, [key], block, small=small, rows=rows)

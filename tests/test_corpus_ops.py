@@ -2008,6 +2008,55 @@ class TestSequencePacking:
                 assert s == schemas[0], (s, schemas[0])
 
 
+class TestColocatedAttach:
+    def test_attach_and_chained_exchange_colocation(self, ray_session):
+        """colocated_attach must (a) attach dim attrs exactly like a pandas
+        merge, and (b) keep every untouched left column's dtype intact —
+        the round-4 q16 bug: marker rows that omit a left column make the
+        union null-fill it to double, and a LATER exchange keyed on that
+        column hashes 42.0 differently from 42 (silent mis-colocation)."""
+        import ray.data as rd
+
+        from osmnetfusion_ray.rayctx import grouped
+        from osmnetfusion_ray.stages.join import colocated_attach
+
+        left = pd.DataFrame({"k": np.arange(200) % 50,
+                             "other": (np.arange(200) * 7) % 23,
+                             "v": np.arange(200)})
+        dim = pd.DataFrame({"dk": np.arange(0, 50, 2),
+                            "name": [f"n{i}" for i in range(0, 50, 2)]})
+        out = colocated_attach(
+            rd.from_pandas(left).repartition(num_blocks=4), "k",
+            rd.from_pandas(dim).repartition(num_blocks=3), "dk",
+            {"name": None}, left_fill={"other": np.int64(-1),
+                                       "v": np.int64(-1)})
+        # (b) dtype preservation through the union
+        sch = dict(zip(out.schema().names, out.schema().types))
+        assert str(sch["other"]) == "int64", sch
+        assert str(sch["v"]) == "int64", sch
+        got = out.to_pandas().sort_values("v").reset_index(drop=True)
+        ref = (left.merge(dim, left_on="k", right_on="dk")
+               .drop(columns=["dk"]).sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "other", "v", "name"]], ref[["k", "other", "v", "name"]])
+        # (a2) a SECOND exchange keyed on the carried int column colocates
+        # with fresh int64 markers (the q16 failure mode)
+        mark = rd.from_pandas(pd.DataFrame(
+            {"other": np.arange(23), "k": np.int64(-1), "v": np.int64(-1),
+             "name": ""}))
+
+        def probe(df):
+            mk = df["v"].to_numpy() == -1
+            ms = set(df.loc[mk, "other"].tolist())
+            ds_ = set(df.loc[~mk, "other"].tolist())
+            return pd.DataFrame({"n_data": [len(ds_)],
+                                 "n_hit": [len(ds_ & ms)]})
+
+        res = grouped(out.union(mark), ["other"], probe,
+                      small=True).to_pandas()
+        assert int(res["n_data"].sum()) == int(res["n_hit"].sum()) > 0
+
+
 class TestSaltedJoin:
     def test_row_identical_to_plain_join(self, ray_session):
         import pyarrow.parquet as pq
