@@ -1003,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentile_attach": analytics.event_percentile_attach,
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
+        "kcenter_coreset": corpus.kcenter_coreset,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3049,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
         "link_sssp": graphmod.link_sssp_sql(),
         "viterbi_user_paths": analytics.viterbi_sql(),
         "quadtree_leaves": corpusmod.quadtree_sql(),
+        "kcenter_coreset": corpusmod.kcenter_sql(),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

@@ -4645,3 +4645,36 @@ class TestCcnetBuckets:
             # head holds the LOWEST NLL (most fluent)
             g = g.sort_values(["nll_micro", "doc_id"], kind="mergesort")
             assert (np.diff(g["bucket"].to_numpy()) >= 0).all()
+
+
+class TestKCenterCoreset:
+    def test_matches_bruteforce_greedy(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import (KC_SCALE_BITS,
+                                                       kcenter_coreset)
+
+        out = kcenter_coreset(SF, k=6)
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy()
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = np.floor(x * float(1 << KC_SCALE_BITS) + 0.5).astype(np.int64)
+        order = np.argsort(vid)
+        vid, q = vid[order], q[order]
+        chosen = [0]  # smallest vec_id first
+        rows = [(1, int(vid[0]), 0)]
+        for r in range(2, 7):
+            d = ((q[:, None, :] - q[chosen][None, :, :]) ** 2).sum(axis=2)
+            md = d.min(axis=1)
+            md[chosen] = -1
+            best = int(np.lexsort((vid, -md))[0])
+            rows.append((r, int(vid[best]), int(md[best])))
+            chosen.append(best)
+        ref = pd.DataFrame({"round": [r for r, _, _ in rows],
+                            "vec_id": [v for _, v, _ in rows],
+                            "d2": [d for _, _, d in rows]})
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True).astype(np.int64),
+            ref.astype(np.int64))
+        # coverage radius is non-increasing round over round
+        assert (np.diff(out["d2"].to_numpy()[1:]) <= 0).all()
