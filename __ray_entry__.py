@@ -1806,11 +1806,15 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "supplier_part_stats": """
+            -- avg mirrored via exact int64 cents + integer half-up to 4dp
+            -- (float partial-sum order differs between engines)
             SELECT n_name,
                    count(*) AS n_items,
                    min(l_quantity) AS min_qty,
                    max(l_quantity) AS max_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price
+                   CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         * 200 + count(*)) // (2 * count(*)) AS BIGINT)
+                       / 10000.0 AS avg_price
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey

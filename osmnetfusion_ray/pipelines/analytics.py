@@ -333,22 +333,29 @@ def supplier_part_stats(sf_dir: str) -> rd.Dataset:
                           columns=["s_suppkey", "s_nationkey"])
 
     def li_partials(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_suppkey", sort=False, as_index=False).agg(
+        # price sums in exact int64 cents (prices are 2dp): partial-sum
+        # ORDER differs between the engine's fold tree and DuckDB's
+        # single-pass avg, and float sums land ON 4th-decimal rounding
+        # boundaries at larger SF (the q7 hazard) — integer sums are
+        # order-free, and the oracle mirrors the same cents expression
+        d = df.assign(cents=np.rint(df["l_extendedprice"].to_numpy()
+                                    * 100.0).astype(np.int64))
+        g = d.groupby("l_suppkey", sort=False, as_index=False).agg(
             n=("l_quantity", "size"), mn=("l_quantity", "min"),
-            mx=("l_quantity", "max"), ps=("l_extendedprice", "sum"))
+            mx=("l_quantity", "max"), ps=("cents", "sum"))
         return pd.DataFrame({
             "l_suppkey": g["l_suppkey"].to_numpy().astype(np.int64),
             "n": g["n"].to_numpy().astype(np.int64),
             "mn": g["mn"].to_numpy().astype(np.float64),
             "mx": g["mx"].to_numpy().astype(np.float64),
-            "ps": g["ps"].to_numpy().astype(np.float64),
+            "ps": g["ps"].to_numpy().astype(np.int64),
             "nk": np.int64(-1)})
 
     def supp_markers(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "l_suppkey": df["s_suppkey"].to_numpy().astype(np.int64),
             "n": np.int64(0), "mn": np.float64(0.0), "mx": np.float64(0.0),
-            "ps": np.float64(0.0),
+            "ps": np.int64(0),
             "nk": df["s_nationkey"].to_numpy().astype(np.int64)})
 
     def nation_partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -381,12 +388,19 @@ def supplier_part_stats(sf_dir: str) -> rd.Dataset:
     pdf = per_block.to_pandas()
     g = pdf.groupby("nk", sort=False, as_index=False).agg(
         n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"), ps=("ps", "sum"))
+    # avg to 4dp via integer half-up on the exact cents sum:
+    # round(cents/(100n), 4) = ⌊(cents·200 + n) / (2n)⌋ / 10⁴ — one
+    # integer expression both engines share (no float-sum order, no
+    # banker's-rounding divergence)
+    cents = g["ps"].to_numpy().astype(np.int64)
+    n = g["n"].to_numpy().astype(np.int64)
+    micro = (cents * 200 + n) // (2 * n)
     out = pd.DataFrame({
         "n_name": g["nk"].map(names).to_numpy(),
-        "n_items": g["n"].to_numpy().astype(np.int64),
+        "n_items": n,
         "min_qty": g["mn"].to_numpy(),
         "max_qty": g["mx"].to_numpy(),
-        "avg_price": np.round(g["ps"].to_numpy() / g["n"].to_numpy(), 4)})
+        "avg_price": micro.astype(np.float64) / 10000.0})
     return rd.from_pandas(out.reset_index(drop=True))
 
 
@@ -2038,12 +2052,14 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
     subquery (max) that filters the same aggregate.
 
     Scale layout: lineitem reduces to ≤|suppliers| rows through one
-    combiner-bounded shuffle; that per-supplier table (bounded by the
-    supplier dimension, ~10k rows/TB-scale — driver-safe by construction)
-    hosts both the max() and the equality filter driver-side; supplier
-    names decorate the ≤handful of winners. Revenue is rounded to cents on
-    BOTH sides before the equality compare (float-sum order differs
-    between engines)."""
+    combiner-bounded shuffle; the max + equality filter then runs
+    PER-BLOCK over that per-supplier table (each block emits only its own
+    max-revenue rows), so the driver folds ≤ winners-per-block rows —
+    never the |suppliers|-cardinality aggregate itself, which scales with
+    SF (round-4 review fix). Winner names come from a pushdown
+    ``filters=`` read (only winner rows leave storage). Revenue is
+    rounded to cents on BOTH sides before the equality compare
+    (float-sum order differs between engines)."""
     import os
 
     import pyarrow.dataset as pads
@@ -2063,9 +2079,18 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
 
     per_supp = groupby_agg(li.map_batches(rev, batch_format="pandas"),
                            ["l_suppkey"], [AggSpec("total_revenue", "rev", "sum")],
-                           small=True).to_pandas()
-    per_supp["total_revenue"] = per_supp["total_revenue"].round(2)
-    best = per_supp[per_supp["total_revenue"] == per_supp["total_revenue"].max()]
+                           small=True)
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"l_suppkey": np.zeros(0, np.int64),
+                                 "total_revenue": np.zeros(0, np.float64)})
+        df = df.assign(total_revenue=df["total_revenue"].round(2))
+        return df[df["total_revenue"] == df["total_revenue"].max()][
+            ["l_suppkey", "total_revenue"]]
+
+    cand = per_supp.map_batches(block_max, batch_format="pandas").to_pandas()
+    best = cand[cand["total_revenue"] == cand["total_revenue"].max()]
     # winner-only pushdown read (the q10 idiom): only the ≤handful of
     # winning suppliers' rows leave storage — supplier scales with SF, so
     # reading it whole to the driver is the round-4 de-broadcast target

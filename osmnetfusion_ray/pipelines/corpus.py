@@ -5088,8 +5088,6 @@ def kcenter_coreset(sf_dir: str, k: int = KC_K) -> pd.DataFrame:
     the NEWEST center (k materializations instead of k full min-over-
     chosen scans); at k = 8 the stateless k-pass form is cheaper and
     keeps the pipeline lazy."""
-    from ..rayctx import pool_width
-
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     mul = float(1 << KC_SCALE_BITS)
 
@@ -5098,8 +5096,14 @@ def kcenter_coreset(sf_dir: str, k: int = KC_K) -> pd.DataFrame:
             return pd.DataFrame({"vec_id": np.zeros(0, np.int64)})
         return pd.DataFrame({"vec_id": [np.int64(df["vec_id"].min())]})
 
-    seed = int(emb.map_batches(seed_block, batch_format="pandas")
-               .to_pandas()["vec_id"].min())
+    seeds = emb.map_batches(seed_block, batch_format="pandas").to_pandas()
+    if "vec_id" not in seeds.columns or len(seeds) == 0:
+        # empty table: typed empty (Dataset can't carry an empty schema;
+        # mirrors the SQL's `FROM c1 WHERE vec_id IS NOT NULL` guard)
+        return pd.DataFrame({"round": np.zeros(0, np.int64),
+                             "vec_id": np.zeros(0, np.int64),
+                             "d2": np.zeros(0, np.int64)})
+    seed = int(seeds["vec_id"].min())
 
     def center_vec(vid: int) -> np.ndarray:
         import pyarrow.parquet as pq_mod
@@ -5139,6 +5143,8 @@ def kcenter_coreset(sf_dir: str, k: int = KC_K) -> pd.DataFrame:
 
         cand = emb.map_batches(block_best, batch_format="pandas",
                                batch_size=4096).to_pandas()
+        if "vec_id" not in cand.columns or len(cand) == 0:
+            break  # n < k: every point chosen — SQL's w{r} goes empty too
         o = np.lexsort((cand["vec_id"].to_numpy(),
                         -cand["md"].to_numpy()))[0]
         wid = int(cand["vec_id"].iloc[o])
@@ -5189,8 +5195,8 @@ def kcenter_sql(k: int = KC_K) -> str:
              GROUP BY p.vec_id),
     d{r} AS MATERIALIZED (SELECT d{r - 1}.vec_id, least(d{r - 1}.md, n{r}.nd) AS md
              FROM d{r - 1} JOIN n{r} USING (vec_id))""")
-    sel = [f"SELECT CAST(1 AS BIGINT) AS round,"
-           f" (SELECT vec_id FROM c1) AS vec_id, CAST(0 AS BIGINT) AS d2"]
+    sel = [f"SELECT CAST(1 AS BIGINT) AS round, vec_id,"
+           f" CAST(0 AS BIGINT) AS d2 FROM c1 WHERE vec_id IS NOT NULL"]
     for r in range(2, k + 1):
         sel.append(f"SELECT CAST({r} AS BIGINT), vec_id, md FROM w{r}")
     return "".join(parts) + " " + " UNION ALL ".join(sel)

@@ -195,9 +195,14 @@ def colocated_attach(
     ``left`` is typically a combiner-reduced partial stream (so the
     exchange is bounded), but raw fact rows are fine — the exchange is
     linear either way. ``attach`` maps dim column → dtype to pin on the
-    output (None = leave as mapped); inner semantics (left rows without a
-    dim match drop). ``semi_only=True`` ignores ``attach`` values and
-    just filters (semi-join).
+    output; pass ``None`` ONLY for string/object columns — numeric dim
+    columns MUST pin a dtype (np.int64 / np.float64), because the left
+    side's NaN placeholders floatify the unified column and an unpinned
+    int would silently come out float64 (the same hash-divergence hazard
+    ``left_fill`` guards; the block raises if a None-pinned column
+    arrives floating). Inner semantics (left rows without a dim match
+    drop). ``semi_only=True`` ignores ``attach`` values and just filters
+    (semi-join).
     """
     from ..rayctx import grouped
 
@@ -235,7 +240,17 @@ def colocated_attach(
             for c in attach_cols:
                 v = out[key].map(idx[c]).to_numpy()
                 tp = attach.get(c)
-                out[c] = v.astype(tp) if tp is not None else v
+                if tp is not None:
+                    out[c] = v.astype(tp)
+                else:
+                    if len(v) and v.dtype.kind in "fc":
+                        raise TypeError(
+                            f"colocated_attach: attach column {c!r} arrived "
+                            f"as {v.dtype} — the union's NaN placeholders "
+                            f"floatified it; pin an explicit dtype in "
+                            f"`attach` (np.int64 / np.float64). None is for "
+                            f"string/object columns only.")
+                    out[c] = v
         return out
 
     union = left.map_batches(tag_left, batch_format="pandas").union(

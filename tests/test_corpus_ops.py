@@ -2008,6 +2008,43 @@ class TestSequencePacking:
                 assert s == schemas[0], (s, schemas[0])
 
 
+class TestBroadcastHelpers:
+    """broadcast_join / broadcast_semi_filter are the engine's PUBLIC
+    primitives for genuinely BOUNDED small sides (ray_guide "broadcast
+    once via ray.put"). The round-4 de-broadcast sweep removed every
+    SF-scaling call site, so these tests are what keeps the primitives
+    honest rather than dead."""
+
+    def test_broadcast_join_inner_and_left(self, ray_session):
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.join import broadcast_join
+
+        fact = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+        dim = pd.DataFrame({"dk": [1, 3], "name": ["a", "b"]})
+        inner = (broadcast_join(rd.from_pandas(fact), dim, "k", "dk")
+                 .to_pandas().sort_values("k").reset_index(drop=True))
+        assert inner["k"].tolist() == [1, 3]
+        assert inner["name"].tolist() == ["a", "b"]
+        left = (broadcast_join(rd.from_pandas(fact), dim, "k", "dk",
+                               how="left")
+                .to_pandas().sort_values("k").reset_index(drop=True))
+        assert len(left) == 4 and left["name"].isna().sum() == 2
+
+    def test_broadcast_semi_and_anti(self, ray_session):
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.join import broadcast_semi_filter
+
+        fact = rd.from_pandas(pd.DataFrame({"k": np.arange(10),
+                                            "v": np.arange(10) * 2}))
+        semi = broadcast_semi_filter(fact, {2, 5, 7}, "k").to_pandas()
+        assert sorted(semi["k"].tolist()) == [2, 5, 7]
+        anti = broadcast_semi_filter(fact, {2, 5, 7}, "k",
+                                     keep=False).to_pandas()
+        assert sorted(anti["k"].tolist()) == [0, 1, 3, 4, 6, 8, 9]
+
+
 class TestColocatedAttach:
     def test_attach_and_chained_exchange_colocation(self, ray_session):
         """colocated_attach must (a) attach dim attrs exactly like a pandas
