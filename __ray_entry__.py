@@ -1004,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
         "kcenter_coreset": corpus.kcenter_coreset,
+        "cell_morans_i": corpus.cell_morans_i,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3055,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
         "viterbi_user_paths": analytics.viterbi_sql(),
         "quadtree_leaves": corpusmod.quadtree_sql(),
         "kcenter_coreset": corpusmod.kcenter_sql(),
+        "cell_morans_i": corpusmod.morans_i_sql(_GEO),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

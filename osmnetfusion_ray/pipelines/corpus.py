@@ -5200,3 +5200,83 @@ def kcenter_sql(k: int = KC_K) -> str:
     for r in range(2, k + 1):
         sel.append(f"SELECT CAST({r} AS BIGINT), vec_id, md FROM w{r}")
     return "".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+# ---------------------------------------------------------------------------
+# spatial autocorrelation (Moran's I over the cell lattice)
+# ---------------------------------------------------------------------------
+
+MORAN_GRID = 64  # the doc_geocode grid (GRID_RES)
+
+
+def cell_morans_i(sf_dir: str) -> pd.DataFrame:
+    """MORAN'S I SPATIAL AUTOCORRELATION of the per-cell document counts
+    over the full 64×64 geocode lattice with rook (4-neighbour) adjacency
+    — the canonical "is this point field clustered, random, or dispersed"
+    lattice statistic (Moran 1950; the spatial-EDA primitive for tiling
+    decisions like hot-cell salting). Zero-count cells participate with
+    x = 0 (the full lattice is the frame, standard for lattice Moran).
+
+    Exactness: with s_i = N·x_i − S (mean-clearing scaled by N), 
+    I = (N/W) · Σ_ij w_ij s_i s_j / Σ_i s_i² — every term before the ONE
+    terminal double division is an exact integer. s_i·s_j grows past
+    int64 at corpus scale (N·x ≈ 4096·|docs per cell|), so the driver
+    reduce runs in arbitrary-precision Python ints and the SQL mirror in
+    HUGEINT; the division (N·num)/(W·den) converts each exact integer to
+    double once, identically on both engines.
+
+    Shapes: the ONLY distributed work is doc_cell_counts' bounded
+    histogram exchange (≤ 64² keys regardless of corpus size); the Moran
+    reduce runs over that dimension-bounded table driver-side — the
+    lattice adjacency is arithmetic (grid neighbours), so no pairwise
+    data shuffle ever exists."""
+    hist = doc_cell_counts(sf_dir).to_pandas()
+    n_grid = MORAN_GRID
+    x = np.zeros((n_grid, n_grid), np.int64)
+    if "ix" in hist.columns and len(hist):
+        x[hist["ix"].to_numpy(np.int64), hist["iy"].to_numpy(np.int64)] = \
+            hist["n_docs"].to_numpy(np.int64)
+    N = n_grid * n_grid
+    S = int(x.sum())
+    # arbitrary-precision: object-dtype lattice of python ints
+    s = (x.astype(object) * N) - S
+    num = 2 * int(((s[:-1, :] * s[1:, :]).sum()
+                   + (s[:, :-1] * s[:, 1:]).sum()))
+    W = 2 * (2 * n_grid * (n_grid - 1))   # ordered rook pairs
+    den = int((s * s).sum())
+    moran = 0.0 if den == 0 else float(N * num) / float(W * den)
+    return pd.DataFrame({"n_cells": np.array([N], np.int64),
+                         "w_pairs": np.array([W], np.int64),
+                         "moran_i": np.array([moran], np.float64)})
+
+
+def morans_i_sql(geo_cte: str, n_grid: int = MORAN_GRID) -> str:
+    """DuckDB mirror of :func:`cell_morans_i` over the same ``_GEO``
+    point field: full-lattice LEFT JOIN (zero cells kept), HUGEINT
+    mean-cleared products, one terminal double division."""
+    return f"""
+        WITH g AS ({geo_cte}),
+        c AS (SELECT CAST(floor(fx * {n_grid}) AS BIGINT) AS ix,
+                     CAST(floor(fy * {n_grid}) AS BIGINT) AS iy,
+                     count(*) AS n
+              FROM g GROUP BY 1, 2),
+        lat AS (SELECT gx.ix, gy.iy, coalesce(c.n, 0) AS n
+                FROM range(0, {n_grid}) gx(ix)
+                CROSS JOIN range(0, {n_grid}) gy(iy)
+                LEFT JOIN c ON c.ix = gx.ix AND c.iy = gy.iy),
+        tot AS (SELECT CAST(sum(n) AS HUGEINT) AS ssum,
+                       CAST(count(*) AS HUGEINT) AS ncell FROM lat),
+        sv AS (SELECT ix, iy,
+                      CAST(n AS HUGEINT) * tot.ncell - tot.ssum AS s
+               FROM lat, tot),
+        pr AS (SELECT CAST(sum(a.s * b.s) AS HUGEINT) AS num,
+                      CAST(count(*) AS HUGEINT) AS w FROM sv a
+               JOIN sv b ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1),
+        dn AS (SELECT CAST(sum(s * s) AS HUGEINT) AS den FROM sv)
+        SELECT CAST(tot.ncell AS BIGINT) AS n_cells,
+               CAST(pr.w AS BIGINT) AS w_pairs,
+               CASE WHEN dn.den = 0 THEN 0.0
+                    ELSE CAST(tot.ncell * pr.num AS DOUBLE)
+                         / CAST(pr.w * dn.den AS DOUBLE) END AS moran_i
+        FROM tot, pr, dn
+    """

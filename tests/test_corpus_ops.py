@@ -4715,3 +4715,46 @@ class TestKCenterCoreset:
             ref.astype(np.int64))
         # coverage radius is non-increasing round over round
         assert (np.diff(out["d2"].to_numpy()[1:]) <= 0).all()
+
+
+class TestCellMoransI:
+    def test_matches_double_loop_bruteforce(self, ray_session):
+        from fractions import Fraction
+
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.pipelines.corpus import cell_morans_i
+
+        out = cell_morans_i(SF)
+        # independent implementation: rebuild the geocode + lattice and
+        # evaluate the TEXTBOOK rational formula with exact Fractions
+        did = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        ix = np.floor(fx * 64).astype(int)
+        iy = np.floor(fy * 64).astype(int)
+        x = {}
+        for a, b in zip(ix, iy):
+            x[(a, b)] = x.get((a, b), 0) + 1
+        N = 64 * 64
+        xbar = Fraction(sum(x.values()), N)
+        num = Fraction(0)
+        W = 0
+        for i in range(64):
+            for j in range(64):
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    a, b = i + di, j + dj
+                    if 0 <= a < 64 and 0 <= b < 64:
+                        W += 1
+                        num += ((Fraction(x.get((i, j), 0)) - xbar)
+                                * (Fraction(x.get((a, b), 0)) - xbar))
+        den = sum((Fraction(x.get((i, j), 0)) - xbar) ** 2
+                  for i in range(64) for j in range(64))
+        ref = Fraction(N, W) * num / den
+        assert int(out["n_cells"].iloc[0]) == N
+        assert int(out["w_pairs"].iloc[0]) == W
+        got = float(out["moran_i"].iloc[0])
+        assert abs(got - float(ref)) < 1e-12, (got, float(ref))
+        # a hashed point field must not be strongly autocorrelated
+        assert abs(got) < 0.2
