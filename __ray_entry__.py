@@ -1005,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence_windows": _q_audio_silence,
         "kcenter_coreset": corpus.kcenter_coreset,
         "cell_morans_i": corpus.cell_morans_i,
+        "cell_getis_gi": corpus.cell_getis_gi,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -1242,7 +1243,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             st AS (SELECT user_id, grp, count(*) AS len
                    FROM isl GROUP BY 1, 2)
-            SELECT user_id, sum(len) AS n_active_days,
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
                    max(len) AS longest_streak, count(*) AS n_streaks
             FROM st GROUP BY user_id
         """,
@@ -1520,7 +1521,8 @@ def oracle_sql() -> dict[str, str]:
             -- integer epoch-day / cents arithmetic as the engine
             WITH obs AS (
                 SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
                 FROM events GROUP BY 1, 2
             ),
             span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
@@ -1563,7 +1565,7 @@ def oracle_sql() -> dict[str, str]:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
                 FROM pts
             )
-            SELECT (SELECT max(s) FROM cum) AS peak,
+            SELECT CAST((SELECT max(s) FROM cum) AS BIGINT) AS peak,
                    (SELECT min(t) FROM cum
                      WHERE s = (SELECT max(s) FROM cum)) AS peak_t_us
         """,
@@ -1595,7 +1597,8 @@ def oracle_sql() -> dict[str, str]:
             -- the ORACLE recomputes the view from the NEW snapshot directly;
             -- the engine reaches the same state by applying only the delta
             SELECT lang, count(*) AS n_docs,
-                   sum(n_chars + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
+                   CAST(sum(n_chars + CASE WHEN doc_id % 7 = 3
+                                           THEN 1 ELSE 0 END) AS BIGINT)
                      AS total_chars
             FROM documents WHERE doc_id % 10 <> 1
             GROUP BY lang
@@ -2052,7 +2055,12 @@ def oracle_sql() -> dict[str, str]:
                                     AND CURRENT ROW) - t AS excl
                 FROM tok
             )
-            SELECT excl // 2048 AS pack_id, count(*) AS n_docs,
+            -- CAST every aggregate-derived column to BIGINT: HUGEINT
+            -- window/group sums render as float64 in pandas, and the
+            -- driver's value-hash is representation-sensitive (the q12
+            -- round-2 lesson)
+            SELECT CAST(excl // 2048 AS BIGINT) AS pack_id,
+                   count(*) AS n_docs,
                    CAST(sum(t) AS BIGINT) AS total_tokens
             FROM c GROUP BY 1
         """,
@@ -3057,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
         "quadtree_leaves": corpusmod.quadtree_sql(),
         "kcenter_coreset": corpusmod.kcenter_sql(),
         "cell_morans_i": corpusmod.morans_i_sql(_GEO),
+        "cell_getis_gi": corpusmod.getis_gi_sql(_GEO),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,
@@ -3580,8 +3589,11 @@ def oracle_sql() -> dict[str, str]:
                                     AND CURRENT ROW) - t AS excl
                 FROM tok
             )
-            SELECT excl // 2048 AS pack_id, count(*) AS n_docs,
-                   sum(t) AS total_tokens
+            -- BIGINT casts: HUGEINT sums render float64 in pandas and the
+            -- driver's value-hash is representation-sensitive (q12 lesson)
+            SELECT CAST(excl // 2048 AS BIGINT) AS pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS total_tokens
             FROM c GROUP BY 1 ORDER BY 1
         """,
         "embedding_near_dups": """

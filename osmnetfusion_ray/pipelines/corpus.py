@@ -5280,3 +5280,90 @@ def morans_i_sql(geo_cte: str, n_grid: int = MORAN_GRID) -> str:
                          / CAST(pr.w * dn.den AS DOUBLE) END AS moran_i
         FROM tot, pr, dn
     """
+
+
+def cell_getis_gi(sf_dir: str) -> pd.DataFrame:
+    """GETIS–ORD Gi* HOT-SPOT DETECTION over the doc-count lattice (Getis
+    & Ord 1992) — the per-cell z-score that identifies the skewed "hot
+    urban cells" the north rule's salting targets; the companion local
+    statistic to :func:`cell_morans_i`'s global one. Rook+self weights
+    (w_ij = 1 for the 4 neighbours and the cell itself).
+
+    Exactness: with SX = Σx, SX2 = Σx², L_i = Σ_{j∈N(i)∪{i}} x_j,
+    W_i = |N(i)∪{i}| — all exact ints from the bounded histogram —
+
+        Gi* = (n·L_i − SX·W_i) / sqrt(A · B_i / (n−1)),
+        A = n·SX2 − SX²,  B_i = n·W_i − W_i²,
+
+    i.e. integers until ONE shared double expression (a product, a
+    division, a sqrt, a division — both engines evaluate the identical
+    IEEE tree, so the z-scores are bit-equal, no rounding convention
+    needed). Output: all n = 64² cells (ix, iy, n_docs, gi_star).
+
+    Shapes: identical to cell_morans_i — one ≤64²-key histogram
+    exchange; neighbour sums are array shifts over the dimension-bounded
+    lattice driver-side."""
+    hist = doc_cell_counts(sf_dir).to_pandas()
+    g = MORAN_GRID
+    x = np.zeros((g, g), np.int64)
+    if "ix" in hist.columns and len(hist):
+        x[hist["ix"].to_numpy(np.int64), hist["iy"].to_numpy(np.int64)] = \
+            hist["n_docs"].to_numpy(np.int64)
+    n = g * g
+    SX = int(x.sum())
+    SX2 = int((x.astype(object) ** 2).sum())  # exact (fits int64 here,
+    #                                            object for safety margin)
+    L = x.copy()
+    L[:-1, :] += x[1:, :]
+    L[1:, :] += x[:-1, :]
+    L[:, :-1] += x[:, 1:]
+    L[:, 1:] += x[:, :-1]
+    W = np.full((g, g), 5, np.int64)
+    W[0, :] -= 1
+    W[-1, :] -= 1
+    W[:, 0] -= 1
+    W[:, -1] -= 1
+    A = n * SX2 - SX * SX
+    B = n * W - W * W
+    num = (n * L - SX * W).astype(np.float64)
+    den = np.sqrt(np.float64(A) * B.astype(np.float64) / (n - 1.0))
+    gi = np.where(den > 0.0, num / np.where(den > 0.0, den, 1.0), 0.0)
+    ii, jj = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+    return pd.DataFrame({"ix": ii.ravel().astype(np.int64),
+                         "iy": jj.ravel().astype(np.int64),
+                         "n_docs": x.ravel(),
+                         "gi_star": gi.ravel()})
+
+
+def getis_gi_sql(geo_cte: str, n_grid: int = MORAN_GRID) -> str:
+    """DuckDB mirror of :func:`cell_getis_gi`: same lattice CTE as
+    morans_i_sql, rook+self neighbour sums via a manhattan-≤1 self-join,
+    the identical integer→double Gi* expression tree."""
+    return f"""
+        WITH g AS ({geo_cte}),
+        c AS (SELECT CAST(floor(fx * {n_grid}) AS BIGINT) AS ix,
+                     CAST(floor(fy * {n_grid}) AS BIGINT) AS iy,
+                     count(*) AS n
+              FROM g GROUP BY 1, 2),
+        lat AS (SELECT gx.ix, gy.iy, coalesce(c.n, 0) AS n
+                FROM range(0, {n_grid}) gx(ix)
+                CROSS JOIN range(0, {n_grid}) gy(iy)
+                LEFT JOIN c ON c.ix = gx.ix AND c.iy = gy.iy),
+        tot AS (SELECT sum(n) AS sx, sum(n * n) AS sx2,
+                       count(*) AS ncell FROM lat),
+        nb AS (SELECT a.ix, a.iy, max(a.n) AS n,
+                      sum(b.n) AS l, count(*) AS w
+               FROM lat a JOIN lat b
+                 ON abs(a.ix - b.ix) + abs(a.iy - b.iy) <= 1
+               GROUP BY a.ix, a.iy)
+        SELECT nb.ix, nb.iy, CAST(nb.n AS BIGINT) AS n_docs,
+               CASE WHEN tot.ncell * tot.sx2 - tot.sx * tot.sx <= 0
+                    THEN 0.0
+                    ELSE CAST(tot.ncell * nb.l - tot.sx * nb.w AS DOUBLE)
+                         / sqrt(CAST(tot.ncell * tot.sx2
+                                     - tot.sx * tot.sx AS DOUBLE)
+                                * CAST(tot.ncell * nb.w - nb.w * nb.w
+                                       AS DOUBLE)
+                                / (tot.ncell - 1.0)) END AS gi_star
+        FROM nb, tot
+    """

@@ -4758,3 +4758,34 @@ class TestCellMoransI:
         assert abs(got - float(ref)) < 1e-12, (got, float(ref))
         # a hashed point field must not be strongly autocorrelated
         assert abs(got) < 0.2
+
+
+class TestCellGetisGi:
+    def test_zscore_properties_and_scalar_parity(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import cell_getis_gi
+
+        out = cell_getis_gi(SF)
+        assert len(out) == 64 * 64
+        gi = out["gi_star"].to_numpy()
+        x = out["n_docs"].to_numpy()
+        # independent scalar recomputation for 5 sample cells
+        g = 64
+        grid = np.zeros((g, g), np.int64)
+        grid[out["ix"].to_numpy(), out["iy"].to_numpy()] = x
+        n = g * g
+        SX, SX2 = int(grid.sum()), int((grid ** 2).sum())
+        rng = [(0, 0), (63, 63), (10, 20), (31, 31), (5, 63)]
+        for (i, j) in rng:
+            nbrs = [(i, j)] + [(i + di, j + dj)
+                               for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1))
+                               if 0 <= i + di < g and 0 <= j + dj < g]
+            L = sum(int(grid[a, b]) for a, b in nbrs)
+            W = len(nbrs)
+            A = n * SX2 - SX * SX
+            B = n * W - W * W
+            want = (n * L - SX * W) / np.sqrt(float(A) * float(B) / (n - 1.0))
+            got = float(out[(out["ix"] == i) & (out["iy"] == j)]["gi_star"].iloc[0])
+            assert got == want, ((i, j), got, want)
+        # z-scores of a hashed (CSR-ish) field: mean ~0, no extreme outliers
+        assert abs(gi.mean()) < 0.1
+        assert np.abs(gi).max() < 6.0

@@ -63,8 +63,18 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
                 if not (pd.Series(av).astype(object) == pd.Series(bv).astype(object)).all():
                     bad = (pd.Series(av).astype(object) != pd.Series(bv).astype(object)).to_numpy()
                     issues.append(f"col {c}: {bad.sum()} mismatches; first: {av[bad][:3]} vs {bv[bad][:3]}")
-    if mine.dtypes.to_dict().keys() != oracle.dtypes.to_dict().keys():
-        pass
+    # representational check (the round-3 driver lesson: corpus_prep /
+    # sequence_packing VALUES matched while the driver's hash failed on a
+    # null-typed block that floatified the collected dtypes) — flag any
+    # kind-level dtype divergence (int vs float vs object) per column
+    for c in sorted(set(mine.columns) & set(oracle.columns)):
+        mk = np.asarray(mine[c].to_numpy()).dtype.kind
+        ok_ = np.asarray(oracle[c].to_numpy()).dtype.kind
+        norm = {"i": "i", "u": "i", "b": "b", "f": "f", "c": "f",
+                "O": "O", "U": "O", "S": "O", "M": "M", "m": "m"}
+        if norm.get(mk, mk) != norm.get(ok_, ok_):
+            issues.append(f"col {c}: dtype kind {mk} != oracle {ok_} "
+                          f"(hash-representation risk)")
     return issues
 
 
