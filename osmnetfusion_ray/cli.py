@@ -152,6 +152,20 @@ def cmd_corpus(args) -> int:
     return 0
 
 
+def cmd_corpus_export(args) -> int:
+    from .pipelines.corpus import corpus_clean_export
+
+    written = corpus_clean_export(args.sf_dir, args.out,
+                                  n_shards=args.shards)
+    print(json.dumps({
+        "op": "corpus_clean_export",
+        "partitions_written": int(len(written)),
+        "rows_written": int(written["rows"].sum()) if len(written) else 0,
+        "out": args.out,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osmnetfusion-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -185,12 +199,20 @@ def main(argv=None) -> int:
     co.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     co.add_argument("--op", default="exact_dedup")
 
+    ce = sub.add_parser("corpus-export",
+                        help="resumable cleaned-corpus export (quality "
+                             "filter + exact dedup -> checkpointed shards)")
+    ce.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ce.add_argument("--out", required=True)
+    ce.add_argument("--shards", type=int, default=64)
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     try:
         return {"pagejoin": cmd_pagejoin, "simplify": cmd_simplify,
                 "simplify-snapshot": cmd_simplify_snapshot,
-                "corpus": cmd_corpus}[args.cmd](args)
+                "corpus": cmd_corpus,
+                "corpus-export": cmd_corpus_export}[args.cmd](args)
     finally:
         import ray
 

@@ -5367,3 +5367,64 @@ def getis_gi_sql(geo_cte: str, n_grid: int = MORAN_GRID) -> str:
                                 / (tot.ncell - 1.0)) END AS gi_star
         FROM nb, tot
     """
+
+
+def corpus_clean_export(sf_dir: str, out_root: str,
+                        n_shards: int = 64, q_min: float = 0.5):
+    """RESUMABLE CLEANED-CORPUS EXPORT — the WRITE side of the LLM-prep
+    chain (corpus_prep computes the pack statistics; this materializes
+    the cleaned corpus itself): C4-style quality filter → exact-dedup
+    winners → deterministic shard assignment → checkpointed partitioned
+    parquet. This is the artifact a pre-training run actually consumes,
+    and the operation the north rule's resumability criterion is about:
+    every shard lands with a manifest row (rows, text checksum, lineage),
+    a re-run after failure re-executes ONLY missing shards
+    (`state.sink.write_checkpointed` skip path), and `_SUCCESS` finalizes
+    the stage.
+
+    Scale shapes (all inherited from the oracled pipelines): text leaves
+    the scan once — the combiner scores quality, hashes text and drops
+    in-block losers in the same pass, so the ONE dedup exchange carries
+    each block's local winners only; winners are emitted from the hash
+    shuffle (never a keep-set); shard = Knuth-hash(doc_id) mod n_shards
+    balances partitions without a second exchange (the writer groups by
+    shard in its own sink pass). Returns the metrics frame of partitions
+    written in THIS run (empty on a fully-resumed rerun)."""
+    from ..rayctx import grouped
+    from ..state.sink import write_checkpointed
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(df[["doc_id", "text"]], preserve_index=False)
+        score = quality_score_batch(t)["quality_score"].to_numpy()
+        df = df[score >= q_min].copy()
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                                 "text": pd.Series([], dtype=str),
+                                 "lang": pd.Series([], dtype=str),
+                                 "text_h": np.zeros(0, np.uint64)})
+        df["text_h"] = hashing.hash64(df["text"].to_numpy())
+        keep = df.groupby("text_h", sort=False)["doc_id"].idxmin()
+        return df.loc[keep.to_numpy()]
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                                 "text": pd.Series([], dtype=str),
+                                 "lang": pd.Series([], dtype=str),
+                                 "shard": np.zeros(0, np.uint64)})
+        keep = df.groupby("text_h", sort=False)["doc_id"].idxmin()
+        d = df.loc[keep.to_numpy()].drop(columns=["text_h"]).copy()
+        d["shard"] = ((d["doc_id"].to_numpy().astype(np.uint64)
+                       * np.uint64(2654435761)) % np.uint64(n_shards))
+        return d
+
+    n_docs = table_rows(sf_dir, "documents")
+    surv = grouped(docs.map_batches(combiner, batch_format="pandas"),
+                   ["text_h"], winners, rows=n_docs)
+    return write_checkpointed(
+        surv, out_root, "corpus_clean", "shard", checksum_col="text",
+        lineage={"input": f"{sf_dir}/documents.parquet",
+                 "op": f"quality>={q_min} + exact_dedup",
+                 "n_shards": n_shards})

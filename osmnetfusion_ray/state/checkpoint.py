@@ -101,3 +101,21 @@ def read_manifest(root: str, stage: str) -> list[dict]:
                 with open(os.path.join(d, f)) as fh:
                     out.append(json.load(fh))
     return out
+
+
+def remove_partition(root: str, stage: str, key: str) -> None:
+    """Invalidate ONE partition (manifest row + data dir + the stage's
+    ``_SUCCESS``) so the next ``write_checkpointed`` recomputes exactly
+    it — the operational lever for re-running a corrupted shard without
+    touching the rest of a finished stage."""
+    import shutil
+
+    mpath = os.path.join(_manifest_dir(root, stage), f"{key}.json")
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    pdir = os.path.join(root, stage, f"part={key}")
+    if os.path.isdir(pdir):
+        shutil.rmtree(pdir)
+    s = os.path.join(root, stage, "_SUCCESS")
+    if os.path.exists(s):
+        os.remove(s)

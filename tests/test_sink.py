@@ -99,3 +99,55 @@ class TestGeoPackage:
             assert isinstance(g_u, int)
         finally:
             con.close()
+
+
+class TestCorpusCleanExport:
+    def test_export_content_resume_and_partial(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions import hashing
+        from osmnetfusion_ray.pipelines.corpus import (corpus_clean_export,
+                                                       quality_score_batch)
+        from osmnetfusion_ray.state import checkpoint
+        from osmnetfusion_ray.state.sink import read_checkpointed
+
+        sf = "/root/testdata/sf0.001"
+        root = str(tmp_path)
+        written = corpus_clean_export(sf, root, n_shards=16)
+        assert checkpoint.stage_complete(root, "corpus_clean")
+        assert len(written) == 16
+
+        # content == brute-force quality filter + exact dedup (min doc_id)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text", "lang"]).to_pandas()
+        t = pa.Table.from_pandas(docs[["doc_id", "text"]],
+                                 preserve_index=False)
+        score = quality_score_batch(t)["quality_score"].to_numpy()
+        q = docs[score >= 0.5].copy()
+        q["text_h"] = hashing.hash64(q["text"].to_numpy())
+        keep = q.groupby("text_h")["doc_id"].idxmin()
+        ref = q.loc[keep.to_numpy()].sort_values("doc_id")
+        back = (read_checkpointed(root, "corpus_clean").to_pandas()
+                .sort_values("doc_id"))
+        assert back["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert back["text"].tolist() == ref["text"].tolist()
+        # shard assignment is the stated Knuth hash
+        sh = ((back["doc_id"].to_numpy().astype(np.uint64)
+               * np.uint64(2654435761)) % np.uint64(16))
+        assert (back["shard"].to_numpy().astype(np.uint64) == sh).all()
+
+        # full resume: nothing rewritten
+        again = corpus_clean_export(sf, root, n_shards=16)
+        assert len(again) == 0
+
+        # partial resume: drop one partition from manifest + disk → only
+        # that shard is recomputed
+        man = checkpoint.read_manifest(root, "corpus_clean")
+        victim = man[0]["partition"]
+        checkpoint.remove_partition(root, "corpus_clean", victim)
+        third = corpus_clean_export(sf, root, n_shards=16)
+        assert sorted(third["partition"]) == [victim]
+        back2 = (read_checkpointed(root, "corpus_clean").to_pandas()
+                 .sort_values("doc_id"))
+        assert back2["doc_id"].tolist() == ref["doc_id"].tolist()
