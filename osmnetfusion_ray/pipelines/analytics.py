@@ -2333,26 +2333,24 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
         return out.groupby(["l_partkey", "l_orderkey", "l_suppkey"],
                            sort=False, as_index=False)["rev"].sum()
 
-    def type_markers(df: pd.DataFrame) -> pd.DataFrame:
+    def type_keys(df: pd.DataFrame) -> pd.DataFrame:
         k = df.loc[df["p_type"] == ptype, "p_partkey"].to_numpy()
-        n = len(k)
-        return pd.DataFrame({"l_partkey": k.astype(np.int64),
-                             "l_orderkey": np.full(n, -1, np.int64),
-                             "l_suppkey": np.full(n, -1, np.int64),
-                             "rev": np.zeros(n, np.int64)})
+        return pd.DataFrame({"p_partkey": k.astype(np.int64)})
 
-    def semi_block(df: pd.DataFrame) -> pd.DataFrame:
-        mark = df["l_suppkey"].to_numpy() == -1
-        qual = df.loc[mark, "l_partkey"].unique()
-        d = df[~mark]
-        d = d[d["l_partkey"].isin(qual)]
-        return d.groupby(["l_orderkey", "l_suppkey"], sort=False,
-                         as_index=False)["rev"].sum()
-
-    pairs = _grouped(
-        li.map_batches(li_partial, batch_format="pandas").union(
-            part.map_batches(type_markers, batch_format="pandas")),
-        ["l_partkey"], semi_block, small=True)
+    # size-adaptive semi (the helper's broadcast↔exchange contract):
+    # downstream sums are additive, so per-block partials suffice and
+    # each later stage completes its own reduction — the below-cap path
+    # therefore needs ZERO extra exchanges here
+    semi = colocated_attach(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_partkey", part.map_batches(type_keys, batch_format="pandas"),
+        "p_partkey", {}, semi_only=True,
+        left_fill={"l_orderkey": np.int64(-1), "l_suppkey": np.int64(-1),
+                   "rev": np.int64(0)})
+    pairs = semi.map_batches(
+        lambda df: df.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                              as_index=False)["rev"].sum(),
+        batch_format="pandas")
 
     dec = colocated_attach(
         pairs, "l_suppkey", sup.map_batches(sup_nation, batch_format="pandas"),
@@ -2691,26 +2689,23 @@ def q9_product_type_profit(sf_dir: str, name_like: str = "bolt") -> rd.Dataset:
         return out.groupby(["l_partkey", "l_orderkey", "l_suppkey"],
                            sort=False, as_index=False)["amt"].sum()
 
-    def part_markers(df: pd.DataFrame) -> pd.DataFrame:
+    def name_keys(df: pd.DataFrame) -> pd.DataFrame:
         k = df.loc[df["p_name"].str.contains(name_like), "p_partkey"].to_numpy()
-        n = len(k)
-        return pd.DataFrame({"l_partkey": k.astype(np.int64),
-                             "l_orderkey": np.full(n, -1, np.int64),
-                             "l_suppkey": np.full(n, -1, np.int64),
-                             "amt": np.zeros(n, np.int64)})
+        return pd.DataFrame({"p_partkey": k.astype(np.int64)})
 
-    def semi_block(df: pd.DataFrame) -> pd.DataFrame:
-        mark = df["l_suppkey"].to_numpy() == -1
-        qual = df.loc[mark, "l_partkey"].unique()
-        d = df[~mark]
-        d = d[d["l_partkey"].isin(qual)]
-        return d.groupby(["l_orderkey", "l_suppkey"], sort=False,
-                         as_index=False)["amt"].sum()
-
-    pairs = grouped(
-        li.map_batches(li_partial, batch_format="pandas").union(
-            part.map_batches(part_markers, batch_format="pandas")),
-        ["l_partkey"], semi_block, small=True)
+    # size-adaptive semi: downstream sums are additive, so per-block
+    # partials suffice (the orderkey co-location completes them) — the
+    # below-cap path needs no extra exchange
+    semi = colocated_attach(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_partkey", part.map_batches(name_keys, batch_format="pandas"),
+        "p_partkey", {}, semi_only=True,
+        left_fill={"l_orderkey": np.int64(-1), "l_suppkey": np.int64(-1),
+                   "amt": np.int64(0)})
+    pairs = semi.map_batches(
+        lambda df: df.groupby(["l_orderkey", "l_suppkey"], sort=False,
+                              as_index=False)["amt"].sum(),
+        batch_format="pandas")
 
     dec = colocated_attach(
         pairs, "l_suppkey", sup.map_batches(sup_nation, batch_format="pandas"),
@@ -2889,28 +2884,28 @@ def q16_parts_supplier_counts(sf_dir: str, excl_brand: str = "Brand#1",
         {"p_brand": None, "p_type": None, "p_size": np.int64},
         left_fill={"l_suppkey": np.int64(-1)})
 
-    def good_markers(df: pd.DataFrame) -> pd.DataFrame:
+    def good_keys(df: pd.DataFrame) -> pd.DataFrame:
         k = df.loc[df["s_acctbal"] >= 0, "s_suppkey"].to_numpy()
-        return pd.DataFrame({"l_suppkey": k.astype(np.int64),
-                             "p_brand": "", "p_type": "",
-                             "p_size": np.int64(-1), "l_partkey": np.int64(-1)})
+        return pd.DataFrame({"s_suppkey": k.astype(np.int64)})
 
-    def quad_count_block(df: pd.DataFrame) -> pd.DataFrame:
-        mk = df["p_size"].to_numpy() == -1
-        good = set(df.loc[mk, "l_suppkey"].tolist())
-        d = df.loc[~mk]
-        d = d[d["l_suppkey"].isin(good)]
-        g = (d.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
-              .groupby(["p_brand", "p_type", "p_size"], sort=False)["l_suppkey"]
-              .size().rename("supplier_cnt").reset_index())
-        return g
+    # size-adaptive complaint-supplier exclusion; the global quad dedup +
+    # distinct count then rides ONE attr-keyed exchange (every quad of an
+    # attr triple co-locates there — bounded by that triple's supplier
+    # count, so skew-safe)
+    good = colocated_attach(
+        dec, "l_suppkey", sup.map_batches(good_keys, batch_format="pandas"),
+        "s_suppkey", {}, semi_only=True,
+        left_fill={"l_partkey": np.int64(-1), "p_brand": "", "p_type": "",
+                   "p_size": np.int64(-1)})
 
-    per_block = grouped(
-        dec.union(sup.map_batches(good_markers, batch_format="pandas")),
-        ["l_suppkey"], quad_count_block, small=True)
-    counts = groupby_agg(per_block, ["p_brand", "p_type", "p_size"],
-                         [AggSpec("supplier_cnt", "supplier_cnt", "sum")],
-                         small=True)
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(["p_brand", "p_type", "p_size",
+                                    "l_suppkey"])
+                .groupby(["p_brand", "p_type", "p_size"], sort=False)
+                ["l_suppkey"].size().rename("supplier_cnt").reset_index())
+
+    counts = grouped(good, ["p_brand", "p_type", "p_size"], count_block,
+                     small=True)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],

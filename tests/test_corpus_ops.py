@@ -2093,6 +2093,45 @@ class TestColocatedAttach:
                       small=True).to_pandas()
         assert int(res["n_data"].sum()) == int(res["n_hit"].sum()) > 0
 
+    def test_broadcast_and_exchange_paths_identical(self, ray_session):
+        """Size-adaptive contract (the P3_BROADCAST_STATE_MAX_NODES
+        pattern): below COLOC_BROADCAST_MAX_ROWS the dim broadcasts and
+        no exchange runs; forcing the exchange must give the identical
+        result INCLUDING dtypes."""
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.join import colocated_attach
+
+        left = pd.DataFrame({"k": (np.arange(500) * 13) % 97,
+                             "v": np.arange(500)})
+        dim = pd.DataFrame({"dk": np.arange(0, 97, 2),
+                            "name": [f"n{i}" for i in range(0, 97, 2)],
+                            "w": np.arange(0, 97, 2) * 10})
+        kw = dict(attach={"name": None, "w": np.int64},
+                  left_fill={"v": np.int64(-1)})
+        a = (colocated_attach(rd.from_pandas(left).repartition(num_blocks=4),
+                              "k", rd.from_pandas(dim), "dk", **kw)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        b = (colocated_attach(rd.from_pandas(left).repartition(num_blocks=4),
+                              "k", rd.from_pandas(dim), "dk",
+                              force_exchange=True, **kw)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+        assert str(a["w"].dtype) == str(b["w"].dtype) == "int64"
+        # semi-only flavour too
+        sa = (colocated_attach(rd.from_pandas(left), "k",
+                               rd.from_pandas(dim), "dk", {},
+                               semi_only=True, left_fill={"v": np.int64(-1)})
+              .to_pandas().sort_values("v").reset_index(drop=True))
+        sb = (colocated_attach(rd.from_pandas(left), "k",
+                               rd.from_pandas(dim), "dk", {},
+                               semi_only=True, left_fill={"v": np.int64(-1)},
+                               force_exchange=True)
+              .to_pandas().sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(sa[sorted(sa.columns)],
+                                      sb[sorted(sb.columns)])
+
 
 class TestSaltedJoin:
     def test_row_identical_to_plain_join(self, ray_session):
