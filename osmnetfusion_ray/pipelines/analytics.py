@@ -2300,9 +2300,6 @@ def q8_market_share(sf_dir: str, region: str = "AMERICA",
 
     import pyarrow.parquet as pq_mod
 
-    from ..pipelines.simplify import _num_partitions
-    from ..rayctx import grouped as _grouped
-
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
 
     nat = pq_mod.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()

@@ -5378,9 +5378,16 @@ def corpus_clean_export(sf_dir: str, out_root: str,
     parquet. This is the artifact a pre-training run actually consumes,
     and the operation the north rule's resumability criterion is about:
     every shard lands with a manifest row (rows, text checksum, lineage),
-    a re-run after failure re-executes ONLY missing shards
+    a re-run after failure re-WRITES only missing shards
     (`state.sink.write_checkpointed` skip path), and `_SUCCESS` finalizes
-    the stage.
+    the stage. Honest resume scope: the shard key is derived at the END
+    of the graph, so the skip prunes the write + downstream IO, not the
+    upstream scan/score/dedup compute — and that is inherent, not an
+    implementation gap: a surviving shard's exact-dedup winner can live
+    in a FINISHED shard, so global dedup must always see the whole
+    corpus (shard-granular compute pruning would change winners on
+    resume). Source-keyed layouts (pagejoin: partition = input cell) do
+    prune compute at the scan.
 
     Scale shapes (all inherited from the oracled pipelines): text leaves
     the scan once — the combiner scores quality, hashes text and drops

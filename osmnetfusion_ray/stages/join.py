@@ -178,6 +178,9 @@ def salted_join(
 # P3_BROADCAST_STATE_MAX_NODES — both paths are result-identical
 # (forced-path equality tested).
 COLOC_BROADCAST_MAX_ROWS = 2_000_000
+# the row cap assumes skinny dims; the byte guard catches wide ones (long
+# strings in attach columns) before they become a driver/object-store blob
+COLOC_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
 def colocated_attach(
@@ -229,24 +232,42 @@ def colocated_attach(
     ``left_fill`` guards; the block raises if a None-pinned column
     arrives floating). Inner semantics (left rows without a dim match
     drop). ``semi_only=True`` ignores ``attach`` values and just filters
-    (semi-join).
+    (semi-join). Dim keys are expected UNIQUE; if duplicates occur, both
+    paths keep the row whose (key, attach...) tuple sorts smallest — a
+    deterministic rule, never block-arrival order.
     """
     from ..rayctx import grouped
 
     attach_cols = [] if semi_only else list(attach)
 
     if not force_exchange and broadcast_below_rows:
+        small_pd = None
         try:
-            # ONE execution of the dim-side pipeline: count() and (on the
-            # broadcast path) to_pandas() both read the materialized
-            # blocks instead of re-running the scan+filter chain
-            dim = dim.materialize()
-            n_dim = dim.count()
+            # size probe WITHOUT materializing the whole dim (an
+            # above-cap dim must never be pinned in the object store just
+            # to learn it is big): limit(cap+1).count() streams only
+            # enough blocks to decide. Only a PROVEN-small dim is then
+            # materialized once for the collect.
+            probe = dim.limit(broadcast_below_rows + 1).count()
+            if probe <= broadcast_below_rows:
+                dim = dim.materialize()
+                cols = [dim_key] + attach_cols
+                small_pd = dim.to_pandas()[cols]
+                # bytes guard: the row cap assumes skinny dims; a wide
+                # dim (long strings in attach cols) must not become a
+                # multi-GB driver blob shipped to every task
+                if int(small_pd.memory_usage(deep=True).sum()) \
+                        > COLOC_BROADCAST_MAX_BYTES:
+                    small_pd = None
         except Exception:
-            n_dim = None
-        if n_dim is not None and n_dim <= broadcast_below_rows:
-            cols = [dim_key] + attach_cols
-            small_pd = dim.to_pandas()[cols].drop_duplicates(dim_key)
+            small_pd = None
+        if small_pd is not None:
+            # duplicate-key rule, IDENTICAL on both paths: sort by every
+            # carried column, keep the lexicographically-smallest row per
+            # key (the exchange block applies the same sort)
+            small_pd = (small_pd.sort_values([dim_key] + attach_cols,
+                                             kind="mergesort")
+                        .drop_duplicates(dim_key))
             order = np.argsort(small_pd[dim_key].to_numpy(), kind="stable")
             dkeys = small_pd[dim_key].to_numpy()[order]
             dvals = {c: small_pd[c].to_numpy()[order] for c in attach_cols}
@@ -297,7 +318,11 @@ def colocated_attach(
         keep = out[key].isin(set(dimr[key].tolist()))
         out = out[keep]
         if attach_cols:
-            idx = dimr.drop_duplicates(key).set_index(key)
+            # duplicate-key rule shared with the broadcast path: sort by
+            # every carried column so the lexicographically-smallest row
+            # wins deterministically (block-arrival order must not decide)
+            idx = (dimr.sort_values([key] + attach_cols, kind="mergesort")
+                   .drop_duplicates(key).set_index(key))
             for c in attach_cols:
                 v = out[key].map(idx[c]).to_numpy()
                 tp = attach.get(c)

@@ -66,7 +66,12 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     # representational check (the round-3 driver lesson: corpus_prep /
     # sequence_packing VALUES matched while the driver's hash failed on a
     # null-typed block that floatified the collected dtypes) — flag any
-    # kind-level dtype divergence (int vs float vs object) per column
+    # kind-level dtype divergence (int vs float vs object) per column.
+    # Skipped for empty results: an all-empty Ray dataset legitimately
+    # collapses to object columns (the documented empty-schema gotcha)
+    # while DuckDB keeps its types — no hash instability in 0 rows.
+    if len(mine) == 0 or len(oracle) == 0:
+        return issues
     for c in sorted(set(mine.columns) & set(oracle.columns)):
         mk = np.asarray(mine[c].to_numpy()).dtype.kind
         ok_ = np.asarray(oracle[c].to_numpy()).dtype.kind
