@@ -243,16 +243,18 @@ def colocated_attach(
     if not force_exchange and broadcast_below_rows:
         small_pd = None
         try:
-            # size probe WITHOUT materializing the whole dim (an
-            # above-cap dim must never be pinned in the object store just
-            # to learn it is big): limit(cap+1).count() streams only
-            # enough blocks to decide. Only a PROVEN-small dim is then
-            # materialized once for the collect.
-            probe = dim.limit(broadcast_below_rows + 1).count()
-            if probe <= broadcast_below_rows:
-                dim = dim.materialize()
+            # ONE bounded execution decides the path AND feeds the
+            # collect: materializing limit(cap+1) pins AT MOST cap+1 rows
+            # (the limit back-pressures the scan), never the whole dim —
+            # an above-cap dim costs one bounded probe and then takes the
+            # exchange path; a below-cap dim's limited materialization IS
+            # the whole dim, reused directly for the broadcast collect
+            # (no second execution — a count()+to_pandas() pair measured
+            # +~1 s/query of duplicated dim-pipeline runs).
+            lim = dim.limit(broadcast_below_rows + 1).materialize()
+            if lim.count() <= broadcast_below_rows:
                 cols = [dim_key] + attach_cols
-                small_pd = dim.to_pandas()[cols]
+                small_pd = lim.to_pandas()[cols]
                 # bytes guard: the row cap assumes skinny dims; a wide
                 # dim (long strings in attach cols) must not become a
                 # multi-GB driver blob shipped to every task
