@@ -1006,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": corpus.kcenter_coreset,
         "cell_morans_i": corpus.cell_morans_i,
         "cell_getis_gi": corpus.cell_getis_gi,
+        "doc_bbox_scan": corpus.doc_bbox_scan,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3066,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": corpusmod.kcenter_sql(),
         "cell_morans_i": corpusmod.morans_i_sql(_GEO),
         "cell_getis_gi": corpusmod.getis_gi_sql(_GEO),
+        "doc_bbox_scan": corpusmod.bbox_scan_sql(_GEO),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

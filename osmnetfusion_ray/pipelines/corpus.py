@@ -5435,3 +5435,84 @@ def corpus_clean_export(sf_dir: str, out_root: str,
         lineage={"input": f"{sf_dir}/documents.parquet",
                  "op": f"quality>={q_min} + exact_dedup",
                  "n_shards": n_shards})
+
+
+def doc_bbox_scan(sf_dir: str,
+                  bbox: tuple = (11.56, 48.135, 11.60, 48.165)) -> rd.Dataset:
+    """INDEX-PRUNED SPATIAL RANGE SCAN — the cell-grid answer to "give me
+    every document inside this bbox" over cell-sorted storage: the query
+    bbox is decomposed driver-side into its COVERING CELL SET at
+    GRID_RES (bounded by the grid, ≤64² ids — at finer resolutions this
+    becomes the classic Morton/Z-order range decomposition), the set
+    broadcasts via ``ray.put``, and one stateless streamed pass first
+    prunes by cell membership (sorted-array searchsorted — rows outside
+    the covering cells never reach the exact test) and then confirms
+    with the exact lon/lat predicate. The ORACLE runs the plain bbox
+    filter with NO cell logic at all — a bit-equal match therefore
+    proves the pruning LOSSLESS, not just fast (cells only ever discard
+    rows the exact test would discard).
+
+    100 TB layout: with storage partitioned by cell (the engine's
+    write_checkpointed layout), the covering set also prunes
+    partitions/row-groups AT THE READ — the scan touches only covered
+    shards; here the same membership test runs in-stream. No shuffle, no
+    driver materialization; output streams."""
+    lon0b, lat0b, lon1b, lat1b = BBOX
+    qlon0, qlat0, qlon1, qlat1 = bbox
+    n = 1 << GRID_RES
+    # covering cells: grid cells whose extent intersects the query bbox
+    fx0 = max(0.0, (qlon0 - lon0b) / (lon1b - lon0b))
+    fx1 = min(1.0, (qlon1 - lon0b) / (lon1b - lon0b))
+    fy0 = max(0.0, (qlat0 - lat0b) / (lat1b - lat0b))
+    fy1 = min(1.0, (qlat1 - lat0b) / (lat1b - lat0b))
+    ix0, ix1 = int(np.floor(fx0 * n)), min(int(np.floor(fx1 * n)), n - 1)
+    iy0, iy1 = int(np.floor(fy0 * n)), min(int(np.floor(fy1 * n)), n - 1)
+    ixs, iys = np.meshgrid(np.arange(ix0, ix1 + 1),
+                           np.arange(iy0, iy1 + 1), indexing="ij")
+    cover = np.sort(cells.encode_xy(ixs.ravel().astype(np.uint64),
+                                    iys.ravel().astype(np.uint64), GRID_RES))
+    cref = ray.put(cover)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        t = doc_geocode_batch(batch)
+        cov = ray.get(cref)
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(cov, cell), 0, max(len(cov) - 1, 0))
+        pruned = (cov[pos] == cell) if len(cov) else np.zeros(len(cell), bool)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        keep = (pruned & (lon >= qlon0) & (lon <= qlon1)
+                & (lat >= qlat0) & (lat <= qlat1))
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "lon": pa.array(lon[keep]),
+            "lat": pa.array(lat[keep]),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+def bbox_scan_sql(geo_cte: str,
+                  bbox: tuple = (11.56, 48.135, 11.60, 48.165)) -> str:
+    """DuckDB mirror of :func:`doc_bbox_scan` with NO cell logic — the
+    plain exact bbox predicate over the same lerp geocode. Matching
+    bit-equal proves the engine's cell pruning lossless."""
+    qlon0, qlat0, qlon1, qlat1 = bbox
+    return f"""
+        WITH g AS ({geo_cte}),
+        pt AS (
+            SELECT doc_id,
+                   CAST(11.54 AS DOUBLE)
+                     + fx * (CAST(11.62 AS DOUBLE) - CAST(11.54 AS DOUBLE))
+                     AS lon,
+                   CAST(48.12 AS DOUBLE)
+                     + fy * (CAST(48.18 AS DOUBLE) - CAST(48.12 AS DOUBLE))
+                     AS lat
+            FROM g)
+        SELECT doc_id, lon, lat FROM pt
+        WHERE lon >= {qlon0} AND lon <= {qlon1}
+          AND lat >= {qlat0} AND lat <= {qlat1}
+    """

@@ -4828,3 +4828,27 @@ class TestCellGetisGi:
         # z-scores of a hashed (CSR-ish) field: mean ~0, no extreme outliers
         assert abs(gi.mean()) < 0.1
         assert np.abs(gi).max() < 6.0
+
+
+class TestDocBboxScan:
+    def test_lossless_pruning_vs_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from osmnetfusion_ray.functions import hashing as H
+        from osmnetfusion_ray.pipelines.corpus import doc_bbox_scan
+
+        bbox = (11.56, 48.135, 11.60, 48.165)
+        out = (doc_bbox_scan(SF, bbox=bbox).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        did = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        lon0, lat0, lon1, lat1 = H.DEFAULT_BBOX
+        lon = lon0 + fx * (lon1 - lon0)
+        lat = lat0 + fy * (lat1 - lat0)
+        keep = ((lon >= bbox[0]) & (lon <= bbox[2])
+                & (lat >= bbox[1]) & (lat <= bbox[3]))
+        assert sorted(out["doc_id"].tolist()) == sorted(
+            did[keep].astype(np.int64).tolist())
+        assert 0 < len(out) < len(did)  # selective, non-empty
