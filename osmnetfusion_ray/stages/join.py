@@ -242,27 +242,42 @@ def colocated_attach(
 
     if not force_exchange and broadcast_below_rows:
         small_pd = None
-        try:
-            # ONE bounded execution decides the path AND feeds the
-            # collect: materializing limit(cap+1) pins AT MOST cap+1 rows
-            # (the limit back-pressures the scan), never the whole dim —
-            # an above-cap dim costs one bounded probe and then takes the
-            # exchange path; a below-cap dim's limited materialization IS
-            # the whole dim, reused directly for the broadcast collect
-            # (no second execution — a count()+to_pandas() pair measured
-            # +~1 s/query of duplicated dim-pipeline runs).
-            lim = dim.limit(broadcast_below_rows + 1).materialize()
-            if lim.count() <= broadcast_below_rows:
-                cols = [dim_key] + attach_cols
-                small_pd = lim.to_pandas()[cols]
-                # bytes guard: the row cap assumes skinny dims; a wide
-                # dim (long strings in attach cols) must not become a
-                # multi-GB driver blob shipped to every task
-                if int(small_pd.memory_usage(deep=True).sum()) \
-                        > COLOC_BROADCAST_MAX_BYTES:
-                    small_pd = None
-        except Exception:
-            small_pd = None
+        # ONE bounded execution decides the path AND feeds the
+        # collect: materializing limit(cap+1) pins AT MOST cap+1 rows
+        # (the limit back-pressures the scan), never the whole dim —
+        # an above-cap dim costs one bounded probe and then takes the
+        # exchange path; a below-cap dim's limited materialization IS
+        # the whole dim, reused directly for the broadcast collect
+        # (no second execution — a count()+to_pandas() pair measured
+        # +~1 s/query of duplicated dim-pipeline runs).
+        #
+        # Errors from executing the dim pipeline PROPAGATE: the exchange
+        # path runs the same pipeline and would hit the same error later
+        # inside the union, with a far less diagnosable traceback — a
+        # broken dim must fail here, not silently fall through (round-4
+        # verdict: the old blanket `except Exception` masked real
+        # defects behind the fallback).
+        lim = dim.limit(broadcast_below_rows + 1).materialize()
+        if lim.count() <= broadcast_below_rows:
+            cols = [dim_key] + attach_cols
+            pdf = lim.to_pandas()
+            if len(pdf) == 0 and not all(c in pdf.columns for c in cols):
+                # the ONE legitimate probe-only failure mode: Ray drops
+                # empty blocks, so a fully-empty dim collects with NO
+                # schema. Inner semantics make the result empty either
+                # way — synthesize a typed empty dim so the broadcast
+                # path (which the size test chose) still applies.
+                small_pd = pd.DataFrame({c: [] for c in cols})
+            else:
+                # missing columns on a NON-empty dim is a caller bug —
+                # let the KeyError raise
+                small_pd = pdf[cols]
+            # bytes guard: the row cap assumes skinny dims; a wide
+            # dim (long strings in attach cols) must not become a
+            # multi-GB driver blob shipped to every task
+            if int(small_pd.memory_usage(deep=True).sum()) \
+                    > COLOC_BROADCAST_MAX_BYTES:
+                small_pd = None
         if small_pd is not None:
             # duplicate-key rule, IDENTICAL on both paths: sort by every
             # carried column, keep the lexicographically-smallest row per

@@ -2132,6 +2132,47 @@ class TestColocatedAttach:
         pd.testing.assert_frame_equal(sa[sorted(sa.columns)],
                                       sb[sorted(sb.columns)])
 
+    def test_broken_dim_pipeline_raises_not_fallback(self, ray_session):
+        """Round-4 verdict: the size probe's old blanket `except Exception`
+        silently routed a genuinely BROKEN dim pipeline to the exchange
+        path, deferring the failure to a less diagnosable place. A dim
+        whose map_batches raises must surface that error from
+        colocated_attach itself."""
+        import pytest
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.join import colocated_attach
+
+        left = pd.DataFrame({"k": np.arange(20) % 5, "v": np.arange(20)})
+
+        def boom(df):
+            raise ValueError("dim pipeline defect")
+
+        dim = rd.from_pandas(
+            pd.DataFrame({"dk": np.arange(5), "name": list("abcde")})
+        ).map_batches(boom, batch_format="pandas")
+        with pytest.raises(Exception, match="dim pipeline defect"):
+            colocated_attach(rd.from_pandas(left), "k", dim, "dk",
+                             {"name": None},
+                             left_fill={"v": np.int64(-1)}).to_pandas()
+
+    def test_empty_dim_returns_empty_via_broadcast(self, ray_session):
+        """A fully-empty dim loses its schema on collect (Ray drops empty
+        blocks) — the ONE probe-only failure mode. Inner semantics: the
+        result is empty, on both paths, without raising."""
+        import ray.data as rd
+
+        from osmnetfusion_ray.stages.join import colocated_attach
+
+        left = pd.DataFrame({"k": np.arange(20) % 5, "v": np.arange(20)})
+        dim = rd.from_pandas(
+            pd.DataFrame({"dk": np.arange(5), "name": list("abcde")})
+        ).filter(lambda r: False)
+        out = colocated_attach(rd.from_pandas(left), "k", dim, "dk",
+                               {"name": None},
+                               left_fill={"v": np.int64(-1)}).to_pandas()
+        assert len(out) == 0
+
 
 class TestSaltedJoin:
     def test_row_identical_to_plain_join(self, ray_session):
