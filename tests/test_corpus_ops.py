@@ -4796,6 +4796,27 @@ class TestKCenterCoreset:
         # coverage radius is non-increasing round over round
         assert (np.diff(out["d2"].to_numpy()[1:]) <= 0).all()
 
+    def test_forced_path_equality(self, ray_session):
+        """The size-adaptive contract (KC_KPASS_MAX_K): the stateless
+        k-pass form and the materialized running-min form must pick the
+        identical centers with identical d2 at every round — including a
+        k above the corpus size (n < k early-stop on both paths)."""
+        from osmnetfusion_ray.pipelines.corpus import kcenter_coreset
+
+        for k in (6, 12):
+            a = kcenter_coreset(SF, k=k, force_path="kpass")
+            b = kcenter_coreset(SF, k=k, force_path="runmin")
+            pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                          b.reset_index(drop=True))
+
+    def test_bad_force_path_raises(self, ray_session):
+        import pytest
+
+        from osmnetfusion_ray.pipelines.corpus import kcenter_coreset
+
+        with pytest.raises(ValueError, match="force_path"):
+            kcenter_coreset(SF, k=4, force_path="nope")
+
 
 class TestCellMoransI:
     def test_matches_double_loop_bruteforce(self, ray_session):
