@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentile_attach": analytics.event_percentile_attach,
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
+        "semdedup": corpus.semdedup,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3113,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id) AS max_doc_id
             FROM sh GROUP BY shard
         """,
+        "semdedup": corpusmod.semdedup_sql(),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

@@ -307,6 +307,134 @@ def p3_scaling():
     }))
 
 
+def tiled_only():
+    """One tiled-join measurement at $RAY_GRAFT_CPUS (warmup + best-of-2),
+    as a child leg for --tiled-scaling."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from osmnetfusion_ray.rayctx import ensure_tuned
+
+    ensure_tuned()
+    tiled = run_tiled()
+    ray.shutdown()
+    print(json.dumps({"num_cpus": NUM_CPUS,
+                      "tiled_rows": tiled["rows"],
+                      "tiled_sec": tiled["sec"],
+                      "tiled_rows_per_s": tiled["rows_per_s"]}))
+
+
+def tiled_scaling():
+    """Marginal scaling curve for the SHUFFLE-architecture flagship
+    (join_pages_to_network_tiled) at 6/12/24 CPUs in fresh processes —
+    the round-5 verdict item: both join architectures (broadcast AND
+    tiled) must carry current scaling evidence. Best of 2 per leg."""
+    legs = (6, 12, 24)
+    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
+    out = {}
+    for ncpu in legs:
+        best = None
+        for _ in range(2):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_PAGES_N=pages)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tiled-only"],
+                env=env, capture_output=True, text=True, check=True)
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or res["tiled_rows_per_s"] > best["tiled_rows_per_s"]:
+                best = res
+        out[ncpu] = best
+    r6, r12, r24 = (out[n]["tiled_rows_per_s"] for n in legs)
+    print(json.dumps({
+        "tiled_rows_per_s_6": r6, "tiled_rows_per_s_12": r12,
+        "tiled_rows_per_s_24": r24,
+        "marginal_6_12": round((r12 / r6) / 2, 3),
+        "marginal_12_24": round((r24 / r12) / 2, 3),
+        "efficiency_6_24": round((r24 / r6) / 4, 3),
+        "tiled_pages_n": out[6]["tiled_rows"],
+        "protocol": "fresh ray.init per leg, warmup + best-of-2 runs, "
+                    "best-of-2 legs",
+    }))
+
+
+def scaling_marginal():
+    """--scaling plus the 12-CPU leg: the marginal-efficiency curve
+    (6→12, 12→24) on the identical job, the discriminating measurement
+    for this host's memory-ceiling signature (see BENCH/BASELINE.md)."""
+    legs = (6, 12, 24)
+    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
+    out = {}
+    for ncpu in legs:
+        best = None
+        for _ in range(3):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_PAGES_N=pages, GRAFT_SCALING_CHILD="1")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True)
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or res["pagejoin_rows_per_s"] > best["pagejoin_rows_per_s"]:
+                best = res
+        out[ncpu] = best
+    r6, r12, r24 = (out[n]["pagejoin_rows_per_s"] for n in legs)
+    print(json.dumps({
+        "rows_per_s_6": r6, "rows_per_s_12": r12, "rows_per_s_24": r24,
+        "marginal_6_12": round((r12 / r6) / 2, 3),
+        "marginal_12_24": round((r24 / r12) / 2, 3),
+        "efficiency_6_24": round((r24 / r6) / 4, 3),
+        "pages_n": int(pages),
+        "protocol": "fresh ray.init per leg, best of 3",
+    }))
+
+
+def source_only():
+    """Host-state marker: generate url+text and consume the text bytes
+    with NO join — a pure source+scan throughput probe whose historical
+    range (≈4M slow-state … 10.4M fast-state rows/s at 6 CPUs) calibrates
+    whether a scaling run hit the box's memory ceiling (see
+    BENCH/BASELINE.md sixth-session diagnosis)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from osmnetfusion_ray.rayctx import ensure_tuned
+    from osmnetfusion_ray.sources.pagegen import synth_pages_ds
+
+    ensure_tuned()
+    n_pages = int(os.environ.get("GRAFT_PAGES_N", "8000000"))
+    blocks = max(8, min(2 * NUM_CPUS, n_pages // 8192))
+
+    def one():
+        import numpy as np
+        import pyarrow as pa
+
+        pages = synth_pages_ds(n_pages, parallelism=blocks,
+                               columns=("url", "text"))
+
+        def consume(b: pa.Table) -> pa.Table:
+            t = b["text"]
+            n = int(pa.compute.sum(pa.compute.utf8_length(t)).as_py() or 0)
+            return pa.table({"n": pa.array([np.int64(n)])})
+
+        return sum(r["n"] for r in pages.map_batches(
+            consume, batch_format="pyarrow").take_all())
+
+    one()
+    t0 = time.time()
+    one()
+    dt = time.time() - t0
+    ray.shutdown()
+    print(json.dumps({"num_cpus": NUM_CPUS, "pages_n": n_pages,
+                      "source_rows_per_s": round(n_pages / dt, 1)}))
+
+
 def headline_only():
     import ray
 
@@ -354,6 +482,14 @@ def stats_mode():
 if __name__ == "__main__":
     if "--stats" in sys.argv:
         stats_mode()
+    elif "--scaling-marginal" in sys.argv:
+        scaling_marginal()
+    elif "--tiled-scaling" in sys.argv:
+        tiled_scaling()
+    elif "--tiled-only" in sys.argv:
+        tiled_only()
+    elif "--source-only" in sys.argv:
+        source_only()
     elif "--scaling" in sys.argv:
         scaling()
     elif "--p3-scaling" in sys.argv:

@@ -5844,6 +5844,178 @@ def bbox_scan_pruned_stats(sf_dir: str,
     }
 
 
+# ---------------------------------------------------------------------------
+# semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_LISTS = 16
+# τ = 0.35 = 7/20 ⇒ τ² = 49/400: the cosine threshold as an exact
+# rational, so the keep decision is INTEGER (no cross-engine float-ulp
+# hazard at the threshold): cos(a,b) ≥ τ ⟺ num > 0 ∧ 400·num² ≥ 49·da·db.
+# 0.35 is the driver's embedding_near_dups threshold — the synthetic
+# embedding field's max cosine is ~0.51, so a paper-typical 0.9x τ would
+# never fire here; at 0.35 the rule drops 56 docs at sf0.01 / 580 at sf0.1
+SEMDEDUP_TAU2_NUM = 49
+SEMDEDUP_TAU2_DEN = 400
+
+
+def semdedup(sf_dir: str, n_lists: int = SEMDEDUP_LISTS) -> rd.Dataset:
+    """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023 — the
+    embedding-space dedup that removes *semantically* redundant
+    documents exact dedup and MinHash both miss): cluster the embedding
+    table with a coarse quantizer, then WITHIN each cluster drop every
+    vector that has a smaller-id cluster-mate with cosine ≥ τ (τ = 0.92,
+    the deterministic survivorship rule standing in for the paper's
+    keep-farthest-from-centroid choice). Output one row per vector:
+    (vec_id, list_id, kept ∈ {0,1}, dup_of = min such mate or −1).
+
+    Exactness: vectors quantize ONCE to int64 at 2^20 half-up (the
+    embedding_gram idiom); cluster assignment is argmin of exact integer
+    squared distances (ties → smaller seed index); the cosine test is
+    the all-integer comparison 400·num² ≥ 49·da·db (num = ⟨qa,qb⟩ <
+    2^48, so num² needs 128-bit — Python-int/object math in the block
+    kernel, HUGEINT in SQL; da, db, num themselves are < 2^53 and
+    therefore exact in DuckDB's float64 list_inner_product too). The
+    coarse quantizer is the seeded stride sampler of
+    :func:`ann_topk_ivf_flat` — deterministic, SQL-reproducible — so
+    the whole pipeline is bit-equal to the DuckDB mirror.
+
+    Shapes: seeds are a bounded ``ray.put`` broadcast (n_lists × d
+    ints); assignment is one stateless streamed pass; the ONLY exchange
+    is the list_id-keyed co-location, and all O(m²) pair work happens
+    inside a cluster (m ≈ n/n_lists — SemDeDup's whole point is that
+    clustering bounds the quadratic term; the paper's 100M-scale runs
+    use k ≈ 11k clusters). No pair ever leaves its block; the output is
+    one row per vector, not per pair."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    from ..rayctx import grouped
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_total = table_rows(sf_dir, "embeddings")
+    mul = float(1 << KC_SCALE_BITS)
+    stride = max(1, n_total // n_lists)
+    seed_ids = [i * stride for i in range(min(n_lists, n_total))]
+    stab = pq_mod.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                             filters=[("vec_id", "in", seed_ids)],
+                             columns=["vec_id", "embedding"])
+    order = np.argsort(stab["vec_id"].to_numpy())
+    cents = np.floor(np.stack(
+        stab["embedding"].to_numpy(zero_copy_only=False)[order]
+    ).astype(np.float64) * mul + 0.5).astype(np.int64)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        e = batch["embedding"].combine_chunks()
+        x = e.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(len(e), -1)
+        q = np.floor(x * mul + 0.5).astype(np.int64)
+        d = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # first minimum = smallest seed index
+        return pa.table({"vec_id": batch["vec_id"],
+                         "list_id": pa.array(lab.astype(np.int64)),
+                         "embedding": batch["embedding"]})
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow")
+
+    def cluster_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": np.zeros(0, np.int64),
+                                 "list_id": np.zeros(0, np.int64),
+                                 "kept": np.zeros(0, np.int64),
+                                 "dup_of": np.zeros(0, np.int64)})
+        o = np.argsort(df["vec_id"].to_numpy(), kind="stable")
+        df = df.iloc[o]
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        lst = df["list_id"].to_numpy().astype(np.int64)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(x * mul + 0.5).astype(np.int64)
+        G = q @ q.T                       # ⟨qa,qb⟩, |num| < 2^48 — exact
+        dd = np.einsum("ij,ij->i", q, q)  # |q|², < 2^53
+        # exact 128-bit threshold test: object (Python-int) arithmetic —
+        # bounded by the CLUSTER size, which is the quantity SemDeDup's
+        # clustering exists to bound; never corpus-quadratic
+        Go = G.astype(object)
+        do = dd.astype(object)
+        ok = np.asarray(
+            (G > 0) & (SEMDEDUP_TAU2_DEN * Go * Go
+                       >= SEMDEDUP_TAU2_NUM * do[:, None] * do[None, :]),
+            dtype=bool)
+        # a grouped() block CO-LOCATES whole clusters but may hold several
+        # of them — pairs only count within one list_id
+        ok &= lst[:, None] == lst[None, :]
+        np.fill_diagonal(ok, False)
+        ok = np.triu(ok)                  # i<j in vec_id order
+        has = ok.any(axis=0)
+        first = ok.argmax(axis=0)         # first True = smallest vec_id
+        dup_of = np.where(has, vid[first], np.int64(-1)).astype(np.int64)
+        return pd.DataFrame({"vec_id": vid,
+                             "list_id": lst,
+                             "kept": (~has).astype(np.int64),
+                             "dup_of": dup_of})
+
+    return grouped(assigned, ["list_id"], cluster_kernel, rows=n_total)
+
+
+def semdedup_sql(n_lists: int = SEMDEDUP_LISTS) -> str:
+    """DuckDB mirror of :func:`semdedup`: same 2^20 quantization (kept in
+    DOUBLE lists — every inner product is an integer < 2^53, hence exact
+    in float64 regardless of summation order), same stride-seeded
+    quantizer, distances via ‖a−c‖² = da + dc − 2⟨a,c⟩, the identical
+    integer threshold test in HUGEINT."""
+    mul = float(1 << KC_SCALE_BITS)
+    return f"""
+        WITH ql AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       v -> floor(v * {mul} + 0.5)) AS q
+            FROM embeddings),
+        dg AS MATERIALIZED (
+            SELECT vec_id, q, list_inner_product(q, q) AS dd FROM ql),
+        par AS (SELECT greatest(1, count(*) // {n_lists}) AS stride,
+                       least({n_lists}, count(*)) AS k
+                FROM embeddings),
+        sd AS MATERIALIZED (
+            SELECT t.j AS sidx, dg.q AS cq, dg.dd AS cdd
+            FROM range(0, {n_lists}) t(j), par
+            JOIN dg ON dg.vec_id = t.j * par.stride
+            WHERE t.j < par.k),
+        dist AS (
+            SELECT dg.vec_id, sd.sidx,
+                   dg.dd + sd.cdd - 2 * list_inner_product(dg.q, sd.cq) AS d
+            FROM dg CROSS JOIN sd),
+        lab AS MATERIALIZED (
+            SELECT vec_id, sidx AS list_id FROM (
+                SELECT vec_id, sidx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, sidx) AS rn
+                FROM dist) WHERE rn = 1),
+        pr AS (
+            SELECT lb.vec_id AS vb, min(la.vec_id) AS dup_of
+            FROM lab la
+            JOIN lab lb ON lb.list_id = la.list_id
+                       AND la.vec_id < lb.vec_id
+            JOIN dg da ON da.vec_id = la.vec_id
+            JOIN dg db ON db.vec_id = lb.vec_id
+            WHERE list_inner_product(da.q, db.q) > 0
+              AND {SEMDEDUP_TAU2_DEN}
+                  * CAST(list_inner_product(da.q, db.q) AS HUGEINT)
+                  * CAST(list_inner_product(da.q, db.q) AS HUGEINT)
+                  >= {SEMDEDUP_TAU2_NUM}
+                     * CAST(da.dd AS HUGEINT) * CAST(db.dd AS HUGEINT)
+            GROUP BY lb.vec_id)
+        SELECT lab.vec_id,
+               CAST(lab.list_id AS BIGINT) AS list_id,
+               CAST(CASE WHEN pr.dup_of IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS kept,
+               CAST(coalesce(pr.dup_of, -1) AS BIGINT) AS dup_of
+        FROM lab LEFT JOIN pr ON pr.vb = lab.vec_id
+    """
+
+
 def bbox_scan_sql(geo_cte: str,
                   bbox: tuple = (11.56, 48.135, 11.60, 48.165)) -> str:
     """DuckDB mirror of :func:`doc_bbox_scan` with NO cell logic — the

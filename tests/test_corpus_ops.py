@@ -4967,6 +4967,50 @@ class TestDocBboxScan:
         assert st["rows_total"] == n  # the store holds the whole corpus
 
 
+class TestSemDedup:
+    def test_matches_bruteforce(self, ray_session):
+        """SemDeDup must equal a dense numpy recomputation: stride-seeded
+        quantizer assignment, same-cluster pairs only, exact rational
+        cosine threshold, min-smaller-id survivorship."""
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (
+            KC_SCALE_BITS, SEMDEDUP_LISTS, SEMDEDUP_TAU2_DEN,
+            SEMDEDUP_TAU2_NUM, semdedup)
+
+        out = semdedup(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        vid = t["vec_id"].to_numpy()
+        o = np.argsort(vid)
+        vid = vid[o].astype(np.int64)
+        x = np.stack(t["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)[o]
+        q = np.floor(x * float(1 << KC_SCALE_BITS) + 0.5).astype(np.int64)
+        n = len(vid)
+        stride = max(1, n // SEMDEDUP_LISTS)
+        seeds = [i * stride for i in range(min(SEMDEDUP_LISTS, n))]
+        C = q[np.searchsorted(vid, seeds)]
+        lab = ((q[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+        G = q @ q.T
+        dd = np.einsum("ij,ij->i", q, q)
+        Go, do = G.astype(object), dd.astype(object)
+        ok = np.asarray((G > 0) & (SEMDEDUP_TAU2_DEN * Go * Go
+                                   >= SEMDEDUP_TAU2_NUM
+                                   * do[:, None] * do[None, :]), bool)
+        ok &= lab[:, None] == lab[None, :]
+        np.fill_diagonal(ok, False)
+        ok = np.triu(ok)
+        has = ok.any(axis=0)
+        first = ok.argmax(axis=0)
+        np.testing.assert_array_equal(out["vec_id"], vid)
+        np.testing.assert_array_equal(out["list_id"], lab.astype(np.int64))
+        np.testing.assert_array_equal(out["kept"], (~has).astype(np.int64))
+        np.testing.assert_array_equal(
+            out["dup_of"], np.where(has, vid[first], -1).astype(np.int64))
+        # discriminative on the fixture: some drops, not all
+        assert 0 < int((out["kept"] == 0).sum()) < len(out)
+
+
 class TestCorpusCleanExportManifest:
     def test_matches_bruteforce_recompute(self, ray_session):
         """The driver-visible manifest projection must equal a pandas
