@@ -1015,6 +1015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _q_video_scene_cuts,
         "audio_silence_windows": _q_audio_silence,
         "semdedup": corpus.semdedup,
+        "ripley_k": corpus.ripley_k,
+        "cell_join_counts": corpus.cell_join_counts,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3115,6 +3117,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sh GROUP BY shard
         """,
         "semdedup": corpusmod.semdedup_sql(),
+        "ripley_k": corpusmod.ripley_k_sql(_GEO),
+        "cell_join_counts": corpusmod.join_counts_sql(_GEO),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

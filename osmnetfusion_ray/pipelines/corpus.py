@@ -5845,6 +5845,240 @@ def bbox_scan_pruned_stats(sf_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# point-pattern statistics (Ripley's K, join counts)
+# ---------------------------------------------------------------------------
+
+RIPLEY_RS = (0.0075, 0.015, 0.0225, 0.03)  # radius ladder, all <= cell size
+
+
+def ripley_k(sf_dir: str) -> pd.DataFrame:
+    """RIPLEY'S K FUNCTION of the doc point field (Ripley 1976) — the
+    multi-SCALE point-pattern statistic (is clustering present at radius
+    r?) that complements the single-lattice-resolution cell_morans_i /
+    cell_getis_gi pair; the naive estimator on the unit square (area 1,
+    no edge correction — documented):
+
+        K̂(r) = Σ_{i≠j} 1[d_ij ≤ r] / (n(n−1)),   L̂(r) = sqrt(K̂/π)
+
+    for the radius ladder RIPLEY_RS. Output one row per rung:
+    (r_idx, r, n_pairs [ordered, exact int64], k_hat, l_hat).
+
+    Exactness: pair counts are integers; d² and r² are the IDENTICAL
+    IEEE expression trees in numpy and SQL ((Δfx)² + (Δfy)² vs literal
+    r·r), so the ≤-comparison never diverges; k_hat is ONE terminal
+    division and l_hat one sqrt of it — same ops both engines.
+
+    Shapes: the doc_radius_pairs cell+halo layout (cell = max radius,
+    9-cell replication, ONE cell-keyed exchange, min-home emission) but
+    the pairs NEVER materialize — each co-located block reduces its
+    cells to ≤|rungs| count rows, so the driver folds rungs × blocks
+    integers regardless of pair count. Skewed cells: the documented
+    salted-split assumption of doc_radius_pairs."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = table_rows(sf_dir, "documents")
+    rcell = RIPLEY_RS[-1]
+    rs = np.asarray(RIPLEY_RS, np.float64)
+
+    def halo_pts(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        cx = np.floor(fx / rcell).astype(np.int64)
+        cy = np.floor(fy / rcell).astype(np.int64)
+        home = ((cx + 1) << np.int64(32)) | (cy + 1)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
+                outs.append(pa.table({
+                    "cell": pa.array(cell), "fx": pa.array(fx),
+                    "fy": pa.array(fy), "home": pa.array(home)}))
+        return pa.concat_tables(outs)
+
+    pts = docs.map_batches(halo_pts, batch_format="pyarrow")
+
+    def count_block(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.zeros(len(rs), np.int64)
+        for cell, g in df.groupby("cell", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            fx = g["fx"].to_numpy()
+            fy = g["fy"].to_numpy()
+            d2 = (fx[i] - fx[j]) ** 2 + (fy[i] - fy[j]) ** 2
+            home = g["home"].to_numpy()
+            emit = np.minimum(home[i], home[j]) == cell
+            d2 = d2[emit]
+            for k, rk in enumerate(rs):
+                cnt[k] += int((d2 <= rk * rk).sum())
+        occ = cnt >= 0
+        return pd.DataFrame({"r_idx": np.arange(1, len(rs) + 1,
+                                                dtype=np.int64)[occ],
+                             "cnt": cnt[occ]})
+
+    parts = grouped(pts, ["cell"], count_block,
+                    rows=9 * n_docs if n_docs else None).to_pandas()
+    tot = np.zeros(len(rs), np.int64)
+    if len(parts) and "r_idx" in parts.columns:
+        np.add.at(tot, parts["r_idx"].to_numpy(np.int64) - 1,
+                  parts["cnt"].to_numpy(np.int64))
+    npairs = 2 * tot  # ordered pairs
+    denom = float(n_docs * (n_docs - 1)) if n_docs > 1 else 1.0
+    k_hat = npairs.astype(np.float64) / denom
+    l_hat = np.sqrt(k_hat / np.pi)
+    return pd.DataFrame({"r_idx": np.arange(1, len(rs) + 1, dtype=np.int64),
+                         "r": rs, "n_pairs": npairs,
+                         "k_hat": k_hat, "l_hat": l_hat})
+
+
+def ripley_k_sql(geo_cte: str) -> str:
+    """DuckDB mirror of :func:`ripley_k`: the doc_radius_pairs cell-join
+    CTE (each qualifying pair matches exactly ONE (dx,dy) offset, so no
+    dedup is needed), per-rung counts via count(d2) over a LEFT JOIN
+    (zero rungs kept), the identical terminal division + sqrt."""
+    rcell = repr(RIPLEY_RS[-1])
+    rungs = ", ".join(f"({i + 1}, {repr(r)})"
+                      for i, r in enumerate(RIPLEY_RS))
+    return f"""
+        WITH g AS ({geo_cte}),
+        p AS (SELECT doc_id, fx, fy,
+                     CAST(floor(fx / {rcell}) AS BIGINT) AS cx,
+                     CAST(floor(fy / {rcell}) AS BIGINT) AS cy
+              FROM g),
+        o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        d AS (SELECT (a.fx - b.fx) * (a.fx - b.fx)
+                   + (a.fy - b.fy) * (a.fy - b.fy) AS d2
+              FROM p a CROSS JOIN o
+              JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+              WHERE a.doc_id < b.doc_id
+                AND (a.fx - b.fx) * (a.fx - b.fx)
+                  + (a.fy - b.fy) * (a.fy - b.fy)
+                  <= CAST({rcell} AS DOUBLE) * CAST({rcell} AS DOUBLE)),
+        rung AS (SELECT t.ri, CAST(t.r AS DOUBLE) AS r
+                 FROM (VALUES {rungs}) AS t(ri, r)),
+        nn AS (SELECT count(*) AS n FROM documents),
+        cnt AS (SELECT rung.ri, rung.r,
+                       CAST(2 * count(d.d2) AS BIGINT) AS np
+                FROM rung LEFT JOIN d ON d.d2 <= rung.r * rung.r
+                GROUP BY rung.ri, rung.r)
+        SELECT CAST(cnt.ri AS BIGINT) AS r_idx, cnt.r, cnt.np AS n_pairs,
+               CAST(cnt.np AS DOUBLE)
+                 / CAST(CASE WHEN nn.n > 1 THEN nn.n * (nn.n - 1)
+                             ELSE 1 END AS DOUBLE) AS k_hat,
+               sqrt(CAST(cnt.np AS DOUBLE)
+                 / CAST(CASE WHEN nn.n > 1 THEN nn.n * (nn.n - 1)
+                             ELSE 1 END AS DOUBLE) / pi()) AS l_hat
+        FROM cnt, nn
+    """
+
+
+# join counts run on a COARSER lattice than the 64-grid: the Knuth
+# multiplicative geocode has the classic MCG lattice structure (points
+# fall on widely-spaced parallel lines), so at 64x64 the occupied cells
+# have ZERO rook-adjacent pairs at corpus scale — measured; at 16x16 the
+# occupancy is dense (235-256 cells, 400-480 adjacent pairs) and the
+# statistic is non-degenerate
+JC_GRID = 16
+
+
+def cell_join_counts(sf_dir: str) -> pd.DataFrame:
+    """JOIN-COUNT SPATIAL AUTOCORRELATION (Moran 1948 — the BB/BW/WW
+    statistic) of the per-cell MAJORITY LANGUAGE over the geocode
+    lattice: the CATEGORICAL counterpart of cell_morans_i's numeric
+    statistic (is 'en'-majority territory spatially contiguous?). Each
+    occupied cell is colored B (majority lang = 'en'; ties break to the
+    lexicographically smallest lang) or W; rook-adjacent OCCUPIED cell
+    pairs are counted once each into BB / WW / BW. Output one row:
+    (n_cells, n_pairs, bb, ww, bw) — all exact int64.
+
+    Shapes: the only distributed work is the (ix, iy, lang) histogram
+    exchange — bounded by 64² × |languages| keys regardless of corpus
+    size; majority + adjacency are array shifts over the
+    dimension-bounded lattice driver-side (the cell_morans_i layout)."""
+    from ..stages.agg import AggSpec, groupby_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        return pa.table({
+            "ix": pa.array(np.floor(fx * JC_GRID).astype(np.int64)),
+            "iy": pa.array(np.floor(fy * JC_GRID).astype(np.int64)),
+            "lang": batch["lang"]})
+
+    hist = groupby_agg(docs.map_batches(geocode, batch_format="pyarrow"),
+                       ["ix", "iy", "lang"],
+                       [AggSpec("n", None, "count")],
+                       small=True).to_pandas()
+    g = JC_GRID
+    occ = np.zeros((g, g), bool)
+    isb = np.zeros((g, g), bool)
+    if len(hist) and "ix" in hist.columns:
+        maj = (hist.sort_values(["ix", "iy", "n", "lang"],
+                                ascending=[True, True, False, True],
+                                kind="mergesort")
+               .drop_duplicates(["ix", "iy"]))
+        ix = maj["ix"].to_numpy(np.int64)
+        iy = maj["iy"].to_numpy(np.int64)
+        occ[ix, iy] = True
+        isb[ix, iy] = (maj["lang"].to_numpy() == "en")
+    pairs = bb = ww = bw = 0
+    for a_occ, a_b, b_occ, b_b in (
+            (occ[:-1, :], isb[:-1, :], occ[1:, :], isb[1:, :]),
+            (occ[:, :-1], isb[:, :-1], occ[:, 1:], isb[:, 1:])):
+        both = a_occ & b_occ
+        pairs += int(both.sum())
+        bb += int((both & a_b & b_b).sum())
+        ww += int((both & ~a_b & ~b_b).sum())
+        bw += int((both & (a_b ^ b_b)).sum())
+    return pd.DataFrame({"n_cells": np.array([int(occ.sum())], np.int64),
+                         "n_pairs": np.array([pairs], np.int64),
+                         "bb": np.array([bb], np.int64),
+                         "ww": np.array([ww], np.int64),
+                         "bw": np.array([bw], np.int64)})
+
+
+def join_counts_sql(geo_cte: str, n_grid: int = JC_GRID) -> str:
+    """DuckDB mirror of :func:`cell_join_counts`: same (cell, lang)
+    histogram, majority via row_number (n DESC, lang ASC), rook pairs
+    counted once via the lexicographic cell order."""
+    return f"""
+        WITH g AS ({geo_cte}),
+        c AS (SELECT CAST(floor(fx * {n_grid}) AS BIGINT) AS ix,
+                     CAST(floor(fy * {n_grid}) AS BIGINT) AS iy,
+                     d.lang, count(*) AS n
+              FROM g JOIN documents d USING (doc_id)
+              GROUP BY 1, 2, 3),
+        maj AS (SELECT ix, iy, lang FROM (
+                    SELECT ix, iy, lang,
+                           row_number() OVER (PARTITION BY ix, iy
+                                              ORDER BY n DESC, lang) AS rn
+                    FROM c) WHERE rn = 1),
+        pr AS (SELECT (CASE WHEN a.lang = 'en' THEN 1 ELSE 0 END)
+                    + (CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END) AS s
+               FROM maj a JOIN maj b
+                 ON abs(a.ix - b.ix) + abs(a.iy - b.iy) = 1
+                AND a.ix * {n_grid} + a.iy < b.ix * {n_grid} + b.iy)
+        SELECT (SELECT count(*) FROM maj) AS n_cells,
+               count(s) AS n_pairs,
+               count(s) FILTER (WHERE s = 2) AS bb,
+               count(s) FILTER (WHERE s = 0) AS ww,
+               count(s) FILTER (WHERE s = 1) AS bw
+        FROM pr
+    """
+
+
+# ---------------------------------------------------------------------------
 # semantic deduplication (SemDeDup)
 # ---------------------------------------------------------------------------
 

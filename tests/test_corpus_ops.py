@@ -4967,6 +4967,70 @@ class TestDocBboxScan:
         assert st["rows_total"] == n  # the store holds the whole corpus
 
 
+class TestRipleyK:
+    def test_matches_allpairs_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import RIPLEY_RS, ripley_k
+
+        out = ripley_k(SF).sort_values("r_idx").reset_index(drop=True)
+        did = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        d2 = (fx[:, None] - fx[None, :]) ** 2 + (fy[:, None] - fy[None, :]) ** 2
+        np.fill_diagonal(d2, np.inf)
+        n = len(did)
+        for k, r in enumerate(RIPLEY_RS):
+            npairs = int((d2 <= r * r).sum())  # ordered pairs
+            assert int(out["n_pairs"].iloc[k]) == npairs
+            assert out["k_hat"].iloc[k] == npairs / float(n * (n - 1))
+        # monotone in r, and discriminative (some pairs at the top rung)
+        assert (np.diff(out["n_pairs"].to_numpy()) >= 0).all()
+        assert int(out["n_pairs"].iloc[-1]) > 0
+
+
+class TestCellJoinCounts:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (JC_GRID,
+                                                       cell_join_counts)
+
+        out = cell_join_counts(SF)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang"])
+        did = t["doc_id"].to_numpy()
+        lang = np.asarray(t["lang"].to_pylist())
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ix = np.floor((h % np.uint64(65536)).astype(np.float64)
+                      / 65536.0 * JC_GRID).astype(int)
+        iy = np.floor((h // np.uint64(65536)).astype(np.float64)
+                      / 65536.0 * JC_GRID).astype(int)
+        cnt = {}
+        for a, b, lg in zip(ix, iy, lang):
+            cnt.setdefault((a, b), {}).setdefault(lg, 0)
+            cnt[(a, b)][lg] += 1
+        maj = {c: min(sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:1]
+                      )[0] for c, d in cnt.items()}
+        pairs = bb = ww = bw = 0
+        for (a, b), lg in maj.items():
+            for (da, db) in ((1, 0), (0, 1)):
+                nb = (a + da, b + db)
+                if nb in maj:
+                    pairs += 1
+                    x, y = lg == "en", maj[nb] == "en"
+                    bb += x and y
+                    ww += (not x) and (not y)
+                    bw += x != y
+        assert int(out["n_cells"].iloc[0]) == len(maj)
+        assert int(out["n_pairs"].iloc[0]) == pairs
+        assert (int(out["bb"].iloc[0]), int(out["ww"].iloc[0]),
+                int(out["bw"].iloc[0])) == (bb, ww, bw)
+        assert pairs == bb + ww + bw > 0
+
+
 class TestSemDedup:
     def test_matches_bruteforce(self, ray_session):
         """SemDeDup must equal a dense numpy recomputation: stride-seeded
