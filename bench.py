@@ -44,6 +44,12 @@ CITY_N = int(os.environ.get("GRAFT_CITY_N", "48"))
 CITY_P3_N = int(os.environ.get("GRAFT_CITY_P3_N", "75"))
 
 
+def _blocks_for(n_rows: int) -> int:
+    """Source block count: ~2 tasks per CPU packs the map waves tightly
+    (see run_headline's measurement note); shared by every mode."""
+    return max(8, min(2 * NUM_CPUS, n_rows // 8192))
+
+
 def run_headline(trials: int = 3) -> dict:
     """Flagship: N synthetic pages geocoded + cell-encoded + PIP/kNN-joined
     against the synthetic city network; consumed by a count (streaming).
@@ -63,7 +69,7 @@ def run_headline(trials: int = 3) -> dict:
     # (256+ blocks) spent more on this host's task dispatch than it bought
     # in balance (measured: 64 blocks 2.1s vs 256 blocks 3.2s at 2M rows,
     # 32 CPUs). At real scale block counts come from the parquet layout.
-    blocks = max(8, min(2 * NUM_CPUS, PAGES_N // 8192))
+    blocks = _blocks_for(PAGES_N)
 
     def one(n_pages):
         # pruned source: the join reads url (geocode) + text (invariant) —
@@ -100,7 +106,7 @@ def run_tiled(trials: int = 2) -> dict:
 
     nodes, edges = synth.synth_city(n=CITY_N, seed=42)
     n_pages = max(200_000, PAGES_N // 4)
-    blocks = max(8, min(2 * NUM_CPUS, n_pages // 8192))
+    blocks = _blocks_for(n_pages)
 
     def one():
         pages = synth_pages_ds(n_pages, parallelism=blocks, columns=("url", "text"))
@@ -217,35 +223,46 @@ def main():
     print(json.dumps(result))
 
 
+def _run_legs(flag: str, legs: tuple, trials: int, metric_key: str) -> dict:
+    """Shared fork-a-leg harness: run `bench.py <flag>` in a fresh process
+    per (leg, trial) with RAY_GRAFT_CPUS set, parse the last stdout line
+    as JSON, keep the best trial per leg by `metric_key`. One place for
+    the protocol mechanics so fixes don't drift across modes."""
+    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
+    out = {}
+    for ncpu in legs:
+        best = None
+        for _ in range(trials):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_PAGES_N=pages, GRAFT_SCALING_CHILD="1")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), flag],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or res[metric_key] > best[metric_key]:
+                best = res
+        out[ncpu] = best
+    return out
+
+
 def scaling():
     """N vs 4N scaling proxy: fresh processes at num_cpus=6 and 24 — BOTH
     leave headroom on this 32-core box for Ray's system processes (raylet,
     GCS, driver), which run outside the num_cpus budget and would otherwise
-    subsidize the small run and starve a full-machine run. Two repeats per
-    level, best-of (the host stalls runs 20-50 s at random; see bench notes).
+    subsidize the small run and starve a full-machine run. Best of 3 per
+    level (the host stalls runs 20-50 s at random; see bench notes).
+
+    Default 16M pages: after the CPU-scaled source-block fix the 24-CPU
+    leg at 4M ran ~4.4s, shallow enough that the fixed session floor
+    (~2.5s of dataset launch + iterator init, CPU-count-independent)
+    dominated the ratio (measured eff 0.635 at 4M). The scaling claim is
+    about the JOIN, so the protocol sizes the job to amortize the floor,
+    not the join to hide under it.
     """
     n_small, n_big = 6, 24
-    # 16M pages: after the CPU-scaled source-block fix the 24-CPU leg at
-    # 4M ran ~4.4s, shallow enough that the fixed session floor (~2.5s of
-    # dataset launch + iterator init, CPU-count-independent) dominated the
-    # ratio (measured eff 0.635 at 4M). The scaling claim is about the
-    # JOIN, so the protocol sizes the job to amortize the floor, not the
-    # join to hide under it.
-    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
-    out = {}
-    for ncpu in (n_small, n_big):
-        best = None
-        for _ in range(3):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PAGES_N=pages,
-                       GRAFT_SCALING_CHILD="1")
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            res = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or res["pagejoin_rows_per_s"] > best["pagejoin_rows_per_s"]:
-                best = res
-        out[ncpu] = best
+    out = _run_legs("--headline-only", (n_small, n_big), 3,
+                    "pagejoin_rows_per_s")
     eff = (out[n_big]["pagejoin_rows_per_s"] / out[n_small]["pagejoin_rows_per_s"]) / (n_big / n_small)
     print(json.dumps({
         f"rows_per_s_{n_small}": out[n_small]["pagejoin_rows_per_s"],
@@ -253,7 +270,7 @@ def scaling():
         f"sec_{n_small}": out[n_small]["value"],
         f"sec_{n_big}": out[n_big]["value"],
         "scaling_efficiency": round(eff, 3),
-        "pages_n": int(pages),
+        "pages_n": int(os.environ.get("GRAFT_PAGES_N", "16000000")),
         "protocol": f"fresh ray.init(num_cpus={n_small}) vs {n_big}, best of 3 each",
     }))
 
@@ -334,20 +351,7 @@ def tiled_scaling():
     the round-5 verdict item: both join architectures (broadcast AND
     tiled) must carry current scaling evidence. Best of 2 per leg."""
     legs = (6, 12, 24)
-    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
-    out = {}
-    for ncpu in legs:
-        best = None
-        for _ in range(2):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_PAGES_N=pages)
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--tiled-only"],
-                env=env, capture_output=True, text=True, check=True)
-            res = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or res["tiled_rows_per_s"] > best["tiled_rows_per_s"]:
-                best = res
-        out[ncpu] = best
+    out = _run_legs("--tiled-only", legs, 2, "tiled_rows_per_s")
     r6, r12, r24 = (out[n]["tiled_rows_per_s"] for n in legs)
     print(json.dumps({
         "tiled_rows_per_s_6": r6, "tiled_rows_per_s_12": r12,
@@ -366,27 +370,14 @@ def scaling_marginal():
     (6→12, 12→24) on the identical job, the discriminating measurement
     for this host's memory-ceiling signature (see BENCH/BASELINE.md)."""
     legs = (6, 12, 24)
-    pages = os.environ.get("GRAFT_PAGES_N", "16000000")
-    out = {}
-    for ncpu in legs:
-        best = None
-        for _ in range(3):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_PAGES_N=pages, GRAFT_SCALING_CHILD="1")
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                env=env, capture_output=True, text=True, check=True)
-            res = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or res["pagejoin_rows_per_s"] > best["pagejoin_rows_per_s"]:
-                best = res
-        out[ncpu] = best
+    out = _run_legs("--headline-only", legs, 3, "pagejoin_rows_per_s")
     r6, r12, r24 = (out[n]["pagejoin_rows_per_s"] for n in legs)
     print(json.dumps({
         "rows_per_s_6": r6, "rows_per_s_12": r12, "rows_per_s_24": r24,
         "marginal_6_12": round((r12 / r6) / 2, 3),
         "marginal_12_24": round((r24 / r12) / 2, 3),
         "efficiency_6_24": round((r24 / r6) / 4, 3),
-        "pages_n": int(pages),
+        "pages_n": int(os.environ.get("GRAFT_PAGES_N", "16000000")),
         "protocol": "fresh ray.init per leg, best of 3",
     }))
 
@@ -409,7 +400,7 @@ def source_only():
 
     ensure_tuned()
     n_pages = int(os.environ.get("GRAFT_PAGES_N", "8000000"))
-    blocks = max(8, min(2 * NUM_CPUS, n_pages // 8192))
+    blocks = _blocks_for(n_pages)
 
     def one():
         import numpy as np
@@ -468,9 +459,7 @@ def stats_mode():
     from osmnetfusion_ray.sources.pagegen import synth_pages_ds
 
     nodes, edges = synth.synth_city(n=CITY_N, seed=42)
-    pages = synth_pages_ds(PAGES_N,
-                           parallelism=max(8, min(2 * NUM_CPUS,
-                                                  PAGES_N // 8192)),
+    pages = synth_pages_ds(PAGES_N, parallelism=_blocks_for(PAGES_N),
                            columns=("url", "text"))
     ds = pagejoin.join_pages_summary(pages, nodes, edges, batch_size=8192)
     n = sum(r["n_rows"] for r in ds.take_all())

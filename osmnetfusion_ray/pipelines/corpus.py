@@ -5610,11 +5610,7 @@ def corpus_clean_export_manifest(sf_dir: str) -> pd.DataFrame:
 
     from ..state import checkpoint
 
-    base = os.path.abspath(sf_dir)
-    n_docs_in = table_rows(sf_dir, "documents")
-    key = int(hashing.hash64(
-        np.asarray([f"{base}|{n_docs_in}|{EXPORT_SHARDS}|{EXPORT_QMIN}"],
-                   dtype=object))[0])
+    key = _scratch_key(sf_dir, extra=f"{EXPORT_SHARDS}|{EXPORT_QMIN}")
     root = f"/tmp/graft_corpus_export/{key:016x}"
     stage = "corpus_clean"
     if not checkpoint.stage_complete(root, stage):
@@ -5717,16 +5713,27 @@ def doc_bbox_scan(sf_dir: str,
 DOC_STORE_PART_RES = 3
 
 
-def _doc_store_root(sf_dir: str) -> str:
-    """Deterministic scratch root for the cell-partitioned copy of
-    ``documents``, keyed by (absolute path, row count) so a changed
-    corpus never reuses a stale store."""
+def _scratch_key(sf_dir: str, extra: str = "") -> int:
+    """Fingerprint of the documents parquet for scratch-store keying:
+    absolute path + FILE SIZE + MTIME + row count, so a regenerated
+    corpus — even one that keeps its row count — never reuses a stale
+    on-disk artifact (a touched file rebuilds; rebuilds are cheap,
+    stale reuse is silently wrong)."""
     import os
 
-    base = os.path.abspath(sf_dir)
+    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    st = os.stat(path)
     n = table_rows(sf_dir, "documents")
-    key = int(hashing.hash64(np.asarray([f"{base}|{n}"], dtype=object))[0])
-    return f"/tmp/graft_cell_store/{key:016x}"
+    return int(hashing.hash64(np.asarray(
+        [f"{path}|{st.st_size}|{st.st_mtime_ns}|{n}|{extra}"],
+        dtype=object))[0])
+
+
+def _doc_store_root(sf_dir: str) -> str:
+    """Deterministic scratch root for the cell-partitioned copy of
+    ``documents`` (see :func:`_scratch_key` for the staleness
+    contract)."""
+    return f"/tmp/graft_cell_store/{_scratch_key(sf_dir):016x}"
 
 
 def ensure_cell_partitioned_documents(sf_dir: str) -> str:
@@ -5916,10 +5923,11 @@ def ripley_k(sf_dir: str) -> pd.DataFrame:
             d2 = d2[emit]
             for k, rk in enumerate(rs):
                 cnt[k] += int((d2 <= rk * rk).sum())
-        occ = cnt >= 0
+        # one row per rung, zero counts included (the driver fold relies
+        # on every rung being present exactly once per block)
         return pd.DataFrame({"r_idx": np.arange(1, len(rs) + 1,
-                                                dtype=np.int64)[occ],
-                             "cnt": cnt[occ]})
+                                                dtype=np.int64),
+                             "cnt": cnt})
 
     parts = grouped(pts, ["cell"], count_block,
                     rows=9 * n_docs if n_docs else None).to_pandas()
@@ -6161,35 +6169,39 @@ def semdedup(sf_dir: str, n_lists: int = SEMDEDUP_LISTS) -> rd.Dataset:
                                  "list_id": np.zeros(0, np.int64),
                                  "kept": np.zeros(0, np.int64),
                                  "dup_of": np.zeros(0, np.int64)})
-        o = np.argsort(df["vec_id"].to_numpy(), kind="stable")
-        df = df.iloc[o]
-        vid = df["vec_id"].to_numpy().astype(np.int64)
-        lst = df["list_id"].to_numpy().astype(np.int64)
-        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        q = np.floor(x * mul + 0.5).astype(np.int64)
-        G = q @ q.T                       # ⟨qa,qb⟩, |num| < 2^48 — exact
-        dd = np.einsum("ij,ij->i", q, q)  # |q|², < 2^53
-        # exact 128-bit threshold test: object (Python-int) arithmetic —
-        # bounded by the CLUSTER size, which is the quantity SemDeDup's
-        # clustering exists to bound; never corpus-quadratic
-        Go = G.astype(object)
-        do = dd.astype(object)
-        ok = np.asarray(
-            (G > 0) & (SEMDEDUP_TAU2_DEN * Go * Go
-                       >= SEMDEDUP_TAU2_NUM * do[:, None] * do[None, :]),
-            dtype=bool)
         # a grouped() block CO-LOCATES whole clusters but may hold several
-        # of them — pairs only count within one list_id
-        ok &= lst[:, None] == lst[None, :]
-        np.fill_diagonal(ok, False)
-        ok = np.triu(ok)                  # i<j in vec_id order
-        has = ok.any(axis=0)
-        first = ok.argmax(axis=0)         # first True = smallest vec_id
-        dup_of = np.where(has, vid[first], np.int64(-1)).astype(np.int64)
-        return pd.DataFrame({"vec_id": vid,
-                             "list_id": lst,
-                             "kept": (~has).astype(np.int64),
-                             "dup_of": dup_of})
+        # of them — iterate per list_id so the quadratic pair matrices are
+        # CLUSTER-sized (the bound SemDeDup's clustering exists to give),
+        # never block-sized
+        outs = []
+        for _, g in df.groupby("list_id", sort=False):
+            o = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+            g = g.iloc[o]
+            vid = g["vec_id"].to_numpy().astype(np.int64)
+            x = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * mul + 0.5).astype(np.int64)
+            G = q @ q.T                       # ⟨qa,qb⟩, |num| < 2^48 — exact
+            dd = np.einsum("ij,ij->i", q, q)  # |q|², < 2^53
+            # exact 128-bit threshold test: object (Python-int)
+            # arithmetic, O(m²) in the cluster size m
+            Go = G.astype(object)
+            do = dd.astype(object)
+            ok = np.asarray(
+                (G > 0) & (SEMDEDUP_TAU2_DEN * Go * Go
+                           >= SEMDEDUP_TAU2_NUM
+                           * do[:, None] * do[None, :]),
+                dtype=bool)
+            np.fill_diagonal(ok, False)
+            ok = np.triu(ok)                  # i<j in vec_id order
+            has = ok.any(axis=0)
+            first = ok.argmax(axis=0)         # first True = smallest vec_id
+            outs.append(pd.DataFrame({
+                "vec_id": vid,
+                "list_id": g["list_id"].to_numpy(np.int64),
+                "kept": (~has).astype(np.int64),
+                "dup_of": np.where(has, vid[first],
+                                   np.int64(-1)).astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
 
     return grouped(assigned, ["list_id"], cluster_kernel, rows=n_total)
 

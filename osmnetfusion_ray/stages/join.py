@@ -266,8 +266,14 @@ def colocated_attach(
                 # empty blocks, so a fully-empty dim collects with NO
                 # schema. Inner semantics make the result empty either
                 # way — synthesize a typed empty dim so the broadcast
-                # path (which the size test chose) still applies.
-                small_pd = pd.DataFrame({c: [] for c in cols})
+                # path (which the size test chose) still applies. Dtypes
+                # follow the attach contract (pinned dtype, else object
+                # for string columns) so the empty result's columns
+                # match the exchange path's exactly.
+                small_pd = pd.DataFrame({
+                    c: pd.Series([], dtype=(attach.get(c) or object)
+                                 if c != dim_key else object)
+                    for c in cols})
             else:
                 # missing columns on a NON-empty dim is a caller bug —
                 # let the KeyError raise

@@ -4797,8 +4797,8 @@ class TestKCenterCoreset:
         assert (np.diff(out["d2"].to_numpy()[1:]) <= 0).all()
 
     def test_forced_path_equality(self, ray_session):
-        """The size-adaptive contract (KC_KPASS_MAX_K): the stateless
-        k-pass form and the materialized running-min form must pick the
+        """The force_path contract: the stateless k-pass reference form
+        and the materialized running-min DEFAULT form must pick the
         identical centers with identical d2 at every round — including a
         k above the corpus size (n < k early-stop on both paths)."""
         from osmnetfusion_ray.pipelines.corpus import kcenter_coreset
@@ -5132,12 +5132,7 @@ class TestCorpusCleanExportManifest:
         out = corpus_clean_export_manifest(SF)  # builds/reuses the store
         # locate the store root the same way the query does
         import osmnetfusion_ray.pipelines.corpus as C
-        base = os.path.abspath(SF)
-        from osmnetfusion_ray.sources.parquet import table_rows
-        n = table_rows(SF, "documents")
-        key = int(C.hashing.hash64(np.asarray(
-            [f"{base}|{n}|{C.EXPORT_SHARDS}|{C.EXPORT_QMIN}"],
-            dtype=object))[0])
+        key = C._scratch_key(SF, extra=f"{C.EXPORT_SHARDS}|{C.EXPORT_QMIN}")
         mdir = f"/tmp/graft_corpus_export/{key:016x}/corpus_clean/_manifest"
         shard = str(int(out["shard"].iloc[0]))
         mpath = os.path.join(mdir, f"{shard}.json")
