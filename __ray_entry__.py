@@ -1017,6 +1017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": corpus.semdedup,
         "ripley_k": corpus.ripley_k,
         "cell_join_counts": corpus.cell_join_counts,
+        "cell_compact": corpus.cell_compact,
+        "idw_grid": corpus.idw_grid,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3119,6 +3121,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": corpusmod.semdedup_sql(),
         "ripley_k": corpusmod.ripley_k_sql(_GEO),
         "cell_join_counts": corpusmod.join_counts_sql(_GEO),
+        "cell_compact": corpusmod.cell_compact_sql(_GEO),
+        "idw_grid": corpusmod.idw_grid_sql(_GEO),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

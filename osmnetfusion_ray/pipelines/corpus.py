@@ -5852,6 +5852,190 @@ def bbox_scan_pruned_stats(sf_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# hierarchical cell-set compaction + raster interpolation
+# ---------------------------------------------------------------------------
+
+
+def cell_compact(sf_dir: str) -> pd.DataFrame:
+    """HIERARCHICAL CELL-SET COMPACTION (the S2/H3 ``compact`` operation):
+    the occupied res-6 cell set of the doc point field is reduced to the
+    MINIMAL mixed-resolution covering — wherever all four children of a
+    parent are occupied/full, the parent replaces them, recursively to
+    res 0. The storage/index primitive behind multi-resolution tile
+    manifests (a full region is one coarse entry, sparse fringe stays
+    fine): at sf0.1 the 3,456 occupied cells compact to 1,420 res-6 +
+    493 res-5 + 4 res-4 entries. Output (res, ix, iy), one row per
+    emitted cell — ix/iy in the emitted cell's OWN resolution.
+
+    Exactness: pure integer set logic — full(6) = occupied, full(r) =
+    parents with all 4 children full, emit(r) = full(r) minus children
+    of full(r−1); no floats anywhere.
+
+    Shapes: the only distributed work is the bounded occupied-cell
+    histogram exchange (≤ 4^res keys); the pyramid fold is
+    dimension-bounded driver work (the cell_morans_i layout). Decompact
+    (expanding every emitted cell to res-6 descendants) reproduces the
+    occupied set exactly — property-tested."""
+    hist = doc_cell_counts(sf_dir).to_pandas()
+    res = GRID_RES
+    occ = set()
+    if len(hist) and "ix" in hist.columns:
+        occ = set(zip(hist["ix"].to_numpy(np.int64).tolist(),
+                      hist["iy"].to_numpy(np.int64).tolist()))
+    full = {res: occ}
+    for r in range(res - 1, -1, -1):
+        cnt: dict = {}
+        for (x, y) in full[r + 1]:
+            cnt[(x // 2, y // 2)] = cnt.get((x // 2, y // 2), 0) + 1
+        full[r] = {c for c, n in cnt.items() if n == 4}
+    rows = []
+    for r in range(res, 0, -1):
+        rows += [(r, x, y) for (x, y) in full[r]
+                 if (x // 2, y // 2) not in full[r - 1]]
+    rows += [(0, x, y) for (x, y) in full[0]]
+    rows.sort()
+    return pd.DataFrame({
+        "res": np.array([r for r, _, _ in rows], np.int64),
+        "ix": np.array([x for _, x, _ in rows], np.int64),
+        "iy": np.array([y for _, _, y in rows], np.int64)})
+
+
+def cell_compact_sql(geo_cte: str, res: int = None) -> str:
+    """DuckDB mirror of :func:`cell_compact`: chained CTEs f{r} (parents
+    whose 4 children are full) and NOT-EXISTS anti-joins for the emit
+    sets."""
+    res = GRID_RES if res is None else res
+    n = 1 << res
+    parts = [f"""WITH g AS ({geo_cte}),
+    f{res} AS (SELECT DISTINCT CAST(floor(fx * {n}) AS BIGINT) AS ix,
+                               CAST(floor(fy * {n}) AS BIGINT) AS iy
+               FROM g)"""]
+    for r in range(res - 1, -1, -1):
+        parts.append(f""",
+    f{r} AS (SELECT ix // 2 AS ix, iy // 2 AS iy FROM f{r + 1}
+             GROUP BY 1, 2 HAVING count(*) = 4)""")
+    sels = []
+    for r in range(res, 0, -1):
+        sels.append(f"""SELECT CAST({r} AS BIGINT) AS res, ix, iy
+            FROM f{r} a WHERE NOT EXISTS (
+                SELECT 1 FROM f{r - 1} p
+                WHERE p.ix = a.ix // 2 AND p.iy = a.iy // 2)""")
+    sels.append("SELECT CAST(0 AS BIGINT) AS res, ix, iy FROM f0")
+    return "".join(parts) + " " + " UNION ALL ".join(sels)
+
+
+IDW_GRID = 32   # interpolation raster resolution
+IDW_K = 2       # window half-width: each point feeds its (2K+1)^2 cells
+
+
+def idw_grid(sf_dir: str) -> pd.DataFrame:
+    """INVERSE-DISTANCE-WEIGHTED RASTER INTERPOLATION (Shepard's method)
+    — the vector→continuous-raster member of the raster family (DEM
+    sampler = raster→vector, landuse burn = vector→binary-raster): every
+    document contributes its ``n_chars`` to the 32×32 raster cells in
+    its 5×5 window, weighted by inverse squared distance to the cell
+    CENTER; a cell's value is Σwv / Σw.
+
+    Exactness: the weight is quantized through ONE shared IEEE
+    expression — qw = floor(1e9 / (d²·1e6 + 1.0)) with d² built from
+    the identical lerp/center arithmetic on both engines — so the
+    per-cell reductions are exact integer sums (num = Σ qw·v,
+    den = Σ qw) and the final value is ONE terminal division. Window
+    membership is pure integer (home cell ± K, clipped), no float
+    radius test. int64 holds the sums at bench scale (qw ≤ 1e9,
+    v ≤ 10⁴, 25 contributions/doc); the SQL mirror runs HUGEINT, and a
+    100 TB run would promote the combiner to per-block HUGEINT-style
+    splitting (documented, same layout).
+
+    Shapes: one stateless pass emits per-block partial (cell, num, den)
+    triples via a fixed G² accumulator — the exchange is bounded by
+    G² × blocks regardless of corpus size; the driver folds integer
+    partials (the corpus_clean_export_manifest layout)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    G, K = IDW_GRID, IDW_K
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cell": np.zeros(0, np.int64),
+                                 "num": np.zeros(0, np.int64),
+                                 "den": np.zeros(0, np.int64)})
+        doc_id = df["doc_id"].to_numpy().astype(np.int64)
+        v = df["n_chars"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        px = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        py = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        hx = np.floor(px * G).astype(np.int64)
+        hy = np.floor(py * G).astype(np.int64)
+        num = np.zeros(G * G, np.int64)
+        den = np.zeros(G * G, np.int64)
+        for dx in range(-K, K + 1):
+            for dy in range(-K, K + 1):
+                ix = hx + dx
+                iy = hy + dy
+                m = (ix >= 0) & (ix < G) & (iy >= 0) & (iy < G)
+                if not m.any():
+                    continue
+                cx = (ix[m] + 0.5) / G
+                cy = (iy[m] + 0.5) / G
+                d2 = (px[m] - cx) ** 2 + (py[m] - cy) ** 2
+                qw = np.floor(1e9 / (d2 * 1e6 + 1.0)).astype(np.int64)
+                slot = ix[m] * G + iy[m]
+                np.add.at(num, slot, qw * v[m])
+                np.add.at(den, slot, qw)
+        occ = den > 0
+        return pd.DataFrame({"cell": np.arange(G * G, dtype=np.int64)[occ],
+                             "num": num[occ], "den": den[occ]})
+
+    parts = docs.map_batches(part, batch_format="pandas").to_pandas()
+    num = np.zeros(G * G, np.int64)
+    den = np.zeros(G * G, np.int64)
+    if len(parts) and "cell" in parts.columns:
+        c = parts["cell"].to_numpy(np.int64)
+        np.add.at(num, c, parts["num"].to_numpy(np.int64))
+        np.add.at(den, c, parts["den"].to_numpy(np.int64))
+    occ = den > 0
+    cells_ = np.arange(G * G, dtype=np.int64)[occ]
+    return pd.DataFrame({
+        "ix": cells_ // G, "iy": cells_ % G,
+        "wnum": num[occ], "wden": den[occ],
+        "idw": num[occ].astype(np.float64) / den[occ].astype(np.float64)})
+
+
+def idw_grid_sql(geo_cte: str) -> str:
+    """DuckDB mirror of :func:`idw_grid`: the same 5×5 integer window
+    expansion, the identical quantized-weight expression, HUGEINT sums
+    cast back to BIGINT, one terminal division."""
+    G, K = IDW_GRID, IDW_K
+    offs = ", ".join(f"({dx},{dy})" for dx in range(-K, K + 1)
+                     for dy in range(-K, K + 1))
+    return f"""
+        WITH g AS ({geo_cte}),
+        p AS (SELECT d.n_chars AS v, g.fx AS px, g.fy AS py,
+                     CAST(floor(g.fx * {G}) AS BIGINT) AS hx,
+                     CAST(floor(g.fy * {G}) AS BIGINT) AS hy
+              FROM g JOIN documents d USING (doc_id)),
+        o AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        c AS (SELECT p.hx + o.dx AS ix, p.hy + o.dy AS iy, p.v,
+                     floor(1e9 / ((
+                         (p.px - (CAST(p.hx + o.dx AS DOUBLE) + 0.5) / {G})
+                       * (p.px - (CAST(p.hx + o.dx AS DOUBLE) + 0.5) / {G})
+                       + (p.py - (CAST(p.hy + o.dy AS DOUBLE) + 0.5) / {G})
+                       * (p.py - (CAST(p.hy + o.dy AS DOUBLE) + 0.5) / {G})
+                     ) * 1e6 + 1.0)) AS qw
+              FROM p CROSS JOIN o
+              WHERE p.hx + o.dx >= 0 AND p.hx + o.dx < {G}
+                AND p.hy + o.dy >= 0 AND p.hy + o.dy < {G})
+        SELECT ix, iy,
+               CAST(sum(CAST(qw AS HUGEINT) * v) AS BIGINT) AS wnum,
+               CAST(sum(CAST(qw AS HUGEINT)) AS BIGINT) AS wden,
+               CAST(sum(CAST(qw AS HUGEINT) * v) AS DOUBLE)
+                 / CAST(sum(CAST(qw AS HUGEINT)) AS DOUBLE) AS idw
+        FROM c GROUP BY ix, iy
+    """
+
+
+# ---------------------------------------------------------------------------
 # point-pattern statistics (Ripley's K, join counts)
 # ---------------------------------------------------------------------------
 

@@ -4967,6 +4967,89 @@ class TestDocBboxScan:
         assert st["rows_total"] == n  # the store holds the whole corpus
 
 
+class TestCellCompact:
+    def test_decompact_reproduces_occupied_set_exactly(self, ray_session):
+        """The defining property of compact(): expanding every emitted
+        cell to its res-6 descendants must reproduce the occupied cell
+        set EXACTLY (disjoint cover, nothing added, nothing lost) —
+        checked against an independently computed occupied set."""
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import GRID_RES, cell_compact
+
+        out = cell_compact(SF)
+        did = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        n = 1 << GRID_RES
+        ix = np.floor((h % np.uint64(65536)).astype(np.float64)
+                      / 65536.0 * n).astype(int)
+        iy = np.floor((h // np.uint64(65536)).astype(np.float64)
+                      / 65536.0 * n).astype(int)
+        occupied = set(zip(ix.tolist(), iy.tolist()))
+        expanded = []
+        for r, x, y in zip(out["res"], out["ix"], out["iy"]):
+            s = GRID_RES - int(r)
+            for dx in range(1 << s):
+                for dy in range(1 << s):
+                    expanded.append(((int(x) << s) + dx, (int(y) << s) + dy))
+        assert len(expanded) == len(set(expanded))  # disjoint cover
+        assert set(expanded) == occupied            # exact reproduction
+        assert len(out) <= len(occupied)            # never larger
+
+    def test_multires_on_dense_field(self, ray_session):
+        """sf0.1's denser field must actually compact (emit at least one
+        cell coarser than res 6) — guards against the compaction
+        silently degenerating into the identity."""
+        from osmnetfusion_ray.pipelines.corpus import cell_compact
+
+        out = cell_compact("/root/testdata/sf0.1")
+        assert (out["res"] < 6).any()
+        assert (out["res"] == 6).any()
+
+
+class TestIdwGrid:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import (IDW_GRID, IDW_K,
+                                                       idw_grid)
+
+        out = (idw_grid(SF).sort_values(["ix", "iy"])
+               .reset_index(drop=True))
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+        did = t["doc_id"].to_numpy()
+        v = t["n_chars"].to_numpy().astype(np.int64)
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        px = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        py = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        G, K = IDW_GRID, IDW_K
+        num = {}
+        den = {}
+        for p in range(len(did)):
+            hx, hy = int(px[p] * G), int(py[p] * G)
+            for dx in range(-K, K + 1):
+                for dy in range(-K, K + 1):
+                    ix, iy = hx + dx, hy + dy
+                    if not (0 <= ix < G and 0 <= iy < G):
+                        continue
+                    cx, cy = (ix + 0.5) / G, (iy + 0.5) / G
+                    d2 = (px[p] - cx) ** 2 + (py[p] - cy) ** 2
+                    qw = int(np.floor(1e9 / (d2 * 1e6 + 1.0)))
+                    num[(ix, iy)] = num.get((ix, iy), 0) + qw * int(v[p])
+                    den[(ix, iy)] = den.get((ix, iy), 0) + qw
+        keys = sorted(den)
+        assert list(zip(out["ix"], out["iy"])) == keys
+        np.testing.assert_array_equal(out["wnum"],
+                                      np.array([num[k] for k in keys]))
+        np.testing.assert_array_equal(out["wden"],
+                                      np.array([den[k] for k in keys]))
+        np.testing.assert_array_equal(
+            out["idw"],
+            np.array([float(num[k]) / float(den[k]) for k in keys]))
+
+
 class TestRipleyK:
     def test_matches_allpairs_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
