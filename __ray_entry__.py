@@ -170,6 +170,12 @@ def _q_link_triangles(sf_dir: str):
     return link_triangles(sf_dir)
 
 
+def _q_link_label_prop(sf_dir: str):
+    from osmnetfusion_ray.pipelines.graph import link_label_prop
+
+    return link_label_prop(sf_dir)
+
+
 def _q_link_greedy_walks(sf_dir: str):
     from osmnetfusion_ray.pipelines.graph import link_greedy_walks
 
@@ -1019,6 +1025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_join_counts": corpus.cell_join_counts,
         "cell_compact": corpus.cell_compact,
         "idw_grid": corpus.idw_grid,
+        "link_label_prop": _q_link_label_prop,
+        "variogram": corpus.variogram,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3123,6 +3131,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_join_counts": corpusmod.join_counts_sql(_GEO),
         "cell_compact": corpusmod.cell_compact_sql(_GEO),
         "idw_grid": corpusmod.idw_grid_sql(_GEO),
+        "link_label_prop": graphmod.link_label_prop_sql(),
+        "variogram": corpusmod.variogram_sql(_GEO),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

@@ -6170,6 +6170,147 @@ def ripley_k_sql(geo_cte: str) -> str:
     """
 
 
+def variogram(sf_dir: str) -> pd.DataFrame:
+    """EMPIRICAL SEMIVARIOGRAM of ``n_chars`` over the doc point field
+    (Matheron's estimator — the geostatistics primitive behind kriging
+    and spatial-correlation-length estimation; the VALUE-pair companion
+    to ripley_k's pure count statistic):
+
+        γ(bin k) = Σ_{pairs with r_{k−1} < d ≤ r_k} (v_a − v_b)²
+                   / (2 · n_pairs_k)
+
+    over the RIPLEY_RS distance-bin ladder. Output one row per bin:
+    (r_idx, r_lo, r_hi, n_pairs, sq_sum, gamma).
+
+    Exactness: v is int64 so the squared-difference sums are exact
+    integers; the bin predicates share the IEEE d²/r² expression trees
+    with SQL; gamma is ONE terminal division per bin.
+
+    Shapes: identical to ripley_k — cell+halo pair generation at the max
+    radius with min-home emission, pairs reduced in-block to |bins|
+    (count, sq_sum) rows; the driver folds bins × blocks integers."""
+    from ..rayctx import grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n_docs = table_rows(sf_dir, "documents")
+    rcell = RIPLEY_RS[-1]
+    rs = np.asarray(RIPLEY_RS, np.float64)
+
+    def halo_pts(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+        val = batch["n_chars"].to_numpy().astype(np.int64)
+        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        cx = np.floor(fx / rcell).astype(np.int64)
+        cy = np.floor(fy / rcell).astype(np.int64)
+        home = ((cx + 1) << np.int64(32)) | (cy + 1)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
+                outs.append(pa.table({
+                    "cell": pa.array(cell), "fx": pa.array(fx),
+                    "fy": pa.array(fy), "v": pa.array(val),
+                    "home": pa.array(home)}))
+        return pa.concat_tables(outs)
+
+    pts = docs.map_batches(halo_pts, batch_format="pyarrow")
+
+    def bin_block(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.zeros(len(rs), np.int64)
+        sq = np.zeros(len(rs), np.int64)
+        for cell, g in df.groupby("cell", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, k=1)
+            fx = g["fx"].to_numpy()
+            fy = g["fy"].to_numpy()
+            d2 = (fx[i] - fx[j]) ** 2 + (fy[i] - fy[j]) ** 2
+            home = g["home"].to_numpy()
+            emit = np.minimum(home[i], home[j]) == cell
+            d2 = d2[emit]
+            dv = (g["v"].to_numpy()[i[emit]]
+                  - g["v"].to_numpy()[j[emit]]).astype(np.int64)
+            sqd = dv * dv
+            lo = 0.0
+            for k, rk in enumerate(rs):
+                inb = (d2 > lo * lo) & (d2 <= rk * rk) if k else \
+                    (d2 <= rk * rk)
+                cnt[k] += int(inb.sum())
+                sq[k] += int(sqd[inb].sum())
+                lo = rk
+        return pd.DataFrame({"r_idx": np.arange(1, len(rs) + 1,
+                                                dtype=np.int64),
+                             "cnt": cnt, "sq": sq})
+
+    parts = grouped(pts, ["cell"], bin_block,
+                    rows=9 * n_docs if n_docs else None).to_pandas()
+    cnt = np.zeros(len(rs), np.int64)
+    sq = np.zeros(len(rs), np.int64)
+    if len(parts) and "r_idx" in parts.columns:
+        idx = parts["r_idx"].to_numpy(np.int64) - 1
+        np.add.at(cnt, idx, parts["cnt"].to_numpy(np.int64))
+        np.add.at(sq, idx, parts["sq"].to_numpy(np.int64))
+    gamma = np.where(cnt > 0,
+                     sq.astype(np.float64)
+                     / (2.0 * np.where(cnt > 0, cnt, 1).astype(np.float64)),
+                     0.0)
+    lo = np.concatenate([[0.0], rs[:-1]])
+    return pd.DataFrame({"r_idx": np.arange(1, len(rs) + 1, dtype=np.int64),
+                         "r_lo": lo, "r_hi": rs,
+                         "n_pairs": cnt, "sq_sum": sq, "gamma": gamma})
+
+
+def variogram_sql(geo_cte: str) -> str:
+    """DuckDB mirror of :func:`variogram`: the ripley_k pair CTE carrying
+    both values, per-bin (lo, hi] predicates on the shared d² expression,
+    HUGEINT sums cast BIGINT, one terminal division per bin."""
+    rcell = repr(RIPLEY_RS[-1])
+    rows = []
+    lo = "0.0"
+    for i, r in enumerate(RIPLEY_RS):
+        rows.append(f"({i + 1}, {lo}, {repr(r)})")
+        lo = repr(r)
+    return f"""
+        WITH g AS ({geo_cte}),
+        p AS (SELECT gg.doc_id, gg.fx, gg.fy, d.n_chars AS v,
+                     CAST(floor(gg.fx / {rcell}) AS BIGINT) AS cx,
+                     CAST(floor(gg.fy / {rcell}) AS BIGINT) AS cy
+              FROM g gg JOIN documents d USING (doc_id)),
+        o AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                    (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+        d AS (SELECT (a.fx - b.fx) * (a.fx - b.fx)
+                   + (a.fy - b.fy) * (a.fy - b.fy) AS d2,
+                     CAST(a.v - b.v AS HUGEINT)
+                   * CAST(a.v - b.v AS HUGEINT) AS sqd
+              FROM p a CROSS JOIN o
+              JOIN p b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+              WHERE a.doc_id < b.doc_id
+                AND (a.fx - b.fx) * (a.fx - b.fx)
+                  + (a.fy - b.fy) * (a.fy - b.fy)
+                  <= CAST({rcell} AS DOUBLE) * CAST({rcell} AS DOUBLE)),
+        rung AS (SELECT t.ri, CAST(t.lo AS DOUBLE) AS lo,
+                        CAST(t.hi AS DOUBLE) AS hi
+                 FROM (VALUES {", ".join(rows)}) AS t(ri, lo, hi)),
+        cnt AS (SELECT rung.ri, rung.lo, rung.hi,
+                       CAST(count(d.d2) AS BIGINT) AS np,
+                       CAST(coalesce(sum(d.sqd), 0) AS BIGINT) AS sq
+                FROM rung LEFT JOIN d
+                  ON d.d2 <= rung.hi * rung.hi
+                 AND (rung.ri = 1 OR d.d2 > rung.lo * rung.lo)
+                GROUP BY rung.ri, rung.lo, rung.hi)
+        SELECT CAST(ri AS BIGINT) AS r_idx, lo AS r_lo, hi AS r_hi,
+               np AS n_pairs, sq AS sq_sum,
+               CASE WHEN np > 0
+                    THEN CAST(sq AS DOUBLE) / (2.0 * CAST(np AS DOUBLE))
+                    ELSE 0.0 END AS gamma
+        FROM cnt
+    """
+
+
 # join counts run on a COARSER lattice than the 64-grid: the Knuth
 # multiplicative geocode has the classic MCG lattice structure (points
 # fall on widely-spaced parallel lines), so at 64x64 the occupied cells

@@ -731,6 +731,154 @@ def link_mis(sf_dir: str, max_rounds: int = MIS_ROUNDS,
         batch_format="pandas")
 
 
+LP_ROUNDS = 4  # synchronous label-propagation rounds (fixed snapshot)
+
+
+def link_label_prop(sf_dir: str, rounds: int = LP_ROUNDS,
+                    force_distributed: bool = False,
+                    driver_threshold: int = 200_000) -> rd.Dataset:
+    """SYNCHRONOUS MAJORITY-VOTE LABEL PROPAGATION (Raghavan et al. 2007
+    community detection) over the symmetrized derived link graph — the
+    MODE-update iterative shape the repo's other fixpoints don't cover
+    (CC/SSSP propagate a MIN, k-core REMOVES, MIS SELECTS; label prop
+    takes the PLURALITY of neighbour labels). Every node starts with its
+    own id; each round every node adopts the most frequent label among
+    its per-directed-edge neighbour votes (one vote per direction per
+    edge, self-loops excluded; ties → smallest label; an isolated node
+    keeps its previous label). A FIXED ``rounds`` snapshot — majority
+    dynamics need not converge (2-cycles exist), so the contract is the
+    synchronous state after exactly R rounds, deterministic and
+    partitioning-invariant because labels and tie rules are integers.
+
+    Distribution (>= ``driver_threshold``; below it a vectorized driver
+    automaton runs the identical transition — the link_mis size-adaptive
+    pattern, path-equality tested): MULT is invertible mod N so both
+    edge directions are arithmetic; each round every node emits its
+    label along both directions (≤16 skinny rows, block-local
+    (dst, label) pre-count as the combiner) plus a count-0 self row
+    (the keep-own-label fallback rides the same exchange), and ONE
+    node-keyed co-location resolves the plurality. Per-round traffic
+    O(E); state O(V).
+
+    Output: (doc_id, label) after R rounds. Oracle: R unrolled
+    majority-CTE rounds (count DESC, label ASC row_number) over the
+    same directed edge list, bit-equal at three scales."""
+    n = table_rows(sf_dir, "documents")
+    if n % MULT == 0:
+        raise ValueError("derived-graph MULT shares a factor with N; "
+                         "in-neighbour arithmetic needs gcd(MULT, N) = 1")
+    inv = pow(MULT, -1, n)
+    J = np.arange(1, K_OUT + 1, dtype=np.int64)
+
+    if n <= driver_threshold and not force_distributed:
+        v = np.arange(n, dtype=np.int64)
+        lab = v.copy()
+        out_nb = (v[:, None] * MULT + J[None, :]) % n
+        in_nb = ((v[:, None] - J[None, :]) * inv) % n
+        nbr = np.concatenate([out_nb, in_nb], axis=1)      # (n, 16)
+        valid = nbr != v[:, None]
+        src = np.repeat(v, 2 * K_OUT)[valid.ravel()]
+        dst = nbr.ravel()[valid.ravel()]
+        for _ in range(rounds):
+            # votes: src receives dst's label AND dst receives src's —
+            # both directions are already in (src, dst) because nbr
+            # holds out- and in-neighbours
+            votes_v = src
+            votes_l = lab[dst]
+            # own-label 0-count fallback handled implicitly: every node
+            # has >= K_OUT - 1 votes here (distinct out-neighbours), so
+            # the fallback never fires on the derived graph — kept in
+            # the distributed path for generality
+            key = votes_v * np.int64(n) + votes_l
+            uk, cnt = np.unique(key, return_counts=True)
+            kv = uk // n
+            kl = uk % n
+            o = np.lexsort((kl, -cnt, kv))  # per node: count desc, lab asc
+            kv_s, kl_s = kv[o], kl[o]
+            first = np.unique(kv_s, return_index=True)[1]
+            new = lab.copy()
+            new[kv_s[first]] = kl_s[first]
+            lab = new
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({"doc_id": v, "label": lab}))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    state = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["doc_id"].to_numpy(np.int64),
+            "lab": df["doc_id"].to_numpy(np.int64),
+            "c": np.zeros(len(df), np.int64)}),  # count-0 self rows
+        batch_format="pandas").materialize()
+
+    def votes(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["node"].to_numpy(np.int64)
+        lb = df["lab"].to_numpy(np.int64)
+        out_dst = (v[:, None] * MULT + J[None, :]) % n
+        in_dst = ((v[:, None] - J[None, :]) * inv) % n
+        dst = np.concatenate([out_dst, in_dst], axis=1).ravel()
+        vr = np.repeat(v, 2 * K_OUT)
+        lr = np.repeat(lb, 2 * K_OUT)
+        keep = dst != vr
+        dst, lr = dst[keep], lr[keep]
+        # block-local combiner: pre-count (dst, lab)
+        key = dst * np.int64(n) + lr
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"node": (uk // n).astype(np.int64),
+                             "lab": (uk % n).astype(np.int64),
+                             "c": cnt.astype(np.int64)})
+
+    def plurality(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["node", "lab"], sort=False)["c"].sum()
+             .reset_index())
+        g = g.sort_values(["node", "c", "lab"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates("node")
+        return pd.DataFrame({"node": g["node"].to_numpy(np.int64),
+                             "lab": g["lab"].to_numpy(np.int64),
+                             "c": np.zeros(len(g), np.int64)})
+
+    for _ in range(rounds):
+        m = state.map_batches(votes, batch_format="pandas")
+        state = grouped(state.union(m), ["node"], plurality,
+                        rows=n * (2 * K_OUT + 1)).materialize()
+
+    return state.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["node"].to_numpy(np.int64),
+            "label": df["lab"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+def link_label_prop_sql(rounds: int = LP_ROUNDS) -> str:
+    """DuckDB mirror of :func:`link_label_prop`: R unrolled majority
+    rounds over the directed edge list (one vote per direction per
+    edge), row_number (count DESC, label ASC), LEFT-JOIN coalesce for
+    the isolated-node fallback."""
+    parts = [f"""WITH nn AS (SELECT count(*) AS n FROM documents),
+    e AS MATERIALIZED (
+        SELECT d.doc_id AS src, (d.doc_id * {MULT} + t.j) % nn.n AS dst
+        FROM documents d CROSS JOIN range(1, {K_OUT + 1}) t(j) CROSS JOIN nn
+        WHERE d.doc_id <> (d.doc_id * {MULT} + t.j) % nn.n),
+    l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    v{r} AS (SELECT e.dst AS v, l.lab FROM e
+             JOIN l{r - 1} l ON l.v = e.src
+             UNION ALL
+             SELECT e.src, l.lab FROM e JOIN l{r - 1} l ON l.v = e.dst),
+    c{r} AS (SELECT v, lab, count(*) AS c FROM v{r} GROUP BY v, lab),
+    m{r} AS (SELECT v, lab FROM (
+                 SELECT v, lab, row_number() OVER (
+                     PARTITION BY v ORDER BY c DESC, lab) AS rn
+                 FROM c{r}) WHERE rn = 1),
+    l{r} AS MATERIALIZED (
+        SELECT p.v, coalesce(m{r}.lab, p.lab) AS lab
+        FROM l{r - 1} p LEFT JOIN m{r} ON m{r}.v = p.v)""")
+    parts.append(f"""
+    SELECT v AS doc_id, lab AS label FROM l{rounds}""")
+    return "".join(parts)
+
+
 def link_mis_sql(max_rounds: int = MIS_ROUNDS) -> str:
     """Recursive-CTE oracle for :func:`link_mis`: the same synchronous
     automaton over materialized symmetric adjacency; extra rounds after

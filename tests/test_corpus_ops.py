@@ -4967,6 +4967,53 @@ class TestDocBboxScan:
         assert st["rows_total"] == n  # the store holds the whole corpus
 
 
+class TestLinkLabelProp:
+    def test_driver_and_distributed_paths_identical(self, ray_session):
+        """The link_mis size-adaptive pattern: the vectorized driver
+        automaton and the forced distributed loop (votes + count-0 self
+        rows through the node-keyed exchange) must produce the identical
+        label vector."""
+        from osmnetfusion_ray.pipelines.graph import link_label_prop
+
+        a = (link_label_prop(SF).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (link_label_prop(SF, force_distributed=True).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        # propagation actually coarsens: fewer distinct labels than nodes
+        assert 1 < a["label"].nunique() < len(a)
+
+    def test_one_round_matches_bruteforce(self, ray_session):
+        """One synchronous round recomputed from first principles: per
+        directed edge one vote each way, plurality with count-desc /
+        label-asc tie rule."""
+        from osmnetfusion_ray.pipelines.graph import (K_OUT, MULT,
+                                                      link_label_prop)
+
+        out = (link_label_prop(SF, rounds=1).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        n = len(out)
+        votes: dict = {}
+        for s in range(n):
+            for j in range(1, K_OUT + 1):
+                d = (s * MULT + j) % n
+                if d == s:
+                    continue
+                votes.setdefault(d, []).append(s)  # lab == id at round 0
+                votes.setdefault(s, []).append(d)
+        exp = []
+        for v in range(n):
+            vs = votes.get(v, [])
+            if not vs:
+                exp.append(v)
+                continue
+            cnt: dict = {}
+            for lb in vs:
+                cnt[lb] = cnt.get(lb, 0) + 1
+            exp.append(min(cnt, key=lambda lb: (-cnt[lb], lb)))
+        np.testing.assert_array_equal(out["label"], np.array(exp))
+
+
 class TestCellCompact:
     def test_decompact_reproduces_occupied_set_exactly(self, ray_session):
         """The defining property of compact(): expanding every emitted
@@ -5072,6 +5119,35 @@ class TestRipleyK:
         # monotone in r, and discriminative (some pairs at the top rung)
         assert (np.diff(out["n_pairs"].to_numpy()) >= 0).all()
         assert int(out["n_pairs"].iloc[-1]) > 0
+
+
+class TestVariogram:
+    def test_matches_allpairs_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import RIPLEY_RS, variogram
+
+        out = variogram(SF).sort_values("r_idx").reset_index(drop=True)
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+        did = t["doc_id"].to_numpy()
+        v = t["n_chars"].to_numpy().astype(np.int64)
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+        i, j = np.triu_indices(len(did), k=1)
+        d2 = (fx[i] - fx[j]) ** 2 + (fy[i] - fy[j]) ** 2
+        sqd = (v[i] - v[j]) ** 2
+        lo = 0.0
+        for k, r in enumerate(RIPLEY_RS):
+            inb = (d2 > lo * lo) & (d2 <= r * r) if k else (d2 <= r * r)
+            assert int(out["n_pairs"].iloc[k]) == int(inb.sum())
+            assert int(out["sq_sum"].iloc[k]) == int(sqd[inb].sum())
+            if inb.sum():
+                assert out["gamma"].iloc[k] == \
+                    float(sqd[inb].sum()) / (2.0 * float(inb.sum()))
+            lo = r
+        assert (out["n_pairs"] > 0).any()
 
 
 class TestCellJoinCounts:
