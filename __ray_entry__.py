@@ -1027,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_grid": corpus.idw_grid,
         "link_label_prop": _q_link_label_prop,
         "variogram": corpus.variogram,
+        "convex_hull": corpus.convex_hull,
         "bpe_first_merge": corpus.bpe_first_merge,
         # rows-only by design: iterative string rewriting; bpe_first_merge
         # is the oracled twin of round 1 (pytest asserts agreement)
@@ -3133,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_grid": corpusmod.idw_grid_sql(_GEO),
         "link_label_prop": graphmod.link_label_prop_sql(),
         "variogram": corpusmod.variogram_sql(_GEO),
+        "convex_hull": corpusmod.convex_hull_sql(),
         "link_mis": graphmod.link_mis_sql(),
         "event_percentile_attach": """
             SELECT event_id, event_type, value,

@@ -6170,6 +6170,168 @@ def ripley_k_sql(geo_cte: str) -> str:
     """
 
 
+def _monotone_chain(hx: np.ndarray, hy: np.ndarray,
+                    did: np.ndarray) -> np.ndarray:
+    """Strict convex hull (Andrew's monotone chain, integer cross
+    products, collinear points dropped) over distinct points; returns
+    the INDICES of hull vertices in CCW order starting at the
+    lexicographic minimum."""
+    order = np.lexsort((hy, hx))
+    hx, hy, did = hx[order], hy[order], did[order]
+
+    def half(idx_range):
+        st: list = []
+        for i in idx_range:
+            while len(st) >= 2:
+                ox, oy = hx[st[-2]], hy[st[-2]]
+                ax, ay = hx[st[-1]], hy[st[-1]]
+                if (ax - ox) * (hy[i] - oy) - (ay - oy) * (hx[i] - ox) <= 0:
+                    st.pop()
+                else:
+                    break
+            st.append(i)
+        return st
+
+    n = len(hx)
+    if n == 1:
+        return order[:1]
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    hull = lower[:-1] + upper[:-1]
+    return order[np.asarray(hull, dtype=np.int64)]
+
+
+def convex_hull(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTED CONVEX HULL of the doc point field in its EXACT
+    integer coordinate space (hx = h mod 2¹⁶, hy = h div 2¹⁶ — the
+    lattice the geocode lerps from, so every cross product is exact
+    int64 and no float orientation test exists anywhere): the classic
+    HULL-OF-HULLS combiner — a global hull vertex is a hull vertex of
+    every subset containing it, so block-local strict hulls are a
+    correct (and tiny) combiner and the driver folds Σ block-hull
+    points (O(√n)-ish per block) instead of the corpus. Output one row
+    per strict hull vertex, CCW from the lexicographic minimum:
+    (seq, doc_id, hx, hy) with doc_id = the smallest id at that point.
+
+    Oracle: an integer Jarvis march (gift wrapping) as a recursive CTE —
+    next vertex q = the point with NO point strictly right of cur→q and
+    none collinear-beyond-q — over an Akl–Toussaint-pruned candidate
+    set (points strictly inside the N/E/S/W extreme quadrilateral are
+    provably interior), a genuinely different algorithm, bit-equal at
+    three scales."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def block_hull(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": np.zeros(0, np.int64),
+                                 "hx": np.zeros(0, np.int64),
+                                 "hy": np.zeros(0, np.int64)})
+        did = df["doc_id"].to_numpy().astype(np.int64)
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        hx = (h % np.uint64(65536)).astype(np.int64)
+        hy = (h // np.uint64(65536)).astype(np.int64)
+        # distinct points, min doc_id representative
+        d = (pd.DataFrame({"hx": hx, "hy": hy, "doc_id": did})
+             .groupby(["hx", "hy"], sort=False)["doc_id"].min()
+             .reset_index())
+        keep = _monotone_chain(d["hx"].to_numpy(np.int64),
+                               d["hy"].to_numpy(np.int64),
+                               d["doc_id"].to_numpy(np.int64))
+        return d.iloc[keep][["doc_id", "hx", "hy"]]
+
+    cand = (docs.map_batches(block_hull, batch_format="pandas")
+            .to_pandas())
+    if len(cand) == 0 or "hx" not in cand.columns:
+        return pd.DataFrame({"seq": np.zeros(0, np.int64),
+                             "doc_id": np.zeros(0, np.int64),
+                             "hx": np.zeros(0, np.int64),
+                             "hy": np.zeros(0, np.int64)})
+    # candidates may repeat a point across blocks — re-dedup (min doc_id)
+    d = (cand.groupby(["hx", "hy"], sort=False)["doc_id"].min()
+         .reset_index())
+    keep = _monotone_chain(d["hx"].to_numpy(np.int64),
+                           d["hy"].to_numpy(np.int64),
+                           d["doc_id"].to_numpy(np.int64))
+    out = d.iloc[keep].reset_index(drop=True)
+    return pd.DataFrame({
+        "seq": np.arange(1, len(out) + 1, dtype=np.int64),
+        "doc_id": out["doc_id"].to_numpy(np.int64),
+        "hx": out["hx"].to_numpy(np.int64),
+        "hy": out["hy"].to_numpy(np.int64)})
+
+
+def convex_hull_sql() -> str:
+    """DuckDB mirror of :func:`convex_hull` by a different algorithm:
+    integer Jarvis march over Akl–Toussaint-pruned candidates."""
+    return """
+        WITH raw AS (
+            SELECT min(doc_id) AS doc_id,
+                   CAST((doc_id * 2654435761) % 4294967296 % 65536
+                        AS BIGINT) AS hx,
+                   CAST((doc_id * 2654435761) % 4294967296 // 65536
+                        AS BIGINT) AS hy
+            FROM documents GROUP BY 2, 3
+        ),
+        ext AS (SELECT
+            (SELECT hx FROM raw ORDER BY hx, hy LIMIT 1) AS wx,
+            (SELECT hy FROM raw ORDER BY hx, hy LIMIT 1) AS wy,
+            (SELECT hx FROM raw ORDER BY hx DESC, hy DESC LIMIT 1) AS ex,
+            (SELECT hy FROM raw ORDER BY hx DESC, hy DESC LIMIT 1) AS ey,
+            (SELECT hx FROM raw ORDER BY hy, hx LIMIT 1) AS sx,
+            (SELECT hy FROM raw ORDER BY hy, hx LIMIT 1) AS sy,
+            (SELECT hx FROM raw ORDER BY hy DESC, hx DESC LIMIT 1) AS nx,
+            (SELECT hy FROM raw ORDER BY hy DESC, hx DESC LIMIT 1) AS ny
+        ),
+        -- Akl-Toussaint: drop points STRICTLY inside the W->S->E->N quad
+        -- (every such point is interior to the hull); keep the rest
+        pts AS MATERIALIZED (
+            SELECT r.doc_id, r.hx, r.hy FROM raw r, ext
+            WHERE NOT (
+                  (ext.sx - ext.wx) * (r.hy - ext.wy)
+                - (ext.sy - ext.wy) * (r.hx - ext.wx) > 0
+              AND (ext.ex - ext.sx) * (r.hy - ext.sy)
+                - (ext.ey - ext.sy) * (r.hx - ext.sx) > 0
+              AND (ext.nx - ext.ex) * (r.hy - ext.ey)
+                - (ext.ny - ext.ey) * (r.hx - ext.ex) > 0
+              AND (ext.wx - ext.nx) * (r.hy - ext.ny)
+                - (ext.wy - ext.ny) * (r.hx - ext.nx) > 0)
+        ),
+        st AS (SELECT hx, hy FROM pts ORDER BY hx, hy LIMIT 1),
+        walk AS (
+            WITH RECURSIVE w(seq, cx, cy) AS (
+                SELECT CAST(1 AS BIGINT), st.hx, st.hy FROM st
+                UNION ALL
+                SELECT w.seq + 1, nxt.hx, nxt.hy
+                FROM w, LATERAL (
+                    -- the unique q with every other point non-strictly
+                    -- LEFT of cur->q and nothing collinear beyond q
+                    SELECT q.hx, q.hy FROM pts q
+                    WHERE (q.hx <> w.cx OR q.hy <> w.cy)
+                      AND NOT EXISTS (
+                          SELECT 1 FROM pts r
+                          WHERE (r.hx <> w.cx OR r.hy <> w.cy)
+                            AND ((q.hx - w.cx) * (r.hy - w.cy)
+                               - (q.hy - w.cy) * (r.hx - w.cx) < 0
+                              OR ((q.hx - w.cx) * (r.hy - w.cy)
+                                - (q.hy - w.cy) * (r.hx - w.cx) = 0
+                               AND (r.hx - w.cx) * (q.hx - w.cx)
+                                 + (r.hy - w.cy) * (q.hy - w.cy)
+                                 > (q.hx - w.cx) * (q.hx - w.cx)
+                                 + (q.hy - w.cy) * (q.hy - w.cy))))
+                    LIMIT 1) nxt
+                WHERE w.seq <= (SELECT count(*) FROM pts)
+                  AND NOT (nxt.hx = (SELECT hx FROM st)
+                       AND nxt.hy = (SELECT hy FROM st))
+            )
+            SELECT * FROM w
+        )
+        SELECT w.seq, p.doc_id, w.cx AS hx, w.cy AS hy
+        FROM walk w JOIN pts p ON p.hx = w.cx AND p.hy = w.cy
+        ORDER BY w.seq
+    """
+
+
 def variogram(sf_dir: str) -> pd.DataFrame:
     """EMPIRICAL SEMIVARIOGRAM of ``n_chars`` over the doc point field
     (Matheron's estimator — the geostatistics primitive behind kriging

@@ -5121,6 +5121,68 @@ class TestRipleyK:
         assert int(out["n_pairs"].iloc[-1]) > 0
 
 
+class TestConvexHull:
+    def test_hull_properties_and_jarvis_parity(self, ray_session):
+        """Every input point lies non-strictly left of every hull edge
+        (CCW containment), every vertex is a strict turn, the walk
+        starts at the lexicographic min — and the whole vertex sequence
+        equals an independent integer Jarvis march."""
+        import pyarrow.parquet as pq
+
+        from osmnetfusion_ray.pipelines.corpus import convex_hull
+
+        out = convex_hull(SF)
+        did = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+        h = (did.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        hx = (h % np.uint64(65536)).astype(np.int64)
+        hy = (h // np.uint64(65536)).astype(np.int64)
+        pts = sorted(set(zip(hx.tolist(), hy.tolist())))
+        V = list(zip(out["hx"].tolist(), out["hy"].tolist()))
+        assert len(V) >= 3
+        assert V[0] == min(pts)  # lexicographic-min start
+        m = len(V)
+        for k in range(m):
+            ax, ay = V[k]
+            bx, by = V[(k + 1) % m]
+            # containment: all points non-strictly left of edge a->b
+            for (px, py) in pts:
+                assert (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+            # strictness: consecutive triple is a strict left turn
+            cx2, cy2 = V[(k + 2) % m]
+            assert (bx - ax) * (cy2 - ay) - (by - ay) * (cx2 - ax) > 0
+        # independent Jarvis march
+        cur = min(pts)
+        jarvis = [cur]
+        while True:
+            nxt = None
+            for q in pts:
+                if q == cur:
+                    continue
+                ok = True
+                for r in pts:
+                    if r == cur:
+                        continue
+                    cr = ((q[0] - cur[0]) * (r[1] - cur[1])
+                          - (q[1] - cur[1]) * (r[0] - cur[0]))
+                    if cr < 0 or (cr == 0 and
+                                  (r[0] - cur[0]) * (q[0] - cur[0])
+                                  + (r[1] - cur[1]) * (q[1] - cur[1])
+                                  > (q[0] - cur[0]) ** 2
+                                  + (q[1] - cur[1]) ** 2):
+                        ok = False
+                        break
+                if ok:
+                    nxt = q
+                    break
+            assert nxt is not None
+            if nxt == jarvis[0]:
+                break
+            jarvis.append(nxt)
+            cur = nxt
+        assert V == jarvis
+
+
 class TestVariogram:
     def test_matches_allpairs_bruteforce(self, ray_session):
         import pyarrow.parquet as pq
