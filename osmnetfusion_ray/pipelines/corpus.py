@@ -2075,6 +2075,39 @@ def doc_cell_pyramid(sf_dir: str, levels: tuple = (6, 4, 2)) -> rd.Dataset:
     return leaf.repartition(1).map_batches(pyramid, batch_format="pandas")
 
 
+def _halo_points(batch: pa.Table, rcell: float, extra: tuple = ()) -> pa.Table:
+    """THE shared cell+halo replication kernel behind every
+    radius-bounded pair generator (doc_radius_pairs / ripley_k /
+    variogram — one copy so the subtle min-home/halo arithmetic can
+    never drift between them): Knuth-hash geocode, grid key of cell
+    size ``rcell``, 9-cell halo replication, fx/fy plus the HOME cell
+    for exactly-once min-home pair emission. ``extra`` selects
+    passthrough columns: ``"doc_id"`` (the ids) and/or ``"v"``
+    (int64 ``n_chars``)."""
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
+    fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
+    cx = np.floor(fx / rcell).astype(np.int64)
+    cy = np.floor(fy / rcell).astype(np.int64)
+    home = ((cx + 1) << np.int64(32)) | (cy + 1)
+    extras = {}
+    if "doc_id" in extra:
+        extras["doc_id"] = pa.array(doc_id)
+    if "v" in extra:
+        extras["v"] = pa.array(
+            batch["n_chars"].to_numpy().astype(np.int64))
+    outs = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
+            outs.append(pa.table({
+                "cell": pa.array(cell), **extras,
+                "fx": pa.array(fx), "fy": pa.array(fy),
+                "home": pa.array(home)}))
+    return pa.concat_tables(outs)
+
+
 def doc_radius_pairs(sf_dir: str, r: float = 0.03) -> rd.Dataset:
     """Spatial self-join within radius ``r`` (in bbox-fraction units): every
     pair of documents whose geocoded points lie closer than ``r`` — the
@@ -2101,26 +2134,9 @@ def doc_radius_pairs(sf_dir: str, r: float = 0.03) -> rd.Dataset:
     n_docs = table_rows(sf_dir, "documents")
     r2 = r * r
 
-    def halo_pts(batch: pa.Table) -> pa.Table:
-        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
-        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
-        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
-        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
-        cx = np.floor(fx / r).astype(np.int64)
-        cy = np.floor(fy / r).astype(np.int64)
-        home = ((cx + 1) << np.int64(32)) | (cy + 1)
-        outs = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
-                outs.append(pa.table({
-                    "cell": pa.array(cell), "doc_id": pa.array(doc_id),
-                    "fx": pa.array(fx), "fy": pa.array(fy),
-                    "home": pa.array(home),
-                }))
-        return pa.concat_tables(outs)
-
-    pts = docs.map_batches(halo_pts, batch_format="pyarrow")
+    pts = docs.map_batches(
+        lambda b: _halo_points(b, r, extra=("doc_id",)),
+        batch_format="pyarrow")
 
     def pair_block(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -6072,25 +6088,8 @@ def ripley_k(sf_dir: str) -> pd.DataFrame:
     rcell = RIPLEY_RS[-1]
     rs = np.asarray(RIPLEY_RS, np.float64)
 
-    def halo_pts(batch: pa.Table) -> pa.Table:
-        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
-        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(1 << 32)
-        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
-        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
-        cx = np.floor(fx / rcell).astype(np.int64)
-        cy = np.floor(fy / rcell).astype(np.int64)
-        home = ((cx + 1) << np.int64(32)) | (cy + 1)
-        outs = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
-                outs.append(pa.table({
-                    "cell": pa.array(cell), "fx": pa.array(fx),
-                    "fy": pa.array(fy), "home": pa.array(home)}))
-        return pa.concat_tables(outs)
-
-    pts = docs.map_batches(halo_pts, batch_format="pyarrow")
+    pts = docs.map_batches(lambda b: _halo_points(b, rcell),
+                           batch_format="pyarrow")
 
     def count_block(df: pd.DataFrame) -> pd.DataFrame:
         cnt = np.zeros(len(rs), np.int64)
@@ -6170,14 +6169,14 @@ def ripley_k_sql(geo_cte: str) -> str:
     """
 
 
-def _monotone_chain(hx: np.ndarray, hy: np.ndarray,
-                    did: np.ndarray) -> np.ndarray:
+def _monotone_chain(hx: np.ndarray, hy: np.ndarray) -> np.ndarray:
     """Strict convex hull (Andrew's monotone chain, integer cross
     products, collinear points dropped) over distinct points; returns
     the INDICES of hull vertices in CCW order starting at the
-    lexicographic minimum."""
+    lexicographic minimum. Selection is purely geometric — doc_id
+    representatives are resolved by the callers' groupby-min."""
     order = np.lexsort((hy, hx))
-    hx, hy, did = hx[order], hy[order], did[order]
+    hx, hy = hx[order], hy[order]
 
     def half(idx_range):
         st: list = []
@@ -6236,8 +6235,7 @@ def convex_hull(sf_dir: str) -> pd.DataFrame:
              .groupby(["hx", "hy"], sort=False)["doc_id"].min()
              .reset_index())
         keep = _monotone_chain(d["hx"].to_numpy(np.int64),
-                               d["hy"].to_numpy(np.int64),
-                               d["doc_id"].to_numpy(np.int64))
+                               d["hy"].to_numpy(np.int64))
         return d.iloc[keep][["doc_id", "hx", "hy"]]
 
     cand = (docs.map_batches(block_hull, batch_format="pandas")
@@ -6251,8 +6249,7 @@ def convex_hull(sf_dir: str) -> pd.DataFrame:
     d = (cand.groupby(["hx", "hy"], sort=False)["doc_id"].min()
          .reset_index())
     keep = _monotone_chain(d["hx"].to_numpy(np.int64),
-                           d["hy"].to_numpy(np.int64),
-                           d["doc_id"].to_numpy(np.int64))
+                           d["hy"].to_numpy(np.int64))
     out = d.iloc[keep].reset_index(drop=True)
     return pd.DataFrame({
         "seq": np.arange(1, len(out) + 1, dtype=np.int64),
@@ -6358,27 +6355,8 @@ def variogram(sf_dir: str) -> pd.DataFrame:
     rcell = RIPLEY_RS[-1]
     rs = np.asarray(RIPLEY_RS, np.float64)
 
-    def halo_pts(batch: pa.Table) -> pa.Table:
-        doc_id = batch["doc_id"].to_numpy().astype(np.int64)
-        val = batch["n_chars"].to_numpy().astype(np.int64)
-        h = (doc_id.astype(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(1 << 32)
-        fx = (h % np.uint64(65536)).astype(np.float64) / 65536.0
-        fy = (h // np.uint64(65536)).astype(np.float64) / 65536.0
-        cx = np.floor(fx / rcell).astype(np.int64)
-        cy = np.floor(fy / rcell).astype(np.int64)
-        home = ((cx + 1) << np.int64(32)) | (cy + 1)
-        outs = []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cell = ((cx + dx + 1) << np.int64(32)) | (cy + dy + 1)
-                outs.append(pa.table({
-                    "cell": pa.array(cell), "fx": pa.array(fx),
-                    "fy": pa.array(fy), "v": pa.array(val),
-                    "home": pa.array(home)}))
-        return pa.concat_tables(outs)
-
-    pts = docs.map_batches(halo_pts, batch_format="pyarrow")
+    pts = docs.map_batches(lambda b: _halo_points(b, rcell, extra=("v",)),
+                           batch_format="pyarrow")
 
     def bin_block(df: pd.DataFrame) -> pd.DataFrame:
         cnt = np.zeros(len(rs), np.int64)

@@ -767,6 +767,14 @@ def link_label_prop(sf_dir: str, rounds: int = LP_ROUNDS,
     if n % MULT == 0:
         raise ValueError("derived-graph MULT shares a factor with N; "
                          "in-neighbour arithmetic needs gcd(MULT, N) = 1")
+    # the distributed combiner packs (node, label) into one int64 key
+    # (dst * n + lab, both < n) — exact only while n^2 < 2^63. Beyond
+    # ~3.03e9 nodes the key must widen (two-column groupby or uint128
+    # split) — fail loudly instead of wrapping silently.
+    if n > 3_037_000_499:
+        raise ValueError("link_label_prop's int64 composite vote key "
+                         "requires n^2 < 2^63; widen the key for larger "
+                         "corpora")
     inv = pow(MULT, -1, n)
     J = np.arange(1, K_OUT + 1, dtype=np.int64)
 
