@@ -93,9 +93,14 @@ def main(sf_dir: str):
 
     import __ray_entry__ as entrymod
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
 
     qs = entrymod.queries()
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -118,9 +123,21 @@ def main(sf_dir: str):
         try:
             oracle = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL  {name}: oracle raised {e}")
-            n_fail += 1
-            continue
+            # a ~200-oracle sweep can exhaust the SHARED DuckDB
+            # connection's tracked memory (observed twice at sf0.1:
+            # kcenter's materialized-CTE chain failing a 256 KB
+            # allocation ~35 queries in, while the box had >100 GB
+            # free; the same oracle passes instantly on a fresh
+            # connection). Retry ONCE on a fresh connection before
+            # declaring a failure — a real oracle error reproduces.
+            try:
+                con.close()
+                con = fresh_con()
+                oracle = con.sql(oracles[name]).df()
+            except Exception:
+                print(f"FAIL  {name}: oracle raised {e}")
+                n_fail += 1
+                continue
         issues = compare(name, mine, oracle)
         if issues:
             n_fail += 1
